@@ -1,0 +1,228 @@
+"""Deduplication operators (north-star extension; SURVEY.md §2B).
+
+Four tiers, cheapest first — the order a 100 TB corpus pipeline runs
+them:
+  1. exact       — hash-groupBy on content (one shuffle on a 128-bit
+                   fingerprint, never on the full text at scale).
+  2. normalized  — same, after text normalization (casefold, strip
+                   punctuation, collapse whitespace).
+  3. simhash     — 64-bit near-dup signature, computed as one
+                   single-pass aggregation (64 conditional sums), all
+                   JVM-side; candidate pairs come from equal signatures
+                   or banded sub-keys.
+  4. minhash LSH — pyspark.ml MinHashLSH banding for Jaccard near-dups
+                   (the genuinely approximate path; rows-only checked).
+
+Deterministic representative: min(doc_id) per group (dropDuplicates
+keeps an arbitrary row — unusable under a hash-matching oracle).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+
+def normalized_text(col: F.Column) -> F.Column:
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(col), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content fingerprint: group on md5(text), keep
+    the smallest doc_id. Grouping on the 128-bit digest instead of the
+    raw text keeps shuffle rows tiny at 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("fp"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("doc_id", "n_copies")
+    )
+
+
+@register(
+    "q_dedup_normkey",
+    oracle="""
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(trim(regexp_replace(
+                 regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                 ' +', ' ', 'g')))
+    """,
+)
+def q_dedup_normkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup dedup by normalized-content key (the cheap fuzzy tier)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(normalized_text(F.col("text"))).alias("fp"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("doc_id", "n_copies")
+    )
+
+
+@register("q_dedup_simhash")  # rows-only: xxhash64 has no DuckDB twin
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document, computed as ONE aggregation pass:
+    explode tokens, hash each with xxhash64 (JVM, codegen'd), then for
+    each bit position sum ±1 votes and pack the majority bits. No
+    Python in the loop; at scale this is a single map-side-combinable
+    groupBy over (doc_id).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).select("doc_id", F.xxhash64("term").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    packed = reduce(
+        lambda acc, i: acc.bitwiseOR(
+            F.when(
+                F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
+        ),
+        range(64),
+        F.lit(0).cast("long"),
+    )
+    return agg.select("doc_id", packed.alias("simhash"))
+
+
+@register("q_dedup_minhash_lsh")  # rows-only: approximate, seed-pinned
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate candidate pairs (Jaccard distance
+    <= 0.5 on token sets): shingle -> sparse vector -> minhash bands ->
+    bucket self-join. The banding join is the 100 TB path — candidate
+    generation cost scales with bucket collisions, not n².
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = Tokenizer(inputCol="text", outputCol="tokens")
+    tf = HashingTF(
+        inputCol="tokens", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    featurized = tf.transform(tok.transform(docs))
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(featurized)
+    pairs = model.approxSimilarityJoin(
+        featurized, featurized, threshold=0.5, distCol="jaccard_dist"
+    )
+    return (
+        pairs.select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round("jaccard_dist", 4).alias("jaccard_dist"),
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    oracle="""
+    WITH shingles AS (
+        SELECT DISTINCT doc_id, shingle
+        FROM (
+            SELECT doc_id,
+                   t.term || ' ' || lead(t.term, 1) OVER w || ' '
+                          || lead(t.term, 2) OVER w || ' '
+                          || lead(t.term, 3) OVER w || ' '
+                          || lead(t.term, 4) OVER w AS shingle
+            FROM (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS term,
+                       generate_subscripts(string_split(text, ' '), 1) AS pos
+                FROM documents
+            ) t
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        )
+        WHERE shingle IS NOT NULL
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(1.0 * n_common / (sa.n + sb.n - n_common), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE 1.0 * n_common / (sa.n + sb.n - n_common) >= 0.2
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-5-gram Jaccard similarity for candidate pairs that
+    share at least one shingle. Inverted-index style: explode distinct
+    shingles, equi-join on shingle (hash join, co-partitioned), count
+    per pair — never a cross product.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.split("text", " ")
+    n = 5
+    # Guard: sequence(0, negative) would generate a DESCENDING range,
+    # so documents shorter than n shingle to an empty array instead.
+    sh = F.when(
+        F.size(arr) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(arr) - n),
+            lambda i: F.concat_ws(" ", F.slice(arr, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    shingles = (
+        docs.select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+    return (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.2)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )

@@ -1,0 +1,222 @@
+"""Join operators (§2B: q_join_*).
+
+Scale notes baked into each plan:
+- Dimension tables (nation 25 rows, region 5) are broadcast — no
+  shuffle of the fact side, ever, at any scale.
+- The theta/range self-join carries an equi predicate (user_id) so it
+  plans as a shuffled equi-join with a residual range filter, NOT a
+  broadcast-nested-loop over the cross product.
+- The as-of join is expressed as equi-join + max(struct) — an
+  order-statistics aggregation that map-side combines, instead of a
+  per-row sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+
+@register(
+    "q_join_inner_hash",
+    oracle="""
+    SELECT c_custkey, c_name, n_name
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+)
+def q_join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return customer.join(
+        F.broadcast(nation),
+        customer.c_nationkey == nation.n_nationkey,
+        "inner",
+    ).select("c_custkey", "c_name", "n_name")
+
+
+@register(
+    "q_join_multiway",
+    oracle="""
+    SELECT r_name, count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS sum_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: both dims broadcast, single pass over the fact."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+@register(
+    "q_join_left",
+    oracle="""
+    SELECT n_name, count(c_custkey) AS n_customers
+    FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        nation.join(customer, nation.n_nationkey == customer.c_nationkey, "left")
+        .groupBy("n_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
+    )
+
+
+@register(
+    "q_join_full",
+    oracle="""
+    SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
+           coalesce(c.n_cust, 0) AS n_cust,
+           coalesce(s.n_supp, 0) AS n_supp
+    FROM (SELECT c_nationkey, count(*) AS n_cust
+          FROM customer GROUP BY c_nationkey) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey, count(*) AS n_supp
+          FROM supplier GROUP BY s_nationkey) s
+    ON c.c_nationkey = s.s_nationkey
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return c.join(s, c.c_nationkey == s.s_nationkey, "full").select(
+        F.coalesce(c.c_nationkey, s.s_nationkey).alias("nationkey"),
+        F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+        F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "q_join_theta_range",
+    oracle="""
+    SELECT a.event_id AS event_id, count(*) AS n_within_hour
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL '1 hour'
+    GROUP BY a.event_id
+    """,
+)
+def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band self-join: for each event, how many same-user events follow
+    within one hour. The user_id equi-key keeps this a hash join with
+    a residual band predicate (never a cross product).
+    """
+    events = load_table(spark, sf_dir, "events")
+    a = events.alias("a")
+    b = events.alias("b")
+    cond = (
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    return (
+        a.join(b, cond, "inner")
+        .groupBy(F.col("a.event_id").alias("event_id"))
+        .agg(F.count(F.lit(1)).alias("n_within_hour"))
+    )
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+    SELECT p.event_id AS event_id,
+           (SELECT v.value FROM events v
+            WHERE v.event_type = 'view'
+              AND v.user_id = p.user_id
+              AND v.ts <= p.ts
+            ORDER BY v.ts DESC, v.event_id DESC
+            LIMIT 1) AS last_view_value
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase picks the latest view at-or-before it
+    (same user). Expressed as equi-join + max(struct(ts, id, value)) —
+    the struct max is a partial-aggregable order statistic, so the
+    'latest row' resolves map-side instead of via a per-group sort.
+    Ties on ts resolve to the larger event_id, matching the oracle's
+    ORDER BY ts DESC, event_id DESC.
+    """
+    events = load_table(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id"), F.col("user_id"), F.col("ts")
+    )
+    v = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("v_event_id"),
+        F.col("value").alias("v_value"),
+    )
+    joined = p.join(
+        v,
+        (p.user_id == v.v_user_id) & (v.v_ts <= p.ts),
+        "left",
+    )
+    best = F.max(F.struct("v_ts", "v_event_id", "v_value")).alias("best")
+    return (
+        joined.groupBy("event_id")
+        .agg(best)
+        .select("event_id", F.col("best.v_value").alias("last_view_value"))
+    )

@@ -1,0 +1,115 @@
+"""Multimodal columns (north-star extension).
+
+Policy for 100 TB media pipelines: image/audio/video travel as opaque
+`binary` columns with typed metadata beside them; decode/feature
+extraction runs in Arrow-batched Python (mapInPandas) so bytes cross
+the JVM↔Python boundary once per batch, never per row. The container
+has no image/audio codecs, so the decode step is a clearly-marked
+deterministic stub (same signature, schema, and batching as the real
+thing — see decode_stub).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+
+@register(
+    "q_multimodal_struct",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q_multimodal_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested struct columns carried through operators: pack metadata
+    into a struct, navigate it downstream, aggregate on a struct
+    field. Catalyst prunes unused struct fields at the scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    packed = docs.select(
+        F.struct(
+            F.col("lang"), F.col("source"), F.col("n_chars")
+        ).alias("meta"),
+        "doc_id",
+    )
+    return packed.groupBy(F.col("meta.lang").alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("meta.n_chars")).alias("sum_chars"),
+    )
+
+
+@register(
+    "q_multimodal_binary",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS INTEGER) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary plumbing, JVM-side: cast payload to binary, read
+    byte length and content digest without ever decoding. (The corpus
+    has no real media files, so document text stands in as payload.)
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).alias("n_bytes"),
+        F.md5(payload).alias("content_md5"),
+    )
+
+
+def decode_stub(payload: bytes) -> dict:
+    """STUB decoder standing in for PIL/libav (not in this container).
+
+    Deterministic fake: 'width'/'height' from the first two bytes,
+    'mean_intensity' = mean byte value. A real deployment swaps this
+    single function for an actual decoder; the Spark plumbing around
+    it (schema, Arrow batching, partitioning) is unchanged.
+    """
+    if not payload:
+        return {"width": 0, "height": 0, "mean_intensity": 0.0}
+    return {
+        "width": int(payload[0]),
+        "height": int(payload[1]) if len(payload) > 1 else 0,
+        "mean_intensity": round(sum(payload) / len(payload), 4),
+    }
+
+
+@register("q_multimodal_decode")  # rows-only: stub features, no SQL twin
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode/feature-extract operator: binary in, typed feature
+    columns out, via Arrow-batched mapInPandas. Output schema and
+    batch shape match what a real image decoder would produce.
+    """
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload_df = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    def decode_batches(it):
+        for pdf in it:
+            feats = [decode_stub(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "mean_intensity": [f["mean_intensity"] for f in feats],
+                }
+            )
+
+    return payload_df.mapInPandas(
+        decode_batches,
+        schema="doc_id long, width int, height int, mean_intensity double",
+    )

@@ -1,0 +1,161 @@
+"""Scalar function surface (§2B: q_fn_*). All JVM-side builtins —
+whole-stage-codegen'd, no Python in the row loop.
+
+Oracle type notes: DuckDB year()/datediff() return BIGINT and floor()
+DECIMAL — the oracle SQL casts them to match Spark's INT/BIGINT so the
+driver's schema comparison agrees.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import register
+from ..sources import load_table
+
+
+@register(
+    "q_fn_string",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           substring(p_name, 1, 8) AS name_prefix,
+           CAST(length(p_name) AS INTEGER) AS name_len,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+           replace(p_type, ' ', '_') AS type_slug
+    FROM part
+    """,
+)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_brand", "([0-9]+)", 1).alias("brand_num"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_slug"),
+    )
+
+
+@register(
+    "q_fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')
+                AS INTEGER) AS days_to_end
+    FROM orders
+    """,
+)
+def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(F.lit("1998-12-31").cast("date"), F.col("o_orderdate")).alias(
+            "days_to_end"
+        ),
+    )
+
+
+@register(
+    "q_fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_discount - 0.05) AS abs_disc_gap,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           round(ln(l_extendedprice + 1), 6) AS log_price,
+           round(sqrt(l_quantity), 6) AS sqrt_qty
+    FROM lineitem
+    """,
+)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_disc_gap"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("log_price"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+    )
+
+
+@register(
+    "q_fn_array",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           list_contains(string_split(text, ' '), 'spark') AS has_spark
+    FROM documents
+    """,
+)
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(arr).alias("n_tokens"),
+        F.array_contains(arr, "spark").alias("has_spark"),
+    )
+
+
+@register(
+    "q_fn_map",
+    oracle="""
+    SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k_value
+    FROM events
+    """,
+)
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON string -> MapType -> key lookup (≙ the reference's
+    imperative field access, SparkApplication.scala:68-74)."""
+    events = load_table(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), T.MapType(T.StringType(), T.IntegerType()))
+    return events.select(
+        "event_id", F.element_at(m, "k").alias("k_value")
+    )
+
+
+@register(
+    "q_fn_json",
+    oracle="""
+    SELECT event_id, props->>'$.k' AS k_str
+    FROM events
+    """,
+)
+def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id", F.get_json_object("props", "$.k").alias("k_str")
+    )
+
+
+@register(
+    "q_fn_case",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 200000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END AS bucket
+    FROM orders
+    """,
+)
+def q_fn_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 200000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("bucket"),
+    )

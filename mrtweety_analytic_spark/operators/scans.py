@@ -1,0 +1,69 @@
+"""Scans and schema-on-read sources (§2B: q_scan_*, q_source_*).
+
+These verify the Catalyst scan path: column pruning and predicate
+pushdown must reach the parquet reader (`PushedFilters`/`ReadSchema`
+in .explain), which is what makes a 100 TB scan read only the bytes
+the query needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import register
+from ..sources import load_table
+
+
+@register(
+    "q_scan_parquet",
+    oracle="SELECT count(*) AS n_rows FROM lineitem",
+)
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-scan count — planned as a metadata-only parquet row-count
+    (no column materialization at all).
+    """
+    return load_table(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+@register(
+    "q_scan_pruned",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_orderkey <= 1000
+    """,
+)
+def q_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + filter, both pushed into the scan: ReadSchema is
+    3 of 11 columns and PushedFilters carries the range predicate
+    (row-group min/max skipping at scale).
+    """
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 1000)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+@register(
+    "q_source_json_lines",
+    oracle="""
+    SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k
+    FROM events
+    """,
+)
+def q_source_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over a JSON-string column with an explicit
+    StructType — the declarative form of the reference's imperative
+    org.json navigation (SparkApplication.scala:66-85); malformed
+    JSON yields NULL (≙ optJSONObject tolerance at :68).
+    """
+    events = load_table(spark, sf_dir, "events")
+    schema = T.StructType([T.StructField("k", T.IntegerType())])
+    return events.select(
+        "event_id", F.from_json(F.col("props"), schema).getField("k").alias("k")
+    )

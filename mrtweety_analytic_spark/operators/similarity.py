@@ -1,0 +1,184 @@
+"""Similarity search over the embeddings table (north-star extension).
+
+Three paths:
+  - q_sim_knn_cosine  — single-probe exact top-k, pure column
+    expressions (zip_with + aggregate fold), TakeOrderedAndProject cut.
+  - q_sim_knn_batch   — many probes, Arrow-batched numpy matmul
+    (mapInPandas) with per-batch partial top-k, then a global window
+    top-k. This is the distributed brute-force baseline: broadcast the
+    probe matrix, stream the corpus through BLAS.
+  - q_sim_lsh_bucketed — BucketedRandomProjectionLSH approximate join,
+    the 100 TB path (candidates from bucket collisions, not n²).
+
+Score parity: cosine computed in float64 in both engines, rounded to
+6 decimals, ordered by (rounded score, vec_id) so the top-k cut is
+identical under the DuckDB oracle (list_cosine_similarity on
+DOUBLE[]).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+KNN_K = 10
+BATCH_K = 3
+PROBE_MOD = 50  # probes = vec_id % 50 == 0
+
+
+def cosine_expr(a: F.Column, b: F.Column) -> F.Column:
+    """Cosine similarity between two array<double> columns, entirely
+    JVM-side (no UDF): elementwise product fold / norms.
+    """
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+@register(
+    "q_sim_knn_cosine",
+    oracle=f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qe), 6)
+               AS score
+    FROM embeddings, q
+    WHERE vec_id <> 0
+    ORDER BY score DESC, vec_id
+    LIMIT {KNN_K}
+    """,
+)
+def q_sim_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    probe = emb.filter(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probe))  # 1-row broadcast, no shuffle
+        .select(
+            "vec_id",
+            F.round(cosine_expr(F.col("e"), F.col("qe")), 6).alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(KNN_K)
+
+
+@register(
+    "q_sim_knn_batch",
+    oracle=f"""
+    WITH probes AS (
+        SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pe
+        FROM embeddings WHERE vec_id % {PROBE_MOD} = 0
+    ),
+    pairs AS (
+        SELECT p.probe_id, e.vec_id,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            p.pe), 6) AS score
+        FROM embeddings e, probes p
+        WHERE e.vec_id <> p.probe_id
+    )
+    SELECT probe_id, vec_id, score
+    FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                       ORDER BY score DESC, vec_id) AS rn
+          FROM pairs)
+    WHERE rn <= {BATCH_K}
+    """,
+)
+def q_sim_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN baseline: top-3 neighbours for every 50th vector.
+
+    The probe matrix is collected (small by construction) and shipped
+    in the Arrow-batch closure; each corpus partition computes a
+    float64 matmul and keeps only its local top-k per probe, so the
+    final global window sees k rows per (probe, partition) instead of
+    the full n×m score matrix.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = (
+        emb.filter(F.col("vec_id") % PROBE_MOD == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    probe_ids = np.array([r["vec_id"] for r in probes], dtype=np.int64)
+    pm = np.array([r["embedding"] for r in probes], dtype=np.float64)
+    pnorm = np.sqrt((pm * pm).sum(axis=1))
+
+    def score_batches(it):
+        for pdf in it:
+            corpus = np.array(list(pdf["embedding"]), dtype=np.float64)
+            vids = pdf["vec_id"].to_numpy()
+            cnorm = np.sqrt((corpus * corpus).sum(axis=1))
+            scores = (corpus @ pm.T) / np.outer(cnorm, pnorm)
+            out = []
+            for j, pid in enumerate(probe_ids):
+                col = scores[:, j]
+                mask = vids != pid
+                cand_idx = np.nonzero(mask)[0]
+                if len(cand_idx) == 0:
+                    continue
+                top = cand_idx[
+                    np.argsort(-col[cand_idx], kind="stable")[: BATCH_K * 2]
+                ]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "probe_id": pid,
+                            "vec_id": vids[top],
+                            "score": np.round(col[top], 6),
+                        }
+                    )
+                )
+            yield pd.concat(out) if out else pd.DataFrame(
+                {"probe_id": pd.Series(dtype="int64"),
+                 "vec_id": pd.Series(dtype="int64"),
+                 "score": pd.Series(dtype="float64")}
+            )
+
+    partial = emb.select("vec_id", "embedding").mapInPandas(
+        score_batches, schema="probe_id long, vec_id long, score double"
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        partial.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BATCH_K)
+        .select("probe_id", "vec_id", "score")
+    )
+
+
+@register("q_sim_lsh_bucketed")  # rows-only: approximate, seed-pinned
+def q_sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate neighbour pairs via random-projection LSH buckets —
+    the scale path: join cost ∝ bucket collisions, not n².
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("v")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="v", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
+    )
+    model = lsh.fit(emb)
+    pairs = model.approxSimilarityJoin(emb, emb, threshold=8.0, distCol="l2_dist")
+    return (
+        pairs.select(
+            F.col("datasetA.vec_id").alias("vec_a"),
+            F.col("datasetB.vec_id").alias("vec_b"),
+            F.round("l2_dist", 4).alias("l2_dist"),
+        )
+        .filter(F.col("vec_a") < F.col("vec_b"))
+    )

@@ -1,0 +1,251 @@
+"""Text analysis: tokenization, trending terms, quality, fingerprints.
+
+`q_text_trending` is the flagship: the reference's whole dataflow —
+parse → explode → blacklist filter → case-folded count → top-5
+(reference: SparkApplication.scala:63-95, Hashtag.scala:11-17) —
+transplanted onto the `documents` corpus as one declarative plan.
+Catalyst plans the top-5 as TakeOrderedAndProject (distributed per-
+partition top-k + driver merge), replacing the reference's full
+sortByKey + take(5) (SparkApplication.scala:90-93).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+# Trending-query stopword blacklist — the engine analogue of the
+# reference's WORD_BLACKLIST {europe, europa, eu, euro}
+# (SparkApplication.scala:29,77): case-insensitive NOT-IN over terms.
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def tokens(documents: DataFrame) -> DataFrame:
+    """documents -> one row per (doc_id, term); empty terms dropped.
+
+    ≙ reference flatMap over entities.hashtags[].text
+    (SparkApplication.scala:66-85): explode drops null/empty arrays,
+    matching the "tweet without entities contributes nothing" rule.
+    """
+    return (
+        documents.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+        )
+        .filter(F.col("term") != "")
+    )
+
+
+def trending_terms(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k case-folded terms after blacklist filtering.
+
+    The deterministic upgrade over the reference: ties broken by term
+    (reference sorts by count only, SparkApplication.scala:90), and
+    case-insensitivity via lower() instead of the equality-by-hashCode
+    quirk (Hashtag.scala:15-17 — classified as a bug, SURVEY.md §1.2).
+    """
+    return (
+        tokens(documents)
+        .filter(~F.lower(F.col("term")).isin(*STOPWORDS))
+        .groupBy(F.lower(F.col("term")).alias("term"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(k)
+    )
+
+
+@register(
+    "q_text_trending",
+    oracle=f"""
+    SELECT lower(term) AS term, count(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+    WHERE term <> '' AND lower(term) NOT IN ({_STOP_SQL})
+    GROUP BY 1
+    ORDER BY cnt DESC, term ASC
+    LIMIT 5
+    """,
+)
+def q_text_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return trending_terms(load_table(spark, sf_dir, "documents"), k=5)
+
+
+@register(
+    "q_text_tokens",
+    oracle=f"""
+    SELECT term, count(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+    WHERE term <> '' AND term NOT IN ({_STOP_SQL})
+    GROUP BY term
+    """,
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full term-frequency table (no limit) — the R3–R6 composition."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        tokens(docs)
+        .filter(~F.col("term").isin(*STOPWORDS))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "q_text_trending_by_source",
+    oracle=f"""
+    SELECT source, term, cnt, rn
+    FROM (
+        SELECT source, term, cnt,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY cnt DESC, term ASC) AS rn
+        FROM (
+            SELECT source, term, count(*) AS cnt
+            FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+                  FROM documents)
+            WHERE term <> '' AND term NOT IN ({_STOP_SQL})
+            GROUP BY source, term
+        )
+    )
+    WHERE rn <= 5
+    """,
+)
+def q_text_trending_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per source — the per-group generalization of the
+    reference's global top-5 (R8/R9). Catalyst 3.5+ rewrites the
+    rn<=k filter into WindowGroupLimit (partial top-k before shuffle).
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("term"))
+        .filter((F.col("term") != "") & ~F.col("term").isin(*STOPWORDS))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = W.partitionBy("source").orderBy(F.desc("cnt"), F.asc("term"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("source", "term", "cnt", "rn")
+    )
+
+
+@register(
+    "q_text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(length(term)), 4) AS avg_token_len,
+           round(1.0 * count(*) FILTER (WHERE term IN ({_STOP_SQL}))
+                 / count(*), 4) AS stopword_ratio
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents)
+    WHERE term <> ''
+    GROUP BY doc_id
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: token count, mean token length,
+    stopword ratio — the heuristics an LLM-corpus filter runs first.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(docs)
+    return t.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg(F.length("term")), 4).alias("avg_token_len"),
+        F.round(
+            F.sum(F.when(F.col("term").isin(*STOPWORDS), 1).otherwise(0))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "q_text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))
+               AS fingerprint
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprint: md5 of normalized text.
+    The content-addressing primitive under exact dedup at 100 TB
+    (hash once, group by 128-bit key instead of full text).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""))
+    return docs.select("doc_id", F.md5(normalized).alias("fingerprint"))
+
+
+# Tiny per-language marker lexicons for the language-ID heuristic.
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "is"),
+    "de": ("der", "die", "und", "ist"),
+    "es": ("el", "la", "que", "es"),
+    "fr": ("le", "la", "et", "est"),
+}
+
+
+def _lang_case_sql() -> str:
+    hits = {
+        lang: f"count(*) FILTER (WHERE term IN ({', '.join(repr(w) for w in ws)}))"
+        for lang, ws in _LANG_MARKERS.items()
+    }
+    # Deterministic tie rule: fixed priority order en > de > es > fr,
+    # 'und' (undetermined) when no marker hits at all.
+    return f"""
+    SELECT doc_id,
+           CASE
+             WHEN {hits['en']} = 0 AND {hits['de']} = 0
+                  AND {hits['es']} = 0 AND {hits['fr']} = 0 THEN 'und'
+             WHEN {hits['en']} >= {hits['de']} AND {hits['en']} >= {hits['es']}
+                  AND {hits['en']} >= {hits['fr']} THEN 'en'
+             WHEN {hits['de']} >= {hits['es']} AND {hits['de']} >= {hits['fr']}
+                  THEN 'de'
+             WHEN {hits['es']} >= {hits['fr']} THEN 'es'
+             ELSE 'fr'
+           END AS lang_guess
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents)
+    GROUP BY doc_id
+    """
+
+
+@register("q_text_langid", oracle=_lang_case_sql())
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic — entirely JVM-side
+    (conditional count aggregation), no Python in the loop.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    hit_cols = {
+        lang: F.sum(F.when(F.col("term").isin(*ws), 1).otherwise(0))
+        for lang, ws in _LANG_MARKERS.items()
+    }
+    agg = t.groupBy("doc_id").agg(
+        *[c.alias(f"h_{lang}") for lang, c in hit_cols.items()]
+    )
+    h = {lang: F.col(f"h_{lang}") for lang in _LANG_MARKERS}
+    guess = (
+        F.when(
+            (h["en"] == 0) & (h["de"] == 0) & (h["es"] == 0) & (h["fr"] == 0),
+            F.lit("und"),
+        )
+        .when(
+            (h["en"] >= h["de"]) & (h["en"] >= h["es"]) & (h["en"] >= h["fr"]),
+            F.lit("en"),
+        )
+        .when((h["de"] >= h["es"]) & (h["de"] >= h["fr"]), F.lit("de"))
+        .when(h["es"] >= h["fr"], F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return agg.select("doc_id", guess.alias("lang_guess"))

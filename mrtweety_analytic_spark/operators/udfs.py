@@ -1,0 +1,75 @@
+"""UDF surface (§2B: q_udf_scalar, q_udaf_grouped).
+
+Demonstrates the sanctioned slow paths: Arrow-vectorized pandas UDF
+for scalar logic and applyInPandas for grouped custom aggregation.
+Both mirror pure-SQL oracles, proving the Python path preserves
+semantics (float64 end-to-end, rounded on the same grid).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import register
+from ..sources import load_table
+
+
+@F.pandas_udf(T.DoubleType())
+def _revenue_udf(price: pd.Series, discount: pd.Series) -> pd.Series:
+    # float64 arithmetic: bit-identical to the JVM expression.
+    return price * (1.0 - discount)
+
+
+@register(
+    "q_udf_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 4) AS revenue_udf
+    FROM lineitem
+    """,
+)
+def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            _revenue_udf(F.col("l_extendedprice"), F.col("l_discount")), 4
+        ).alias("revenue_udf"),
+    )
+
+
+@register(
+    "q_udaf_grouped",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+               AS wavg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped custom aggregate via applyInPandas: quantity-weighted
+    mean price per return flag (one pandas frame per group).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+
+    def wavg(pdf: pd.DataFrame) -> pd.DataFrame:
+        num = float((pdf["l_extendedprice"] * pdf["l_quantity"]).sum())
+        den = float(pdf["l_quantity"].sum())
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "wavg_price": [round(num / den, 4)],
+            }
+        )
+
+    return li.groupBy("l_returnflag").applyInPandas(
+        wavg, schema="l_returnflag string, wavg_price double"
+    )

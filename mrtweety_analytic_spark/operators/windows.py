@@ -1,0 +1,125 @@
+"""Window functions (§2B: q_win_*).
+
+Determinism contract: every ORDER BY inside a window carries a unique
+tiebreak column (SURVEY.md §7.5 risk 1). rank()/dense_rank() are
+deterministic under ties; row_number() is only used with a total
+order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+
+@register(
+    "q_win_rank",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           rank() OVER (PARTITION BY c_mktsegment
+                        ORDER BY c_acctbal DESC) AS rnk,
+           dense_rank() OVER (PARTITION BY c_mktsegment
+                              ORDER BY c_acctbal DESC) AS drnk,
+           row_number() OVER (PARTITION BY c_mktsegment
+                              ORDER BY c_acctbal DESC, c_custkey) AS rn
+    FROM customer
+    """,
+)
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    w_rank = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"))
+    w_rn = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.rank().over(w_rank).alias("rnk"),
+        F.dense_rank().over(w_rank).alias("drnk"),
+        F.row_number().over(w_rn).alias("rn"),
+    )
+
+
+@register(
+    "q_win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           lag(value) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS prev_value,
+           lead(value) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS next_value
+    FROM events
+    """,
+)
+def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+    )
+
+
+@register(
+    "q_win_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_spend,
+           round(avg(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+             AS avg_last3
+    FROM orders
+    """,
+)
+def q_win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running and sliding row frames — the batch analogue of the
+    reference's sliding window count (SparkApplication.scala:88).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)), 2
+        ).alias("running_spend"),
+        F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 4).alias(
+            "avg_last3"
+        ),
+    )
+
+
+@register(
+    "q_win_topk_per_group",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal, rn
+    FROM (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal DESC, c_custkey) AS rn
+        FROM customer
+    )
+    WHERE rn <= 5
+    """,
+)
+def q_win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 per group — the per-group form of the reference's global
+    top-5 (SparkApplication.scala:90-93). Spark 3.5+ plans the rn<=k
+    filter as WindowGroupLimit: per-partition top-k BEFORE the
+    shuffle, so only k rows per group per mapper move.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return (
+        customer.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("c_mktsegment", "c_custkey", "c_acctbal", "rn")
+    )

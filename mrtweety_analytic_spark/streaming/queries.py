@@ -1,0 +1,146 @@
+"""Streaming operator queries (§2B s_* rows), runnable under the
+batch driver contract.
+
+Each runs a REAL Structured Streaming query over the events table as
+a file-source stream (availableNow-style full replay via
+processAllAvailable) into a memory sink, then returns the result as a
+batch DataFrame. Because the replay covers the whole table, the
+event-time aggregations equal their batch twins — which is exactly
+what the DuckDB oracles check (batch/stream equivalence, SURVEY.md
+§7.4). Complete output mode keeps every window (append would withhold
+windows the final watermark hasn't passed).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_events_stream
+
+
+def _run_to_memory(spark: SparkSession, df: DataFrame, mode: str) -> DataFrame:
+    """Execute a streaming aggregation to completion; materialize the
+    memory-sink table as a plain local DataFrame."""
+    name = f"s_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    result = spark.table(name)
+    # Pin the rows before the memory table is dropped.
+    out = spark.createDataFrame(result.collect(), result.schema)
+    spark.catalog.dropTempView(name)
+    return out
+
+
+@register(
+    "s_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+           event_type, count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def s_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window count (epoch-aligned 1-day buckets),
+    run through the streaming engine and checked against the batch
+    oracle.
+    """
+    events = load_events_stream(spark, sf_dir)
+    agg = events.groupBy(
+        F.window("ts", "1 day").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    out = _run_to_memory(spark, agg, "complete")
+    return out.select(
+        F.col("w.start").alias("window_start"), "event_type", "n"
+    )
+
+
+@register(
+    "s_sliding",
+    oracle="""
+    SELECT time_bucket(INTERVAL '6 hours', ts)
+               - k * INTERVAL '6 hours' AS window_start,
+           event_type, count(*) AS n
+    FROM events, (SELECT unnest(generate_series(0, 3)) AS k)
+    GROUP BY 1, 2
+    """,
+)
+def s_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 1 day long, advancing every 6 h — the scaled
+    analogue of the reference's 15-min/10-s window
+    (SparkApplication.scala:88,37). Incremental state-store update
+    instead of the reference's re-reduce of every retained batch.
+    The oracle expands each event into its 4 covering slides.
+    """
+    events = load_events_stream(spark, sf_dir)
+    agg = events.groupBy(
+        F.window("ts", "1 day", "6 hours").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    out = _run_to_memory(spark, agg, "complete")
+    return out.select(
+        F.col("w.start").alias("window_start"), "event_type", "n"
+    )
+
+
+@register(
+    "s_session",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n
+    FROM numbered GROUP BY user_id, sid
+    """,
+)
+def s_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows by 30-minute inactivity gap per user — the
+    streaming-native sessionization the reference never had; oracle is
+    the classic gaps-and-islands SQL.
+    """
+    events = load_events_stream(spark, sf_dir)
+    agg = events.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    out = _run_to_memory(spark, agg, "complete")
+    return out.select(
+        "user_id", F.col("w.start").alias("session_start"), "n"
+    )
+
+
+@register(
+    "s_dedup_stream",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def s_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream dropDuplicates on (user_id, event_type): state-store
+    dedup; which physical row survives is nondeterministic, so only
+    the key columns are exposed — equal to batch DISTINCT.
+    """
+    events = load_events_stream(spark, sf_dir)
+    dedup = events.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    return _run_to_memory(spark, dedup, "append")
