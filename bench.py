@@ -1,0 +1,93 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "headline_total", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is forced to full materialization through the noop sink
+(count()/collect() could let Spark skip columns). One unmeasured
+warm-up query absorbs session startup + first-shuffle cost so the
+numbers reflect steady-state engine throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q_text_trending",          # the flagship reference query
+    "q_text_trending_by_source",
+    "q_text_quality",
+    "q_agg_multi",              # TPC-H Q1 shape
+    "q_agg_rollup",
+    "q_agg_count_by_key",
+    "q_join_multiway",          # broadcast star join
+    "q_join_theta_range",       # band self-join
+    "q_join_asof",
+    "q_win_topk_per_group",
+    "q_sort_limit_topk",
+    "q_dedup_exact",
+    "q_sim_knn_cosine",
+    "q_sim_knn_batch",          # Arrow/numpy matmul path
+    "q_project_expr",
+    "q_udf_scalar",             # pandas-UDF path
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from mrtweety_analytic_spark.queries import QUERIES
+    from mrtweety_analytic_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(name: str) -> float:
+        t0 = time.time()
+        df = QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 3)
+
+    # Warm-up, unmeasured: a real shuffle + codegen pass (a metadata-
+    # only count would leave the first measured query paying the
+    # session's one-time shuffle setup cost).
+    from pyspark.sql import functions as F
+
+    (
+        spark.range(1_000_000)
+        .groupBy((F.col("id") % 101).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .write.format("noop").mode("overwrite").save()
+    )
+    run("q_scan_parquet")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = run(name)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
