@@ -1,0 +1,135 @@
+"""Per-operator unit tests on tiny literal DataFrames (SURVEY.md
+§5.2 item 3) — edge semantics the oracle comparison can't isolate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_asof_picks_latest_at_or_before(spark):
+    from mrtweety_analytic_spark.queries import QUERIES  # noqa: F401
+
+    # Build a miniature events table and run the as-of logic shape:
+    # purchase at t=10 must see view value at t=9, not t=11 or t=4.
+    events = spark.createDataFrame(
+        [
+            (1, 9.0, "view", 1, "2024-01-01 00:00:09"),
+            (2, 4.0, "view", 1, "2024-01-01 00:00:04"),
+            (3, 99.0, "view", 1, "2024-01-01 00:00:11"),
+            (4, 0.0, "purchase", 1, "2024-01-01 00:00:10"),
+            (5, 0.0, "purchase", 2, "2024-01-01 00:00:10"),  # no views
+        ],
+        "event_id long, value double, event_type string, user_id long, ts_s string",
+    ).select("event_id", "value", "event_type", "user_id",
+             F.col("ts_s").cast("timestamp").alias("ts"))
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    v = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"), F.col("ts").alias("vts"),
+        F.col("event_id").alias("vid"), F.col("value").alias("vv"),
+    )
+    out = (
+        p.join(v, (p.user_id == v.vu) & (F.col("vts") <= p.ts), "left")
+        .groupBy("event_id")
+        .agg(F.max(F.struct("vts", "vid", "vv")).alias("b"))
+        .select("event_id", F.col("b.vv").alias("last_view_value"))
+    )
+    got = {r["event_id"]: r["last_view_value"] for r in out.collect()}
+    assert got[4] == 9.0
+    assert got[5] is None
+
+
+def test_set_except_is_distinct_semantics(spark):
+    a = spark.createDataFrame([(1,), (1,), (2,)], "x int")
+    b = spark.createDataFrame([(2,), (3,)], "x int")
+    assert [r["x"] for r in a.subtract(b).collect()] == [1]
+
+
+def test_simhash_deterministic_and_sensitive(spark, sf_dir):
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    s1 = {r["doc_id"]: r["simhash"]
+          for r in QUERIES["q_dedup_simhash"](spark, sf_dir).collect()}
+    s2 = {r["doc_id"]: r["simhash"]
+          for r in QUERIES["q_dedup_simhash"](spark, sf_dir).collect()}
+    assert s1 == s2          # stable across runs
+    assert len(set(s1.values())) > 1  # not a constant function
+
+
+def test_ngram_jaccard_near_dup_pair(spark):
+    from mrtweety_analytic_spark.operators.dedup import q_dedup_ngram_jaccard  # noqa: F401
+    # Direct shape test of the shingle join on crafted docs: one
+    # near-dup pair, one unrelated doc.
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h"),
+            (1, "a b c d e f g x"),     # shares 3 of 5-gram shingles
+            (2, "q r s t u v w z"),     # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    docs.createOrReplaceTempView("tmp_docs_jac")
+    # reuse the registered query machinery by monkey-loading:
+    from mrtweety_analytic_spark.registry import QUERIES as REG
+
+    import mrtweety_analytic_spark.operators.dedup as dd
+
+    orig = dd.load_table
+    try:
+        dd.load_table = lambda spark, sf, name: docs
+        out = REG["q_dedup_ngram_jaccard"](spark, "ignored").collect()
+    finally:
+        dd.load_table = orig
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out}
+    assert (0, 1) in pairs and (0, 2) not in pairs
+    assert 0 < pairs[(0, 1)] < 1
+
+
+def test_cosine_expr_known_vectors(spark):
+    from mrtweety_analytic_spark.operators.similarity import cosine_expr
+
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0]),
+         ([1.0, 1.0], [1.0, 0.0])],
+        "a array<double>, b array<double>",
+    )
+    got = [round(r["c"], 6) for r in
+           df.select(cosine_expr(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert got[0] == 1.0 and got[1] == 0.0 and got[2] == round(2 ** -0.5, 6)
+
+
+def test_decode_stub_contract():
+    from mrtweety_analytic_spark.operators.multimodal import decode_stub
+
+    f = decode_stub(b"\x10\x20\x30")
+    assert f["width"] == 0x10 and f["height"] == 0x20
+    assert decode_stub(b"") == {"width": 0, "height": 0, "mean_intensity": 0.0}
+
+
+def test_topk_plan_is_take_ordered(spark, sf_dir):
+    """Plan-shape assertion (SURVEY.md §5.2 item 5): orderBy+limit
+    must compile to TakeOrderedAndProject, not a global sort."""
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    plan = QUERIES["q_sort_limit_topk"](spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_star_join_broadcasts(spark, sf_dir):
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    plan = QUERIES["q_join_multiway"](spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_scan_pruned_pushdown(spark, sf_dir):
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    plan = QUERIES["q_scan_pruned"](spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_orderkey), LessThanOrEqual(l_orderkey" in plan

@@ -1,0 +1,67 @@
+"""Bounded property-based checks (SURVEY.md §5.2 item 4)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+words = st.lists(
+    st.sampled_from(["alpha", "beta", "Gamma", "GAMMA", "the", "a"]),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(words, min_size=0, max_size=6))
+def test_trending_counts_bounded_by_tokens(spark, docs):
+    from mrtweety_analytic_spark.operators.textops import (
+        STOPWORDS,
+        trending_terms,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    rows = trending_terms(df, k=100).collect()
+    n_tokens = sum(
+        1
+        for ws in docs
+        for w in ws
+        if w and w.lower() not in STOPWORDS
+    )
+    assert sum(r["cnt"] for r in rows) == n_tokens
+    # case-folded keys are unique
+    keys = [r["term"] for r in rows]
+    assert len(keys) == len(set(keys))
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=0, max_size=30),
+    st.lists(st.integers(min_value=0, max_value=50), min_size=0, max_size=30),
+)
+def test_union_count_additive(spark, xs, ys):
+    a = spark.createDataFrame([(x,) for x in xs], "x int")
+    b = spark.createDataFrame([(y,) for y in ys], "x int")
+    assert a.unionByName(b).count() == len(xs) + len(ys)
+    assert a.unionByName(b).distinct().count() == len(set(xs) | set(ys))
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.text(alphabet="abc", min_size=0, max_size=5),
+                min_size=0, max_size=20))
+def test_dedup_idempotent(spark, texts):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    once = (
+        df.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    )
+    twice = (
+        once.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    )
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+    assert once.count() == len(set(texts))

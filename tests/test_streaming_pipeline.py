@@ -1,0 +1,146 @@
+"""Golden test for the end-to-end reference pipeline (s_topk_sink):
+tweet JSON → parse → explode → blacklist → sliding window count →
+top-5 → {items, datetime} JSON file (FIXTURES.md §B), run BOTH as a
+real Structured Streaming query and as the identical batch plan
+(batch/stream equivalence, SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from mrtweety_analytic_spark.streaming.pipeline import (
+    blacklist_filter,
+    parse_hashtags,
+    top_k_per_window,
+    windowed_counts,
+)
+from mrtweety_analytic_spark.streaming.sink import (
+    make_topk_file_sink,
+    render_document,
+    write_result_file,
+)
+
+# Fixture rows per FIXTURES.md §B1: multiple hashtags per record,
+# absent entities, empty hashtags array, case variants, blacklisted
+# terms in mixed case.
+TWEETS = [
+    '{"entities": {"hashtags": [{"text": "Spark"}, {"text": "flink"}]}}',
+    '{"entities": {"hashtags": [{"text": "SPARK"}]}}',
+    '{"entities": {"hashtags": [{"text": "spark"}]}}',
+    '{"entities": {"hashtags": [{"text": "Europe"}, {"text": "EU"}]}}',  # blacklisted
+    '{"entities": {"hashtags": []}}',                                    # empty array
+    '{"no_entities_here": 1}',                                           # absent entities
+    "not json at all",                                                   # malformed
+    '{"entities": {"hashtags": [{"text": "kafka"}, {"text": "Flink"}]}}',
+]
+BASE_TS = "2024-01-01 00:00:"
+
+
+def _tweet_df(spark):
+    rows = [(TWEETS[i], f"{BASE_TS}{i:02d}") for i in range(len(TWEETS))]
+    return spark.createDataFrame(rows, "value string, ts_str string").select(
+        "value", F.col("ts_str").cast("timestamp").alias("ts")
+    )
+
+
+def _batch_result(spark):
+    parsed = parse_hashtags(_tweet_df(spark))
+    filtered = blacklist_filter(parsed)
+    counts = windowed_counts(
+        filtered, window="15 minutes", slide="15 minutes", watermark=None
+    )
+    return top_k_per_window(counts)
+
+
+def test_parse_tolerates_absent_and_malformed(spark):
+    parsed = parse_hashtags(_tweet_df(spark))
+    # 8 records -> 8 hashtag rows: 2+1+1+2+0+0+0+2 (blacklisted terms
+    # still parse — filtering is a separate operator; absent entities,
+    # empty arrays and malformed JSON contribute nothing).
+    assert parsed.count() == 8
+
+
+def test_batch_pipeline_golden(spark):
+    rows = _batch_result(spark).orderBy(F.desc("count"), "key").collect()
+    got = [(r["key"], r["count"]) for r in rows]
+    # spark×3 (case-merged), flink×2 (case-merged), kafka×1;
+    # europe/eu blacklisted regardless of casing.
+    assert got == [("spark", 3), ("flink", 2), ("kafka", 1)]
+    # display casing = min() deterministic choice
+    display = {r["key"]: r["hashtag"] for r in rows}
+    assert display["spark"] == "SPARK"  # min of {Spark, SPARK, spark}
+
+
+def test_stream_equals_batch(spark, tmp_path):
+    src = tmp_path / "tweets"
+    src.mkdir()
+    pdf = _tweet_df(spark).toPandas()
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(str(src / "p"))
+
+    raw = (
+        spark.readStream.schema("value string, ts timestamp")
+        .parquet(str(src / "p"))
+    )
+    counts = windowed_counts(
+        blacklist_filter(parse_hashtags(raw)),
+        window="15 minutes",
+        slide="15 minutes",
+        watermark=None,
+    )
+    q = (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("golden_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    stream_rows = {
+        (r["key"], r["count"])
+        for r in spark.table("golden_stream").collect()
+    }
+    batch_rows = {
+        (r["key"], r["count"]) for r in _batch_result(spark).collect()
+    }
+    assert stream_rows == batch_rows
+    spark.catalog.dropTempView("golden_stream")
+
+
+def test_json_document_contract(spark, tmp_path):
+    """Output must match the reference result document shape
+    (≙ web/analytic.json: items[{hashtag,count}] + ISO datetime)."""
+    from datetime import datetime
+
+    out = tmp_path / "analytic.json"
+    emit = make_topk_file_sink(str(out), k=5)
+    emit(_batch_result(spark), epoch_id=0)
+    doc = json.loads(out.read_text())
+    assert set(doc) == {"items", "datetime"}
+    assert len(doc["items"]) <= 5
+    counts = [i["count"] for i in doc["items"]]
+    assert counts == sorted(counts, reverse=True)
+    assert {"europe", "eu"}.isdisjoint(
+        {i["hashtag"].lower() for i in doc["items"]}
+    )
+    datetime.fromisoformat(doc["datetime"])  # parseable ISO-8601
+    # overwrite semantics: emitting again fully replaces the file
+    emit(_batch_result(spark), epoch_id=1)
+    assert json.loads(out.read_text())["items"] == doc["items"]
+
+
+def test_write_result_file_atomic(tmp_path):
+    p = tmp_path / "r.json"
+    write_result_file(str(p), render_document([]))
+    first = p.read_text()
+    write_result_file(str(p), render_document([{"hashtag": "x", "count": 2}]))
+    second = json.loads(p.read_text())
+    assert json.loads(first)["items"] == []
+    assert second["items"] == [{"hashtag": "x", "count": 2}]
+    assert len(list(os.listdir(tmp_path))) == 1  # no temp litter
