@@ -133,7 +133,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(featurized)
     pairs = model.approxSimilarityJoin(
-        featurized, featurized, threshold=0.5, distCol="jaccard_dist"
+        featurized, featurized, threshold=0.3, distCol="jaccard_dist"
     )
     return (
         pairs.select(

@@ -173,7 +173,10 @@ def q_sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         inputCol="v", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
     )
     model = lsh.fit(emb)
-    pairs = model.approxSimilarityJoin(emb, emb, threshold=8.0, distCol="l2_dist")
+    # The corpus embeddings are unit-normalized, so L2 distance is
+    # sqrt(2-2cos): threshold 1.0 ≙ cosine >= 0.5 — real neighbours,
+    # not the whole bucket cross product.
+    pairs = model.approxSimilarityJoin(emb, emb, threshold=1.0, distCol="l2_dist")
     return (
         pairs.select(
             F.col("datasetA.vec_id").alias("vec_a"),

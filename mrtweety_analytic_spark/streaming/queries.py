@@ -24,19 +24,30 @@ from ..sources import load_events_stream
 
 def _run_to_memory(spark: SparkSession, df: DataFrame, mode: str) -> DataFrame:
     """Execute a streaming aggregation to completion; materialize the
-    memory-sink table as a plain local DataFrame."""
+    memory-sink table as a plain local DataFrame.
+
+    availableNow trigger: process the whole replay then terminate —
+    the batch-equivalence harness of SURVEY.md §7.4. State-store
+    instances scale with shuffle partitions, so the partition count is
+    dropped for the stateful run (8 state stores instead of 32 for a
+    replay this size) and restored after.
+    """
     name = f"s_{uuid.uuid4().hex[:12]}"
-    q = (
-        df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q.processAllAvailable()
+        q = (
+            df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout=600):
+            q.stop()
+            raise TimeoutError(f"streaming query {name} exceeded 600s")
     finally:
-        q.stop()
-        q.awaitTermination()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     result = spark.table(name)
     # Pin the rows before the memory table is dropped.
     out = spark.createDataFrame(result.collect(), result.schema)
