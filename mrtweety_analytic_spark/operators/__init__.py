@@ -8,6 +8,7 @@ from . import (  # noqa: F401
     filters,
     joins,
     aggregates,
+    analytics,
     windows,
     sort_limit,
     setops,

@@ -218,6 +218,47 @@ def _lang_case_sql() -> str:
     """
 
 
+@register(
+    "q_text_ngrams",
+    oracle="""
+    SELECT bigram, count(*) AS cnt
+    FROM (
+        SELECT term || ' ' || lead(term) OVER (PARTITION BY doc_id
+                                               ORDER BY pos) AS bigram
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS term,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        )
+    )
+    WHERE bigram IS NOT NULL
+    GROUP BY bigram
+    ORDER BY cnt DESC, bigram
+    LIMIT 20
+    """,
+)
+def q_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 word bigrams: shingling via sequence+slice (JVM array
+    ops, no Python), count, deterministic top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.split("text", " ")
+    bigrams = F.when(
+        F.size(arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(arr) - 2),
+            lambda i: F.concat_ws(" ", F.slice(arr, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
 @register("q_text_langid", oracle=_lang_case_sql())
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language-ID heuristic — entirely JVM-side

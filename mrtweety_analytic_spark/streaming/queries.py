@@ -142,6 +142,43 @@ def s_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s_stateful_count",
+    oracle="""
+    SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+    """,
+)
+def s_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running event count kept in the state store, emitted per batch.
+    The arbitrary-state API is the escape hatch for operators Spark's
+    built-in aggregations can't express (the DStream updateStateByKey
+    successor). With the availableNow full replay this equals the
+    batch count — which is what the oracle checks.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    events = load_events_stream(spark, sf_dir).select("user_id", "event_id")
+
+    def update_count(key, pdf_iter, state):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    counted = events.groupBy("user_id").applyInPandasWithState(
+        update_count,
+        outputStructType="user_id long, n_events long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(spark, counted, "update")
+
+
+@register(
     "s_dedup_stream",
     oracle="SELECT DISTINCT user_id, event_type FROM events",
 )
