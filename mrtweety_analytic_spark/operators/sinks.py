@@ -1,0 +1,63 @@
+"""Sink operators (§2B sources/sinks beyond the R10 JSON document).
+
+The partitioned-parquet round-trip is oracle-checked: the query
+writes its aggregate partitioned by key to a scratch dir, reads it
+back, and returns the read-back DataFrame — so the DuckDB comparison
+certifies the whole write→read path (schema, partition values,
+nullability), not just the in-memory result.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+
+def write_partitioned_parquet(df: DataFrame, path: str, *keys: str) -> None:
+    """Hive-style partitioned parquet layout — the canonical big-table
+    sink: partition columns become directories (partition pruning on
+    read), data files stay columnar+compressed.
+    """
+    df.write.mode("overwrite").partitionBy(*keys).parquet(path)
+
+
+def write_json_lines(df: DataFrame, path: str) -> None:
+    """JSON-lines table sink (one object per row)."""
+    df.write.mode("overwrite").json(path)
+
+
+@register(
+    "q_sink_parquet_roundtrip",
+    oracle="""
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def q_sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    agg = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    out = os.path.join(
+        tempfile.gettempdir(), "mrtweety_sink_roundtrip"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    write_partitioned_parquet(agg, out, "lang")
+    back = spark.read.parquet(out)
+    # Partition column comes back typed as read-schema string; restore
+    # column order and types to match the oracle.
+    return back.select(
+        F.col("lang").cast("string"),
+        "source",
+        "n_docs",
+        F.col("sum_chars").cast("long"),
+    )

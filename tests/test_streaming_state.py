@@ -1,0 +1,99 @@
+"""Watermark late-data semantics (s_watermark_late of SURVEY.md §2B)
+and stream-dedup state behaviour — runtime checks that need a
+multi-batch replay, so they live in pytest rather than the
+single-replay driver contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, "key string, ts_s string").select(
+        "key", F.col("ts_s").cast("timestamp").alias("ts")
+    ).write.mode("append").parquet(path)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Rows older than (max event time - watermark delay) arriving in
+    a later batch are dropped from the aggregation — the late-data
+    policy the reference's DStream windows never had (SURVEY.md §2A
+    negative space).
+    """
+    src = str(tmp_path / "late_src")
+    # Batch 1: events at 10:00 and 10:20 -> watermark advances to 10:10
+    _write_batch(
+        spark,
+        src,
+        [("a", "2024-01-01 10:00:00"), ("a", "2024-01-01 10:20:00")],
+    )
+
+    stream = (
+        spark.readStream.schema("key string, ts timestamp").parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("late_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # Batch 2: one on-time row (10:21) and one LATE row (9:00,
+        # far behind the 10:10 watermark -> must be dropped).
+        _write_batch(
+            spark,
+            src,
+            [("a", "2024-01-01 10:21:00"), ("late", "2024-01-01 09:00:00")],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    rows = spark.table("late_test").collect()
+    keys = {r["key"] for r in rows}
+    assert "late" not in keys          # late row dropped by watermark
+    total = sum(r["n"] for r in
+                {(r["w"], r["key"]): r for r in rows}.values())
+    assert total == 3                  # the three on-time rows
+    spark.catalog.dropTempView("late_test")
+
+
+def test_stream_dedup_across_batches(spark, tmp_path):
+    """dropDuplicates state persists across micro-batches: a key seen
+    in batch 1 is suppressed when it reappears in batch 2."""
+    src = str(tmp_path / "dedup_src")
+    _write_batch(spark, src, [("x", "2024-01-01 00:00:00")])
+
+    stream = (
+        spark.readStream.schema("key string, ts timestamp").parquet(src)
+        .select("key")
+        .dropDuplicates(["key"])
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_state_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(
+            spark, src,
+            [("x", "2024-01-01 00:01:00"), ("y", "2024-01-01 00:02:00")],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    rows = [r["key"] for r in spark.table("dedup_state_test").collect()]
+    assert sorted(rows) == ["x", "y"]  # x emitted once, not twice
+    spark.catalog.dropTempView("dedup_state_test")
