@@ -1,0 +1,101 @@
+"""CLI — run the engine the way the reference app ran
+(`spark-submit` of one job producing analytic.json; README.adoc:6-10).
+
+    python -m mrtweety_analytic_spark trending  --sf-dir DIR --out analytic.json
+    python -m mrtweety_analytic_spark stream    --sf-dir DIR --out analytic.json
+    python -m mrtweety_analytic_spark query NAME --sf-dir DIR [--show N]
+
+`trending` runs the flagship batch query and writes the reference's
+{items, datetime} result document once. `stream` replays the events
+table through the 15-min/10-s sliding-window pipeline with the
+foreachBatch top-k file sink — the full R1–R11 loop. `query` runs any
+registered operator and prints rows.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="mrtweety_analytic_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+
+    t = sub.add_parser("trending", parents=[common])
+    t.add_argument("--out", default="analytic.json")
+    t.add_argument("--k", type=int, default=5)
+
+    s = sub.add_parser("stream", parents=[common])
+    s.add_argument("--out", default="analytic.json")
+    s.add_argument("--window", default="15 minutes")
+    s.add_argument("--slide", default="10 seconds")
+
+    q = sub.add_parser("query", parents=[common])
+    q.add_argument("name")
+    q.add_argument("--show", type=int, default=20)
+
+    args = p.parse_args(argv)
+
+    from .queries import QUERIES
+    from .session import get_spark
+
+    spark = get_spark("mrtweety-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.cmd == "trending":
+        from .streaming.sink import render_document, write_result_file
+
+        rows = [
+            {"hashtag": r["term"], "count": r["cnt"]}
+            for r in QUERIES["q_text_trending"](spark, args.sf_dir).collect()
+        ]
+        write_result_file(args.out, render_document(rows[: args.k]))
+        print(f"wrote {args.out}: {rows[: args.k]}")
+        return 0
+
+    if args.cmd == "stream":
+        from pyspark.sql import functions as F
+
+        from .sources import load_events_stream
+        from .streaming.pipeline import top_k_per_window, windowed_counts
+        from .streaming.sink import make_topk_file_sink
+
+        events = load_events_stream(spark, args.sf_dir).select(
+            "ts", F.col("event_type").alias("hashtag")
+        )
+        counts = windowed_counts(
+            events, window=args.window, slide=args.slide, watermark="1 minute"
+        )
+        # The sink itself selects the latest window and takes the
+        # top-5 (≙ foreachRDD(save), SparkApplication.scala:92-95).
+        emit = make_topk_file_sink(args.out, k=5)
+        query = (
+            counts.writeStream.outputMode("update")
+            .foreachBatch(emit)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(timeout=600)
+        print(f"stream replay complete; latest window written to {args.out}")
+        return 0
+
+    if args.cmd == "query":
+        if args.name not in QUERIES:
+            print(
+                f"unknown query {args.name!r}; known: {', '.join(sorted(QUERIES))}",
+                file=sys.stderr,
+            )
+            return 2
+        df = QUERIES[args.name](spark, args.sf_dir)
+        df.show(args.show, truncate=False)
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

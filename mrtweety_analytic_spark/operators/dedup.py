@@ -146,6 +146,49 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dedup_embedding",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6)
+               AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.5
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= 0.5) — the
+    semantic-dedup tier of an LLM corpus pipeline: exact/minhash catch
+    copies, this catches paraphrases. Exact all-pairs here (the corpus
+    embedding table is small); the scale path swaps the pair source
+    for LSH buckets (q_sim_lsh_bucketed) or IVF cells
+    (q_sim_ivf_label) with identical downstream semantics.
+    """
+    from .similarity import cosine_expr
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = cosine_expr(F.col("a.e"), F.col("b.e"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("raw_cos"),
+        )
+        .filter(F.col("raw_cos") >= 0.5)
+        .select(
+            "vec_a", "vec_b", F.round("raw_cos", 6).alias("cos_sim")
+        )
+    )
+
+
+@register(
     "q_dedup_ngram_jaccard",
     oracle="""
     WITH shingles AS (

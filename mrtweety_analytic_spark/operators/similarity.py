@@ -158,6 +158,53 @@ def q_sim_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_sim_ivf_label",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 6)
+                   AS score
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, score
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_a
+                                       ORDER BY score DESC, vec_b) AS rn
+          FROM pairs)
+    WHERE rn <= {BATCH_K}
+    """,
+)
+def q_sim_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: the label column acts as the coarse quantizer
+    (inverted list id) — candidates come only from the same cell, so
+    the pair space is Σ|cell|² instead of n². At 100 TB the cells are
+    k-means centroid assignments computed the same way; the join is
+    an equi-join on cell id (co-partitioned, no cross product).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.round(cosine_expr(F.col("a.e"), F.col("b.e")), 6).alias("score"),
+    )
+    w = W.partitionBy("vec_a").orderBy(F.desc("score"), F.asc("vec_b"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BATCH_K)
+        .select("vec_a", "vec_b", "score")
+    )
+
+
 @register("q_sim_lsh_bucketed")  # rows-only: approximate, seed-pinned
 def q_sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate neighbour pairs via random-projection LSH buckets —

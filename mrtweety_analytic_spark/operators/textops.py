@@ -219,6 +219,31 @@ def _lang_case_sql() -> str:
 
 
 @register(
+    "q_text_tokencount",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+           CAST(len(string_split_regex(text, '[^a-z0-9]+')) AS INTEGER)
+               AS n_re_tokens,
+           CAST(ceil(strlen(text) / 4.0) AS INTEGER) AS n_bpe_est
+    FROM documents
+    """,
+)
+def q_text_tokencount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, BPE-ish regex
+    split (alnum runs), and the bytes/4 LLM-token estimate — the
+    per-document budget columns a training-data pipeline filters on.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.size(F.split("text", "[^a-z0-9]+")).alias("n_re_tokens"),
+        F.ceil(F.octet_length("text") / 4.0).cast("int").alias("n_bpe_est"),
+    )
+
+
+@register(
     "q_text_ngrams",
     oracle="""
     SELECT bigram, count(*) AS cnt

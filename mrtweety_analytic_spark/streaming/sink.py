@@ -57,14 +57,15 @@ def make_topk_file_sink(path: str, k: int = 5):
     def emit(batch_df: DataFrame, epoch_id: int) -> None:
         latest = batch_df.agg(F.max(F.col("w.start")).alias("m")).collect()[0]["m"]
         if latest is None:
-            rows = []
-        else:
-            rows = (
-                batch_df.filter(F.col("w.start") == latest)
-                .orderBy(F.desc("count"), F.asc("key"))
-                .limit(k)
-                .collect()
-            )
+            # Update-mode batches carry deltas only; a trailing empty
+            # micro-batch must not wipe the last good result.
+            return
+        rows = (
+            batch_df.filter(F.col("w.start") == latest)
+            .orderBy(F.desc("count"), F.asc("key"))
+            .limit(k)
+            .collect()
+        )
         write_result_file(path, render_document(rows))
 
     return emit
