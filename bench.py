@@ -38,6 +38,12 @@ HEADLINE = [
     "q_sim_knn_batch",          # Arrow/numpy matmul path
     "q_project_expr",
     "q_udf_scalar",             # pandas-UDF path
+    "q_tpch_q3like",            # selective star join -> top-10
+    "q_tpch_q5like",            # 5-way broadcast star join
+    "q_sim_ivf_label",          # cell-blocked ANN
+    "q_dedup_ngram_jaccard",    # inverted-index exact jaccard
+    "q_text_tokencount",
+    "q_agg_percentile",
 ]
 
 
@@ -67,6 +73,13 @@ def main() -> None:
         spark.range(1_000_000)
         .groupBy((F.col("id") % 101).alias("k"))
         .agg(F.count(F.lit(1)).alias("n"))
+        .write.format("noop").mode("overwrite").save()
+    )
+    (
+        spark.range(10_000)
+        .select(F.explode(F.split(F.lit("a b c d e"), " ")).alias("t"))
+        .groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "t").limit(5)
         .write.format("noop").mode("overwrite").save()
     )
     run("q_scan_parquet")

@@ -191,7 +191,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_dedup_ngram_jaccard",
     oracle="""
-    WITH shingles AS (
+    WITH all_shingles AS (
         SELECT DISTINCT doc_id, shingle
         FROM (
             SELECT doc_id,
@@ -208,6 +208,11 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
         )
         WHERE shingle IS NOT NULL
+    ),
+    shingles AS (
+        SELECT doc_id, shingle FROM all_shingles
+        WHERE shingle IN (SELECT shingle FROM all_shingles
+                          GROUP BY shingle HAVING count(*) <= 100)
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
     common AS (
@@ -228,7 +233,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-5-gram Jaccard similarity for candidate pairs that
     share at least one shingle. Inverted-index style: explode distinct
     shingles, equi-join on shingle (hash join, co-partitioned), count
-    per pair — never a cross product.
+    per pair — never a cross product. Shingles appearing in >100 docs
+    are suppressed first (stop-shingle removal): a shingle shared by d
+    docs contributes d² join pairs, so the frequent tail dominates
+    cost while carrying no dedup signal — the standard cap that keeps
+    the inverted-index join linear-ish at corpus scale. The doc-
+    frequency filter itself is a broadcast semi-join on the (tiny)
+    frequent-shingle list.
     """
     docs = load_table(spark, sf_dir, "documents")
     arr = F.split("text", " ")
@@ -242,10 +253,17 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(arr, i + 1, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    shingles = (
+    all_shingles = (
         docs.select("doc_id", F.explode(sh).alias("shingle"))
         .distinct()
     )
+    rare = (
+        all_shingles.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= 100)
+        .select("shingle")
+    )
+    shingles = all_shingles.join(F.broadcast(rare), "shingle", "left_semi")
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = shingles.alias("a")
     b = shingles.alias("b")

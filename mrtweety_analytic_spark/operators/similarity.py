@@ -180,28 +180,46 @@ def q_sim_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: the label column acts as the coarse quantizer
     (inverted list id) — candidates come only from the same cell, so
     the pair space is Σ|cell|² instead of n². At 100 TB the cells are
-    k-means centroid assignments computed the same way; the join is
-    an equi-join on cell id (co-partitioned, no cross product).
+    k-means centroid assignments computed the same way.
+
+    Implementation: applyInPandas per cell — each cell's similarity
+    block is ONE float64 matmul (BLAS), top-k extracted in-cell, only
+    k rows per vector leave the Python worker. The per-pair expression
+    fold (see q_sim_knn_cosine) is the right shape for one probe; for
+    all-pairs-in-cell the dense block matmul is ~10× faster.
     """
+    import numpy as np
+    import pandas as pd
+
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+        "vec_id", "label", "embedding"
     )
-    a = emb.alias("a")
-    b = emb.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.label") == F.col("b.label"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        F.round(cosine_expr(F.col("a.e"), F.col("b.e")), 6).alias("score"),
-    )
-    w = W.partitionBy("vec_a").orderBy(F.desc("score"), F.asc("vec_b"))
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= BATCH_K)
-        .select("vec_a", "vec_b", "score")
+
+    def topk_in_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        E = np.array(list(pdf["embedding"]), dtype=np.float64)[order]
+        norms = np.sqrt((E * E).sum(axis=1))
+        S = np.round((E @ E.T) / np.outer(norms, norms), 6)
+        n = len(ids)
+        out_a, out_b, out_s = [], [], []
+        for i in range(n - 1):
+            # candidates: strictly larger vec_id (upper triangle)
+            scores = S[i, i + 1:]
+            cand = ids[i + 1:]
+            take = min(BATCH_K, len(cand))
+            # order by (score desc, vec_b asc) on ROUNDED scores —
+            # identical to the oracle's ORDER BY
+            sel = np.lexsort((cand, -scores))[:take]
+            out_a.extend([ids[i]] * take)
+            out_b.extend(cand[sel])
+            out_s.extend(scores[sel])
+        return pd.DataFrame(
+            {"vec_a": out_a, "vec_b": out_b, "score": out_s}
+        )
+
+    return emb.groupBy("label").applyInPandas(
+        topk_in_cell, schema="vec_a long, vec_b long, score double"
     )
 
 
