@@ -114,6 +114,89 @@ def q_win_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_win_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                          RANGE BETWEEN 3600000000 PRECEDING
+                                    AND CURRENT ROW) AS n_last_hour
+    FROM events
+    """,
+)
+def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (value-based) window frame: events per user in the
+    trailing hour — frame bounds in event-time units, not row counts
+    (rows with equal order values share a frame, unlike ROWS)."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+    )
+
+
+@register(
+    "q_agg_corr_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_cov,
+           round(stddev_samp(l_extendedprice), 4) AS price_sd,
+           round(var_samp(l_quantity), 4) AS qty_var
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics — single-pass, map-side combinable
+    (Welford-style merge), the profile columns of a data-quality scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "qty_price_corr"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_cov"
+        ),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_sd"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+    )
+
+
+@register(
+    "q_fn_null_handling",
+    oracle="""
+    SELECT e.event_id,
+           coalesce(c.c_name, 'unknown') AS cust_name,
+           (c.c_custkey IS NOT NULL) AS has_customer,
+           ifnull(c.c_acctbal, 0.0) AS acctbal_or_zero,
+           nullif(e.event_type, 'error') AS type_or_null
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def q_fn_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-extension surface over an outer join: coalesce / is-null /
+    ifnull / nullif semantics match ANSI exactly."""
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    j = events.join(
+        customer, events.user_id == customer.c_custkey, "left"
+    )
+    return j.select(
+        "event_id",
+        F.coalesce("c_name", F.lit("unknown")).alias("cust_name"),
+        F.col("c_custkey").isNotNull().alias("has_customer"),
+        F.ifnull(F.col("c_acctbal"), F.lit(0.0)).alias("acctbal_or_zero"),
+        F.nullif(F.col("event_type"), F.lit("error")).alias("type_or_null"),
+    )
+
+
+@register(
     "q_join_cross",
     oracle="""
     SELECT r_name, q.bucket

@@ -1,0 +1,74 @@
+"""Bucketed co-located join (§2B scale path).
+
+At 100 TB the biggest recurring cost is re-shuffling fact tables for
+every join on the same key. Bucketing amortizes it: write both tables
+hash-bucketed (and sorted) by the join key once; every subsequent
+join on that key reads co-located buckets — SortMergeJoin with ZERO
+Exchange on either side. The oracle certifies the bucketed write →
+bucketed read → join result against a plain join of the originals.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+N_BUCKETS = 8
+
+
+def write_bucketed(
+    df: DataFrame, table: str, key: str, path: str, n_buckets: int = N_BUCKETS
+) -> None:
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        df.write.bucketBy(n_buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+
+
+@register(
+    "q_join_bucketed",
+    oracle="""
+    SELECT o_orderstatus,
+           round(sum(l_extendedprice), 4) AS sum_price,
+           count(*) AS n
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    base = os.path.join(tempfile.gettempdir(), "mrtweety_bucketed")
+    shutil.rmtree(base, ignore_errors=True)
+    write_bucketed(li, "b_lineitem", "l_orderkey", f"{base}/lineitem")
+    write_bucketed(orders, "b_orders", "o_orderkey", f"{base}/orders")
+
+    # Disable broadcast so the plan demonstrates the co-located join
+    # (at real fact×fact scale broadcast isn't an option anyway).
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bl = spark.table("b_lineitem")
+        bo = spark.table("b_orders")
+        joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey, "inner")
+        out = joined.groupBy("o_orderstatus").agg(
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        # Force planning under the no-broadcast conf before restoring.
+        out.collect()
+        return out
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -142,6 +142,61 @@ def s_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s_stream_join",
+    oracle="""
+    SELECT a.event_id AS event_id, count(*) AS n_follow
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL '10 minutes'
+    WHERE a.event_type = 'purchase'
+    GROUP BY a.event_id
+    """,
+)
+def s_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time range bounds: for each
+    purchase, count same-user events in the following 10 minutes.
+    Watermarks on both sides bound the join state (Spark evicts rows
+    once they can no longer match) — the stateful-join capability the
+    reference's DStream model had no equivalent for. Full replay ≙
+    the batch band join, which is what the oracle checks.
+    """
+    purchases = (
+        load_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    follows = (
+        load_events_stream(spark, sf_dir)
+        .select(
+            F.col("user_id").alias("f_user_id"),
+            F.col("ts").alias("f_ts"),
+        )
+        .withWatermark("f_ts", "1 hour")
+    )
+    joined = purchases.join(
+        follows,
+        (F.col("p_user_id") == F.col("f_user_id"))
+        & (F.col("f_ts") > F.col("p_ts"))
+        & (F.col("f_ts") <= F.col("p_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "inner",
+    )
+    # Aggregate the joined stream batch-side (append-mode join rows →
+    # foreach-style count in the memory sink would need another
+    # watermark pass; the join itself is the operator under test).
+    out = _run_to_memory(spark, joined, "append")
+    return (
+        out.groupBy(F.col("p_event_id").alias("event_id"))
+        .agg(F.count(F.lit(1)).alias("n_follow"))
+    )
+
+
+@register(
     "s_stateful_count",
     oracle="""
     SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id

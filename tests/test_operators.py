@@ -127,6 +127,22 @@ def test_star_join_broadcasts(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_bucketed_join_has_no_join_shuffle(spark, sf_dir):
+    """The co-located join must read bucketed tables directly into
+    SortMergeJoin: the only Exchange in the plan is the final
+    group-by, never a join input."""
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    df = QUERIES["q_join_bucketed"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AQE prints Final + Initial plans; inspect only the final one.
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" in final
+    assert final.count("Bucketed: true") == 2
+    join_part = final.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in join_part  # no shuffle below the join
+
+
 def test_scan_pruned_pushdown(spark, sf_dir):
     from mrtweety_analytic_spark.queries import QUERIES
 
