@@ -18,6 +18,7 @@ from . import (  # noqa: F401
     similarity,
     multimodal,
     udfs,
+    udtf,
     sinks,
     bucketed,
 )

@@ -253,6 +253,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(arr, i + 1, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # The shingle index feeds four consumers (df-filter, both join
+    # sides, sizes); no explicit persist — the distinct's Exchange is
+    # deduplicated by ReusedExchange, and measured persist() was pure
+    # overhead on top of that.
     all_shingles = (
         docs.select("doc_id", F.explode(sh).alias("shingle"))
         .distinct()

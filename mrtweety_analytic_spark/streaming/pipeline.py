@@ -18,7 +18,7 @@ wall-clock as the event time.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..sources import TWEET_SCHEMA
@@ -107,7 +107,7 @@ def top_k_per_window(counts: DataFrame, k: int = TOP_K) -> DataFrame:
     )
 
 
-def stamp_processing_time(df: DataFrame, ts_col: str = "ts") -> Column:
+def stamp_processing_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     """Processing-time mode for exact reference parity (DStream windows
     are wall-clock): stamp arrival time as the event time.
     """
