@@ -20,6 +20,35 @@ from ..registry import register
 from ..sources import load_table
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-mitigated equi join: replicate the (small) dim once per
+    salt, spread each fact row across salts by a deterministic hash of
+    its whole row, and join on (key, salt) — a hot key's rows now land
+    on n_salts reducers instead of one. Complements AQE's runtime
+    skew-join splitting when skew is known ahead of time (AQE only
+    splits sort-merge partitions; salting also works for hash joins
+    and aggregations). Result is row-identical to the plain join.
+    """
+    salt = F.pmod(F.xxhash64(F.struct(*fact.columns)), F.lit(n_salts))
+    salted_fact = fact.withColumn("_salt", salt)
+    replicated_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    joined = salted_fact.join(
+        replicated_dim,
+        (F.col(fact_key) == F.col(dim_key))
+        & (salted_fact["_salt"] == replicated_dim["_salt"]),
+        "inner",
+    )
+    return joined.drop("_salt")
+
+
 @register(
     "q_join_inner_hash",
     oracle="""

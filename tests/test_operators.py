@@ -127,6 +127,29 @@ def test_star_join_broadcasts(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """Salting must be semantics-preserving: same multiset of rows as
+    the unsalted join, with the fact spread over n_salts sub-keys."""
+    from mrtweety_analytic_spark.operators.joins import salted_join
+    from mrtweety_analytic_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    plain = li.join(
+        orders, li.l_orderkey == orders.o_orderkey, "inner"
+    ).select("l_orderkey", "l_linenumber", "o_orderstatus")
+    salted = salted_join(li, orders, "l_orderkey", "o_orderkey").select(
+        "l_orderkey", "l_linenumber", "o_orderstatus"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+
+
 def test_bucketed_join_has_no_join_shuffle(spark, sf_dir):
     """The co-located join must read bucketed tables directly into
     SortMergeJoin: the only Exchange in the plan is the final
