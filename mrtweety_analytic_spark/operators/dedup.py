@@ -188,6 +188,130 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Near-dup pair edges for the cluster query: word-5-gram Jaccard
+# >= 0.2 (the q_dedup_ngram_jaccard pair set).
+_EDGES_SQL = """
+    all_shingles AS (
+        SELECT DISTINCT doc_id, shingle
+        FROM (
+            SELECT doc_id,
+                   t.term || ' ' || lead(t.term, 1) OVER w || ' '
+                          || lead(t.term, 2) OVER w || ' '
+                          || lead(t.term, 3) OVER w || ' '
+                          || lead(t.term, 4) OVER w AS shingle
+            FROM (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS term,
+                       generate_subscripts(string_split(text, ' '), 1) AS pos
+                FROM documents
+            ) t
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        )
+        WHERE shingle IS NOT NULL
+    ),
+    shingles AS (
+        SELECT doc_id, shingle FROM all_shingles
+        WHERE shingle IN (SELECT shingle FROM all_shingles
+                          GROUP BY shingle HAVING count(*) <= 100)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE 1.0 * n_common / (sa.n + sb.n - n_common) >= 0.2
+    )
+"""
+
+
+@register(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_EDGES_SQL},
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc, other) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT r.doc, e.b FROM reach r JOIN edges e ON e.a = r.other
+    )
+    SELECT doc AS doc_id, min(other) AS cluster_id
+    FROM reach GROUP BY doc
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: connected components over the
+    jaccard near-dup pair graph by iterative min-label propagation
+    (SURVEY.md §4.2 item 4 — iterative self-join, no graph library).
+
+    Each doc starts labelled with its own id; each round every doc
+    takes the min label in its neighbourhood; converged when no label
+    changes (diameter-bounded, checked each round). The loop is a
+    driver-side while over DataFrame ops — each iteration is one
+    distributed join+aggregate; only the single convergence count
+    crosses to the driver. The oracle is DuckDB's recursive CTE over
+    the same edge set.
+    """
+    from ..registry import QUERIES
+
+    pairs = QUERIES["q_dedup_ngram_jaccard"](spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    # Iterative algorithm hygiene: materialize the edge graph once
+    # (localCheckpoint truncates the whole jaccard lineage) and
+    # re-truncate labels every round — otherwise each iteration
+    # re-executes all previous iterations' joins.
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc"))
+        .distinct()
+        .withColumn("label", F.col("doc"))
+        .localCheckpoint()
+    )
+    for _ in range(20):  # diameter bound; tiny graphs converge fast
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc)
+            .groupBy(F.col("doc_a").alias("doc"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc", "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("label"), F.coalesce("nmin", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("doc").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 @register(
     "q_dedup_ngram_jaccard",
     oracle="""

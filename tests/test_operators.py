@@ -87,7 +87,35 @@ def test_ngram_jaccard_near_dup_pair(spark):
     assert 0 < pairs[(0, 1)] < 1
 
 
-def test_cosine_expr_known_vectors(spark):
+def test_cluster_labels_transitive(spark):
+    """Min-label propagation must close transitive chains: docs 0-1
+    and 1-2 near-dup => one cluster {0,1,2}; 5-6 separate."""
+    import mrtweety_analytic_spark.operators.dedup as dd
+    from mrtweety_analytic_spark.registry import QUERIES as REG
+
+    # chain: 0~1~2 via shared 5-gram windows; pair 5~6; 9 alone
+    base = "w1 w2 w3 w4 w5 w6 w7 w8"
+    docs = spark.createDataFrame(
+        [
+            (0, base + " x0 x1 x2"),
+            (1, base + " y0 y1 y2"),
+            (2, base + " z0 z1 z2"),
+            (5, "p1 p2 p3 p4 p5 p6 p7 q8"),
+            (6, "p1 p2 p3 p4 p5 p6 p7 r9"),
+            (9, "a1 b2 c3 d4 e5 f6 g7 h8"),
+        ],
+        "doc_id long, text string",
+    )
+    orig = dd.load_table
+    try:
+        dd.load_table = lambda spark, sf, name: docs
+        out = {r["doc_id"]: r["cluster_id"]
+               for r in REG["q_dedup_clusters"](spark, "ignored").collect()}
+    finally:
+        dd.load_table = orig
+    assert out[0] == out[1] == out[2] == 0
+    assert out[5] == out[6] == 5
+    assert 9 not in out  # no edges -> not in any cluster
     from mrtweety_analytic_spark.operators.similarity import cosine_expr
 
     df = spark.createDataFrame(
