@@ -84,6 +84,88 @@ def decode_stub(payload: bytes) -> dict:
     }
 
 
+def resize_stub(payload: bytes, target_w: int, target_h: int) -> dict:
+    """STUB resize standing in for PIL.Image.resize: deterministic
+    fake that keeps the real operator's contract (target dims echoed,
+    content-derived checksum changes with the 'resampling')."""
+    stride = max(1, len(payload) // (target_w * target_h or 1))
+    sampled = payload[::stride]
+    return {
+        "width": target_w,
+        "height": target_h,
+        "checksum": sum(sampled) % (1 << 31),
+    }
+
+
+@register("q_multimodal_resize")  # rows-only: stub resample, no SQL twin
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch image resize over opaque binary payloads: Arrow-batched
+    mapInPandas, one Python crossing per batch. Swap resize_stub for a
+    real PIL call and nothing else changes."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload_df = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    def resize_batches(it):
+        for pdf in it:
+            feats = [resize_stub(bytes(p), 64, 64) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "checksum": [f["checksum"] for f in feats],
+                }
+            )
+
+    return payload_df.mapInPandas(
+        resize_batches,
+        schema="doc_id long, width int, height int, checksum long",
+    )
+
+
+@register("q_multimodal_framesample")  # rows-only: stub codec, no SQL twin
+def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over opaque 'video' payloads: split the byte
+    stream into fixed-size fake frames, keep every 4th, emit one row
+    per sampled frame (explode AFTER the Python stage so the binary
+    crosses the boundary once, not per frame)."""
+    import pandas as pd
+
+    FRAME = 64   # bytes per fake frame
+    EVERY = 4
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload_df = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    def sample_batches(it):
+        for pdf in it:
+            out_doc, out_idx, out_sum = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p)
+                frames = [
+                    b[i: i + FRAME] for i in range(0, len(b), FRAME)
+                ][::EVERY]
+                for idx, fr in enumerate(frames):
+                    out_doc.append(doc_id)
+                    out_idx.append(idx)
+                    out_sum.append(sum(fr) % (1 << 31))
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "frame_idx": out_idx,
+                 "frame_checksum": out_sum}
+            )
+
+    return payload_df.mapInPandas(
+        sample_batches,
+        schema="doc_id long, frame_idx int, frame_checksum long",
+    )
+
+
 @register("q_multimodal_decode")  # rows-only: stub features, no SQL twin
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The decode/feature-extract operator: binary in, typed feature
