@@ -380,9 +380,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The shingle index feeds four consumers (df-filter, both join
     # sides, sizes); no explicit persist — the distinct's Exchange is
     # deduplicated by ReusedExchange, and measured persist() was pure
-    # overhead on top of that.
+    # overhead on top of that. Shingles are xxhash64'd to int64 before
+    # the distinct/joins: 8-byte shuffle keys instead of ~30-byte
+    # strings (~30% faster measured; collision probability over 250k
+    # shingles ≈ 2e-9, far below the float-rounding tolerance).
     all_shingles = (
         docs.select("doc_id", F.explode(sh).alias("shingle"))
+        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
         .distinct()
     )
     rare = (
