@@ -114,6 +114,61 @@ def q_win_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ts_pattern_match",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, value,
+               lead(value, 1) OVER w AS v1,
+               lead(value, 2) OVER w AS v2,
+               lead(value, 3) OVER w AS v3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    dists AS (
+        SELECT user_id,
+               (value - 10)*(value - 10) + (v1 - 20)*(v1 - 20)
+             + (v2 - 30)*(v2 - 30) + (v3 - 40)*(v3 - 40) AS d2
+        FROM seq WHERE v3 IS NOT NULL
+    )
+    SELECT user_id, round(min(d2), 4) AS best_dist2
+    FROM dists GROUP BY user_id
+    ORDER BY best_dist2, user_id
+    LIMIT 10
+    """,
+)
+def q_ts_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k time-series subsequence similarity: slide a length-4
+    query pattern over each user's event-value series (lead() windows
+    — no self-join, no explosion), per-offset squared euclidean
+    distance, best offset per user, global top-10. The distributed
+    sliding-distance pattern of the EDBT'19/'20 time-series similarity
+    papers (PAPERS.md), expressed in pure window algebra.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pattern = [10.0, 20.0, 30.0, 40.0]
+    seq = events.select(
+        "user_id",
+        "value",
+        F.lead("value", 1).over(w).alias("v1"),
+        F.lead("value", 2).over(w).alias("v2"),
+        F.lead("value", 3).over(w).alias("v3"),
+    ).filter(F.col("v3").isNotNull())
+    cols = [F.col("value"), F.col("v1"), F.col("v2"), F.col("v3")]
+    d2 = sum(
+        ((c - q) * (c - q) for c, q in zip(cols, pattern)),
+        F.lit(0.0),
+    )
+    return (
+        seq.select("user_id", d2.alias("d2"))
+        .groupBy("user_id")
+        .agg(F.round(F.min("d2"), 4).alias("best_dist2"))
+        .orderBy("best_dist2", "user_id")
+        .limit(10)
+    )
+
+
+@register(
     "q_win_range_frame",
     oracle="""
     SELECT event_id, user_id,

@@ -218,6 +218,63 @@ def _lang_case_sql() -> str:
     """
 
 
+# Tiny sentiment lexicons over the corpus vocabulary (the pattern of
+# "Large Scale Sentiment Analysis on Twitter with Spark", EDBT 2016 —
+# lexicon join + per-key aggregate, PAPERS.md).
+POS_WORDS = ("fast", "small", "good")
+NEG_WORDS = ("slow", "big", "bad")
+
+
+@register(
+    "q_text_sentiment",
+    oracle=f"""
+    SELECT source,
+           CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(sum(neg) AS BIGINT) AS n_neg,
+           round(1.0 * (sum(pos) - sum(neg)) / sum(n), 6) AS sentiment
+    FROM (
+        SELECT source,
+               count(*) FILTER (WHERE term IN
+                   ({', '.join(repr(w) for w in POS_WORDS)})) AS pos,
+               count(*) FILTER (WHERE term IN
+                   ({', '.join(repr(w) for w in NEG_WORDS)})) AS neg,
+               count(*) AS n
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        WHERE term <> ''
+        GROUP BY source
+    )
+    GROUP BY source, pos, neg, n
+    """,
+)
+def q_text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon sentiment per source: tokenize once, conditional counts
+    per group, score = (pos-neg)/tokens — a single map-side-combinable
+    aggregation, no joins (the lexicons fold into the expression).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    agg = t.groupBy("source").agg(
+        F.sum(F.when(F.col("term").isin(*POS_WORDS), 1).otherwise(0)).alias(
+            "n_pos"
+        ),
+        F.sum(F.when(F.col("term").isin(*NEG_WORDS), 1).otherwise(0)).alias(
+            "n_neg"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return agg.select(
+        "source",
+        "n_pos",
+        "n_neg",
+        F.round((F.col("n_pos") - F.col("n_neg")) / F.col("n"), 6).alias(
+            "sentiment"
+        ),
+    )
+
+
 @register(
     "q_text_tokencount",
     oracle="""
