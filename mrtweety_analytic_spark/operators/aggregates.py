@@ -176,3 +176,52 @@ def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("disc_rev"),
         F.count(F.when(F.col("l_quantity") > 25, F.lit(1))).alias("n_heavy"),
     )
+
+
+@register(
+    "q_agg_argminmax",
+    oracle="""
+    SELECT user_id,
+           arg_min(event_type, event_id) AS first_type,
+           arg_max(event_type, event_id) AS last_type,
+           round(max(value), 4) AS max_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-min/arg-max aggregation (min_by/max_by): the value of one
+    column at the extremum of another, in one hash-agg pass — no
+    self-join back to the extremum row. Ordering key event_id is
+    unique, so the result is deterministic.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.min_by("event_type", "event_id").alias("first_type"),
+        F.max_by("event_type", "event_id").alias("last_type"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
+
+
+@register(
+    "q_agg_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 50.0) AS INTEGER) AS bucket,
+           count(*) AS n,
+           round(min(value), 4) AS lo,
+           round(max(value), 4) AS hi
+    FROM events GROUP BY 1
+    """,
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram as a plain group-by on a computed bucket
+    (floor of an IEEE double division — bit-identical across engines).
+    At 100 TB this is the one-pass map-side-combinable way to build a
+    distribution; no sort, no per-row UDF.
+    """
+    events = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 50.0).cast("int").alias("bucket")
+    return events.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 4).alias("lo"),
+        F.round(F.max("value"), 4).alias("hi"),
+    )

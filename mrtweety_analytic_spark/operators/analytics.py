@@ -427,3 +427,109 @@ def q_tpch_q5like(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
+
+
+@register(
+    "q_sessionize_gaps",
+    oracle="""
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end
+    FROM (
+        SELECT user_id, ts,
+               sum(CASE WHEN is_new THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM (
+            SELECT user_id, ts, event_id,
+                   coalesce(
+                       ts > lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                            + INTERVAL 30 MINUTE,
+                       TRUE) AS is_new
+            FROM events
+        )
+    )
+    GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a session breaks when
+    the gap to the previous event exceeds 30 min; session_id is the
+    running count of breaks. Two window passes over ONE hash
+    partitioning by user_id (Catalyst reuses the exchange), then a
+    partial-agg rollup — the scalable batch twin of session_window
+    (s_session). Tiebreak event_id makes lag deterministic.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    is_new = F.coalesce(
+        F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES"),
+        F.lit(True),
+    )
+    run = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        events.withColumn("is_new", is_new)
+        .withColumn(
+            "session_id",
+            F.sum(F.col("is_new").cast("long")).over(run),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+@register(
+    "q_events_funnel",
+    oracle="""
+    SELECT count(*) AS n_converted,
+           round(avg(epoch(first_purchase - first_click)), 2)
+               AS avg_lag_sec
+    FROM (
+        SELECT user_id,
+               min(ts) FILTER (WHERE event_type = 'click')
+                   AS first_click,
+               min(ts) FILTER (WHERE event_type = 'purchase')
+                   AS first_purchase
+        FROM events GROUP BY user_id
+    )
+    WHERE first_click IS NOT NULL
+      AND first_purchase IS NOT NULL
+      AND first_purchase > first_click
+    """,
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step funnel (click → later purchase) as ONE conditional
+    aggregation pass — no self-join of the event log against itself,
+    which is the difference between O(n) and O(n·k) at 100 TB.
+    """
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "first_click"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    converted = per_user.filter(
+        F.col("first_click").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") > F.col("first_click"))
+    )
+    lag_sec = (
+        F.col("first_purchase").cast("double")
+        - F.col("first_click").cast("double")
+    )
+    return converted.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.avg(lag_sec), 2).alias("avg_lag_sec"),
+    )

@@ -159,3 +159,57 @@ def q_fn_case(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("low")
         .alias("bucket"),
     )
+
+
+@register(
+    "q_fn_bitwise",
+    oracle="""
+    SELECT l_orderkey, l_partkey,
+           l_orderkey & 255 AS band,
+           l_orderkey | 4096 AS bor,
+           xor(l_orderkey, l_partkey) AS bxor,
+           l_linenumber << 4 AS shl,
+           l_partkey >> 2 AS shr
+    FROM lineitem
+    """,
+)
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise AND/OR/XOR/shifts — the primitive layer under hash
+    partitioning, bloom filters, and simhash banding. All JVM-side
+    codegen; no UDF.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_partkey",
+        F.expr("l_orderkey & 255").alias("band"),
+        F.expr("l_orderkey | 4096").alias("bor"),
+        F.expr("l_orderkey ^ l_partkey").alias("bxor"),
+        F.shiftleft(F.col("l_linenumber"), 4).alias("shl"),
+        F.shiftright(F.col("l_partkey"), 2).alias("shr"),
+    )
+
+
+@register(
+    "q_fn_interval",
+    oracle="""
+    SELECT event_id,
+           ts + INTERVAL 1 DAY AS next_day,
+           ts - INTERVAL 90 MINUTE AS back90,
+           CAST(ts AS DATE) AS d,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start
+    FROM events
+    """,
+)
+def q_fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp ± INTERVAL arithmetic and day/hour truncation —
+    exact µs integer math in both engines once the session is UTC.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.expr("ts + INTERVAL 1 DAY").alias("next_day"),
+        F.expr("ts - INTERVAL 90 MINUTE").alias("back90"),
+        F.col("ts").cast("date").alias("d"),
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+    )

@@ -67,3 +67,25 @@ def q_source_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select(
         "event_id", F.from_json(F.col("props"), schema).getField("k").alias("k")
     )
+
+
+@register(
+    "q_sample_hash_mod",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey % 10 = 3
+    """,
+)
+def q_sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample by key modulus. Unlike
+    TABLESAMPLE/df.sample (RNG per task attempt — not reproducible
+    across retries or engines), a key-modulus predicate is a pure
+    filter: reproducible, pushdown-eligible, and stable under
+    partition reshuffles — the only sampling that is safe to cite in
+    a data-lineage audit of a 100 TB corpus.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderkey") % 10 == 3).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )

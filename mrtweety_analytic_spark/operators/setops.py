@@ -63,3 +63,26 @@ def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cust_nations(spark, sf_dir).subtract(_supp_nations(spark, sf_dir))
+
+
+@register(
+    "q_set_except_all",
+    oracle="""
+    SELECT l_partkey AS partkey FROM lineitem WHERE l_returnflag = 'A'
+    EXCEPT ALL
+    SELECT l_partkey AS partkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def q_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag difference (EXCEPT ALL): multiplicity-aware subtraction,
+    planned as a single hash-partition exchange with per-key counters
+    — no row-by-row anti join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select(
+        F.col("l_partkey").alias("partkey")
+    )
+    r = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_partkey").alias("partkey")
+    )
+    return a.exceptAll(r)

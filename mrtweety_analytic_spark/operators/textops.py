@@ -12,6 +12,7 @@ sortByKey + take(5) (SparkApplication.scala:90-93).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -372,3 +373,133 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("fr"))
     )
     return agg.select("doc_id", guess.alias("lang_guess"))
+
+
+@register(
+    "q_text_tfidf",
+    oracle=f"""
+    SELECT doc_id, term, score, rn
+    FROM (
+        SELECT doc_id, term, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, term) AS rn
+        FROM (
+            SELECT t.doc_id, t.term,
+                   round((1.0 * t.cnt / dl.len)
+                         * ln(1.0 * (SELECT count(DISTINCT doc_id)
+                                     FROM (SELECT doc_id,
+                                                  unnest(string_split(text, ' ')) AS term
+                                           FROM documents)
+                                     WHERE term <> ''
+                                       AND term NOT IN ({_STOP_SQL}))
+                              / df.df), 6) AS score
+            FROM (
+                SELECT doc_id, term, count(*) AS cnt
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                      FROM documents)
+                WHERE term <> '' AND term NOT IN ({_STOP_SQL})
+                GROUP BY doc_id, term
+            ) t
+            JOIN (
+                SELECT doc_id, count(*) AS len
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                      FROM documents)
+                WHERE term <> '' AND term NOT IN ({_STOP_SQL})
+                GROUP BY doc_id
+            ) dl ON t.doc_id = dl.doc_id
+            JOIN (
+                SELECT term, count(DISTINCT doc_id) AS df
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                      FROM documents)
+                WHERE term <> '' AND term NOT IN ({_STOP_SQL})
+                GROUP BY term
+            ) df ON t.term = df.term
+        )
+    )
+    WHERE rn <= 3
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with top-3 terms per doc. Three aggregations over ONE
+    tokenized scan (Spark reuses the exchange on doc_id for tf and
+    doc-length; df is a separate term-keyed agg whose result is tiny
+    → broadcast back). Ranking uses the ROUNDED score so an ulp
+    difference in ln() between engines cannot flip the order; term is
+    the tiebreak.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter((F.col("term") != "") & ~F.col("term").isin(*STOPWORDS))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    df = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = toks.select("doc_id").distinct().count()
+    score = F.round(
+        (F.col("cnt") / F.col("len"))
+        * F.log(F.lit(float(n_docs)) / F.col("df")),
+        6,
+    ).alias("score")
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df), "term")
+        .select("doc_id", "term", score)
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "score", "rn")
+    )
+
+
+@register(
+    "q_text_cooccur",
+    oracle=f"""
+    SELECT term_a, term_b, n
+    FROM (
+        SELECT a.term AS term_a, b.term AS term_b, count(*) AS n
+        FROM (SELECT DISTINCT doc_id, term
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                    FROM documents)
+              WHERE term <> '' AND term NOT IN ({_STOP_SQL})) a
+        JOIN (SELECT DISTINCT doc_id, term
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                    FROM documents)
+              WHERE term <> '' AND term NOT IN ({_STOP_SQL})) b
+          ON a.doc_id = b.doc_id AND a.term < b.term
+        GROUP BY a.term, b.term
+    )
+    ORDER BY n DESC, term_a, term_b
+    LIMIT 20
+    """,
+)
+def q_text_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 co-occurring term pairs (document-level). The pair join
+    is per-doc (join key doc_id), so cost is Σ k_d² over per-doc
+    distinct-term counts — bounded by short docs, never n². At corpus
+    scale the standard guard is a doc-frequency cap on terms before
+    pairing (as in q_dedup_ngram_jaccard's stop-shingle cap).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter((F.col("term") != "") & ~F.col("term").isin(*STOPWORDS))
+        .distinct()
+    )
+    a = toks.alias("a")
+    b = toks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.term") < F.col("b.term")),
+        )
+        .groupBy(
+            F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return pairs.orderBy(F.desc("n"), "term_a", "term_b").limit(20)

@@ -123,3 +123,37 @@ def q_win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("c_mktsegment", "c_custkey", "c_acctbal", "rn")
     )
+
+
+@register(
+    "q_win_first_last",
+    oracle="""
+    SELECT event_id, user_id,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type) OVER w AS last_type,
+           nth_value(event_type, 3) OVER w AS third_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth value over an explicit full-partition frame.
+    The UNBOUNDED FOLLOWING frame is stated explicitly because the
+    SQL default frame stops at CURRENT ROW, which silently turns
+    last_value into the current row's value — a classic drift trap.
+    Ordering key event_id is unique → deterministic.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.nth_value("event_type", 3).over(w).alias("third_type"),
+    )
