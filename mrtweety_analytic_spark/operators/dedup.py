@@ -451,3 +451,161 @@ def q_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "event_type", "ts")
     )
+
+
+def _jaccard_pairs(docs: DataFrame, threshold: float = 0.2,
+                   df_cap: int = 100) -> DataFrame:
+    """(doc_a, doc_b) pairs with word-5-gram Jaccard >= threshold —
+    the inverted-index join of q_dedup_ngram_jaccard, reusable on any
+    document subset.
+    """
+    arr = F.split("text", " ")
+    n = 5
+    sh = F.when(
+        F.size(arr) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(arr) - n),
+            lambda i: F.concat_ws(" ", F.slice(arr, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    all_shingles = (
+        docs.select("doc_id", F.explode(sh).alias("shingle"))
+        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        .distinct()
+    )
+    rare = (
+        all_shingles.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .select("shingle")
+    )
+    shingles = all_shingles.join(F.broadcast(rare), "shingle", "left_semi")
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+    return (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b")
+    )
+
+
+@register(
+    "q_dedup_pipeline",
+    oracle="""
+    WITH kept AS (
+        SELECT min(doc_id) AS doc_id
+        FROM documents
+        GROUP BY md5(trim(regexp_replace(
+                     regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                     ' +', ' ', 'g')))
+    ),
+    kd AS (SELECT d.* FROM documents d JOIN kept k ON d.doc_id = k.doc_id),
+    all_shingles AS (
+        SELECT DISTINCT doc_id, shingle
+        FROM (
+            SELECT doc_id,
+                   t.term || ' ' || lead(t.term, 1) OVER w || ' '
+                          || lead(t.term, 2) OVER w || ' '
+                          || lead(t.term, 3) OVER w || ' '
+                          || lead(t.term, 4) OVER w AS shingle
+            FROM (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS term,
+                       generate_subscripts(string_split(text, ' '), 1) AS pos
+                FROM kd
+            ) t
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        )
+        WHERE shingle IS NOT NULL
+    ),
+    shingles AS (
+        SELECT doc_id, shingle FROM all_shingles
+        WHERE shingle IN (SELECT shingle FROM all_shingles
+                          GROUP BY shingle HAVING count(*) <= 100)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    near_dropped AS (
+        SELECT DISTINCT doc_b AS doc_id
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE 1.0 * n_common / (sa.n + sb.n - n_common) >= 0.2
+    ),
+    final AS (
+        SELECT * FROM kd
+        WHERE doc_id NOT IN (SELECT doc_id FROM near_dropped)
+    )
+    SELECT r.source,
+           r.n_raw,
+           coalesce(k.n_exact_kept, 0) AS n_exact_kept,
+           coalesce(f.n_final, 0) AS n_final
+    FROM (SELECT source, count(*) AS n_raw FROM documents GROUP BY source) r
+    LEFT JOIN (SELECT source, count(*) AS n_exact_kept FROM kd
+               GROUP BY source) k ON r.source = k.source
+    LEFT JOIN (SELECT source, count(*) AS n_final FROM final
+               GROUP BY source) f ON r.source = f.source
+    """,
+)
+def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data dedup pipeline, the composite a 100 TB
+    corpus actually runs: (1) exact tier — group by normalized-text
+    fingerprint, keep the min doc_id; (2) near-dup tier — word-5-gram
+    Jaccard >= 0.2 among exact survivors, drop the larger doc_id of
+    every qualifying pair (single pass, deterministic); (3) per-source
+    retention report. Tier order matters at scale: the cheap hash
+    tier shrinks the candidate set before the quadratic-ish pair join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    exact_kept = (
+        docs.groupBy(F.md5(normalized_text(F.col("text"))).alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kd = docs.join(exact_kept, "doc_id", "left_semi")
+    near_dropped = (
+        _jaccard_pairs(kd)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    final = kd.join(near_dropped, "doc_id", "left_anti")
+    raw_counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_raw")
+    )
+    kd_counts = kd.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_exact_kept")
+    )
+    final_counts = final.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_final")
+    )
+    return (
+        raw_counts.join(kd_counts, "source", "left")
+        .join(final_counts, "source", "left")
+        .select(
+            "source",
+            "n_raw",
+            F.coalesce("n_exact_kept", F.lit(0)).alias("n_exact_kept"),
+            F.coalesce("n_final", F.lit(0)).alias("n_final"),
+        )
+    )

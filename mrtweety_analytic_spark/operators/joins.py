@@ -249,3 +249,46 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(best)
         .select("event_id", F.col("best.v_value").alias("last_view_value"))
     )
+
+
+@register(
+    "q_join_range_bucketed",
+    oracle="""
+    SELECT a.event_id AS event_id, count(*) AS n_close
+    FROM events a JOIN events b
+      ON b.event_id <> a.event_id
+     AND b.ts >= a.ts - INTERVAL 1 SECOND
+     AND b.ts <= a.ts + INTERVAL 1 SECOND
+    GROUP BY a.event_id
+    """,
+)
+def q_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band join WITHOUT an equi key (neighbors within ±1 s across the
+    whole stream). A naive theta join is a BroadcastNestedLoop —
+    O(n²) and a non-starter at 100 TB. The scalable form: quantize ts
+    into band-width buckets, explode each left row to its bucket ± 1,
+    equi-join on the bucket (hash shuffle, partition-parallel), then
+    apply the exact band predicate as a residual filter. Each pair
+    matches exactly once because the right side keeps its single true
+    bucket. Cost: O(n · bucket_occupancy) instead of O(n²).
+    """
+    events = load_table(spark, sf_dir, "events")
+    sec = (F.unix_timestamp("ts")).alias("bucket")
+    a = events.select("event_id", "ts", sec).withColumn(
+        "jb", F.explode(F.array(F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1))
+    )
+    b = events.select(
+        F.col("event_id").alias("b_event_id"),
+        F.col("ts").alias("b_ts"),
+        sec,
+    ).withColumnRenamed("bucket", "b_bucket")
+    band = (
+        (F.col("b_event_id") != F.col("event_id"))
+        & (F.col("b_ts") >= F.col("ts") - F.expr("INTERVAL 1 SECOND"))
+        & (F.col("b_ts") <= F.col("ts") + F.expr("INTERVAL 1 SECOND"))
+    )
+    return (
+        a.join(b, (F.col("jb") == F.col("b_bucket")) & band)
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n_close"))
+    )

@@ -250,3 +250,34 @@ def q_sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("vec_a") < F.col("vec_b"))
     )
+
+
+@register(
+    "q_sim_centroid",
+    oracle="""
+    SELECT label, i AS dim, round(avg(e), 4) AS centroid
+    FROM (
+        SELECT label,
+               unnest(embedding) AS e,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    )
+    GROUP BY label, i
+    """,
+)
+def q_sim_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, one dimension per row: posexplode the
+    vector and hash-aggregate (label, dim). Fully partial-aggregable
+    — at 100 TB each mapper emits 64 partial sums per label, so the
+    shuffle is O(labels × dims), independent of row count. (The
+    re-assembled array form is a final array_agg over this tiny
+    result; kept long-form for the oracle.)
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("i0", "e")
+    )
+    return (
+        ex.groupBy("label", (F.col("i0") + 1).cast("int").alias("dim"))
+        .agg(F.round(F.avg("e"), 4).alias("centroid"))
+    )

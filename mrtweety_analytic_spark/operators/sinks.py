@@ -61,3 +61,32 @@ def q_sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         F.col("sum_chars").cast("long"),
     )
+
+
+@register(
+    "q_sink_csv_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV write→read round-trip with an explicit read schema (CSV is
+    typeless on disk; schema-on-read is declared, never inferred, so
+    the certified contract covers header handling + quoting + type
+    restoration). CSV is the interchange sink; parquet stays the
+    at-scale format (q_sink_parquet_roundtrip).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+    out = os.path.join(tempfile.gettempdir(), "mrtweety_sink_csv")
+    shutil.rmtree(out, ignore_errors=True)
+    agg.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.option("header", True).schema(
+        "o_orderstatus string, n bigint, total double"
+    ).csv(out)
+    return back

@@ -247,3 +247,67 @@ def s_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id", "event_type"]
     )
     return _run_to_memory(spark, dedup, "append")
+
+
+@register(
+    "s_topk_pipeline",
+    oracle="""
+    WITH counts AS (
+        SELECT time_bucket(INTERVAL '6 hours', ts)
+                   - k * INTERVAL '6 hours' AS window_start,
+               event_type, count(*) AS n
+        FROM events, (SELECT unnest(generate_series(0, 3)) AS k)
+        GROUP BY 1, 2
+    ),
+    latest AS (SELECT max(window_start) AS ws FROM counts)
+    SELECT window_start, event_type, n, rank
+    FROM (
+        SELECT window_start, event_type, n,
+               CAST(row_number() OVER (ORDER BY n DESC, event_type)
+                    AS INTEGER) AS rank
+        FROM counts JOIN latest ON counts.window_start = latest.ws
+    )
+    WHERE rank <= 5
+    """,
+)
+def s_topk_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full R1–R10 composition as one checked query:
+    stream source → sliding windowed count (incremental state) →
+    latest window → top-5 with deterministic tiebreak → {items,
+    datetime} JSON document overwrite. Rank/limit and the file write
+    stay driver-side exactly as in the reference (take(5) + save,
+    SparkApplication.scala:92-95) — the only stage that is supposed
+    to collect, because its input is already ≤ |keys| rows.
+    """
+    import os
+    import tempfile
+
+    from .sink import render_document, write_result_file
+
+    events = load_events_stream(spark, sf_dir)
+    agg = events.groupBy(
+        F.window("ts", "1 day", "6 hours").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    out = _run_to_memory(spark, agg, "complete")
+    counts = out.select(
+        F.col("w.start").alias("window_start"), "event_type", "n"
+    )
+    latest = counts.agg(F.max("window_start").alias("ws"))
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.desc("n"), "event_type")
+    top5 = (
+        counts.join(latest, counts.window_start == F.col("ws"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("window_start", "event_type", "n", "rank")
+    )
+    rows = [
+        {"hashtag": r["event_type"], "count": r["n"]}
+        for r in top5.orderBy("rank").collect()
+    ]
+    write_result_file(
+        os.path.join(tempfile.gettempdir(), "analytic_stream.json"),
+        render_document(rows),
+    )
+    return top5
