@@ -44,6 +44,12 @@ HEADLINE = [
     "q_dedup_ngram_jaccard",    # inverted-index exact jaccard
     "q_text_tokencount",
     "q_agg_percentile",
+    "q_dedup_pipeline",         # end-to-end corpus-prep composite
+    "q_join_range_bucketed",    # no-equi-key band join, bucket-exploded
+    "q_text_tfidf",
+    "q_sessionize_gaps",
+    "q_events_funnel",
+    "q_dedup_keep_latest",
 ]
 
 

@@ -420,31 +420,39 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF with top-3 terms per doc. Three aggregations over ONE
-    tokenized scan (Spark reuses the exchange on doc_id for tf and
-    doc-length; df is a separate term-keyed agg whose result is tiny
-    → broadcast back). Ranking uses the ROUNDED score so an ulp
-    difference in ln() between engines cannot flip the order; term is
-    the tiebreak.
+    """TF-IDF with top-3 terms per doc. The corpus is tokenized and
+    aggregated to (doc, term) counts EXACTLY ONCE; doc length and
+    doc frequency both derive from that tf aggregate (dl = Σcnt per
+    doc — identical exchange subtree, deduplicated by ReusedExchange;
+    df = rows per term — tiny, broadcast back; N = one more rollup of
+    dl, kept lazy as a scalar cross-join so the whole query is one
+    plan). Ranking uses the ROUNDED score so an ulp difference in
+    ln() between engines cannot flip the order; term is the tiebreak.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     ).filter((F.col("term") != "") & ~F.col("term").isin(*STOPWORDS))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("cnt"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
-    df = toks.groupBy("term").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
-    n_docs = toks.select("doc_id").distinct().count()
+    # tf feeds four consumers with DIFFERENT column pruning, so
+    # ReusedExchange can't canonicalize them together (verified on
+    # the physical plan: 4 scans without this). Persisting the small
+    # (doc, term, cnt) aggregate collapses the corpus tokenization to
+    # one pass — the standard materialize-token-counts step.
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).persist()
+    dl = tf.groupBy("doc_id").agg(F.sum("cnt").alias("len"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = dl.agg(F.count(F.lit(1)).alias("n_docs"))
     score = F.round(
         (F.col("cnt") / F.col("len"))
-        * F.log(F.lit(float(n_docs)) / F.col("df")),
+        * F.log(F.col("n_docs").cast("double") / F.col("df")),
         6,
     ).alias("score")
     scored = (
         tf.join(dl, "doc_id")
         .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
         .select("doc_id", "term", score)
     )
     w = W.partitionBy("doc_id").orderBy(F.desc("score"), "term")
