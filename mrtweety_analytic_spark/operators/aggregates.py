@@ -247,3 +247,26 @@ def q_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping_id().cast("int").alias("gid"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "q_agg_stringagg",
+    oracle="""
+    SELECT l_returnflag,
+           string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus)
+               AS statuses
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_stringagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: collect_set → array_sort →
+    concat_ws. The explicit sort makes the concatenation
+    deterministic regardless of shuffle arrival order — unordered
+    listagg output is nondeterministic on any real cluster.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.concat_ws(
+            ",", F.array_sort(F.collect_set("l_linestatus"))
+        ).alias("statuses")
+    )

@@ -292,3 +292,31 @@ def q_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_id")
         .agg(F.count(F.lit(1)).alias("n_close"))
     )
+
+
+@register(
+    "q_join_salted",
+    oracle="""
+    SELECT n_name, count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted skew join as a driver-checked query: result must be
+    row-identical to the plain equi join (which is exactly what the
+    oracle states). Salting spreads each hot key over n_salts
+    reducers — the ahead-of-time complement to AQE skew splitting,
+    and the only remedy that also applies to broadcast-ineligible
+    hash joins and aggregations.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    joined = salted_join(customer, nation, "c_nationkey", "n_nationkey")
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )

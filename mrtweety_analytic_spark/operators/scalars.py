@@ -213,3 +213,38 @@ def q_fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("date").alias("d"),
         F.date_trunc("hour", F.col("ts")).alias("hour_start"),
     )
+
+
+@register(
+    "q_fn_array_lambda",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER)
+               AS n_pos,
+           round(list_aggregate(list_transform(embedding,
+                                x -> CAST(x AS DOUBLE) * x),
+                                'sum'), 4) AS sq_norm,
+           round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 4)
+               AS max_dim
+    FROM embeddings
+    """,
+)
+def q_fn_array_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (filter/transform/aggregate
+    lambdas) — JVM-side codegen over the array column, the no-UDF way
+    to compute per-vector statistics at scale.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.round(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            ),
+            4,
+        ).alias("sq_norm"),
+        F.round(F.array_max("embedding").cast("double"), 4).alias("max_dim"),
+    )

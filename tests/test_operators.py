@@ -264,3 +264,33 @@ def test_keep_latest_returns_one_row_per_key(spark, sf_dir):
         .collect()
     }
     assert all(r.ts == mx[r.user_id] for r in rows)
+
+
+def test_dynamic_partition_pruning(spark, sf_dir):
+    """A partitioned fact joined to a filtered dim must plan a
+    dynamicpruning PartitionFilter: only the dim-selected partitions
+    are scanned — at 100 TB this is the difference between reading
+    one event_type directory and reading the whole table."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mrtweety_analytic_spark.sources import load_table
+
+    out = os.path.join(tempfile.gettempdir(), "dpp_events_test")
+    shutil.rmtree(out, ignore_errors=True)
+    load_table(spark, sf_dir, "events").write.partitionBy(
+        "event_type"
+    ).parquet(out)
+    part = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("purchase", 1), ("click", 0)], "event_type string, flag int"
+    ).filter(F.col("flag") == 1)
+    q = part.join(dim, "event_type").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    assert [r.event_type for r in q.collect()] == ["purchase"]
