@@ -65,3 +65,29 @@ def test_dedup_idempotent(spark, texts):
     )
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
     assert once.count() == len(set(texts))
+
+
+def test_dedup_pipeline_monotone_retention(spark, sf_dir):
+    """Each tier only removes documents: n_final <= n_exact_kept <=
+    n_raw per source, and totals match the table row count."""
+    from mrtweety_analytic_spark.queries import QUERIES
+    from mrtweety_analytic_spark.sources import load_table
+
+    rows = QUERIES["q_dedup_pipeline"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_final <= r.n_exact_kept <= r.n_raw
+    total_raw = sum(r.n_raw for r in rows)
+    assert total_raw == load_table(spark, sf_dir, "documents").count()
+
+
+def test_sessionize_preserves_events(spark, sf_dir):
+    """Session event counts sum to the table row count (no event is
+    lost or double-assigned by the gap logic)."""
+    from mrtweety_analytic_spark.queries import QUERIES
+    from mrtweety_analytic_spark.sources import load_table
+
+    rows = QUERIES["q_sessionize_gaps"](spark, sf_dir).collect()
+    assert sum(r.n_events for r in rows) == load_table(
+        spark, sf_dir, "events"
+    ).count()
