@@ -38,6 +38,9 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("name")
     q.add_argument("--show", type=int, default=20)
 
+    d = sub.add_parser("dedup", parents=[common])
+    d.add_argument("--out", default="documents_dedup.parquet")
+
     args = p.parse_args(argv)
 
     from .queries import QUERIES
@@ -81,6 +84,17 @@ def main(argv: list[str] | None = None) -> int:
         )
         query.awaitTermination(timeout=600)
         print(f"stream replay complete; latest window written to {args.out}")
+        return 0
+
+    if args.cmd == "dedup":
+        from .operators.dedup import dedup_corpus
+        from .sources import load_table
+
+        docs = load_table(spark, args.sf_dir, "documents")
+        _, final = dedup_corpus(docs)
+        final.write.mode("overwrite").parquet(args.out)
+        n_raw, n_kept = docs.count(), spark.read.parquet(args.out).count()
+        print(f"wrote {args.out}: kept {n_kept}/{n_raw} documents")
         return 0
 
     if args.cmd == "query":

@@ -505,6 +505,27 @@ def _jaccard_pairs(docs: DataFrame, threshold: float = 0.2,
     )
 
 
+def dedup_corpus(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(exact_survivors, final_survivors) of the two-tier dedup:
+    exact tier keeps the min doc_id per normalized-text fingerprint;
+    near tier drops the larger doc_id of every Jaccard >= 0.2 pair.
+    The reusable core of q_dedup_pipeline and the CLI `dedup` command.
+    """
+    exact_kept = (
+        docs.groupBy(F.md5(normalized_text(F.col("text"))).alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kd = docs.join(exact_kept, "doc_id", "left_semi")
+    near_dropped = (
+        _jaccard_pairs(kd)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    final = kd.join(near_dropped, "doc_id", "left_anti")
+    return kd, final
+
+
 @register(
     "q_dedup_pipeline",
     oracle="""
@@ -578,18 +599,7 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier shrinks the candidate set before the quadratic-ish pair join.
     """
     docs = load_table(spark, sf_dir, "documents")
-    exact_kept = (
-        docs.groupBy(F.md5(normalized_text(F.col("text"))).alias("fp"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    kd = docs.join(exact_kept, "doc_id", "left_semi")
-    near_dropped = (
-        _jaccard_pairs(kd)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
-    final = kd.join(near_dropped, "doc_id", "left_anti")
+    kd, final = dedup_corpus(docs)
     raw_counts = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_raw")
     )
