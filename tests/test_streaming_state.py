@@ -97,3 +97,42 @@ def test_stream_dedup_across_batches(spark, tmp_path):
     rows = [r["key"] for r in spark.table("dedup_state_test").collect()]
     assert sorted(rows) == ["x", "y"]  # x emitted once, not twice
     spark.catalog.dropTempView("dedup_state_test")
+
+
+def test_rocksdb_state_store_provider(spark, sf_dir):
+    """The RocksDB state store (the 100 TB state path: state spills
+    to local disk instead of living on the executor heap) must
+    produce results identical to the default HDFS-backed provider."""
+    from pyspark.sql import functions as F
+
+    from mrtweety_analytic_spark.sources import load_events_stream
+    from mrtweety_analytic_spark.streaming.queries import _run_to_memory
+
+    def counts():
+        events = load_events_stream(spark, sf_dir)
+        agg = events.groupBy(
+            F.window("ts", "1 day").alias("w"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        out = _run_to_memory(spark, agg, "complete")
+        return sorted(
+            (r["w"]["start"], r["event_type"], r["n"])
+            for r in out.collect()
+        )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    default = counts()
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        rocks = counts()
+    finally:
+        if prev:
+            spark.conf.set(key, prev)
+        else:
+            spark.conf.unset(key)
+    assert rocks == default
+    assert len(default) > 0
