@@ -1,0 +1,89 @@
+"""Kafka source/sink wiring — the reference's R1 ingest and its
+Structured Streaming equivalent.
+
+Reference behavior (cited for parity):
+- subscribe topic `tweet`, string key/value, `auto.offset.reset=latest`,
+  consumer group `tweet`, offsets uncommitted
+  (spark/src/main/scala/.../SparkApplication.scala:45-61);
+- in Structured Streaming, offsets live in the CHECKPOINT, not the
+  consumer group — `enable.auto.commit=false` (:54) is the built-in
+  behavior, and `startingOffsets=latest` replaces
+  `auto.offset.reset=latest` (:52).
+
+No Kafka broker exists in the test container, so these builders are
+exercised by construction-time tests only (the options dict and the
+parse stage are unit-tested; the live path needs a broker). The parse
+→ explode → filter → window → top-k pipeline downstream of the source
+is broker-independent and fully tested via the file-source replay
+(tests/test_streaming_pipeline.py) — swapping in this source changes
+ONE line of the composition, which is the point of keeping the
+pipeline a pure function of a DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_TOPIC = "tweet"  # ProducerApplication.java:34
+
+
+def kafka_source_options(
+    bootstrap_servers: str,
+    topic: str = DEFAULT_TOPIC,
+    starting_offsets: str = "latest",
+) -> dict[str, str]:
+    """The exact option set for the reference-parity Kafka source."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        # Safety at scale: cap per-trigger intake so one slow batch
+        # doesn't snowball (the DStream direct API had backpressure
+        # configs; this is the Structured Streaming equivalent).
+        "maxOffsetsPerTrigger": "1000000",
+        # Don't fail a long-running job because retention expired
+        # offsets the checkpoint still references.
+        "failOnDataLoss": "false",
+    }
+
+
+def read_kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str = DEFAULT_TOPIC,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """R1: the tweet-JSON value stream. Returns one string column
+    `value` ≙ the reference's `stream.map(record.value)`
+    (SparkApplication.scala:63) — key/offset/partition metadata are
+    dropped by projection (Catalyst prunes them out of the source).
+    """
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_source_options(
+        bootstrap_servers, topic, starting_offsets
+    ).items():
+        reader = reader.option(k, v)
+    return reader.load().select(F.col("value").cast("string"))
+
+
+def write_kafka_stream(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint_dir: str,
+):
+    """Exactly-once Kafka sink for a result stream: the value column
+    is the JSON-serialized row. Offsets + sink state ride the
+    checkpoint — restart-safe, unlike the reference's fire-and-forget
+    producer (ProducerApplication.java:63-72).
+    """
+    payload = df.select(
+        F.to_json(F.struct(*df.columns)).alias("value")
+    )
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+    )
