@@ -248,3 +248,32 @@ def q_fn_array_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sq_norm"),
         F.round(F.array_max("embedding").cast("double"), 4).alias("max_dim"),
     )
+
+
+@register(
+    "q_fn_regex_extract_all",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z]*tion')) AS INTEGER)
+               AS n_tion,
+           coalesce(array_to_string(
+               regexp_extract_all(text, '\b[a-z]{12,}\b'), ','), '')
+               AS long_words
+    FROM documents
+    """,
+)
+def q_fn_regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all: all matches per row as an array — the
+    vectorized JVM-side alternative to a Python re UDF for pattern
+    mining over a text corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]*tion"), 0)).alias(
+            "n_tion"
+        ),
+        F.array_join(
+            F.regexp_extract_all("text", F.lit(r"\b[a-z]{12,}\b"), 0), ","
+        ).alias("long_words"),
+    )
