@@ -130,3 +130,45 @@ def q_scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("total"),
         )
     )
+
+
+@register(
+    "q_source_custom_pyds",
+    oracle="""
+    WITH ids AS (SELECT unnest(generate_series(0, 999)) AS i),
+    ks AS (SELECT unnest(generate_series(0, 2)) AS k),
+    tags AS (
+        SELECT lower((['spark','Spark','SPARK','python','data',
+                       'streaming','europe','kafka','scale','parquet']
+                     )[((i * 7 + k * 3) % 10) + 1]) AS hashtag
+        FROM ids JOIN ks ON k < i % 4
+    )
+    SELECT hashtag, count(*) AS n
+    FROM tags
+    WHERE hashtag NOT IN ('europe', 'europa', 'eu', 'euro')
+    GROUP BY hashtag
+    """,
+)
+def q_source_custom_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector (Python Data Source API) driven through the
+    reference's R3+R4 parse path: the deterministic tweetgen source
+    emits partition-parallel tweet JSON, from_json+explode extracts
+    hashtags, the blacklist drops the reference's tracked terms, and
+    the case-folded count is checked against a pure-SQL re-derivation
+    of the generator — certifying source partitioning, JSON parsing,
+    null-entity tolerance, and filter semantics in one query.
+    """
+    from ..sources_python_ds import register_tweetgen
+    from ..streaming.pipeline import blacklist_filter, parse_hashtags
+
+    register_tweetgen(spark)
+    raw = (
+        spark.read.format("tweetgen")
+        .option("rows", "1000")
+        .option("partitions", "8")
+        .load()
+    )
+    tags = blacklist_filter(parse_hashtags(raw))
+    return tags.groupBy(F.lower("hashtag").alias("hashtag")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
