@@ -15,7 +15,12 @@ iterates over.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 HASHTAG_POOL = (
     "spark", "Spark", "SPARK", "python", "data", "streaming",
@@ -71,3 +76,46 @@ class TweetGenDataSource(DataSource):
 def register_tweetgen(spark) -> None:
     """Idempotent registration: spark.read.format('tweetgen')."""
     spark.dataSource.register(TweetGenDataSource)
+
+
+class TweetStreamReader(SimpleDataSourceStreamReader):
+    """Streaming tweet-JSON source: offset = rows emitted so far.
+    Each microbatch drains one chunk; readBetweenOffsets makes any
+    batch re-playable from the checkpoint (exactly-once replay —
+    the property the reference's fire-and-forget producer lacked,
+    ProducerApplication.java:63-72).
+    """
+
+    def __init__(self, options):
+        self.total = int(options.get("rows", "500"))
+        self.chunk = int(options.get("chunk", "100"))
+
+    def initialOffset(self):
+        return {"i": 0}
+
+    def read(self, start):
+        s = start["i"]
+        e = min(s + self.chunk, self.total)
+        return iter([(i, _tweet_json(i)) for i in range(s, e)]), {"i": e}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(
+            [(i, _tweet_json(i)) for i in range(start["i"], end["i"])]
+        )
+
+
+class TweetGenStreamDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "tweetgen_stream"
+
+    def schema(self):
+        return "id bigint, value string"
+
+    def simpleStreamReader(self, schema):
+        return TweetStreamReader(self.options)
+
+
+def register_tweetgen_stream(spark) -> None:
+    """Idempotent registration: spark.readStream.format('tweetgen_stream')."""
+    spark.dataSource.register(TweetGenStreamDataSource)

@@ -179,3 +179,39 @@ def test_kafka_sink_serializes_all_columns(spark):
     # Not started (no broker); the writer object itself must exist
     # with the kafka format applied.
     assert writer is not None
+
+
+def test_custom_stream_source_incremental_offsets(spark):
+    """The Python streaming source must deliver every row exactly once
+    across multiple microbatches (offset bookkeeping + chunked
+    drain)."""
+    import time
+
+    from mrtweety_analytic_spark.sources_python_ds import (
+        register_tweetgen_stream,
+    )
+
+    register_tweetgen_stream(spark)
+    df = (
+        spark.readStream.format("tweetgen_stream")
+        .option("rows", "500")
+        .option("chunk", "100")
+        .load()
+    )
+    q = (
+        df.writeStream.format("memory")
+        .queryName("tg_stream_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table("tg_stream_test").count() >= 500:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    rows = spark.table("tg_stream_test").select("id").collect()
+    ids = sorted(r.id for r in rows)
+    assert ids == list(range(500))  # every row once, none duplicated
