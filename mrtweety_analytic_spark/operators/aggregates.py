@@ -270,3 +270,25 @@ def q_agg_stringagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",", F.array_sort(F.collect_set("l_linestatus"))
         ).alias("statuses")
     )
+
+
+@register(
+    "q_agg_bool",
+    oracle="""
+    SELECT o_orderstatus,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_totalprice > 400000) AS any_over_400k,
+           count(*) FILTER (WHERE o_totalprice > 200000) AS n_big
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregation (every/any) + FILTERed count — one
+    hash-agg pass, partial-aggregable like any other agg.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        F.count(F.when(F.col("o_totalprice") > 200000, 1)).alias("n_big"),
+    )

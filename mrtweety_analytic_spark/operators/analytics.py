@@ -606,3 +606,36 @@ def q_tpch_q18like(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_qty") > 250)
         .orderBy(F.desc("total_qty"), "o_orderkey")
     )
+
+
+@register(
+    "q_lateral_subquery",
+    oracle="""
+    SELECT n_name, top.c_custkey, top.c_acctbal
+    FROM nation,
+         LATERAL (SELECT c_custkey, c_acctbal FROM customer
+                  WHERE c_nationkey = n_nationkey
+                  ORDER BY c_acctbal DESC, c_custkey
+                  LIMIT 2) top
+    """,
+)
+def q_lateral_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-2 customers per nation),
+    through Spark's SQL parser. Catalyst decorrelates it into the
+    same WindowGroupLimit shape as q_win_topk_per_group — proof that
+    the SQL surface and the DataFrame surface meet in one optimizer.
+    """
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_v")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_v"
+    )
+    return spark.sql(
+        """
+        SELECT n_name, top.c_custkey, top.c_acctbal
+        FROM nation_v,
+             LATERAL (SELECT c_custkey, c_acctbal FROM customer_v
+                      WHERE c_nationkey = n_nationkey
+                      ORDER BY c_acctbal DESC, c_custkey
+                      LIMIT 2) top
+        """
+    )

@@ -123,18 +123,32 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket self-join. The banding join is the 100 TB path — candidate
     generation cost scales with bucket collisions, not n².
     """
-    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+    from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, Tokenizer
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tok = Tokenizer(inputCol="text", outputCol="tokens")
+    # Shingle to word-5-grams BEFORE hashing — same unit as the exact
+    # Jaccard tier. Unigram token sets are degenerate on a
+    # small-vocabulary corpus (every doc covers most of the vocab, so
+    # every pair looks similar: measured 4.7M candidate pairs / 24 min
+    # at sf 0.1); 5-gram shingles rarely repeat across distinct docs,
+    # so bucket collisions recover only genuine near-dups.
+    ng = NGram(n=5, inputCol="tokens", outputCol="shingles")
     tf = HashingTF(
-        inputCol="tokens", outputCol="features", numFeatures=1 << 18, binary=True
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18,
+        binary=True,
     )
-    featurized = tf.transform(tok.transform(docs))
+    shingled = ng.transform(tok.transform(docs)).filter(
+        F.size("shingles") >= 1  # MinHash requires a non-empty set
+    )
+    featurized = tf.transform(shingled)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(featurized)
+    # Distance <= 0.8 ≙ shingle-Jaccard >= 0.2 — the same acceptance
+    # band as q_dedup_ngram_jaccard, so the LSH tier is a drop-in
+    # approximate twin of the exact tier.
     pairs = model.approxSimilarityJoin(
-        featurized, featurized, threshold=0.3, distCol="jaccard_dist"
+        featurized, featurized, threshold=0.8, distCol="jaccard_dist"
     )
     return (
         pairs.select(
@@ -167,14 +181,22 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     for LSH buckets (q_sim_lsh_bucketed) or IVF cells
     (q_sim_ivf_label) with identical downstream semantics.
     """
-    from .similarity import cosine_expr
+    from .similarity import dot_expr
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    a = emb.alias("a")
+    # Norms are per-ROW invariants: computing them inside the pair
+    # predicate would fold each vector O(n) times (measured 75 s →
+    # ~3 s at sf 0.1). The repartition spreads the nested-loop
+    # streamed side across cores — a single small parquet file
+    # otherwise serializes the whole n² scan on one task.
+    emb = emb.withColumn("nrm", F.sqrt(dot_expr(F.col("e"), F.col("e"))))
+    a = emb.repartition(32, "vec_id").alias("a")
     b = emb.alias("b")
-    cos = cosine_expr(F.col("a.e"), F.col("b.e"))
+    cos = dot_expr(F.col("a.e"), F.col("b.e")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(

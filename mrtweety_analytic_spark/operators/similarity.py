@@ -29,18 +29,28 @@ BATCH_K = 3
 PROBE_MOD = 50  # probes = vec_id % 50 == 0
 
 
+def dot_expr(x: F.Column, y: F.Column) -> F.Column:
+    """Elementwise product fold — JVM-side, no UDF. NOTE: Catalyst's
+    higher-order functions are interpreted (not codegen'd), so inside
+    an n² pair join this fold is the per-pair unit of cost: compute
+    per-ROW invariants (norms!) before the join, never per pair.
+    """
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def cosine_expr(a: F.Column, b: F.Column) -> F.Column:
     """Cosine similarity between two array<double> columns, entirely
-    JVM-side (no UDF): elementwise product fold / norms.
+    JVM-side: elementwise product fold / norms. For pair joins prefer
+    dot_expr with precomputed per-row norms (see q_dedup_embedding) —
+    this convenience form folds three times per evaluation.
     """
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p * q),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    return dot_expr(a, b) / (
+        F.sqrt(dot_expr(a, a)) * F.sqrt(dot_expr(b, b))
+    )
 
 
 @register(
