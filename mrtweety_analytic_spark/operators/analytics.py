@@ -464,20 +464,8 @@ def q_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     (s_session). Tiebreak event_id makes lag deterministic.
     """
     events = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    is_new = F.coalesce(
-        F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES"),
-        F.lit(True),
-    )
-    run = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
     return (
-        events.withColumn("is_new", is_new)
-        .withColumn(
-            "session_id",
-            F.sum(F.col("is_new").cast("long")).over(run),
-        )
+        sessionize(events)
         .groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -487,12 +475,29 @@ def q_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Assign a per-user session_id (1-based) by inactivity gap —
+    the reusable core of q_sessionize_gaps, also exercised directly
+    by the unit test so semantics regressions are caught there.
+    """
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    is_new = F.coalesce(
+        F.col("ts") > F.lag("ts").over(w) + F.expr(f"INTERVAL {gap}"),
+        F.lit(True),
+    )
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return events.withColumn("is_new", is_new).withColumn(
+        "session_id", F.sum(F.col("is_new").cast("long")).over(run)
+    )
+
+
 @register(
     "q_events_funnel",
     oracle="""
     SELECT count(*) AS n_converted,
-           round(avg(epoch(first_purchase - first_click)), 2)
-               AS avg_lag_sec
+           round((1.0 * CAST(sum(epoch_us(first_purchase)
+                                 - epoch_us(first_click)) AS BIGINT)
+                  / count(*)) / 1e6, 2) AS avg_lag_sec
     FROM (
         SELECT user_id,
                min(ts) FILTER (WHERE event_type = 'click')
@@ -525,13 +530,16 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("first_purchase").isNotNull()
         & (F.col("first_purchase") > F.col("first_click"))
     )
-    lag_sec = (
-        F.col("first_purchase").cast("double")
-        - F.col("first_click").cast("double")
-    )
+    # Integer-microsecond lag summed exactly (no double cast of an
+    # epoch timestamp — ~2e-7 s representation error each — and no
+    # order-dependent double summation); ONE double division at the
+    # end is bit-identical to the oracle's.
+    lag_us = F.unix_micros("first_purchase") - F.unix_micros("first_click")
     return converted.agg(
         F.count(F.lit(1)).alias("n_converted"),
-        F.round(F.avg(lag_sec), 2).alias("avg_lag_sec"),
+        F.round(
+            (F.sum(lag_us) * F.lit(1.0) / F.count(F.lit(1))) / F.lit(1e6), 2
+        ).alias("avg_lag_sec"),
     )
 
 

@@ -144,11 +144,14 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     featurized = tf.transform(shingled)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(featurized)
-    # Distance <= 0.8 ≙ shingle-Jaccard >= 0.2 — the same acceptance
-    # band as q_dedup_ngram_jaccard, so the LSH tier is a drop-in
-    # approximate twin of the exact tier.
+    # approxSimilarityJoin filters dist < threshold STRICTLY, and
+    # Jaccard distances are small-integer ratios, so exactly-0.8 is
+    # reachable: nudge the bound so dist <= 0.8 (shingle-Jaccard >=
+    # 0.2) is included — the same acceptance band as
+    # q_dedup_ngram_jaccard, making the LSH tier its drop-in
+    # approximate twin.
     pairs = model.approxSimilarityJoin(
-        featurized, featurized, threshold=0.8, distCol="jaccard_dist"
+        featurized, featurized, threshold=0.8 + 1e-6, distCol="jaccard_dist"
     )
     return (
         pairs.select(
@@ -389,59 +392,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequent-shingle list.
     """
     docs = load_table(spark, sf_dir, "documents")
-    arr = F.split("text", " ")
-    n = 5
-    # Guard: sequence(0, negative) would generate a DESCENDING range,
-    # so documents shorter than n shingle to an empty array instead.
-    sh = F.when(
-        F.size(arr) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(arr) - n),
-            lambda i: F.concat_ws(" ", F.slice(arr, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    # The shingle index feeds four consumers (df-filter, both join
-    # sides, sizes); no explicit persist — the distinct's Exchange is
-    # deduplicated by ReusedExchange, and measured persist() was pure
-    # overhead on top of that. Shingles are xxhash64'd to int64 before
-    # the distinct/joins: 8-byte shuffle keys instead of ~30-byte
-    # strings (~30% faster measured; collision probability over 250k
-    # shingles ≈ 2e-9, far below the float-rounding tolerance).
-    all_shingles = (
-        docs.select("doc_id", F.explode(sh).alias("shingle"))
-        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
-        .distinct()
-    )
-    rare = (
-        all_shingles.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= 100)
-        .select("shingle")
-    )
-    shingles = all_shingles.join(F.broadcast(rare), "shingle", "left_semi")
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("n_common") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
-    return (
-        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= 0.2)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-    )
+    return _jaccard_pairs(docs)
 
 
 @register(
@@ -477,12 +428,15 @@ def q_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _jaccard_pairs(docs: DataFrame, threshold: float = 0.2,
                    df_cap: int = 100) -> DataFrame:
-    """(doc_a, doc_b) pairs with word-5-gram Jaccard >= threshold —
-    the inverted-index join of q_dedup_ngram_jaccard, reusable on any
-    document subset.
+    """(doc_a, doc_b, jaccard) pairs with word-5-gram Jaccard >=
+    threshold — the inverted-index join shared by
+    q_dedup_ngram_jaccard (whose oracle defines its semantics) and
+    dedup_corpus/q_dedup_pipeline.
     """
     arr = F.split("text", " ")
     n = 5
+    # Guard: sequence(0, negative) would generate a DESCENDING range,
+    # so documents shorter than n shingle to an empty array instead.
     sh = F.when(
         F.size(arr) >= n,
         F.transform(
@@ -490,6 +444,13 @@ def _jaccard_pairs(docs: DataFrame, threshold: float = 0.2,
             lambda i: F.concat_ws(" ", F.slice(arr, i + 1, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # The shingle index feeds four consumers (df-filter, both join
+    # sides, sizes); no explicit persist — the distinct's Exchange is
+    # deduplicated by ReusedExchange, and measured persist() was pure
+    # overhead on top of that. Shingles are xxhash64'd to int64 before
+    # the distinct/joins: 8-byte shuffle keys instead of ~30-byte
+    # strings (~30% faster measured; collision probability over 250k
+    # shingles ≈ 2e-9, far below the float-rounding tolerance).
     all_shingles = (
         docs.select("doc_id", F.explode(sh).alias("shingle"))
         .select("doc_id", F.xxhash64("shingle").alias("shingle"))
@@ -523,7 +484,7 @@ def _jaccard_pairs(docs: DataFrame, threshold: float = 0.2,
         common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .filter(jac >= threshold)
-        .select("doc_a", "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 
 

@@ -252,7 +252,10 @@ def q_fn_array_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_fn_regex_extract_all",
-    oracle="""
+    # Raw string: in a plain literal '\b' is a BACKSPACE (0x08), and
+    # DuckDB would silently match nothing — the gate only catches it
+    # when the corpus contains a 12+ letter word.
+    oracle=r"""
     SELECT doc_id,
            CAST(len(regexp_extract_all(text, '[a-z]*tion')) AS INTEGER)
                AS n_tion,

@@ -113,12 +113,15 @@ def q_scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     events = load_table(spark, sf_dir, "events")
+    # Cache key includes the source file's size+mtime so a regenerated
+    # corpus (or a different machine user) never reuses a stale copy.
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
     out = os.path.join(
         tempfile.gettempdir(),
-        f"mrtweety_part_events_{os.path.basename(os.path.normpath(sf_dir))}",
+        f"mrtweety_part_events_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{st.st_size}_{int(st.st_mtime)}_{os.getuid()}",
     )
-    # Reuse an existing materialization (overwrite is idempotent but
-    # costs a full rewrite per call).
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         events.write.mode("overwrite").partitionBy("event_type").parquet(out)
     part = spark.read.parquet(out)

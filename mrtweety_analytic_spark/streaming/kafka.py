@@ -67,20 +67,30 @@ def read_kafka_stream(
     return reader.load().select(F.col("value").cast("string"))
 
 
+def kafka_payload(df: DataFrame) -> DataFrame:
+    """One `value` column: the full row JSON-serialized — the shape
+    the Kafka sink requires. Split out so the serialization contract
+    is testable without a broker.
+    """
+    return df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+
+
 def write_kafka_stream(
     df: DataFrame,
     bootstrap_servers: str,
     topic: str,
     checkpoint_dir: str,
 ):
-    """Exactly-once Kafka sink for a result stream: the value column
-    is the JSON-serialized row. Offsets + sink state ride the
-    checkpoint — restart-safe, unlike the reference's fire-and-forget
-    producer (ProducerApplication.java:63-72).
+    """Kafka sink for a result stream: the value column is the
+    JSON-serialized row. Offsets + sink state ride the checkpoint, so
+    the stream is restart-safe — delivery is AT-LEAST-ONCE (a batch
+    re-executed after failure re-publishes; Spark's Kafka sink is not
+    transactional), which still beats the reference's fire-and-forget
+    producer (ProducerApplication.java:63-72: at-most-once, no
+    recovery at all). Consumers needing exactly-once semantics dedup
+    on a key downstream (s_dedup_stream is that operator).
     """
-    payload = df.select(
-        F.to_json(F.struct(*df.columns)).alias("value")
-    )
+    payload = kafka_payload(df)
     return (
         payload.writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)

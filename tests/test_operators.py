@@ -224,19 +224,10 @@ def test_sessionize_gap_semantics(spark):
         rows, "event_id long, ts timestamp, user_id long, "
         "event_type string, value double, props string"
     )
-    df.createOrReplaceTempView("_sess_events")
-    # Reuse the operator body by substituting the tiny table.
-    from pyspark.sql import Window as W
+    from mrtweety_analytic_spark.operators.analytics import sessionize
 
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    is_new = F.coalesce(
-        F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES"),
-        F.lit(True),
-    )
-    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     out = (
-        df.withColumn("is_new", is_new)
-        .withColumn("session_id", F.sum(F.col("is_new").cast("long")).over(run))
+        sessionize(df)
         .groupBy("user_id", "session_id")
         .count()
         .collect()

@@ -160,25 +160,23 @@ def test_kafka_source_options_reference_parity():
 
 
 def test_kafka_sink_serializes_all_columns(spark):
-    """The sink payload must be one JSON value column built from the
-    full row (construction-time check; no broker in CI)."""
-    from mrtweety_analytic_spark.streaming.kafka import (
-        write_kafka_stream,
-    )
-    import pyspark.sql.functions as F
+    """The sink payload must be ONE `value` column whose JSON parses
+    back to every input column (the serialization contract, testable
+    without a broker on a batch DataFrame)."""
+    import json
 
-    # A streaming df is required for writeStream; rate source is
-    # built-in and needs no broker.
-    df = (
-        spark.readStream.format("rate")
-        .option("rowsPerSecond", "1")
-        .load()
-        .select(F.col("value").alias("n"), F.lit("x").alias("tag"))
+    from mrtweety_analytic_spark.streaming.kafka import kafka_payload
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.5), (2, "b", 3.0)], "n int, tag string, x double"
     )
-    writer = write_kafka_stream(df, "broker:9092", "out", "/tmp/ckpt-kafka")
-    # Not started (no broker); the writer object itself must exist
-    # with the kafka format applied.
-    assert writer is not None
+    out = kafka_payload(df)
+    assert out.columns == ["value"]
+    rows = [json.loads(r.value) for r in out.collect()]
+    assert sorted(rows, key=lambda r: r["n"]) == [
+        {"n": 1, "tag": "a", "x": 2.5},
+        {"n": 2, "tag": "b", "x": 3.0},
+    ]
 
 
 def test_custom_stream_source_incremental_offsets(spark):
