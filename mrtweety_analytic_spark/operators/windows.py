@@ -157,3 +157,44 @@ def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("event_type").over(w).alias("last_type"),
         F.nth_value("event_type", 3).over(w).alias("third_type"),
     )
+
+
+@register(
+    "q_win_fill_forward",
+    oracle="""
+    SELECT event_id, user_id,
+           round(coalesce(last_value(good_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 0.0), 4) AS filled_value
+    FROM (
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_type <> 'error' THEN value END AS good_value
+        FROM events
+    )
+    """,
+)
+def q_win_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (last observation carried forward): error events'
+    values are nulled and replaced by the user's most recent good
+    value — THE gap-repair primitive of sensor/feature pipelines.
+    last_value(ignoreNulls) over a running frame is one window pass
+    on the user_id partitioning; no self-join, no UDF.
+    """
+    events = load_table(spark, sf_dir, "events")
+    good = F.when(F.col("event_type") != "error", F.col("value"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.coalesce(
+                F.last(good, ignorenulls=True).over(w), F.lit(0.0)
+            ),
+            4,
+        ).alias("filled_value"),
+    )
