@@ -50,6 +50,7 @@ HEADLINE = [
     "q_sessionize_gaps",
     "q_events_funnel",
     "q_dedup_keep_latest",
+    "q_text_prep_pipeline",
 ]
 
 

@@ -511,3 +511,110 @@ def q_text_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return pairs.orderBy(F.desc("n"), "term_a", "term_b").limit(20)
+
+
+def _prep_hits_sql() -> str:
+    return ", ".join(
+        f"count(*) FILTER (WHERE term IN "
+        f"({', '.join(repr(w) for w in ws)})) AS h_{lang}"
+        for lang, ws in _LANG_MARKERS.items()
+    )
+
+
+@register(
+    "q_text_prep_pipeline",
+    oracle=f"""
+    WITH metrics AS (
+        SELECT doc_id,
+               count(*) AS n_tokens,
+               1.0 * count(*) FILTER (WHERE term IN ({_STOP_SQL}))
+                   / count(*) AS stop_ratio,
+               {_prep_hits_sql()}
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        WHERE term <> ''
+        GROUP BY doc_id
+    ),
+    kept AS (
+        SELECT d.doc_id, d.source,
+               CAST(ceil(strlen(d.text) / 4.0) AS BIGINT) AS bpe,
+               m.n_tokens
+        FROM documents d JOIN metrics m ON d.doc_id = m.doc_id
+        WHERE NOT (m.h_en = 0 AND m.h_de = 0 AND m.h_es = 0 AND m.h_fr = 0)
+          AND m.h_en >= m.h_de AND m.h_en >= m.h_es AND m.h_en >= m.h_fr
+          AND m.stop_ratio <= 0.5
+          AND m.n_tokens BETWEEN 10 AND 500
+    )
+    SELECT r.source, r.n_raw,
+           coalesce(k.n_kept, 0) AS n_kept,
+           coalesce(k.avg_tokens, 0.0) AS avg_tokens,
+           coalesce(k.total_bpe, 0) AS total_bpe
+    FROM (SELECT source, count(*) AS n_raw FROM documents
+          GROUP BY source) r
+    LEFT JOIN (SELECT source, count(*) AS n_kept,
+                      round(avg(n_tokens), 4) AS avg_tokens,
+                      CAST(sum(bpe) AS BIGINT) AS total_bpe
+               FROM kept GROUP BY source) k ON r.source = k.source
+    """,
+)
+def q_text_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end text-preparation composite — the filter chain an
+    LLM corpus runs before tokenization: language-ID gate (keep 'en'
+    by the marker heuristic), quality gate (stopword ratio <= 0.5),
+    token-budget gate (10..500 whitespace tokens), then a per-source
+    retention + token-budget report. ONE tokenized aggregation feeds
+    every per-doc metric (same exchange), the doc join is by key, and
+    the report is a partial-aggregable rollup — the whole chain is
+    two shuffles at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    hit_cols = [
+        F.sum(F.when(F.col("term").isin(*ws), 1).otherwise(0)).alias(
+            f"h_{lang}"
+        )
+        for lang, ws in _LANG_MARKERS.items()
+    ]
+    metrics = t.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (
+            F.sum(F.when(F.col("term").isin(*STOPWORDS), 1).otherwise(0))
+            / F.count(F.lit(1))
+        ).alias("stop_ratio"),
+        *hit_cols,
+    )
+    h = {lang: F.col(f"h_{lang}") for lang in _LANG_MARKERS}
+    is_en = (
+        ~((h["en"] == 0) & (h["de"] == 0) & (h["es"] == 0) & (h["fr"] == 0))
+        & (h["en"] >= h["de"])
+        & (h["en"] >= h["es"])
+        & (h["en"] >= h["fr"])
+    )
+    kept = (
+        docs.join(metrics, "doc_id")
+        .filter(
+            is_en
+            & (F.col("stop_ratio") <= 0.5)
+            & F.col("n_tokens").between(10, 500)
+        )
+        .select(
+            "source",
+            "n_tokens",
+            F.ceil(F.octet_length("text") / 4.0).cast("long").alias("bpe"),
+        )
+    )
+    raw = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))
+    rep = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.sum("bpe").alias("total_bpe"),
+    )
+    return raw.join(rep, "source", "left").select(
+        "source",
+        "n_raw",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("avg_tokens", F.lit(0.0)).alias("avg_tokens"),
+        F.coalesce("total_bpe", F.lit(0)).alias("total_bpe"),
+    )
