@@ -195,3 +195,40 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_batches,
         schema="doc_id long, width int, height int, mean_intensity double",
     )
+
+
+@register(
+    "q_multimodal_dedup",
+    oracle="""
+    SELECT content_md5, min(doc_id) AS keep_doc, count(*) AS n_copies
+    FROM (SELECT doc_id,
+                 md5(trim(regexp_replace(
+                     regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                     ' +', ' ', 'g'))) AS content_md5
+          FROM documents)
+    GROUP BY content_md5
+    """,
+)
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup: group opaque payloads by the digest of a
+    canonicalized form (for text, normalization; for media, the
+    decode-normalize-rehash analogue), keep the min id. Hash once at
+    ingest and dedup becomes a 16-byte-key groupBy — the payload
+    bytes never shuffle, which is what makes this viable on a 100 TB
+    media lake.
+    """
+    from .dedup import normalized_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(normalized_text(F.col("text")), "UTF-8")
+    return (
+        docs.select("doc_id", F.md5(payload).alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(
+            F.min("doc_id").alias("keep_doc"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+    # No n_copies>1 filter: the full digest->group map is compared
+    # (dup groups exist only at sf 0.1 in this corpus — 8 groups —
+    # and an empty report would make the sf 0.01 gate vacuous).

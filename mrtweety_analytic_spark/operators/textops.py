@@ -618,3 +618,39 @@ def q_text_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("avg_tokens", F.lit(0.0)).alias("avg_tokens"),
         F.coalesce("total_bpe", F.lit(0)).alias("total_bpe"),
     )
+
+
+@register(
+    "q_text_redact",
+    oracle=r"""
+    SELECT doc_id,
+           md5(regexp_replace(
+               regexp_replace(text,
+                   '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+               '\b\d{3}[- ]\d{4}\b', '<PHONE>', 'g')) AS redacted_md5,
+           CAST(len(regexp_extract_all(text,
+                   '[a-z0-9._]+@[a-z0-9.]+')) AS INTEGER) AS n_emails
+    FROM documents
+    """,
+)
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (email/phone patterns → placeholder tokens)
+    — a standard pre-training scrub, entirely JVM-side regexp over
+    the corpus; output is digest-compared so the oracle certifies the
+    full redacted text, not a sample.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.col("text"), r"[a-z0-9._]+@[a-z0-9.]+", "<EMAIL>"
+        ),
+        r"\b\d{3}[- ]\d{4}\b",
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(redacted).alias("redacted_md5"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(r"[a-z0-9._]+@[a-z0-9.]+"), 0)
+        ).alias("n_emails"),
+    )
