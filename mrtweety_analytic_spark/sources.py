@@ -47,7 +47,11 @@ def _restore_event_time(df: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
 
     # Integer DIV, not `/`: float division of ~1.7e18 ns exceeds the
-    # double mantissa and lands ±1 µs off.
+    # double mantissa and lands ±1 µs off. Conversion only applies
+    # when ts is physically long nanos (the driver corpus); fixture
+    # tables written with a native TimestampType pass through.
+    if not isinstance(df.schema["ts"].dataType, T.LongType):
+        return df
     cols = [
         F.timestamp_micros(F.expr(f"{c} DIV 1000")).alias(c)
         if c == "ts"

@@ -285,3 +285,105 @@ def test_dynamic_partition_pruning(spark, sf_dir):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
     assert [r.event_type for r in q.collect()] == ["purchase"]
+
+
+def test_fill_forward_leading_gap_defaults_to_zero(spark):
+    """A user whose first events are all 'error' has no prior good
+    value — forward-fill must coalesce to 0.0, not null; later good
+    values propagate over subsequent errors."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 7, "error", 99.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=1), 7, "view", 5.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=2), 7, "error", 88.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    good = F.when(F.col("event_type") != "error", F.col("value"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    out = {
+        r.event_id: r.filled
+        for r in df.select(
+            "event_id",
+            F.coalesce(
+                F.last(good, ignorenulls=True).over(w), F.lit(0.0)
+            ).alias("filled"),
+        ).collect()
+    }
+    assert out == {1: 0.0, 2: 5.0, 3: 5.0}
+
+
+def test_funnel_requires_purchase_after_click(spark, sf_dir):
+    """Conversion demands strict click-then-purchase ordering: a user
+    whose only purchase precedes their first click must not count."""
+    import datetime as dt
+
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: purchase BEFORE click -> not converted
+        (1, t0, 1, "purchase", 1.0, "{}"),
+        (2, t0 + dt.timedelta(hours=1), 1, "click", 1.0, "{}"),
+        # user 2: click then purchase -> converted, lag 300 s
+        (3, t0, 2, "click", 1.0, "{}"),
+        (4, t0 + dt.timedelta(minutes=5), 2, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    import tempfile, os, shutil
+    d = os.path.join(tempfile.gettempdir(), "funnel_edge")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    df.write.parquet(os.path.join(d, "events.parquet"))
+    got = QUERIES["q_events_funnel"](spark, d).collect()[0]
+    assert got.n_converted == 1
+    assert got.avg_lag_sec == 300.0
+
+
+def test_range_bucketed_band_boundary(spark):
+    """The ±1 s band is inclusive at exactly 1 s and excludes 1 s + 1 µs
+    — and the bucket-explode candidate generation must not lose pairs
+    that straddle a bucket edge."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0 + dt.timedelta(seconds=1), 1, "view", 1.0, "{}"),          # in (== 1 s)
+        (3, t0 + dt.timedelta(seconds=1, microseconds=1), 1, "view", 1.0, "{}"),  # out
+        (4, t0 - dt.timedelta(microseconds=1), 1, "view", 1.0, "{}"),     # in, across bucket edge
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    import tempfile, os, shutil
+    d = os.path.join(tempfile.gettempdir(), "band_edge")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    df.write.parquet(os.path.join(d, "events.parquet"))
+    from mrtweety_analytic_spark.queries import QUERIES
+    got = {
+        r.event_id: r.n_close
+        for r in QUERIES["q_join_range_bucketed"](spark, d).collect()
+    }
+    # event 1 pairs with 2 (Δ=1 s) and 4 (Δ=1 µs); NOT 3 (Δ=1 s + 1 µs)
+    assert got[1] == 2
+    # event 3 pairs with 2 only (Δ=1 µs)
+    assert got[3] == 1
