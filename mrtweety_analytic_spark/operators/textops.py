@@ -194,11 +194,49 @@ _LANG_MARKERS = {
 }
 
 
-def _lang_case_sql() -> str:
-    hits = {
-        lang: f"count(*) FILTER (WHERE term IN ({', '.join(repr(w) for w in ws)}))"
+def _lang_hit_cols() -> list:
+    """One h_<lang> conditional-count aggregate per marker lexicon —
+    the shared hit columns of q_text_langid and q_text_prep_pipeline.
+    """
+    return [
+        F.sum(F.when(F.col("term").isin(*ws), 1).otherwise(0)).alias(
+            f"h_{lang}"
+        )
         for lang, ws in _LANG_MARKERS.items()
-    }
+    ]
+
+
+def _lang_h():
+    return {lang: F.col(f"h_{lang}") for lang in _LANG_MARKERS}
+
+
+def _is_en_predicate():
+    """The 'keep English' gate: some marker hit AND en wins the
+    priority-ordered tie rule (en > de > es > fr)."""
+    h = _lang_h()
+    return (
+        ~((h["en"] == 0) & (h["de"] == 0) & (h["es"] == 0) & (h["fr"] == 0))
+        & (h["en"] >= h["de"])
+        & (h["en"] >= h["es"])
+        & (h["en"] >= h["fr"])
+    )
+
+
+def _bpe_est(col: str = "text") -> F.Column:
+    """bytes/4 LLM-token estimate (shared by q_text_tokencount and
+    q_text_prep_pipeline)."""
+    return F.ceil(F.octet_length(col) / 4.0)
+
+
+def _hit_sql(ws) -> str:
+    return (
+        f"count(*) FILTER (WHERE term IN "
+        f"({', '.join(repr(w) for w in ws)}))"
+    )
+
+
+def _lang_case_sql() -> str:
+    hits = {lang: _hit_sql(ws) for lang, ws in _LANG_MARKERS.items()}
     # Deterministic tie rule: fixed priority order en > de > es > fr,
     # 'und' (undetermined) when no marker hits at all.
     return f"""
@@ -297,7 +335,7 @@ def q_text_tokencount(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.split("text", " ")).alias("n_ws_tokens"),
         F.size(F.split("text", "[^a-z0-9]+")).alias("n_re_tokens"),
-        F.ceil(F.octet_length("text") / 4.0).cast("int").alias("n_bpe_est"),
+        _bpe_est().cast("int").alias("n_bpe_est"),
     )
 
 
@@ -351,23 +389,14 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
-    hit_cols = {
-        lang: F.sum(F.when(F.col("term").isin(*ws), 1).otherwise(0))
-        for lang, ws in _LANG_MARKERS.items()
-    }
-    agg = t.groupBy("doc_id").agg(
-        *[c.alias(f"h_{lang}") for lang, c in hit_cols.items()]
-    )
-    h = {lang: F.col(f"h_{lang}") for lang in _LANG_MARKERS}
+    agg = t.groupBy("doc_id").agg(*_lang_hit_cols())
+    h = _lang_h()
     guess = (
         F.when(
             (h["en"] == 0) & (h["de"] == 0) & (h["es"] == 0) & (h["fr"] == 0),
             F.lit("und"),
         )
-        .when(
-            (h["en"] >= h["de"]) & (h["en"] >= h["es"]) & (h["en"] >= h["fr"]),
-            F.lit("en"),
-        )
+        .when(_is_en_predicate(), F.lit("en"))
         .when((h["de"] >= h["es"]) & (h["de"] >= h["fr"]), F.lit("de"))
         .when(h["es"] >= h["fr"], F.lit("es"))
         .otherwise(F.lit("fr"))
@@ -514,9 +543,9 @@ def q_text_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _prep_hits_sql() -> str:
+    """SQL twin of _lang_hit_cols (same h_<lang> aliases)."""
     return ", ".join(
-        f"count(*) FILTER (WHERE term IN "
-        f"({', '.join(repr(w) for w in ws)})) AS h_{lang}"
+        f"{_hit_sql(ws)} AS h_{lang}"
         for lang, ws in _LANG_MARKERS.items()
     )
 
@@ -571,27 +600,15 @@ def q_text_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     ).filter(F.col("term") != "")
-    hit_cols = [
-        F.sum(F.when(F.col("term").isin(*ws), 1).otherwise(0)).alias(
-            f"h_{lang}"
-        )
-        for lang, ws in _LANG_MARKERS.items()
-    ]
     metrics = t.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         (
             F.sum(F.when(F.col("term").isin(*STOPWORDS), 1).otherwise(0))
             / F.count(F.lit(1))
         ).alias("stop_ratio"),
-        *hit_cols,
+        *_lang_hit_cols(),
     )
-    h = {lang: F.col(f"h_{lang}") for lang in _LANG_MARKERS}
-    is_en = (
-        ~((h["en"] == 0) & (h["de"] == 0) & (h["es"] == 0) & (h["fr"] == 0))
-        & (h["en"] >= h["de"])
-        & (h["en"] >= h["es"])
-        & (h["en"] >= h["fr"])
-    )
+    is_en = _is_en_predicate()
     kept = (
         docs.join(metrics, "doc_id")
         .filter(
@@ -602,7 +619,7 @@ def q_text_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             "n_tokens",
-            F.ceil(F.octet_length("text") / 4.0).cast("long").alias("bpe"),
+            _bpe_est().cast("long").alias("bpe"),
         )
     )
     raw = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))

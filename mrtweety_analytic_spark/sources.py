@@ -50,7 +50,9 @@ def _restore_event_time(df: DataFrame) -> DataFrame:
     # double mantissa and lands ±1 µs off. Conversion only applies
     # when ts is physically long nanos (the driver corpus); fixture
     # tables written with a native TimestampType pass through.
-    if not isinstance(df.schema["ts"].dataType, T.LongType):
+    if "ts" not in df.columns or not isinstance(
+        df.schema["ts"].dataType, T.LongType
+    ):
         return df
     cols = [
         F.timestamp_micros(F.expr(f"{c} DIV 1000")).alias(c)

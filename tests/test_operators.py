@@ -306,20 +306,19 @@ def test_fill_forward_leading_gap_defaults_to_zero(spark):
         rows, "event_id long, ts timestamp, user_id long, "
         "event_type string, value double, props string"
     )
-    good = F.when(F.col("event_type") != "error", F.col("value"))
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
+    import os
+    import shutil
+    import tempfile
+
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    d = os.path.join(tempfile.gettempdir(), "ffill_edge")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    df.write.parquet(os.path.join(d, "events.parquet"))
     out = {
-        r.event_id: r.filled
-        for r in df.select(
-            "event_id",
-            F.coalesce(
-                F.last(good, ignorenulls=True).over(w), F.lit(0.0)
-            ).alias("filled"),
-        ).collect()
+        r.event_id: r.filled_value
+        for r in QUERIES["q_win_fill_forward"](spark, d).collect()
     }
     assert out == {1: 0.0, 2: 5.0, 3: 5.0}
 
