@@ -13,7 +13,7 @@ collision probability ~1e-9, accepted).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -291,4 +291,85 @@ def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
         F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
         F.count(F.when(F.col("o_totalprice") > 200000, 1)).alias("n_big"),
+    )
+
+
+@register(
+    "q_agg_mode",
+    oracle="""
+    WITH c AS (SELECT user_id % 10 AS cohort, event_type, count(*) AS n
+               FROM events GROUP BY 1, 2)
+    SELECT cohort, event_type AS mode_event, n
+    FROM (SELECT *,
+                 row_number() OVER (PARTITION BY cohort
+                                    ORDER BY n DESC, event_type) AS rn
+          FROM c)
+    WHERE rn = 1
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode (most frequent value, lowest-value
+    tiebreak) per group. Built from count + WindowGroupLimit rather
+    than the builtin `mode()` so tie semantics are explicit and
+    identical in both engines (builtin mode breaks ties
+    engine-arbitrarily). The count pass is partial-aggregable; the
+    window runs on the already-tiny count table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        (F.col("user_id") % 10).alias("cohort"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("cohort").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cohort", F.col("event_type").alias("mode_event"), "n")
+    )
+
+
+@register(
+    "q_agg_moments",
+    oracle="""
+    WITH s AS (SELECT l_returnflag,
+                      count(*) AS n,
+                      sum(l_quantity) AS s1,
+                      sum(l_quantity * l_quantity) AS s2,
+                      sum(l_quantity * l_quantity * l_quantity) AS s3
+               FROM lineitem GROUP BY 1)
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           round(s1 / n, 4) AS mean_qty,
+           round(s2 / n - (s1 / n) * (s1 / n), 4) AS var_qty,
+           round((s3 / n - 3 * (s1 / n) * (s2 / n)
+                  + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                 / pow(s2 / n - (s1 / n) * (s1 / n), 1.5), 4) AS skew_qty
+    FROM s
+    """,
+)
+def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population variance + skewness from one-pass power sums
+    (n, Σx, Σx², Σx³) — the mergeable-moments pattern: each mapper
+    emits four numbers per group, so the shuffle is O(groups)
+    regardless of row count. Derived with the SAME algebra in both
+    engines (builtin skewness/kurtosis differ between engines on
+    bias correction, so they can never hash-match).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(q * q).alias("s2"),
+        F.sum(q * q * q).alias("s3"),
+    )
+    mean = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - mean * mean
+    m3 = F.col("s3") / F.col("n") - 3 * mean * (F.col("s2") / F.col("n")) \
+        + 2 * mean * mean * mean
+    return s.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        F.round(mean, 4).alias("mean_qty"),
+        F.round(m2, 4).alias("var_qty"),
+        F.round(m3 / F.pow(m2, 1.5), 4).alias("skew_qty"),
     )

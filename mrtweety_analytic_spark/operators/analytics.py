@@ -647,3 +647,88 @@ def q_lateral_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                       LIMIT 2) top
         """
     )
+
+
+@register(
+    "q_date_spine",
+    oracle="""
+    WITH b AS (SELECT CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS lo,
+                      CAST(date_trunc('day', max(ts)) AS TIMESTAMP) AS hi
+               FROM events),
+    spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+              FROM b),
+    daily AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                     count(*) AS n_events,
+                     CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+              FROM events GROUP BY 1)
+    SELECT s.day AS day,
+           coalesce(d.n_events, 0) AS n_events,
+           coalesce(d.n_users, 0) AS n_users
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+    """,
+)
+def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap fill: generate every day between the data's
+    min and max (sequence+explode — no driver loop, no side table),
+    left-join the daily rollup, zero-fill missing days. At 100 TB the
+    daily agg output is O(days) and the spine join is a trivial
+    broadcast; the only real shuffle is the rollup itself, which is
+    map-side partial-aggregated. (Spine generalization of the
+    reference's fixed windowing, SparkApplication.scala:88.)
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    spine = ev.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    ).select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    return spine.join(daily, "day", "left").select(
+        "day",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("n_users", F.lit(0)).alias("n_users"),
+    )
+
+
+@register(
+    "q_events_retention",
+    oracle="""
+    WITH ev AS (SELECT user_id,
+                       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+                FROM events),
+    f AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)
+    SELECT f.cohort_day AS cohort_day,
+           CAST(date_diff('day', f.cohort_day, ev.day) AS INTEGER)
+               AS day_offset,
+           CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_active
+    FROM ev JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: first-seen day per user, then
+    distinct actives per (cohort, day-offset). Both aggregations and
+    the join hash on user_id, so Catalyst reuses one exchange for the
+    cohort agg and the join probe; the final (cohort, offset) agg is
+    tiny (days x days). No window function, no self-join — scales as
+    two passes over events.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )

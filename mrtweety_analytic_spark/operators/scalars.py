@@ -280,3 +280,26 @@ def q_fn_regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all("text", F.lit(r"\b[a-z]{12,}\b"), 0), ","
         ).alias("long_words"),
     )
+
+
+@register(
+    "q_fn_hash_digest",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS md5_hex,
+           sha256(text) AS sha256_hex
+    FROM documents
+    """,
+)
+def q_fn_hash_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic content digests (md5 / sha-256), JVM-side and
+    codegen'd — the content-addressable key primitive behind exact
+    dedup and cache-keying of 100 TB corpora. Embarrassingly
+    parallel: no shuffle, digests computed in the scan stage.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("md5_hex"),
+        F.sha2("text", 256).alias("sha256_hex"),
+    )

@@ -86,3 +86,27 @@ def q_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("partkey")
     )
     return a.exceptAll(r)
+
+
+@register(
+    "q_set_intersect_all",
+    oracle="""
+    SELECT l_orderkey AS orderkey FROM lineitem WHERE l_returnflag = 'R'
+    INTERSECT ALL
+    SELECT l_orderkey AS orderkey FROM lineitem WHERE l_linestatus = 'F'
+    """,
+)
+def q_set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag intersection (INTERSECT ALL, min-multiplicity semantics):
+    one hash-partition exchange per side with per-key counters —
+    completes the bag algebra alongside q_set_union_all /
+    q_set_except_all.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("orderkey")
+    )
+    b = li.filter(F.col("l_linestatus") == "F").select(
+        F.col("l_orderkey").alias("orderkey")
+    )
+    return a.intersectAll(b)

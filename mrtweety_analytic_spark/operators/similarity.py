@@ -291,3 +291,72 @@ def q_sim_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ex.groupBy("label", (F.col("i0") + 1).cast("int").alias("dim"))
         .agg(F.round(F.avg("e"), 4).alias("centroid"))
     )
+
+
+@register(
+    "q_sim_kmeans_assign",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    lng AS (SELECT label, unnest(emb) AS v,
+                   generate_subscripts(emb, 1) AS dim
+            FROM e),
+    cl AS (SELECT label, dim, avg(v) AS c FROM lng GROUP BY 1, 2),
+    cent AS (SELECT label AS c_label, list(c ORDER BY dim) AS ce
+             FROM cl GROUP BY 1),
+    scored AS (SELECT e.vec_id, e.label, cent.c_label,
+                      round(list_distance(e.emb, cent.ce), 6) AS dist_l2
+               FROM e CROSS JOIN cent)
+    SELECT vec_id, label, c_label AS assigned_label, dist_l2
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY dist_l2, c_label) AS rn
+          FROM scored)
+    WHERE rn = 1
+    """,
+)
+def q_sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means E-step: per-label centroids (M-step shape — posexplode
+    + hash-agg, shuffle O(k x dims)) broadcast to every row, then
+    nearest-centroid by L2 with a (rounded-distance, label) tiebreak.
+    The assignment pass is shuffle-free: centroids are a k x dims
+    broadcast and each row's argmin is computed map-side, which is
+    exactly how an iterative k-means scales to 100 TB — per iteration
+    one scan + one tiny shuffle.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cent = (
+        emb.select("label", F.posexplode("e").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.avg("v").alias("c"))
+        .groupBy(F.col("label").alias("c_label"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda s: s["c"],
+            ).alias("ce")
+        )
+    )
+    dist2 = F.aggregate(
+        F.zip_with(F.col("e"), F.col("ce"), lambda p, q: (p - q) * (p - q)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "c_label",
+        F.round(F.sqrt(dist2), 6).alias("dist_l2"),
+    )
+    w = W.partitionBy("vec_id").orderBy("dist_l2", "c_label")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "label",
+            F.col("c_label").alias("assigned_label"),
+            "dist_l2",
+        )
+    )

@@ -671,3 +671,52 @@ def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all("text", F.lit(r"[a-z0-9._]+@[a-z0-9.]+"), 0)
         ).alias("n_emails"),
     )
+
+
+PACK_BUDGET = 2048  # tokens per training shard
+
+
+@register(
+    "q_text_pack_sequences",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source,
+                      CAST(length(string_split(text, ' ')) AS INTEGER)
+                          AS n_tokens
+               FROM documents)
+    SELECT doc_id, source, n_tokens,
+           CAST(floor((sum(n_tokens) OVER (PARTITION BY source
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW)
+                       - n_tokens) / {PACK_BUDGET}) AS INTEGER) AS shard_id
+    FROM t
+    """,
+)
+def q_text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training shards: assign each document to
+    a fixed-token-budget shard by its starting offset in the
+    per-source cumulative token stream (greedy concatenation order =
+    doc_id). One window pass — the shuffle partitions by source, so
+    at 100 TB each source's stream packs independently and in
+    parallel; no driver-side bin packing.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return t.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / PACK_BUDGET)
+        .cast("int")
+        .alias("shard_id"),
+    )

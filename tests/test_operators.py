@@ -386,3 +386,94 @@ def test_range_bucketed_band_boundary(spark):
     assert got[1] == 2
     # event 3 pairs with 2 only (Δ=1 µs)
     assert got[3] == 1
+
+
+def test_date_spine_contiguous_and_total(spark, sf_dir):
+    """Spine covers every day min..max exactly once; zero-filled
+    counts still sum to the raw event count."""
+    from pyspark.sql import functions as F
+
+    from mrtweety_analytic_spark.queries import QUERIES
+    from mrtweety_analytic_spark.sources import load_table
+
+    rows = QUERIES["q_date_spine"](spark, sf_dir).collect()
+    days = sorted(r.day for r in rows)
+    assert len(days) == len(set(days))
+    assert (days[-1] - days[0]).days == len(days) - 1  # contiguous
+    total = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n_events for r in rows) == total
+
+
+def test_pack_sequences_respects_budget(spark, sf_dir):
+    """Shard ids are non-decreasing in concatenation order and every
+    doc's start offset lands inside its shard's token budget."""
+    from mrtweety_analytic_spark.operators.textops import PACK_BUDGET
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    rows = QUERIES["q_text_pack_sequences"](spark, sf_dir).collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    for docs in by_source.values():
+        docs.sort(key=lambda r: r.doc_id)
+        offset = 0
+        prev_shard = 0
+        for r in docs:
+            assert r.shard_id == offset // PACK_BUDGET
+            assert r.shard_id >= prev_shard
+            prev_shard = r.shard_id
+            offset += r.n_tokens
+
+
+def test_kmeans_assign_is_argmin(spark, sf_dir):
+    """Every vector is assigned exactly once, to the centroid whose
+    recomputed L2 distance is minimal."""
+    import numpy as np
+
+    from mrtweety_analytic_spark.queries import QUERIES
+    from mrtweety_analytic_spark.sources import load_table
+
+    got = {
+        r.vec_id: (r.assigned_label, r.dist_l2)
+        for r in QUERIES["q_sim_kmeans_assign"](spark, sf_dir).collect()
+    }
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    assert len(got) == len(emb)
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb}
+    labels: dict[int, list] = {}
+    for r in emb:
+        labels.setdefault(r.label, []).append(vecs[r.vec_id])
+    cents = {lb: np.mean(np.stack(vs), axis=0) for lb, vs in labels.items()}
+    for vid, (lb, dist) in got.items():
+        dists = {
+            c: round(float(np.linalg.norm(vecs[vid] - ce)), 6)
+            for c, ce in cents.items()
+        }
+        best = min(dists.items(), key=lambda kv: (kv[1], kv[0]))
+        assert (lb, round(dist, 6)) == best
+
+
+def test_mode_tiebreak_is_lowest_value(spark):
+    """On a tied count the smaller event_type string wins."""
+    rows = [
+        (1, None, 7, "b", 1.0, "{}"),
+        (2, None, 7, "a", 1.0, "{}"),
+        (3, None, 17, "z", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    import os
+    import shutil
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), "mode_tie")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    df.write.parquet(os.path.join(d, "events.parquet"))
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    got = {r.cohort: r.mode_event
+           for r in QUERIES["q_agg_mode"](spark, d).collect()}
+    assert got == {7: "a"}
