@@ -17,6 +17,7 @@ from . import (  # noqa: F401
     dedup,
     similarity,
     multimodal,
+    quality,
     udfs,
     udtf,
     sinks,

@@ -373,3 +373,25 @@ def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m2, 4).alias("var_qty"),
         F.round(m3 / F.pow(m2, 1.5), 4).alias("skew_qty"),
     )
+
+
+@register("q_agg_sketch_merge")  # rows-only: HLL sketch ≠ exact oracle
+def q_agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch re-aggregation: per-day HLL sketches of
+    distinct users, then a union-merge to the month estimate WITHOUT
+    re-scanning the raw data. This is the 100 TB distinct-count
+    architecture — materialize small daily sketches (bytes per group),
+    merge them at query time; an exact countDistinct would shuffle
+    every user_id again. (Datasketches HLL: hll_sketch_agg /
+    hll_union_agg, mergeability is the point.)
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n_events").alias("n_events"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+    )

@@ -311,3 +311,47 @@ def s_topk_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         render_document(rows),
     )
     return top5
+
+
+@register(
+    "s_chained_windows",
+    oracle="""
+    WITH m AS (SELECT max(ts) AS mx FROM events),
+    cells AS (SELECT time_bucket(INTERVAL '1 day', ts) AS day,
+                     time_bucket(INTERVAL '6 hours', ts) AS h6,
+                     event_type, count(*) AS n
+              FROM events GROUP BY 1, 2, 3)
+    SELECT day,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           count(*) AS n_cells
+    FROM cells, m
+    WHERE day + INTERVAL 1 DAY <= mx
+    GROUP BY day
+    """,
+)
+def s_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained stateful aggregations in ONE streaming query (Spark
+    3.4+ multi-stateful support): 6-hour tumbling counts per
+    event_type, re-aggregated to a daily rollup via window_time() —
+    the streaming cube/rollup pattern where coarse grains derive from
+    fine-grain state instead of re-reading the source. Append mode +
+    zero-delay watermark: a window emits once the watermark passes its
+    end, so the final (incomplete) day is withheld — the oracle
+    applies the same cutoff (day end <= max event time).
+    """
+    events = load_events_stream(spark, sf_dir).withWatermark(
+        "ts", "0 seconds"
+    )
+    lvl1 = events.groupBy(
+        F.window("ts", "6 hours").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    lvl2 = lvl1.groupBy(
+        F.window(F.window_time("w"), "1 day").alias("d")
+    ).agg(
+        F.sum("n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+    out = _run_to_memory(spark, lvl2, "append")
+    return out.select(
+        F.col("d.start").alias("day"), "n_events", "n_cells"
+    )

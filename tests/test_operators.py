@@ -477,3 +477,65 @@ def test_mode_tiebreak_is_lowest_value(spark):
     got = {r.cohort: r.mode_event
            for r in QUERIES["q_agg_mode"](spark, d).collect()}
     assert got == {7: "a"}
+
+
+def test_dq_expectations_clean_corpus(spark, sf_dir):
+    """The generated corpus satisfies the contract: every expectation
+    reports zero violations (and all four checks are present)."""
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    rows = QUERIES["q_dq_expectations"](spark, sf_dir).collect()
+    assert {r.check_name for r in rows} == {
+        "pk_orders_unique", "fk_lineitem_orders",
+        "discount_in_range", "price_positive",
+    }
+    assert all(r.n_violations == 0 for r in rows)
+
+
+def test_cdc_apply_deletes_win(spark):
+    """A trailing 'error' change deletes the key; an earlier error is
+    overridden by a later upsert."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=1), 1, "error", 0.0, "{}"),  # deletes u1
+        (3, t0, 2, "error", 0.0, "{}"),
+        (4, t0 + dt.timedelta(minutes=1), 2, "view", 7.0, "{}"),   # revives u2
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    import os
+    import shutil
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), "cdc_apply")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    df.write.parquet(os.path.join(d, "events.parquet"))
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    got = {r.user_id: r.last_value
+           for r in QUERIES["q_cdc_apply"](spark, d).collect()}
+    assert got == {2: 7.0}
+
+
+def test_sketch_merge_estimate_close(spark, sf_dir):
+    """Merged daily HLL sketches estimate the exact month-wide
+    distinct within HLL error bounds."""
+    from pyspark.sql import functions as F
+
+    from mrtweety_analytic_spark.queries import QUERIES
+    from mrtweety_analytic_spark.sources import load_table
+
+    row = QUERIES["q_agg_sketch_merge"](spark, sf_dir).collect()[0]
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()[0].n
+    )
+    assert abs(row.est_users - exact) / exact < 0.05
+    assert row.n_days >= 28
