@@ -303,3 +303,30 @@ def q_fn_hash_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("md5_hex"),
         F.sha2("text", 256).alias("sha256_hex"),
     )
+
+
+@register(
+    "q_fn_variant",
+    oracle="""
+    SELECT CAST(props->>'$.k' AS INTEGER) % 10 AS k_mod,
+           count(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT type (Spark 4): parse_json once into
+    the binary variant encoding, then typed path extraction — unlike
+    per-field get_json_object calls, the document parses once however
+    many fields are read, and the open schema survives schema drift
+    (the 100 TB answer to evolving event payloads).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(F.parse_json("props").alias("v"))
+        .select(
+            (F.try_variant_get("v", "$.k", "int") % 10).alias("k_mod")
+        )
+        .groupBy("k_mod")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

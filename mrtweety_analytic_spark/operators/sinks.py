@@ -90,3 +90,29 @@ def q_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus string, n bigint, total double"
     ).csv(out)
     return back
+
+
+@register(
+    "q_sink_orc_roundtrip",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write→read round-trip (the other columnar format Spark
+    ships natively — stripe-level min/max indexes give the same
+    pushdown story as parquet row groups). Certified end-to-end: the
+    oracle checks the read-back aggregate, so schema + value fidelity
+    through the ORC writer/reader is what's being tested.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    out = os.path.join(tempfile.gettempdir(), "mrtweety_sink_orc")
+    shutil.rmtree(out, ignore_errors=True)
+    agg.write.mode("overwrite").orc(out)
+    return spark.read.orc(out).select("event_type", "n", "sum_value")
