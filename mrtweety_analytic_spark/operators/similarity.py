@@ -316,12 +316,13 @@ def q_sim_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-means E-step: per-label centroids (M-step shape — posexplode
-    + hash-agg, shuffle O(k x dims)) broadcast to every row, then
-    nearest-centroid by L2 with a (rounded-distance, label) tiebreak.
-    The assignment pass is shuffle-free: centroids are a k x dims
-    broadcast and each row's argmin is computed map-side, which is
-    exactly how an iterative k-means scales to 100 TB — per iteration
-    one scan + one tiny shuffle.
+    + hash-agg, shuffle O(k x dims)), then nearest-centroid by L2
+    with a (rounded-distance, label) tiebreak. ALL centroids ship as
+    one broadcast array row and each row's argmin is a per-row
+    array_min over struct(dist, label) — the assignment pass is
+    completely shuffle-free (no window, no groupBy on the big side),
+    which is how an iterative k-means scales to 100 TB: per iteration
+    one map-side scan + one tiny centroid shuffle.
     """
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
@@ -337,26 +338,27 @@ def q_sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda s: s["c"],
             ).alias("ce")
         )
+        .agg(F.collect_list(F.struct("c_label", "ce")).alias("cents"))
     )
-    dist2 = F.aggregate(
-        F.zip_with(F.col("e"), F.col("ce"), lambda p, q: (p - q) * (p - q)),
+    dist2 = lambda ce: F.aggregate(  # noqa: E731
+        F.zip_with(F.col("e"), ce, lambda p, q: (p - q) * (p - q)),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    scored = emb.crossJoin(F.broadcast(cent)).select(
+    # struct field order (dist, label) makes array_min implement the
+    # (rounded-distance, label) argmin tiebreak lexicographically.
+    best = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda s: F.struct(
+                F.round(F.sqrt(dist2(s["ce"])), 6).alias("dist"),
+                s["c_label"].alias("lb"),
+            ),
+        )
+    )
+    return emb.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "label",
-        "c_label",
-        F.round(F.sqrt(dist2), 6).alias("dist_l2"),
-    )
-    w = W.partitionBy("vec_id").orderBy("dist_l2", "c_label")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "vec_id",
-            "label",
-            F.col("c_label").alias("assigned_label"),
-            "dist_l2",
-        )
+        best["lb"].alias("assigned_label"),
+        best["dist"].alias("dist_l2"),
     )

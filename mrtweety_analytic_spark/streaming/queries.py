@@ -355,3 +355,4 @@ def s_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("d.start").alias("day"), "n_events", "n_cells"
     )
+
