@@ -51,6 +51,13 @@ HEADLINE = [
     "q_events_funnel",
     "q_dedup_keep_latest",
     "q_text_prep_pipeline",
+    "q_tpch_q7like",             # 5-dim broadcast star, cross-path residual
+    "q_dq_profile",              # single-scan column profile
+    "q_sim_kmeans_assign",       # shuffle-free nearest-centroid pass
+    "q_cdc_apply",               # changelog keep-latest
+    "q_win_percentile",          # window-aggregate median
+    "q_events_retention",        # cohort triangle, exchange reuse
+    "q_text_pack_sequences",     # training-shard packing
 ]
 
 

@@ -320,3 +320,35 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
     )
+
+
+@register(
+    "q_join_null_safe",
+    oracle="""
+    WITH a AS (SELECT nullif(user_id % 5, 0) AS k, count(*) AS n_events
+               FROM events GROUP BY 1),
+    b AS (SELECT nullif(l_suppkey % 5, 0) AS k, count(*) AS n_lines
+          FROM lineitem GROUP BY 1)
+    SELECT a.k AS k, n_events, n_lines
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (<=> ≙ IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the semantics CDC and
+    late-arriving-dimension joins need. Still plans as a hash join
+    (the null bucket is just another key), not a BNLJ; both sides
+    pre-aggregate so the join is O(distinct keys).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+    a = ev.groupBy(
+        F.nullif(F.col("user_id") % 5, F.lit(0)).alias("k")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    b = li.groupBy(
+        F.nullif(F.col("l_suppkey") % 5, F.lit(0)).alias("kb")
+    ).agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        a.join(b, a.k.eqNullSafe(b.kb))
+        .select("k", "n_events", "n_lines")
+    )

@@ -330,3 +330,28 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k_mod")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "q_fn_base64",
+    oracle="""
+    SELECT doc_id,
+           to_base64(CAST(substring(text, 1, 12) AS BLOB)) AS b64,
+           CAST(from_base64(to_base64(CAST(substring(text, 1, 12) AS BLOB)))
+                AS VARCHAR) = substring(text, 1, 12) AS roundtrip_ok
+    FROM documents
+    """,
+)
+def q_fn_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary↔text codec surface (base64/unbase64) with an in-query
+    roundtrip proof — the interchange primitive for shipping binary
+    payloads (multimodal columns) through text-only transports.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.substring("text", 1, 12)
+    b64 = F.base64(prefix.cast("binary"))
+    return docs.select(
+        "doc_id",
+        b64.alias("b64"),
+        (F.unbase64(b64).cast("string") == prefix).alias("roundtrip_ok"),
+    )

@@ -116,3 +116,32 @@ def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(out, ignore_errors=True)
     agg.write.mode("overwrite").orc(out)
     return spark.read.orc(out).select("event_type", "n", "sum_value")
+
+
+@register(
+    "q_sink_json_roundtrip",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q_sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines write→read round-trip with an EXPLICIT read schema
+    (schema inference costs a full extra pass at scale; production
+    JSON reads always declare). Completes the format matrix —
+    parquet / csv / orc / json all certified through the same
+    write→read→oracle path.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n_chars").alias("max_chars"),
+    )
+    out = os.path.join(tempfile.gettempdir(), "mrtweety_sink_json")
+    shutil.rmtree(out, ignore_errors=True)
+    write_json_lines(agg, out)
+    back = spark.read.schema("lang string, n_docs long, max_chars long").json(
+        out
+    )
+    return back.select("lang", "n_docs", "max_chars")

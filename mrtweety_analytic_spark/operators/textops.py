@@ -720,3 +720,34 @@ def q_text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("shard_id"),
     )
+
+
+@register(
+    "q_text_edit_distance",
+    oracle="""
+    SELECT doc_id,
+           levenshtein(substring(text, 1, 30),
+                       'the quick brown fox jumps over') AS lev
+    FROM documents
+    ORDER BY lev, doc_id
+    LIMIT 10
+    """,
+)
+def q_text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein edit distance against a probe string (bounded to a
+    30-char prefix: edit distance is O(len^2) per row — at 100 TB you
+    band by length / prefix first, never run full-text DP). JVM
+    codegen'd, no UDF; deterministic top-10 via TakeOrderedAndProject.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.levenshtein(
+                F.substring("text", 1, 30),
+                F.lit("the quick brown fox jumps over"),
+            ).alias("lev"),
+        )
+        .orderBy("lev", "doc_id")
+        .limit(10)
+    )

@@ -198,3 +198,28 @@ def q_win_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("filled_value"),
     )
+
+
+@register(
+    "q_win_percentile",
+    oracle="""
+    SELECT event_id, user_id,
+           round(quantile_cont(value, 0.5)
+                     OVER (PARTITION BY user_id), 4) AS med_value
+    FROM events
+    """,
+)
+def q_win_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile as a WINDOW aggregate: every event row
+    carries its user's median value — the enrich-don't-collapse form
+    of q_agg_percentile (no join back to the group result). One
+    hash-partition exchange on user_id; the sort/interpolation runs
+    per partition.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.percentile("value", 0.5).over(w), 4).alias("med_value"),
+    )

@@ -356,3 +356,47 @@ def s_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d.start").alias("day"), "n_events", "n_cells"
     )
 
+
+
+@register(
+    "s_static_join",
+    oracle="""
+    WITH dim AS (SELECT user_id,
+                        count(*) FILTER (WHERE event_type = 'purchase') > 13
+                            AS is_buyer
+                 FROM events GROUP BY user_id)
+    SELECT e.event_type, dim.is_buyer, count(*) AS n
+    FROM events e JOIN dim ON e.user_id = dim.user_id
+    GROUP BY 1, 2
+    """,
+)
+def s_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the live stream enriched against a batch
+    dimension (per-user heavy-buyer flag derived from the batch
+    table; the >13 threshold sits at the corpus median so both flag
+    values are populated).
+    The static side is planned once and broadcast into every
+    micro-batch — stateless, no watermark needed (unlike
+    stream-stream joins), which is why dimension enrichment belongs
+    on the static side at 100 TB.
+    """
+    from ..sources import load_table
+
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            (
+                F.count(F.when(F.col("event_type") == "purchase", 1)) > 13
+            ).alias("is_buyer")
+        )
+    )
+    stream = load_events_stream(spark, sf_dir).select(
+        "event_type", "user_id"
+    )
+    enriched = stream.join(F.broadcast(dim), "user_id")
+    agg = enriched.groupBy("event_type", "is_buyer").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    out = _run_to_memory(spark, agg, "complete")
+    return out.select("event_type", "is_buyer", "n")
