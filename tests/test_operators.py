@@ -539,3 +539,37 @@ def test_sketch_merge_estimate_close(spark, sf_dir):
     )
     assert abs(row.est_users - exact) / exact < 0.05
     assert row.n_days >= 28
+
+
+def test_kmeans_assignment_pass_has_no_big_shuffle(spark, sf_dir):
+    """The nearest-centroid pass must stay map-side: after the
+    centroid broadcast there is no Exchange between the embeddings
+    scan and the output (no window/groupBy on the big side)."""
+    import re
+
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["q_sim_kmeans_assign"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row centroid ship
+    # The big side feeds the BNLJ via scan -> project only; every
+    # Exchange in the plan belongs to the tiny centroid subtree
+    # (below the broadcast), never above the join.
+    above_join = plan.split("BroadcastNestedLoopJoin", 1)[0]
+    assert not re.search(r"Exchange (hash|range|single)", above_join)
+    assert "Window" not in plan
+
+
+def test_dq_profile_is_single_scan(spark, sf_dir):
+    """All per-column metrics must come from ONE pass over orders."""
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["q_dq_profile"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("Scan parquet") + plan.count("FileScan") <= 2
