@@ -929,3 +929,44 @@ def q_tpch_q22like(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q_events_anomaly_zscore",
+    oracle="""
+    WITH daily AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                          event_type, count(*) AS n
+                   FROM events GROUP BY 1, 2)
+    SELECT day, event_type, n,
+           round((n - avg(n) OVER w) / stddev_samp(n) OVER w, 4) AS zscore
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    """,
+)
+def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly score: each day's event count against
+    the mean/stddev of the PRECEDING 7 days (current row excluded —
+    an anomaly must not suppress its own score). Two-level plan: the
+    daily rollup collapses events to O(days x types) before the
+    window, so the window state is trivially small at any scale; the
+    first rows emit NULL (insufficient history), preserved as the
+    honest cold-start semantics.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    return daily.select(
+        "day",
+        "event_type",
+        "n",
+        F.round(
+            (F.col("n") - F.avg("n").over(w)) / F.stddev_samp("n").over(w), 4
+        ).alias("zscore"),
+    )

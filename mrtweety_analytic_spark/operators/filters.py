@@ -71,3 +71,36 @@ def q_filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_returnflag").isNotNull()
         & ((F.col("l_discount") > 0.05) | (F.col("l_tax") < 0.02))
     ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+
+
+@register(
+    "q_sample_stratified",
+    oracle="""
+    SELECT source, count(*) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    WHERE doc_id % 100 < (CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                               THEN 20 ELSE 60 END)
+    GROUP BY source
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling with per-stratum rates (20% for the
+    overrepresented sources, 60% elsewhere) via a deterministic
+    key-modulus predicate — reproducible across engines and runs,
+    unlike seeded Bernoulli sampling, so resampling the same corpus
+    yields the same training set (audit requirement). Pure scan-side
+    filter: no shuffle until the tiny per-source report.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.when(
+        F.col("source").isin("src0", "src1", "src2", "src3", "src4"), 20
+    ).otherwise(60)
+    return (
+        docs.filter(F.col("doc_id") % 100 < rate)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
