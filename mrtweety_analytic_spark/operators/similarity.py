@@ -362,3 +362,48 @@ def q_sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         best["lb"].alias("assigned_label"),
         best["dist"].alias("dist_l2"),
     )
+
+
+@register(
+    "q_sim_quantize",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    s AS (SELECT vec_id, emb,
+                 127.0 / list_max(list_transform(emb, x -> abs(x)))
+                     AS scale
+          FROM e)
+    SELECT vec_id,
+           round(list_max(list_transform(
+                     emb, x -> abs(x - round(x * scale) / scale))), 6)
+               AS max_abs_err
+    FROM s
+    """,
+)
+def q_sim_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of embeddings (per-vector
+    scale = 127/max|x|), reporting the per-vector worst-case
+    reconstruction error. Entirely row-local array lambdas — no
+    shuffle, no UDF: the 4x memory-reduction preprocessing an ANN
+    index applies before the 100 TB corpus ever leaves the scan
+    stage. (The quantized vectors themselves are the int8 round(x *
+    scale) values; the error column is the audit output.)
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    scale = 127.0 / F.array_max(
+        F.transform("emb", lambda x: F.abs(x))
+    )
+    with_scale = emb.select("vec_id", "emb", scale.alias("scale"))
+    err = F.array_max(
+        F.transform(
+            "emb",
+            lambda x: F.abs(
+                x - F.round(x * F.col("scale")) / F.col("scale")
+            ),
+        )
+    )
+    return with_scale.select(
+        "vec_id", F.round(err, 6).alias("max_abs_err")
+    )

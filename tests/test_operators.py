@@ -573,3 +573,22 @@ def test_dq_profile_is_single_scan(spark, sf_dir):
         .split("== Initial Plan ==")[0]
     )
     assert plan.count("Scan parquet") + plan.count("FileScan") <= 2
+
+
+def test_quantize_error_bound(spark, sf_dir):
+    """int8 quantization error is bounded by half a quantization step
+    (scale = 127/max|x| per vector => step/2 = max|x|/254)."""
+    import numpy as np
+
+    from mrtweety_analytic_spark.queries import QUERIES
+    from mrtweety_analytic_spark.sources import load_table
+
+    errs = {
+        r.vec_id: r.max_abs_err
+        for r in QUERIES["q_sim_quantize"](spark, sf_dir).collect()
+    }
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    assert len(errs) == len(emb)
+    for r in emb:
+        bound = float(np.max(np.abs(np.array(r.embedding, dtype=np.float64)))) / 254
+        assert errs[r.vec_id] <= bound + 1e-6
