@@ -339,10 +339,11 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            CAST(n AS BIGINT) AS n_rows,
            round(s1 / n, 4) AS mean_qty,
-           round(s2 / n - (s1 / n) * (s1 / n), 4) AS var_qty,
+           round(s2 / n - (s1 / n) * (s1 / n), 4) + 0.0 AS var_qty,
            round((s3 / n - 3 * (s1 / n) * (s2 / n)
                   + 2 * (s1 / n) * (s1 / n) * (s1 / n))
-                 / pow(s2 / n - (s1 / n) * (s1 / n), 1.5), 4) AS skew_qty
+                 / pow(s2 / n - (s1 / n) * (s1 / n), 1.5), 4) + 0.0
+               AS skew_qty
     FROM s
     """,
 )
@@ -352,7 +353,11 @@ def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     emits four numbers per group, so the shuffle is O(groups)
     regardless of row count. Derived with the SAME algebra in both
     engines (builtin skewness/kurtosis differ between engines on
-    bias correction, so they can never hash-match).
+    bias correction, so they can never hash-match). The oracle adds
+    `+ 0.0` after rounding: DuckDB's round preserves IEEE -0.0 (a
+    tiny negative skew rounds to "-0.0") while Spark's
+    BigDecimal-based round returns +0.0 — the addition normalizes
+    the sign without changing any other value.
     """
     li = load_table(spark, sf_dir, "lineitem")
     q = F.col("l_quantity")

@@ -891,7 +891,7 @@ def q_tpch_q19like(spark: SparkSession, sf_dir: str) -> DataFrame:
                      WHERE c_acctbal > 0)
     SELECT c_nationkey,
            count(*) AS numcust,
-           round(sum(c_acctbal), 2) AS totacctbal
+           round(sum(c_acctbal), 4) AS totacctbal
     FROM customer, avg_bal
     WHERE c_acctbal > ab
       AND NOT EXISTS (SELECT 1 FROM orders
@@ -926,7 +926,7 @@ def q_tpch_q22like(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
         )
     )
 

@@ -92,47 +92,44 @@ def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract assertions as data: PK uniqueness, FK orphan count,
     range and sign checks — one row per expectation with its
-    violation count. The FK check is a left-anti-shaped probe kept as
-    a LEFT JOIN + null-count so it shares the plan family (and the
-    broadcast) with ordinary dimension joins; the scalar checks fold
-    into single aggregates over the scan.
+    violation count, computed in TWO fact passes (the oracle's
+    UNION-ALL formulation needs four): the scalar orders checks share
+    one wide aggregate, and the lineitem range check rides the same
+    scan as the FK probe (a LEFT JOIN + null-count, so it shares the
+    plan family — and the broadcast — with ordinary dimension joins).
     """
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
 
-    pk = orders.agg(
-        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
-            "n_violations"
-        )
-    ).select(F.lit("pk_orders_unique").alias("check_name"), "n_violations")
+    orders_checks = orders.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("pk"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("price"),
+    ).selectExpr(
+        "stack(2, 'pk_orders_unique', pk, 'price_positive', price)"
+        " AS (check_name, n_violations)"
+    )
 
-    fk = (
+    li_checks = (
         li.join(
             orders.select("o_orderkey"),
             li.l_orderkey == F.col("o_orderkey"),
             "left",
         )
         .agg(
-            F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias(
-                "n_violations"
-            )
+            F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("fk"),
+            F.count(
+                F.when(
+                    (F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1
+                )
+            ).alias("disc"),
         )
-        .select(
-            F.lit("fk_lineitem_orders").alias("check_name"), "n_violations"
+        .selectExpr(
+            "stack(2, 'fk_lineitem_orders', fk, 'discount_in_range', disc)"
+            " AS (check_name, n_violations)"
         )
     )
 
-    disc = li.agg(
-        F.count(
-            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)
-        ).alias("n_violations")
-    ).select(F.lit("discount_in_range").alias("check_name"), "n_violations")
-
-    price = orders.agg(
-        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("n_violations")
-    ).select(F.lit("price_positive").alias("check_name"), "n_violations")
-
-    return pk.unionByName(fk).unionByName(disc).unionByName(price)
+    return orders_checks.unionByName(li_checks)
 
 
 @register(
