@@ -199,8 +199,8 @@ def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_corr_stats",
     oracle="""
     SELECT l_returnflag,
-           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
-           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_cov,
+           round(corr(l_quantity, l_extendedprice), 6) + 0.0 AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4) + 0.0 AS qty_price_cov,
            round(stddev_samp(l_extendedprice), 4) AS price_sd,
            round(var_samp(l_quantity), 4) AS qty_var
     FROM lineitem GROUP BY l_returnflag
@@ -938,7 +938,7 @@ def q_tpch_q22like(spark: SparkSession, sf_dir: str) -> DataFrame:
                           event_type, count(*) AS n
                    FROM events GROUP BY 1, 2)
     SELECT day, event_type, n,
-           round((n - avg(n) OVER w) / stddev_samp(n) OVER w, 4) AS zscore
+           round((n - avg(n) OVER w) / stddev_samp(n) OVER w, 4) + 0.0 AS zscore
     FROM daily
     WINDOW w AS (PARTITION BY event_type ORDER BY day
                  ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)

@@ -70,7 +70,7 @@ def q_join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_multiway",
     oracle="""
     SELECT r_name, count(*) AS n_customers,
-           round(sum(c_acctbal), 2) AS sum_acctbal
+           round(sum(c_acctbal), 4) AS sum_acctbal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -90,7 +90,7 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+            F.round(F.sum("c_acctbal"), 4).alias("sum_acctbal"),
         )
     )
 

@@ -265,7 +265,7 @@ def q_sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_sim_centroid",
     oracle="""
-    SELECT label, i AS dim, round(avg(e), 4) AS centroid
+    SELECT label, i AS dim, round(avg(e), 4) + 0.0 AS centroid
     FROM (
         SELECT label,
                unnest(embedding) AS e,

@@ -270,7 +270,7 @@ NEG_WORDS = ("slow", "big", "bad")
     SELECT source,
            CAST(sum(pos) AS BIGINT) AS n_pos,
            CAST(sum(neg) AS BIGINT) AS n_neg,
-           round(1.0 * (sum(pos) - sum(neg)) / sum(n), 6) AS sentiment
+           round(1.0 * (sum(pos) - sum(neg)) / sum(n), 6) + 0.0 AS sentiment
     FROM (
         SELECT source,
                count(*) FILTER (WHERE term IN
