@@ -400,3 +400,48 @@ def q_agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").alias("n_events"),
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
     )
+
+
+@register(
+    "q_agg_bitmap_distinct",
+    oracle="""
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+                                    THEN user_id END) AS BIGINT)
+               AS n_buyers
+    FROM events
+    """,
+)
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via mergeable roaring-style bitmaps
+    (bitmap_construct_agg / bitmap_or_agg / bitmap_count): per-day
+    per-bucket bitmaps are built map-side, OR-merged across days,
+    and popcounted — the exact-count sibling of q_agg_sketch_merge.
+    Unlike HLL this IS oracle-checkable, and at 100 TB the daily
+    bitmaps are materializable increments: yesterday's corpus never
+    re-shuffles, only bitmap bytes merge. Shuffle is O(days x
+    buckets), with each bucket covering 2^15 ids.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"),
+        F.bitmap_bucket_number("user_id").alias("bucket"),
+    ).agg(
+        F.bitmap_construct_agg(
+            F.bitmap_bit_position("user_id")
+        ).alias("bm_all"),
+        F.bitmap_construct_agg(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.bitmap_bit_position("user_id"),
+            )
+        ).alias("bm_buy"),
+    )
+    merged = daily.groupBy("bucket").agg(
+        F.bitmap_or_agg("bm_all").alias("bm_all"),
+        F.bitmap_or_agg("bm_buy").alias("bm_buy"),
+    )
+    return merged.agg(
+        F.sum(F.bitmap_count("bm_all")).alias("n_users"),
+        F.sum(F.bitmap_count("bm_buy")).alias("n_buyers"),
+    )
