@@ -4,11 +4,12 @@ All of these plan as HashAggregateExec partial→final (map-side
 combine before the shuffle) — the Catalyst equivalent of the
 reference's reduceByKeyAndWindow combiner (SparkApplication.scala:88).
 
-Rounding policy: sums of 2-decimal money columns are exact on the
-0.01 grid → round(x, 2) is boundary-safe only when the grid and the
-rounding boundary are disjoint, so money sums round to 2 and
-product-sums (1e-4 grid) round to 4; averages round to 4 (boundary
-collision probability ~1e-9, accepted).
+Rounding policy: round every computed double one decimal FINER
+than the exact rational's grid — money sums and product-sums round
+to 4, triple products to 6, averages to 4 (boundary collision
+probability ~1e-9, accepted). Rounded expressions that can be tiny
+negatives additionally normalize IEEE -0.0 with `+ 0.0` on the
+DuckDB side (Spark's BigDecimal round never emits -0.0).
 """
 
 from __future__ import annotations

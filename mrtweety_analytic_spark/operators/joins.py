@@ -298,7 +298,7 @@ def q_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_salted",
     oracle="""
     SELECT n_name, count(*) AS n_customers,
-           round(sum(c_acctbal), 2) AS total_bal
+           round(sum(c_acctbal), 4) AS total_bal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY n_name
     """,
@@ -318,7 +318,7 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(customer, nation, "c_nationkey", "n_nationkey")
     return joined.groupBy("n_name").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        F.round(F.sum("c_acctbal"), 4).alias("total_bal"),
     )
 
 

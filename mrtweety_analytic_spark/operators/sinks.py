@@ -67,7 +67,7 @@ def q_sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sink_csv_roundtrip",
     oracle="""
     SELECT o_orderstatus, count(*) AS n,
-           round(sum(o_totalprice), 2) AS total
+           round(sum(o_totalprice), 4) AS total
     FROM orders GROUP BY o_orderstatus
     """,
 )
@@ -81,7 +81,7 @@ def q_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     agg = orders.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.round(F.sum("o_totalprice"), 4).alias("total"),
     )
     out = os.path.join(tempfile.gettempdir(), "mrtweety_sink_csv")
     shutil.rmtree(out, ignore_errors=True)
