@@ -970,3 +970,43 @@ def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n") - F.avg("n").over(w)) / F.stddev_samp("n").over(w), 4
         ).alias("zscore"),
     )
+
+
+@register(
+    "q_events_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS cur,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    c AS (SELECT cur, nxt, count(*) AS n FROM seq
+          WHERE nxt IS NOT NULL GROUP BY 1, 2)
+    SELECT cur, nxt, n,
+           round(1.0 * n / sum(n) OVER (PARTITION BY cur), 6) AS p
+    FROM c
+    """,
+)
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: lead() pairs consecutive events (no self-join), counts
+    collapse to O(types²) BEFORE the normalizing window, so the
+    row-probability pass runs on a 25-row table no matter the corpus
+    size. The sequence-model feature extraction a behavioral pipeline
+    runs ahead of training.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    c = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    wc = W.partitionBy("cur")
+    return c.select(
+        "cur",
+        "nxt",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wc), 6).alias("p"),
+    )

@@ -751,3 +751,55 @@ def q_text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("lev", "doc_id")
         .limit(10)
     )
+
+
+@register(
+    "q_text_vocab_coverage",
+    oracle="""
+    WITH tc AS (
+        SELECT term, count(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        GROUP BY term
+    ),
+    ranked AS (
+        SELECT term, n,
+               CAST(row_number() OVER (ORDER BY n DESC, term) AS INTEGER)
+                   AS rank,
+               sum(n) OVER (ORDER BY n DESC, term
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum,
+               sum(n) OVER () AS total
+        FROM tc
+    )
+    SELECT rank, term, n, round(1.0 * cum / total, 6) AS cum_share
+    FROM ranked
+    WHERE rank <= 50
+    """,
+)
+def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: cumulative share of corpus tokens
+    captured by the top-k terms — the metric that sizes a tokenizer
+    vocab. The explode+count collapses the corpus to O(vocab) rows
+    before the unpartitioned ranking windows, so the single-partition
+    sort handles vocab-sized data (~1M rows even at 100 TB), never
+    the token stream itself.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_rank = W.orderBy(F.desc("n"), F.asc("term"))
+    w_cum = w_rank.rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_all = W.partitionBy()
+    ranked = tc.select(
+        F.row_number().over(w_rank).alias("rank"),
+        "term",
+        "n",
+        F.round(
+            F.sum("n").over(w_cum) / F.sum("n").over(w_all), 6
+        ).alias("cum_share"),
+    )
+    return ranked.filter(F.col("rank") <= 50)
