@@ -4,9 +4,10 @@ All of these plan as HashAggregateExec partial→final (map-side
 combine before the shuffle) — the Catalyst equivalent of the
 reference's reduceByKeyAndWindow combiner (SparkApplication.scala:88).
 
-Rounding policy: round every computed double one decimal FINER
-than the exact rational's grid — money sums and product-sums round
-to 4, triple products to 6, averages to 4 (boundary collision
+Rounding policy: round every computed double AT or finer than the
+exact rational's decimal grid, never coarser — concretely: money
+sums (1e-2 grid) and product-sums (1e-4 grid) round to 4, triple
+products (1e-6 grid) to 6, averages to 4 (boundary collision
 probability ~1e-9, accepted). Rounded expressions that can be tiny
 negatives additionally normalize IEEE -0.0 with `+ 0.0` on the
 DuckDB side (Spark's BigDecimal round never emits -0.0).

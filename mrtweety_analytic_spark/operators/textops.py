@@ -760,6 +760,7 @@ def q_text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT term, count(*) AS n
         FROM (SELECT unnest(string_split(text, ' ')) AS term
               FROM documents)
+        WHERE term <> ''
         GROUP BY term
     ),
     ranked AS (
@@ -787,7 +788,7 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     tc = (
-        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        tokens(docs)
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("n"))
     )
