@@ -1010,3 +1010,79 @@ def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(wc), 6).alias("p"),
     )
+
+
+@register(
+    "q_tpch_q16like",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 5, 10, 15, 20)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_tpch_q16like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): NOT-IN
+    exclusion subquery + distinct-count over a filtered star. The
+    NOT IN runs as a left-anti hash join against the (broadcast,
+    pre-filtered) supplier projection — s_suppkey is non-null here,
+    so anti-join and NOT IN agree (with nullable keys NOT IN would
+    need the three-valued-logic variant). Distinct suppliers
+    partial-aggregate per (brand, type, size) group.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 10, 15, 20)
+    )
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(bad_supp),
+            li.l_suppkey == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q_win_pct_change",
+    oracle="""
+    WITH daily AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                          event_type, count(*) AS n
+                   FROM events GROUP BY 1, 2)
+    SELECT day, event_type, n,
+           round(100.0 * (n - lag(n) OVER w) / lag(n) OVER w, 4) + 0.0
+               AS pct_change
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """,
+)
+def q_win_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day percent change per series (lag + arithmetic on
+    the daily rollup — window state O(days x types)); first day NULL
+    by design. The oracle normalizes IEEE -0.0 (a -0.004% change
+    rounds to negative zero in DuckDB, positive zero in Spark).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("event_type").orderBy("day")
+    prev = F.lag("n").over(w)
+    return daily.select(
+        "day",
+        "event_type",
+        "n",
+        F.round(100.0 * (F.col("n") - prev) / prev, 4).alias("pct_change"),
+    )

@@ -355,3 +355,45 @@ def q_fn_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
         b64.alias("b64"),
         (F.unbase64(b64).cast("string") == prefix).alias("roundtrip_ok"),
     )
+
+
+@register(
+    "q_fn_url_parse",
+    oracle="""
+    WITH u AS (SELECT doc_id,
+                      'https://' || source || '.example.com/docs/'
+                          || doc_id || '?lang=' || lang AS url
+               FROM documents)
+    SELECT doc_id,
+           regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+           regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '\\?lang=([a-z]+)', 1) AS lang_param
+    FROM u
+    """,
+)
+def q_fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition with the builtin parse_url (host / path /
+    query parameter) — the log-enrichment primitive. The oracle
+    re-derives the same parts with regexes from the identical
+    synthesized URL, so the check certifies parse_url's component
+    semantics, not just string plumbing. Row-local, codegen'd, no
+    shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias(
+            "lang_param"
+        ),
+    )
