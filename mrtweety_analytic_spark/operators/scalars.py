@@ -397,3 +397,28 @@ def q_fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang_param"
         ),
     )
+
+
+@register(
+    "q_fn_try_cast",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(props->>'$.k' AS INTEGER) AS k_int,
+           TRY_CAST(substring(event_type, 1, 2) AS INTEGER) AS bad_int
+    FROM events
+    """,
+)
+def q_fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe casting (try_cast): malformed input yields NULL
+    instead of failing the job — the difference between one poison
+    record and a dead 100 TB pipeline. Restricted to integer-string
+    and non-numeric cases where Spark and DuckDB agree (they diverge
+    on decimal-string → INT: DuckDB rounds, Spark nulls — documented
+    boundary, not exercised).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.selectExpr(
+        "event_id",
+        "try_cast(get_json_object(props, '$.k') AS INT) AS k_int",
+        "try_cast(substring(event_type, 1, 2) AS INT) AS bad_int",
+    )
