@@ -91,3 +91,48 @@ def test_sessionize_preserves_events(spark, sf_dir):
     assert sum(r.n_events for r in rows) == load_table(
         spark, sf_dir, "events"
     ).count()
+
+
+def test_transition_probabilities_sum_to_one(spark, sf_dir):
+    """Each source state's outgoing transition probabilities sum to 1
+    (within rounding of the 6-decimal grid)."""
+    from collections import defaultdict
+
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    sums = defaultdict(float)
+    for r in QUERIES["q_events_transitions"](spark, sf_dir).collect():
+        sums[r.cur] += r.p
+    assert sums and all(abs(s - 1.0) < 1e-4 for s in sums.values())
+
+
+def test_bitmap_distinct_equals_exact(spark, sf_dir):
+    """The bitmap OR-merge popcount equals Spark's own exact
+    countDistinct — same engine, two physical strategies."""
+    from pyspark.sql import functions as F
+
+    from mrtweety_analytic_spark.queries import QUERIES
+    from mrtweety_analytic_spark.sources import load_table
+
+    row = QUERIES["q_agg_bitmap_distinct"](spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.agg(
+        F.countDistinct("user_id").alias("u"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("b"),
+    ).collect()[0]
+    assert (row.n_users, row.n_buyers) == (exact.u, exact.b)
+
+
+def test_retention_day_zero_counts_cohort(spark, sf_dir):
+    """Every user is active on their own cohort day, so the offset-0
+    cell of each cohort equals the cohort's size — and cells never
+    exceed it."""
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    rows = QUERIES["q_events_retention"](spark, sf_dir).collect()
+    day0 = {r.cohort_day: r.n_active for r in rows if r.day_offset == 0}
+    for r in rows:
+        assert r.cohort_day in day0
+        assert r.n_active <= day0[r.cohort_day]
