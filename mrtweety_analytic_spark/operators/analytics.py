@@ -1086,3 +1086,45 @@ def q_win_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(100.0 * (F.col("n") - prev) / prev, 4).alias("pct_change"),
     )
+
+
+@register(
+    "q_recursive_cte",
+    oracle="""
+    WITH RECURSIVE h AS (
+        SELECT n_nationkey, n_name, 0 AS depth
+        FROM nation WHERE n_nationkey = 0
+        UNION ALL
+        SELECT c.n_nationkey, c.n_name, h.depth + 1
+        FROM nation c JOIN h ON (c.n_nationkey - 1) // 5 = h.n_nationkey
+        WHERE c.n_nationkey > 0
+    )
+    SELECT n_nationkey, n_name, depth FROM h
+    """,
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE) resolving a synthetic
+    parent hierarchy over nation (parent(k) = (k-1) div 5): depth per
+    node via iterated self-join — the SQL-parser surface for the same
+    fixed-point iteration q_dedup_clusters hand-rolls in DataFrames.
+    Each recursion step is one broadcast join over the frontier; depth
+    here is bounded (≤ 2) and Spark enforces a recursion limit, so no
+    unbounded plans at scale.
+    """
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        "nation_rec_v"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE h AS (
+            SELECT n_nationkey, n_name, 0 AS depth
+            FROM nation_rec_v WHERE n_nationkey = 0
+            UNION ALL
+            SELECT c.n_nationkey, c.n_name, h.depth + 1
+            FROM nation_rec_v c
+            JOIN h ON (c.n_nationkey - 1) DIV 5 = h.n_nationkey
+            WHERE c.n_nationkey > 0
+        )
+        SELECT n_nationkey, n_name, depth FROM h
+        """
+    )
