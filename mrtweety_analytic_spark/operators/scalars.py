@@ -422,3 +422,33 @@ def q_fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "try_cast(get_json_object(props, '$.k') AS INT) AS k_int",
         "try_cast(substring(event_type, 1, 2) AS INT) AS bad_int",
     )
+
+
+@register(
+    "q_fn_date_arith",
+    oracle="""
+    SELECT event_id,
+           CAST(ts + INTERVAL 3 DAY AS TIMESTAMP) AS plus3d,
+           CAST(last_day(ts) AS TIMESTAMP) AS month_end,
+           CAST(weekofyear(ts) AS INTEGER) AS iso_week,
+           CAST(isodow(ts) AS INTEGER) AS iso_dow
+    FROM events
+    """,
+)
+def q_fn_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime arithmetic breadth: interval shift, month-end
+    rollover, ISO week + ISO weekday — the calendar primitives
+    partition layouts and retention windows are built from. ISO
+    variants chosen deliberately: both engines agree on ISO-8601
+    week/weekday numbering, while 'week of year' under locale rules
+    would not hash-match.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 3 DAY")).alias("plus3d"),
+        F.last_day("ts").cast("timestamp").alias("month_end"),
+        F.weekofyear("ts").alias("iso_week"),
+        # dayofweek() is Sunday=1; ISO wants Monday=1
+        F.expr("(dayofweek(ts) + 5) % 7 + 1").alias("iso_dow"),
+    )
