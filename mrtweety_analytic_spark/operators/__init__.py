@@ -9,6 +9,7 @@ from . import (  # noqa: F401
     joins,
     aggregates,
     analytics,
+    tpch,
     windows,
     sort_limit,
     setops,
