@@ -291,16 +291,17 @@ def q_set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_agg_collect",
     oracle="""
-    SELECT n_regionkey, list(n_name ORDER BY n_name) AS nations
+    SELECT n_regionkey, string_agg(n_name, '|' ORDER BY n_name) AS nations
     FROM nation GROUP BY n_regionkey
     """,
 )
 def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered collect: array_sort(collect_list) gives deterministic
-    array values (collect_list order is otherwise partition-order)."""
+    """Ordered collect, canonicalized to a scalar: array_sort(collect_list)
+    gives deterministic element order, array_join makes the result
+    hashable by the driver's comparator (arrays are not)."""
     nation = load_table(spark, sf_dir, "nation")
     return nation.groupBy("n_regionkey").agg(
-        F.array_sort(F.collect_list("n_name")).alias("nations")
+        F.array_join(F.array_sort(F.collect_list("n_name")), "|").alias("nations")
     )
 
 
