@@ -230,7 +230,11 @@ def s_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _run_to_memory(spark, counted, "update")
+    out = _run_to_memory(spark, counted, "update")
+    # Update mode emits one row per (user, micro-batch); if the replay
+    # splits into several batches the memory sink holds intermediate
+    # counts too. The final running count is the max per user.
+    return out.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
 
 
 @register(
@@ -240,7 +244,9 @@ def s_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream dropDuplicates on (user_id, event_type): state-store
     dedup; which physical row survives is nondeterministic, so only
-    the key columns are exposed — equal to batch DISTINCT.
+    the key columns are exposed — equal to batch DISTINCT. Multi-batch
+    replays are safe: with no watermark the dedup state persists for
+    the whole run, so each key appends exactly once across batches.
     """
     events = load_events_stream(spark, sf_dir)
     dedup = events.select("user_id", "event_type").dropDuplicates(

@@ -23,12 +23,23 @@ from pyspark.sql import functions as F
 
 
 def render_document(rows, now: datetime | None = None) -> str:
+    """Serialize the reference's result document (web/analytic.json:
+    items with count+hashtag keys, then an ISO-8601 offset datetime;
+    UTC renders with the sample's millisecond+Z shape, matching Java's
+    ISO_OFFSET_DATE_TIME at SparkApplication.scala:122)."""
     now = now or datetime.now(timezone.utc)
+    if now.utcoffset() is not None and not now.utcoffset():
+        stamp = (
+            now.strftime("%Y-%m-%dT%H:%M:%S.")
+            + f"{now.microsecond // 1000:03d}Z"
+        )
+    else:
+        stamp = now.isoformat()
     items = [
-        {"hashtag": r["hashtag"], "count": int(r["count"])} for r in rows
+        {"count": int(r["count"]), "hashtag": r["hashtag"]} for r in rows
     ]
     return json.dumps(
-        {"items": items, "datetime": now.isoformat()}, ensure_ascii=False
+        {"items": items, "datetime": stamp}, ensure_ascii=False
     )
 
 
@@ -48,24 +59,108 @@ def write_result_file(path: str, payload: str) -> None:
             os.unlink(tmp)
 
 
-def make_topk_file_sink(path: str, k: int = 5):
-    """foreachBatch hook: emit the top-k of the LATEST complete window
-    each trigger ≙ the reference's per-batch foreachRDD(save)
-    (SparkApplication.scala:92-95).
+class TopKFileSink:
+    """foreachBatch hook writing the trailing full-window top-k.
+
+    Two correctness requirements drive the design (both found in the
+    round-1 review):
+
+    * **Window selection.** With a sliding window (window > slide) the
+      row set contains ~window/slide concurrent windows. ``max(w.start)``
+      is the window that just OPENED — it holds only the last ~slide of
+      events. The reference's ``reduceByKeyAndWindow(Minutes(15))``
+      (SparkApplication.scala:88) reports the TRAILING 15 minutes: the
+      window with the greatest ``w.end`` that is ≤ the current slide
+      boundary. The boundary is inferred from the data as
+      ``max(w.start) + slide`` (the newest window's start is the
+      slide-grid floor of the newest event time).
+
+    * **Delta merge.** In update output mode each micro-batch carries
+      only the (window, key) rows whose counts changed this trigger; a
+      key with no new events would silently drop out of the top-k. The
+      sink therefore merges deltas into a per-window count cache across
+      triggers and computes the top-k over the merged view — the same
+      full-window counts the reference recomputes each batch.
+
+    Scale envelope: the cache holds the latest count per (live window,
+    key) — O(window/slide × |distinct keys in window|), the same state
+    the reference retained as ~90 windowed RDDs, and strictly smaller
+    than complete output mode (which disables watermark eviction and
+    replays ALL windows every trigger). Windows whose end has passed
+    the slide boundary are evicted. Per-trigger driver traffic is the
+    delta row set, already bounded by the state-store update volume.
     """
 
-    def emit(batch_df: DataFrame, epoch_id: int) -> None:
-        latest = batch_df.agg(F.max(F.col("w.start")).alias("m")).collect()[0]["m"]
-        if latest is None:
-            # Update-mode batches carry deltas only; a trailing empty
-            # micro-batch must not wipe the last good result.
-            return
-        rows = (
-            batch_df.filter(F.col("w.start") == latest)
-            .orderBy(F.desc("count"), F.asc("key"))
-            .limit(k)
-            .collect()
-        )
-        write_result_file(path, render_document(rows))
+    def __init__(self, path: str, k: int = 5, slide_seconds: float | None = None):
+        self.path = path
+        self.k = k
+        self.slide_seconds = slide_seconds
+        # (window_start, window_end) -> {key -> (count, display_hashtag)}
+        self._windows: dict[tuple, dict[str, tuple[int, str]]] = {}
 
-    return emit
+    def _infer_slide(self) -> float | None:
+        if self.slide_seconds is not None:
+            return self.slide_seconds
+        starts = sorted({s for (s, _e) in self._windows})
+        if len(starts) >= 2:
+            return min(
+                (b - a).total_seconds() for a, b in zip(starts, starts[1:])
+            )
+        if starts:  # single window seen: tumbling, slide == duration
+            s, e = next(iter(self._windows))
+            return (e - s).total_seconds()
+        return None
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        rows = batch_df.select(
+            F.col("w.start").alias("ws"),
+            F.col("w.end").alias("we"),
+            "key",
+            "count",
+            "hashtag",
+        ).collect()
+        if not rows and not self._windows:
+            return
+        for r in rows:
+            self._windows.setdefault((r["ws"], r["we"]), {})[r["key"]] = (
+                int(r["count"]),
+                r["hashtag"],
+            )
+        slide = self._infer_slide()
+        if slide is None:
+            return
+        from datetime import timedelta
+
+        boundary = max(s for (s, _e) in self._windows) + timedelta(
+            seconds=slide
+        )
+        complete = [we for (_ws, we) in self._windows if we <= boundary]
+        if not complete:
+            # All live windows still open (can happen on a replay whose
+            # first batch spans < one slide): keep the last good file.
+            return
+        trailing_end = max(complete)
+        trailing = max(
+            (w for w in self._windows if w[1] == trailing_end),
+            key=lambda w: w[0],
+        )
+        counts = self._windows[trailing]
+        # Evict windows fully in the past — state stays O(window/slide).
+        self._windows = {
+            w: c for w, c in self._windows.items() if w[1] >= trailing_end
+        }
+        top = sorted(
+            (
+                {"count": n, "hashtag": disp, "key": key}
+                for key, (n, disp) in counts.items()
+            ),
+            key=lambda r: (-r["count"], r["key"]),
+        )[: self.k]
+        write_result_file(self.path, render_document(top))
+
+
+def make_topk_file_sink(path: str, k: int = 5, slide_seconds: float | None = None):
+    """foreachBatch hook: emit the top-k of the trailing complete window
+    each trigger ≙ the reference's per-batch foreachRDD(save)
+    (SparkApplication.scala:92-95). See TopKFileSink for semantics."""
+    return TopKFileSink(path, k=k, slide_seconds=slide_seconds)

@@ -135,6 +135,125 @@ def test_json_document_contract(spark, tmp_path):
     assert json.loads(out.read_text())["items"] == doc["items"]
 
 
+def _window_rows(spark, rows):
+    """rows: (win_start_str, win_end_str, key, count, hashtag)."""
+    df = spark.createDataFrame(
+        rows, "ws string, we string, key string, count long, hashtag string"
+    )
+    return df.select(
+        F.struct(
+            F.col("ws").cast("timestamp").alias("start"),
+            F.col("we").cast("timestamp").alias("end"),
+        ).alias("w"),
+        "key",
+        "count",
+        "hashtag",
+    )
+
+
+def test_sink_selects_trailing_window_not_newest(spark, tmp_path):
+    """ADVICE r1 (high): with window=15m slide=5m, max(w.start) is the
+    window that just opened (~5 min of data). The document must carry
+    the TRAILING complete window — greatest w.end <= max(w.start)+slide
+    — exactly what reduceByKeyAndWindow(Minutes(15)) reports."""
+    out = tmp_path / "analytic.json"
+    emit = make_topk_file_sink(str(out), k=5)
+    # Newest event at ~12:14 → windows [11:50,12:05) .. [12:10,12:25).
+    # Trailing complete window is [12:00,12:15): full 15 min of counts.
+    emit(
+        _window_rows(
+            spark,
+            [
+                ("2024-01-01 11:50:00", "2024-01-01 12:05:00", "old", 9, "old"),
+                ("2024-01-01 12:00:00", "2024-01-01 12:15:00", "spark", 7, "Spark"),
+                ("2024-01-01 12:00:00", "2024-01-01 12:15:00", "kafka", 4, "kafka"),
+                ("2024-01-01 12:05:00", "2024-01-01 12:20:00", "spark", 3, "Spark"),
+                ("2024-01-01 12:10:00", "2024-01-01 12:25:00", "spark", 1, "Spark"),
+            ],
+        ),
+        epoch_id=0,
+    )
+    doc = json.loads(out.read_text())
+    assert doc["items"] == [
+        {"count": 7, "hashtag": "Spark"},
+        {"count": 4, "hashtag": "kafka"},
+    ]
+
+
+def test_sink_merges_update_mode_deltas_across_triggers(spark, tmp_path):
+    """ADVICE r1 (medium): update mode delivers only changed keys per
+    trigger; keys untouched this trigger must keep their cached counts
+    in the written top-k."""
+    out = tmp_path / "analytic.json"
+    emit = make_topk_file_sink(str(out), k=5)
+    # Trigger 1: spark/kafka events between 11:56 and 12:04 update all
+    # three covering windows (15 m window, 5 m slide).
+    emit(
+        _window_rows(
+            spark,
+            [
+                ("2024-01-01 11:50:00", "2024-01-01 12:05:00", "spark", 2, "Spark"),
+                ("2024-01-01 11:50:00", "2024-01-01 12:05:00", "kafka", 1, "kafka"),
+                ("2024-01-01 11:55:00", "2024-01-01 12:10:00", "spark", 5, "Spark"),
+                ("2024-01-01 11:55:00", "2024-01-01 12:10:00", "kafka", 4, "kafka"),
+                ("2024-01-01 12:00:00", "2024-01-01 12:15:00", "spark", 5, "Spark"),
+                ("2024-01-01 12:00:00", "2024-01-01 12:15:00", "kafka", 4, "kafka"),
+            ],
+        ),
+        epoch_id=0,
+    )
+    assert json.loads(out.read_text())["items"] == [
+        {"count": 2, "hashtag": "Spark"},
+        {"count": 1, "hashtag": "kafka"},
+    ]
+    # Trigger 2: only flink events (at ~12:06) arrive — spark/kafka send
+    # NO delta rows, yet must keep their cached counts in the trailing
+    # window [11:55, 12:10).
+    emit(
+        _window_rows(
+            spark,
+            [
+                ("2024-01-01 11:55:00", "2024-01-01 12:10:00", "flink", 6, "flink"),
+                ("2024-01-01 12:00:00", "2024-01-01 12:15:00", "flink", 6, "flink"),
+                ("2024-01-01 12:05:00", "2024-01-01 12:20:00", "flink", 6, "flink"),
+            ],
+        ),
+        epoch_id=1,
+    )
+    doc = json.loads(out.read_text())
+    assert doc["items"] == [
+        {"count": 6, "hashtag": "flink"},
+        {"count": 5, "hashtag": "Spark"},
+        {"count": 4, "hashtag": "kafka"},
+    ]
+
+
+def test_sink_empty_batch_keeps_last_document(spark, tmp_path):
+    out = tmp_path / "analytic.json"
+    emit = make_topk_file_sink(str(out), k=5)
+    win = ("2024-01-01 12:00:00", "2024-01-01 12:15:00")
+    emit(_window_rows(spark, [(*win, "spark", 5, "Spark")]), epoch_id=0)
+    first = json.loads(out.read_text())["items"]
+    emit(_window_rows(spark, []), epoch_id=1)  # trailing empty batch
+    assert json.loads(out.read_text())["items"] == first
+
+
+def test_document_byte_shape_matches_reference_sample():
+    """Pin the serialized shape against the reference's committed
+    sample (web/analytic.json): item keys count+hashtag, top-level
+    items+datetime, UTC datetime with millisecond precision + Z."""
+    from datetime import datetime, timezone
+
+    doc = render_document(
+        [{"hashtag": "#test1", "count": 1}],
+        now=datetime(2000, 1, 1, tzinfo=timezone.utc),
+    )
+    assert doc == (
+        '{"items": [{"count": 1, "hashtag": "#test1"}], '
+        '"datetime": "2000-01-01T00:00:00.000Z"}'
+    )
+
+
 def test_write_result_file_atomic(tmp_path):
     p = tmp_path / "r.json"
     write_result_file(str(p), render_document([]))
