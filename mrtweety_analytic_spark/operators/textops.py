@@ -804,3 +804,199 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cum_share"),
     )
     return ranked.filter(F.col("rank") <= 50)
+
+
+def _word_ngrams(arr: F.Column, n: int) -> F.Column:
+    """Word n-gram array via sequence+slice — JVM-side, no Python
+    (same shape as q_text_ngrams' bigram builder)."""
+    return F.when(
+        F.size(arr) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(arr) - n),
+            lambda i: F.concat_ws(" ", F.slice(arr, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+@register(
+    "q_text_repetition",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a
+                  FROM documents),
+    base AS (SELECT doc_id, len(a) AS n_words,
+                    len(list_distinct(a)) AS n_distinct
+             FROM toks),
+    bg AS (
+        SELECT doc_id,
+               term || ' ' || lead(term) OVER (PARTITION BY doc_id
+                                               ORDER BY pos) AS bigram
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS term,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        )
+    ),
+    bgc AS (SELECT doc_id, bigram, count(*) AS c FROM bg
+            WHERE bigram IS NOT NULL GROUP BY 1, 2),
+    bgm AS (SELECT doc_id, max(c) AS max_bg FROM bgc GROUP BY 1)
+    SELECT base.doc_id,
+           CAST(n_words AS INTEGER) AS n_words,
+           round(1.0 - 1.0 * n_distinct / n_words, 6) AS dup_word_frac,
+           CASE WHEN n_words > 1
+                THEN round(1.0 * coalesce(max_bg, 0) / (n_words - 1), 6)
+                ELSE 0.0 END AS top_bigram_frac
+    FROM base LEFT JOIN bgm ON base.doc_id = bgm.doc_id
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: the
+    duplicated-word fraction (1 - distinct/total) and the share of
+    bigram slots taken by the single most repeated bigram — the
+    filters that catch boilerplate and degenerate generations in a
+    training corpus. Both signals aggregate per doc_id with map-side
+    partial aggregation; the bigram side collapses to O(distinct
+    bigrams per doc) before its max, so the shuffle carries counts,
+    never the token stream.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.split("text", " ")
+    base = docs.select(
+        "doc_id",
+        F.size(arr).alias("n_words"),
+        F.size(F.array_distinct(arr)).alias("n_distinct"),
+    )
+    bgm = (
+        docs.select(
+            "doc_id", F.explode(_word_ngrams(arr, 2)).alias("bigram")
+        )
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_bg"))
+    )
+    return base.join(bgm, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        F.round(
+            1.0 - F.col("n_distinct") / F.col("n_words"), 6
+        ).alias("dup_word_frac"),
+        F.when(
+            F.col("n_words") > 1,
+            F.round(
+                F.coalesce(F.col("max_bg"), F.lit(0))
+                / (F.col("n_words") - 1),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+    )
+
+
+DECON_N = 4          # shingle width: wide enough to mean real overlap,
+                     # narrow enough that this corpus has hits to audit
+DECON_BENCH_MOD = 100  # doc_id % MOD == 0 plays the held-out benchmark
+
+
+@register(
+    "q_text_decontaminate",
+    oracle=f"""
+    WITH g AS (
+        SELECT DISTINCT doc_id, shingle
+        FROM (
+            SELECT doc_id,
+                   t.term || ' ' || lead(t.term, 1) OVER w || ' '
+                          || lead(t.term, 2) OVER w || ' '
+                          || lead(t.term, 3) OVER w AS shingle
+            FROM (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS term,
+                       generate_subscripts(string_split(text, ' '), 1) AS pos
+                FROM documents
+            ) t
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        )
+        WHERE shingle IS NOT NULL
+    ),
+    b AS (SELECT DISTINCT shingle FROM g
+          WHERE doc_id % {DECON_BENCH_MOD} = 0),
+    c AS (SELECT doc_id, shingle FROM g
+          WHERE doc_id % {DECON_BENCH_MOD} <> 0)
+    SELECT c.doc_id, count(*) AS n_shared
+    FROM c JOIN b ON c.shingle = b.shingle
+    GROUP BY c.doc_id
+    """,
+)
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word-4-gram with a held-out benchmark set (here: doc_id %
+    {mod} == 0 stands in for the eval suite). The benchmark shingle
+    set is DISTINCT'd and broadcast — the scale shape, since the
+    benchmark side is always tiny next to a 100 TB corpus — so the
+    corpus-side scan joins map-side with no shuffle of the shingle
+    stream; output is per-doc shared-shingle counts (the audit
+    artifact; a trainer would anti-join against these doc_ids).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.split("text", " ")
+    grams = docs.select(
+        "doc_id", F.explode(_word_ngrams(arr, DECON_N)).alias("shingle")
+    ).dropDuplicates(["doc_id", "shingle"])
+    bench = (
+        grams.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+        .select("shingle")
+        .distinct()
+    )
+    corpus = grams.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+@register(
+    "q_text_domain_mix",
+    oracle="""
+    WITH g AS (SELECT source, lang,
+                      CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                          AS n_tokens
+               FROM documents GROUP BY 1, 2),
+    t AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot,
+                 count(*) AS k FROM g)
+    SELECT source, lang, n_tokens,
+           round(n_tokens / tot, 6) AS share,
+           round(tot / (k * n_tokens), 6) AS mix_weight
+    FROM g, t
+    """,
+)
+def q_text_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture weights: per (source, lang) token mass, its share
+    of the corpus, and the resampling weight that would equalize the
+    mix (target share / actual share) — the knob a training pipeline
+    turns to rebalance domains. Collapses to O(groups) rows via one
+    partial-aggregated groupBy; the corpus-wide totals ride a 1-row
+    broadcast cross join (no second scan, no window over the corpus).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        docs.select(
+            "source", "lang", F.size(F.split("text", " ")).alias("n")
+        )
+        .groupBy("source", "lang")
+        .agg(F.sum("n").alias("n_tokens"))
+    )
+    t = g.agg(
+        F.sum("n_tokens").cast("double").alias("tot"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    return g.crossJoin(F.broadcast(t)).select(
+        "source",
+        "lang",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("tot"), 6).alias("share"),
+        F.round(
+            F.col("tot") / (F.col("k") * F.col("n_tokens")), 6
+        ).alias("mix_weight"),
+    )
