@@ -207,6 +207,10 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks = (
         emb.groupBy((F.pmod(F.hash("vec_id"), F.lit(EMB_BLOCKS))).alias("blk"))
         .agg(F.collect_list(F.struct("vec_id", "e")).alias("vecs"))
+        # Self-joining the aggregate would otherwise re-scan and
+        # re-shuffle the full vector payload once per side; checkpoint
+        # the B packed rows so the corpus is scanned and shuffled once.
+        .localCheckpoint()
     )
     a, b = blocks.alias("a"), blocks.alias("b")
     grid = (

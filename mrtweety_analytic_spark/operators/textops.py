@@ -986,6 +986,9 @@ def q_text_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("source", "lang")
         .agg(F.sum("n").alias("n_tokens"))
+        # t re-aggregates g; checkpoint the O(groups) rows so the
+        # corpus is scanned once, not once per consumer.
+        .localCheckpoint()
     )
     t = g.agg(
         F.sum("n_tokens").cast("double").alias("tot"),

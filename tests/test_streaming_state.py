@@ -136,3 +136,64 @@ def test_rocksdb_state_store_provider(spark, sf_dir):
             spark.conf.unset(key)
     assert rocks == default
     assert len(default) > 0
+
+
+def test_stateful_count_multi_batch_replay(spark, tmp_path):
+    """ADVICE r1: update-mode applyInPandasWithState emits one row per
+    (key, micro-batch); a replay split across several micro-batches
+    must still return ONE final count per key (s_stateful_count
+    collapses intermediates with max)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = str(tmp_path / "events_multi")
+    # Three separate files -> maxFilesPerTrigger=1 forces 3 batches.
+    for i in range(3):
+        spark.createDataFrame(
+            [(i * 10 + j, 1 + (j % 2)) for j in range(6)],
+            "event_id long, user_id long",
+        ).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+    def update_count(key, pdf_iter, state):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    counted = stream.groupBy("user_id").applyInPandasWithState(
+        update_count,
+        outputStructType="user_id long, n_events long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        counted.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("multi_batch_counts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(timeout=300)
+    finally:
+        q.stop()
+    raw = spark.table("multi_batch_counts")
+    # Sink holds per-batch intermediates: >2 rows proves multi-batch.
+    assert raw.count() > 2
+    final = {
+        r["user_id"]: r["n_events"]
+        for r in raw.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .collect()
+    }
+    assert final == {1: 9, 2: 9}  # 3 files x 6 rows, split 3/3 per file
+    spark.catalog.dropTempView("multi_batch_counts")
