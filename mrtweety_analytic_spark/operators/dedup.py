@@ -656,3 +656,40 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_final", F.lit(0)).alias("n_final"),
         )
     )
+
+
+@register("q_dedup_lsh_eval")  # rows-only: the LSH side is seeded-approximate
+def q_dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure, don't guess: precision/recall of the MinHash-LSH
+    candidate tier against the exact inverted-index Jaccard tier on
+    the SAME acceptance band (shingle-Jaccard >= 0.2). The eval
+    harness a pipeline runs before trusting an approximate tier at
+    100 TB — a full outer join of the two pair sets collapsed to one
+    audit row (tp/fp/fn, precision, recall). Both sides are
+    pair-level aggregates, so the join is O(candidate pairs).
+    """
+    exact = q_dedup_ngram_jaccard(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_exact")
+    )
+    approx = q_dedup_minhash_lsh(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_approx")
+    )
+    j = exact.join(approx, ["doc_a", "doc_b"], "full_outer")
+    return j.agg(
+        F.count(F.when(F.col("in_exact").isNotNull()
+                       & F.col("in_approx").isNotNull(), 1)).alias("tp"),
+        F.count(F.when(F.col("in_exact").isNull(), 1)).alias("fp"),
+        F.count(F.when(F.col("in_approx").isNull(), 1)).alias("fn"),
+    ).select(
+        "tp", "fp", "fn",
+        F.round(
+            F.when(F.col("tp") + F.col("fp") > 0,
+                   F.col("tp") / (F.col("tp") + F.col("fp")))
+            .otherwise(F.lit(1.0)), 6
+        ).alias("precision"),
+        F.round(
+            F.when(F.col("tp") + F.col("fn") > 0,
+                   F.col("tp") / (F.col("tp") + F.col("fn")))
+            .otherwise(F.lit(1.0)), 6
+        ).alias("recall"),
+    )

@@ -145,3 +145,70 @@ def q_sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         out
     )
     return back.select("lang", "n_docs", "max_chars")
+
+
+@register(
+    "q_sink_custom_pyds",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+)
+def q_sink_custom_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom SINK through the Python Data Source writer API
+    (sources_python_ds.JsonLinesDirWriter): partition-parallel
+    JSON-lines write with two-phase commit (task temp files →
+    driver-side rename + _SUCCESS manifest, the Hadoop committer
+    protocol in miniature), then read back with an explicit schema and
+    certified value-for-value against the source table. Together with
+    the custom reader (q_source_custom_pyds) this closes the connector
+    contract both ways — the piece a 100 TB deployment swaps for its
+    real external system.
+    """
+    from ..sources_python_ds import register_jsonldir
+
+    register_jsonldir(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    out = os.path.join(tempfile.gettempdir(), "mrtweety_sink_pyds")
+    shutil.rmtree(out, ignore_errors=True)
+    docs.write.format("jsonldir").mode("overwrite").save(out)
+    return spark.read.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).json(out)
+
+
+@register(
+    "q_maintenance_compact",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars FROM documents
+    """,
+)
+def q_maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance operator every
+    long-running ingest needs (streaming sinks and per-task writers
+    leave thousands of KB-sized files; scan cost at 100 TB is driven
+    by file count as much as bytes). Deliberately fragments the table
+    into 64 shards, then compacts to ceil(bytes / 32 MB) files via
+    coalesce — a shuffle-free repack (coalesce merges map-side;
+    repartition would shuffle every row). Value fidelity through
+    fragment→compact is what the oracle certifies; the file-count
+    contract is pinned by tests/test_operators.py.
+    """
+    import math
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    base = os.path.join(tempfile.gettempdir(), "mrtweety_compact")
+    frag, compact = f"{base}/frag", f"{base}/compact"
+    shutil.rmtree(base, ignore_errors=True)
+    docs.repartition(64).write.parquet(frag)
+    n_bytes = sum(
+        os.path.getsize(os.path.join(frag, f))
+        for f in os.listdir(frag)
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(n_bytes / (32 << 20)))
+    spark.read.parquet(frag).coalesce(n_files).write.parquet(compact)
+    return spark.read.parquet(compact)

@@ -119,3 +119,109 @@ class TweetGenStreamDataSource(DataSource):
 def register_tweetgen_stream(spark) -> None:
     """Idempotent registration: spark.readStream.format('tweetgen_stream')."""
     spark.dataSource.register(TweetGenStreamDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Custom SINK via the Python Data Source writer API: partition-parallel
+# JSON-lines with two-phase commit. Completes the connector contract
+# the reader half demonstrates (the reference only ever wrote its one
+# driver-side document, SparkApplication.scala:109-130; a real engine
+# needs task-parallel, atomically-committed table sinks).
+# ---------------------------------------------------------------------------
+
+from dataclasses import dataclass  # noqa: E402
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    tmp: str
+    final: str
+    rows: int
+
+
+class JsonLinesDirWriter(DataSourceWriter):
+    """Two-phase-commit JSON-lines writer.
+
+    Tasks write to uniquely-named `.tmp-*` files (invisible to readers:
+    Spark's file index skips dot-files) and report them in their commit
+    message; the driver's commit() renames every temp to its final
+    `part-*.jsonl` name and stamps a `_SUCCESS` manifest — so a reader
+    never sees a half-written table, and a failed/speculative task's
+    litter is removed by abort(). On a cluster the same protocol runs
+    against shared storage, exactly like Hadoop's output committer.
+    """
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonldir sink requires a path")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        tag = uuid.uuid4().hex[:12]
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".tmp-{tag}.jsonl")
+        final = os.path.join(self.path, f"part-{tag}.jsonl")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), ensure_ascii=False))
+                f.write("\n")
+                n += 1
+        return _FileCommit(tmp=tmp, final=final, rows=n)
+
+    def commit(self, messages):
+        import glob
+        import json
+        import os
+
+        if self.overwrite:
+            keep = {m.tmp for m in messages if m is not None}
+            for old in glob.glob(os.path.join(self.path, "part-*.jsonl")):
+                os.unlink(old)
+            for stale in glob.glob(os.path.join(self.path, ".tmp-*.jsonl")):
+                if stale not in keep:
+                    os.unlink(stale)
+        total = 0
+        files = []
+        for m in messages:
+            if m is None:
+                continue
+            os.replace(m.tmp, m.final)
+            files.append(os.path.basename(m.final))
+            total += m.rows
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            json.dump({"files": sorted(files), "rows": total}, f)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages or []:
+            if m is not None and os.path.exists(m.tmp):
+                os.unlink(m.tmp)
+
+
+class JsonLinesDirDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "jsonldir"
+
+    def schema(self):
+        return "value string"  # unused for writes
+
+    def writer(self, schema, overwrite):
+        return JsonLinesDirWriter(self.options, overwrite)
+
+
+def register_jsonldir(spark) -> None:
+    """Idempotent registration: df.write.format('jsonldir')."""
+    spark.dataSource.register(JsonLinesDirDataSource)

@@ -638,3 +638,46 @@ def test_dedup_embedding_block_grid_exact(spark, tmp_path):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-6
+
+
+def test_compaction_reduces_file_count(spark, sf_dir):
+    """q_maintenance_compact must actually shrink the file count (64
+    fragments -> ceil(bytes/32MB) files, = 1 at test scale)."""
+    import os
+    import tempfile
+
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    QUERIES["q_maintenance_compact"](spark, sf_dir).count()
+    base = os.path.join(tempfile.gettempdir(), "mrtweety_compact")
+    frag = [f for f in os.listdir(f"{base}/frag") if f.endswith(".parquet")]
+    comp = [f for f in os.listdir(f"{base}/compact") if f.endswith(".parquet")]
+    assert len(frag) == 64
+    assert len(comp) == 1
+
+
+def test_custom_pyds_writer_commit_protocol(spark, tmp_path):
+    """The jsonldir sink must leave no temp litter, stamp a _SUCCESS
+    manifest consistent with the part files, and fully replace prior
+    contents on overwrite."""
+    import json
+    import os
+
+    from mrtweety_analytic_spark.sources_python_ds import register_jsonldir
+
+    register_jsonldir(spark)
+    out = str(tmp_path / "sink")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, v string")
+    df1.repartition(2).write.format("jsonldir").mode("overwrite").save(out)
+    first_parts = sorted(f for f in os.listdir(out) if f.startswith("part-"))
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert manifest["rows"] == 3
+    assert manifest["files"] == first_parts
+    assert not [f for f in os.listdir(out) if f.startswith(".tmp-")]
+    # Overwrite replaces: old part files gone, new manifest coherent.
+    df2 = spark.createDataFrame([(9, "z")], "id long, v string")
+    df2.coalesce(1).write.format("jsonldir").mode("overwrite").save(out)
+    parts = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert len(parts) == 1 and parts[0] not in first_parts
+    back = spark.read.schema("id long, v string").json(out)
+    assert [(r.id, r.v) for r in back.collect()] == [(9, "z")]
