@@ -1003,3 +1003,41 @@ def q_text_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tot") / (F.col("k") * F.col("n_tokens")), 6
         ).alias("mix_weight"),
     )
+
+
+@register(
+    "q_text_unigram_logprob",
+    oracle="""
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+               FROM documents),
+    f AS (SELECT term, count(*) AS n FROM t WHERE term <> ''
+          GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM f)
+    SELECT t.doc_id, round(avg(ln(f.n / tot.tot)), 4) AS logprob
+    FROM t JOIN f ON t.term = f.term, tot
+    WHERE t.term <> ''
+    GROUP BY t.doc_id
+    """,
+)
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score: mean log corpus-frequency of each
+    document's tokens — the cheap perplexity proxy pipelines use to
+    rank fluency/rarity before any neural scorer. The corpus unigram
+    table is O(vocab) and BROADCAST back onto the token stream, so the
+    scoring join is map-side; only (doc_id, partial sums) cross the
+    shuffle. Rounded to 4 decimals: the mean of ~O(doc) libm ln()
+    values accumulates order-dependent float error beyond the 6th
+    decimal.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(docs)
+    f = t.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    tot = f.agg(F.sum("n").cast("double").alias("tot"))
+    vocab = f.crossJoin(F.broadcast(tot)).select(
+        "term", (F.log(F.col("n") / F.col("tot"))).alias("logp")
+    )
+    return (
+        t.join(F.broadcast(vocab), "term")
+        .groupBy("doc_id")
+        .agg(F.round(F.avg("logp"), 4).alias("logprob"))
+    )

@@ -406,3 +406,79 @@ def s_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_memory(spark, agg, "complete")
     return out.select("event_type", "is_buyer", "n")
+
+
+@register(
+    "s_topk_update_sink",
+    oracle="""
+    WITH b AS (SELECT time_bucket(INTERVAL '6 hours', max(ts))
+                          + INTERVAL '6 hours' AS boundary FROM events),
+    counts AS (
+        SELECT event_type AS hashtag, count(*) AS n
+        FROM events, b
+        WHERE ts >= boundary - INTERVAL '1 day' AND ts < boundary
+        GROUP BY 1
+    )
+    SELECT rank, hashtag, n
+    FROM (SELECT CAST(row_number() OVER (ORDER BY n DESC, hashtag)
+                      AS INTEGER) AS rank,
+                 hashtag, n
+          FROM counts)
+    WHERE rank <= 5
+    """,
+)
+def s_topk_update_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The R10 document sink under UPDATE output mode, driver-certified:
+    sliding windowed counts (1 day / 6 h — the scaled 15 min / 10 s)
+    stream through foreachBatch into TopKFileSink, which must (a) pick
+    the TRAILING complete window, not the newest-started one, and (b)
+    merge update-mode deltas across triggers — the two round-1 review
+    findings. The oracle recomputes the trailing window directly from
+    the events table: greatest 6 h boundary past max(ts), window =
+    [boundary - 1 day, boundary). The returned DataFrame is the parsed
+    result document, so the certificate covers the whole
+    stream → sink-file → document path.
+    """
+    import json
+    import os
+    import tempfile
+    import uuid
+
+    from ..sources import load_events_stream
+    from .pipeline import windowed_counts
+    from .sink import TopKFileSink
+
+    events = load_events_stream(spark, sf_dir).select(
+        "ts", F.col("event_type").alias("hashtag")
+    )
+    counts = windowed_counts(
+        events, window="1 day", slide="6 hours", watermark="1 minute"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), f"analytic_upd_{uuid.uuid4().hex[:8]}.json"
+    )
+    sink = TopKFileSink(path, k=5)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            counts.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout=600):
+            q.stop()
+            raise TimeoutError("s_topk_update_sink exceeded 600s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    with open(path) as f:
+        doc = json.load(f)
+    os.unlink(path)
+    rows = [
+        (i + 1, item["hashtag"], item["count"])
+        for i, item in enumerate(doc["items"])
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, hashtag string, n long"
+    )
