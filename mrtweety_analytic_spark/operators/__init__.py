@@ -23,4 +23,6 @@ from . import (  # noqa: F401
     udtf,
     sinks,
     bucketed,
+    graph,
+    layout,
 )

@@ -681,3 +681,66 @@ def test_custom_pyds_writer_commit_protocol(spark, tmp_path):
     assert len(parts) == 1 and parts[0] not in first_parts
     back = spark.read.schema("id long, v string").json(out)
     assert [(r.id, r.v) for r in back.collect()] == [(9, "z")]
+
+
+def test_pagerank_mass_conservation(spark, sf_dir):
+    """With an undirected edge set every node has out-edges (no
+    dangling mass), so total PageRank mass stays exactly 1: the
+    scaled ranks must sum to ~N and all be positive."""
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    rows = QUERIES["q_graph_pagerank"](spark, sf_dir).collect()
+    n = len(rows)
+    assert n > 0
+    total = sum(r.rank_scaled for r in rows)
+    assert abs(total - n) < 0.01 * n  # rounding noise only
+    assert all(r.rank_scaled > 0 for r in rows)
+
+
+def test_zorder_roundtrip_and_file_envelopes(spark, tmp_path):
+    """The Morton code must be invertible (no information loss), and
+    a repartitionByRange('z') + sortWithinPartitions write must yield
+    parquet files whose z-ranges do not overlap — the property file
+    skipping relies on."""
+    from pyspark.sql import functions as F
+
+    from mrtweety_analytic_spark.operators.layout import zvalue_sql
+
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 61).alias("a"), (F.col("id") % 67).alias("b")
+    )
+    z = df.withColumn(
+        "z",
+        F.expr(
+            zvalue_sql(
+                "(CAST(a AS BIGINT) & 65535)",
+                "(CAST(b AS BIGINT) & 65535)",
+                "spark",
+            )
+        ).cast("long"),
+    )
+    # Invertibility: de-interleave in Python and compare.
+    for r in z.limit(200).collect():
+        a = b = 0
+        for bit in range(32):
+            if r.z >> (2 * bit) & 1:
+                a |= 1 << bit
+            if r.z >> (2 * bit + 1) & 1:
+                b |= 1 << bit
+        assert (a, b) == (r.a, r.b)
+
+    out = str(tmp_path / "zsorted")
+    z.repartitionByRange(8, "z").sortWithinPartitions("z").write.parquet(out)
+    back = spark.read.parquet(out)
+    ranges = [
+        (r.f, r.lo, r.hi)
+        for r in back.groupBy(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("f")
+        )
+        .agg(F.min("z").alias("lo"), F.max("z").alias("hi"))
+        .collect()
+    ]
+    ranges.sort(key=lambda t: t[1])
+    assert len(ranges) >= 2
+    for (_, _, hi_prev), (_, lo, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo
