@@ -450,6 +450,84 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dedup_containment",
+    oracle="""
+    WITH all_shingles AS (
+        SELECT DISTINCT doc_id, shingle
+        FROM (
+            SELECT doc_id,
+                   t.term || ' ' || lead(t.term, 1) OVER w || ' '
+                          || lead(t.term, 2) OVER w || ' '
+                          || lead(t.term, 3) OVER w || ' '
+                          || lead(t.term, 4) OVER w AS shingle
+            FROM (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS term,
+                       generate_subscripts(string_split(text, ' '), 1) AS pos
+                FROM documents
+            ) t
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        )
+        WHERE shingle IS NOT NULL
+    ),
+    shingles AS (
+        SELECT doc_id, shingle FROM all_shingles
+        WHERE shingle IN (SELECT shingle FROM all_shingles
+                          GROUP BY shingle HAVING count(*) <= 100)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(1.0 * n_common / least(sa.n, sb.n), 4) AS containment
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE 1.0 * n_common / least(sa.n, sb.n) >= 0.6
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-CONTAINMENT near-dup detection: |A∩B| / min(|A|,|B|)
+    >= 0.6 over the same word-5-gram inverted index as
+    q_dedup_ngram_jaccard. Containment catches the asymmetric case
+    Jaccard structurally misses — a short document embedded verbatim
+    inside a much longer one scores |A|/|A| = 1.0 here but only
+    |A|/|B| (arbitrarily small) on Jaccard. This is the
+    quote/boilerplate/subset-dup tier of corpus cleaning. Same scale
+    shape as the Jaccard tier: stop-shingle cap keeps the inverted-
+    index join linear-ish; no cross product anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shingles, sizes = _shingle_index(docs)
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    cont = F.col("n_common") / F.least(F.col("sa.n"), F.col("sb.n"))
+    return (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(cont >= 0.6)
+        .select("doc_a", "doc_b", F.round(cont, 4).alias("containment"))
+    )
+
+
+@register(
     "q_dedup_keep_latest",
     oracle="""
     SELECT user_id, event_id, event_type, ts
@@ -480,12 +558,12 @@ def q_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _jaccard_pairs(docs: DataFrame, threshold: float = 0.2,
-                   df_cap: int = 100) -> DataFrame:
-    """(doc_a, doc_b, jaccard) pairs with word-5-gram Jaccard >=
-    threshold — the inverted-index join shared by
-    q_dedup_ngram_jaccard (whose oracle defines its semantics) and
-    dedup_corpus/q_dedup_pipeline.
+def _shingle_index(docs: DataFrame, df_cap: int = 100
+                   ) -> tuple[DataFrame, DataFrame]:
+    """(shingles, sizes): the distinct word-5-gram inverted index with
+    stop-shingles (doc frequency > df_cap) removed, plus per-doc set
+    sizes — the shared candidate machinery of the jaccard and
+    containment dedup tiers.
     """
     arr = F.split("text", " ")
     n = 5
@@ -518,6 +596,17 @@ def _jaccard_pairs(docs: DataFrame, threshold: float = 0.2,
     )
     shingles = all_shingles.join(F.broadcast(rare), "shingle", "left_semi")
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    return shingles, sizes
+
+
+def _jaccard_pairs(docs: DataFrame, threshold: float = 0.2,
+                   df_cap: int = 100) -> DataFrame:
+    """(doc_a, doc_b, jaccard) pairs with word-5-gram Jaccard >=
+    threshold — the inverted-index join shared by
+    q_dedup_ngram_jaccard (whose oracle defines its semantics) and
+    dedup_corpus/q_dedup_pipeline.
+    """
+    shingles, sizes = _shingle_index(docs, df_cap)
     a = shingles.alias("a")
     b = shingles.alias("b")
     common = (

@@ -352,3 +352,66 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, a.k.eqNullSafe(b.kb))
         .select("k", "n_events", "n_lines")
     )
+
+
+_BLOOM_CONF = {
+    # Shuffle join required (runtime filters never apply to broadcast
+    # joins — a BHJ already prunes probe-side rows at the join).
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    # Default 10GB gate is sized for real clusters; at test scale the
+    # fact side is far smaller, so open the gate to demonstrate the
+    # mechanism.
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+}
+
+
+@register(
+    "q_join_bloom_runtime",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           round(sum(l_extendedprice), 4) AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter pruned shuffle join: the selective dim
+    filter (urgent orders) is aggregated into a bloom filter
+    (`bloom_filter_agg`) that Catalyst injects as a semi-join
+    predicate on the FACT side scan — probe rows that cannot match
+    are dropped before the shuffle, the dominant cost of a fact⋈dim
+    shuffle join at 100 TB when the dim is too big to broadcast.
+    The injected `might_contain(...)` filter is pinned by
+    `tests/test_operators.py::test_runtime_bloom_filter_plan`.
+    """
+    prev = {k: spark.conf.get(k, None) for k in _BLOOM_CONF}
+    for k, v in _BLOOM_CONF.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        out = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+            )
+        )
+        # Pin planning under these confs (lazy-val cached on the
+        # QueryExecution); no execution happens here, so the caller
+        # still runs the query exactly once.
+        out._jdf.queryExecution().executedPlan()
+        return out
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -744,3 +744,16 @@ def test_zorder_roundtrip_and_file_envelopes(spark, tmp_path):
     assert len(ranges) >= 2
     for (_, _, hi_prev), (_, lo, _) in zip(ranges, ranges[1:]):
         assert hi_prev <= lo
+
+
+def test_runtime_bloom_filter_plan(spark, sf_dir):
+    """q_join_bloom_runtime's certified plan must carry the injected
+    runtime bloom filter on the fact side (bloom_filter_agg on the
+    dim build + might_contain probe filter), and stay a shuffle join."""
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    out = QUERIES["q_join_bloom_runtime"](spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "bloom_filter_agg" in plan
+    assert "might_contain" in plan
+    assert "BroadcastHashJoin" not in plan.split("== Initial Plan ==")[0]
