@@ -447,3 +447,103 @@ def q_sim_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_scale.select(
         "vec_id", F.round(err, 6).alias("max_abs_err")
     )
+
+
+PQ_M = 8  # subspaces
+PQ_S = 8  # dims per subspace (M × S = 64 = embedding dim)
+
+
+@register(
+    "q_sim_pq_assign",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    lng AS (SELECT label, unnest(emb) AS v,
+                   generate_subscripts(emb, 1) AS dim
+            FROM e),
+    cl AS (SELECT label, dim, avg(v) AS c FROM lng GROUP BY 1, 2),
+    cent AS (SELECT label AS c_label, list(c ORDER BY dim) AS ce
+             FROM cl GROUP BY 1),
+    mm AS (SELECT unnest(range(1, 9)) AS m),
+    codebook AS (SELECT m, c_label, ce[(m-1)*8+1 : m*8] AS sub_ce
+                 FROM cent CROSS JOIN mm),
+    subs AS (SELECT vec_id, m, emb[(m-1)*8+1 : m*8] AS sub
+             FROM e CROSS JOIN mm),
+    scored AS (SELECT vec_id, m, c_label,
+                      round(list_distance(sub, sub_ce), 6) AS d
+               FROM subs JOIN codebook USING (m))
+    SELECT vec_id, CAST(m AS INTEGER) AS subspace, c_label AS code,
+           d AS dist_l2
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                        ORDER BY d, c_label) AS rn
+          FROM scored)
+    WHERE rn = 1
+    """,
+)
+def q_sim_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding: split each 64-dim vector into
+    8×8-dim subspaces and assign every subvector to its nearest
+    sub-centroid — the PQ code that shrinks ANN memory ~32× (8 bytes
+    of codes vs 256 bytes of floats per vector) and is how
+    billion-vector indexes fit a cluster's RAM at 100 TB. The
+    codebook here reuses the label partition as sub-centroid source
+    (k-means E-step siblings: q_sim_centroid/q_sim_kmeans_assign);
+    a trained codebook drops in as the same tiny broadcast table.
+
+    Scale shape: the codebook (M × labels rows) is BROADCAST; the
+    corpus side explodes into M subvectors per row map-side, and the
+    nearest-code argmin is a partial-aggregable
+    min(struct(rounded_dist, code)) — one shuffle of O(rows × M)
+    compact tuples, no window over the corpus.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    lng = emb.select("label", F.posexplode("emb").alias("i0", "v"))
+    cent = (
+        lng.groupBy("label", (F.col("i0") + 1).alias("dim"))
+        .agg(F.avg("v").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda s: s["c"],
+            ).alias("ce")
+        )
+    )
+    msplit = F.transform(
+        F.sequence(F.lit(1), F.lit(PQ_M)),
+        lambda m: F.slice(F.col("ce"), (m - 1) * PQ_S + 1, PQ_S),
+    )
+    codebook = cent.select(
+        F.col("label").alias("c_label"),
+        F.posexplode(msplit).alias("m0", "sub_ce"),
+    ).select((F.col("m0") + 1).alias("m"), "c_label", "sub_ce")
+    subs = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(PQ_M)),
+                lambda m: F.slice(F.col("emb"), (m - 1) * PQ_S + 1, PQ_S),
+            )
+        ).alias("m0", "sub"),
+    ).select("vec_id", (F.col("m0") + 1).alias("m"), "sub")
+    d = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("sub"), F.col("sub_ce"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = subs.join(F.broadcast(codebook), "m").select(
+        "vec_id",
+        "m",
+        F.struct(F.round(d, 6).alias("d"), F.col("c_label")).alias("cand"),
+    )
+    best = scored.groupBy("vec_id", "m").agg(F.min("cand").alias("b"))
+    return best.select(
+        "vec_id",
+        F.col("m").cast("int").alias("subspace"),
+        F.col("b.c_label").alias("code"),
+        F.col("b.d").alias("dist_l2"),
+    )

@@ -1041,3 +1041,56 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.avg("logp"), 4).alias("logprob"))
     )
+
+
+CHUNK_TOKENS = 40
+CHUNK_STRIDE = 30  # 10-token overlap between consecutive chunks
+
+
+@register(
+    "q_text_chunk",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    starts AS (
+        SELECT doc_id, toks,
+               unnest(range(1, len(toks) + 1, 30)) AS start
+        FROM t
+    )
+    SELECT doc_id,
+           CAST((start - 1) / 30 + 1 AS INTEGER) AS chunk_id,
+           CAST(least(start + 39, len(toks)) - start + 1 AS INTEGER)
+               AS n_tokens,
+           array_to_string(toks[start : least(start + 39, len(toks))], ' ')
+               AS chunk_text
+    FROM starts
+    """,
+)
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (40-token chunks, 30-token
+    stride = 10-token overlap) — how long documents become
+    context-length-bounded training samples without losing
+    cross-boundary n-grams. Pure array algebra: split once, explode
+    the start offsets, slice per chunk — zero Python, zero shuffle
+    (narrow transform only; whatever partitioning the corpus scan
+    has is preserved, and output rows stay on their input's
+    executor).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    starts = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(1), F.size("toks"), F.lit(CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start"), CHUNK_TOKENS)
+    return starts.select(
+        "doc_id",
+        (((F.col("start") - 1) / CHUNK_STRIDE).cast("int") + 1).alias(
+            "chunk_id"
+        ),
+        F.size(chunk).alias("n_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
