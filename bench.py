@@ -58,6 +58,13 @@ HEADLINE = [
     "q_win_percentile",          # window-aggregate median
     "q_events_retention",        # cohort triangle, exchange reuse
     "q_text_pack_sequences",     # training-shard packing
+    # round-2 additions (r1 names above unchanged for comparability)
+    "q_graph_pagerank",          # iterative join/agg PageRank
+    "q_dedup_containment",       # asymmetric shingle containment
+    "q_sim_pq_assign",           # product-quantization encoding
+    "q_text_chunk",              # overlapping token chunking
+    "q_maintenance_zorder",      # Morton-key clustering audit
+    "q_join_bloom_runtime",      # runtime bloom-filter pruned join
 ]
 
 
