@@ -256,6 +256,36 @@ def s_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s_dedup_within_watermark",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def s_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dropDuplicatesWithinWatermark` — the BOUNDED-state streaming
+    dedup (Spark 3.5+): dedup state for a key is evicted once the
+    watermark passes its event time + delay, so state is
+    O(keys in the dup horizon), not O(all keys ever) — the only
+    dedup that survives an unbounded 100 TB ingest stream
+    (s_dedup_stream's plain dropDuplicates keeps state forever).
+
+    Replay determinism: the delay is set beyond the corpus's event-
+    time span, so no state evicts and no row is late during the
+    finite replay — output ≙ batch DISTINCT under any micro-batch
+    split. In production the delay is the real duplicate horizon
+    (e.g. '48 hours' for crawler re-fetches); semantics then become
+    "exactly-once per key per horizon", which is the contract a
+    dedup-at-ingest tier actually needs.
+    """
+    events = load_events_stream(spark, sf_dir)
+    dedup = (
+        events.withWatermark("ts", "3650 days")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return _run_to_memory(spark, dedup, "append")
+
+
+@register(
     "s_topk_pipeline",
     oracle="""
     WITH counts AS (

@@ -197,3 +197,49 @@ def test_stateful_count_multi_batch_replay(spark, tmp_path):
     }
     assert final == {1: 9, 2: 9}  # 3 files x 6 rows, split 3/3 per file
     spark.catalog.dropTempView("multi_batch_counts")
+
+
+def test_dedup_within_watermark_state_eviction(spark, tmp_path):
+    """dropDuplicatesWithinWatermark with a 10-minute horizon: a
+    duplicate inside the horizon is suppressed, but once the
+    watermark passes key-time + delay the state evicts and a later
+    re-occurrence is EMITTED AGAIN — the bounded-state contract
+    (suppress within horizon / O(horizon) state) that plain
+    dropDuplicates (test above) does not have."""
+    src = str(tmp_path / "wmdedup_src")
+    _write_batch(spark, src, [("x", "2024-01-01 10:00:00")])
+
+    stream = (
+        spark.readStream.schema("key string, ts timestamp").parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["key"])
+        .select("key", "ts")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wmdedup_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # In-horizon duplicate (10:05) suppressed; the 10:40 row (a
+        # different key) pushes the watermark to 10:30 > 10:00+10min,
+        # evicting x's state at the end of the batch.
+        _write_batch(
+            spark,
+            src,
+            [("x", "2024-01-01 10:05:00"), ("y", "2024-01-01 10:40:00")],
+        )
+        q.processAllAvailable()
+        # Past-horizon re-occurrence of x must be re-emitted.
+        _write_batch(spark, src, [("x", "2024-01-01 10:41:00")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    xs = [r for r in spark.table("wmdedup_test").collect() if r.key == "x"]
+    assert len(xs) == 2  # first occurrence + past-horizon re-emit
+    spark.catalog.dropTempView("wmdedup_test")
