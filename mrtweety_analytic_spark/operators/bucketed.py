@@ -83,10 +83,16 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
             F.count(F.lit(1)).alias("n"),
         )
-        # Pin join selection under the no-broadcast conf by forcing
-        # static planning now (lazy-val cached on the QueryExecution) —
-        # no execution, so the caller runs the query exactly once.
-        out._jdf.queryExecution().executedPlan()
+        # Pin join selection under the no-broadcast conf by EXECUTING
+        # once now: AQE re-optimizes at execution time with the
+        # then-current conf, so a planning-only touch would let the
+        # restored threshold turn this back into a broadcast join at
+        # the caller's collect. After this count the
+        # AdaptiveSparkPlanExec instance is finalized
+        # (isFinalPlan=true) and re-executions reuse the co-located
+        # SortMergeJoin; the re-run costs one bucketed-read + 3-row
+        # agg, not the bucketed write.
+        out.count()
         return out
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -163,7 +163,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EMB_BLOCKS = 8  # block-pair tasks = B(B+1)/2; block bytes = n/B × dim × 8
+# Blocked exact all-pairs sizing: B is derived per-corpus so block
+# bytes stay ~constant as n grows (B ≥ ceil(corpus_bytes / TARGET)),
+# with a floor that keeps B(B+1)/2 tasks ≥ the local parallelism.
+EMB_BLOCKS_MIN = 8
+EMB_BLOCK_TARGET_BYTES = 64 << 20  # ~64 MB of packed vectors per block row
 
 
 @register(
@@ -185,15 +189,18 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies, this catches paraphrases.
 
     Exact threshold-join, but NOT a nested-loop over the full table:
-    the corpus is hashed into EMB_BLOCKS blocks, each block packed
+    the corpus is hashed into B blocks, each block packed
     into one row (collect_list of (vec_id, vector)), and the tiny
     B×B block-pair grid (upper triangle) fans out as independent
     tasks. Each task computes its block-pair similarity as ONE float64
     BLAS matmul and emits only pairs over threshold — the distributed
     blocked form of an exact all-pairs join: n²/2 FLOPs are inherent
     to exactness, but per-task memory is two blocks, parallelism is
-    B(B+1)/2, and nothing is driver-bound. B scales with n to keep
-    block bytes constant (~n/B vectors/block). The approximate tiers
+    B(B+1)/2, and nothing is driver-bound. B is computed from the
+    measured corpus size (rows × dim × 8 bytes / ~64 MB target, with
+    a parallelism floor), so block bytes — and therefore collect_list
+    row size and per-task memory — stay bounded as n grows instead of
+    growing O(n/B) under a fixed B. The approximate tiers
     (q_sim_lsh_bucketed LSH buckets, q_sim_ivf_label IVF cells) are
     the drop-in candidate sources when recall < 1 is acceptable;
     this operator is the exact anchor they are measured against.
@@ -201,11 +208,23 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    import math
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
+    # One cheap stat pass sizes the blocking: total packed bytes =
+    # n_rows × dim × 8. (At 100 TB this is a metadata-cost scan of two
+    # columns' worth of stats, amortized against n²/2 FLOPs of work.)
+    stats = emb.select(
+        F.count(F.lit(1)).alias("n"), F.first(F.size("e")).alias("dim")
+    ).first()
+    total_bytes = (stats["n"] or 0) * (stats["dim"] or 0) * 8
+    n_blocks = max(
+        EMB_BLOCKS_MIN, math.ceil(total_bytes / EMB_BLOCK_TARGET_BYTES)
+    )
     blocks = (
-        emb.groupBy((F.pmod(F.hash("vec_id"), F.lit(EMB_BLOCKS))).alias("blk"))
+        emb.groupBy((F.pmod(F.hash("vec_id"), F.lit(n_blocks))).alias("blk"))
         .agg(F.collect_list(F.struct("vec_id", "e")).alias("vecs"))
         # Self-joining the aggregate would otherwise re-scan and
         # re-shuffle the full vector payload once per side; checkpoint
@@ -221,7 +240,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vecs").alias("va"),
             F.col("b.vecs").alias("vb"),
         )
-        .repartition(EMB_BLOCKS * (EMB_BLOCKS + 1) // 2)
+        .repartition(n_blocks * (n_blocks + 1) // 2)
     )
 
     def score_block_pair(it):

@@ -404,10 +404,13 @@ def q_join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
             )
         )
-        # Pin planning under these confs (lazy-val cached on the
-        # QueryExecution); no execution happens here, so the caller
-        # still runs the query exactly once.
-        out._jdf.queryExecution().executedPlan()
+        # Pin the bloom-pruned shuffle join by EXECUTING once under
+        # these confs: AQE replans at execution time against the
+        # then-current session conf, so planning-only pinning would
+        # not survive the finally-block restore. The finalized
+        # adaptive plan is cached on this DataFrame and reused by the
+        # caller's collect.
+        out.count()
         return out
     finally:
         for k, v in prev.items():

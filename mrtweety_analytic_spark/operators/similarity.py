@@ -137,6 +137,7 @@ def q_sim_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = spark.sparkContext
 
     partials = []
+    bcs = []
     offset = 0
     while True:
         chunk = (
@@ -154,6 +155,7 @@ def q_sim_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 np.array([r["embedding"] for r in chunk], dtype=np.float64),
             )
         )
+        bcs.append(bc)
 
         def score_batches(it, _bc=bc):
             probe_ids, pm = _bc.value
@@ -197,15 +199,34 @@ def q_sim_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    if not partials:
+        # No probe matched vec_id % PROBE_MOD (empty table): the
+        # reduce below would raise on an empty sequence.
+        return spark.createDataFrame(
+            [], "probe_id long, vec_id long, score double"
+        )
+
     import functools
 
     partial = functools.reduce(DataFrame.unionByName, partials)
     w = W.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("vec_id"))
-    return (
+    out = (
         partial.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= BATCH_K)
         .select("probe_id", "vec_id", "score")
+        # Materialize once so the per-chunk probe broadcasts can be
+        # released before returning — otherwise executors retain one
+        # broadcast per chunk for the session's lifetime. The cached
+        # k·|probes| rows are what the caller re-reads.
+        .persist()
     )
+    out.count()
+    for bc in bcs:
+        # unpersist (not destroy): frees executor copies now; the
+        # driver copy remains, so a cache-evicted recompute can still
+        # re-broadcast.
+        bc.unpersist()
+    return out
 
 
 @register(

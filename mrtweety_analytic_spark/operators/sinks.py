@@ -10,14 +10,31 @@ nullability), not just the in-memory result.
 from __future__ import annotations
 
 import os
-import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources import load_table
+
+
+def _scratch(name: str, sf_dir: str) -> str:
+    """Fresh scratch dir per call — sf_dir-tagged AND uuid-suffixed.
+
+    A fixed path would let a later call (different sf_dir, concurrent
+    session, or a harness re-evaluating a still-lazy earlier result)
+    rmtree the directory out from under an uncollected DataFrame that
+    lazily reads it. Unique paths make every returned DataFrame's
+    backing files immutable for its lifetime; the per-call dirs are
+    small aggregates under the OS tempdir.
+    """
+    tag = sf_dir.strip("/").replace("/", "_")
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"mrtweety_{name}_{tag}_{uuid.uuid4().hex[:8]}",
+    )
 
 
 def write_partitioned_parquet(df: DataFrame, path: str, *keys: str) -> None:
@@ -47,10 +64,7 @@ def q_sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
     )
-    out = os.path.join(
-        tempfile.gettempdir(), "mrtweety_sink_roundtrip"
-    )
-    shutil.rmtree(out, ignore_errors=True)
+    out = _scratch("sink_roundtrip", sf_dir)
     write_partitioned_parquet(agg, out, "lang")
     back = spark.read.parquet(out)
     # Partition column comes back typed as read-schema string; restore
@@ -83,8 +97,7 @@ def q_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 4).alias("total"),
     )
-    out = os.path.join(tempfile.gettempdir(), "mrtweety_sink_csv")
-    shutil.rmtree(out, ignore_errors=True)
+    out = _scratch("sink_csv", sf_dir)
     agg.write.mode("overwrite").option("header", True).csv(out)
     back = spark.read.option("header", True).schema(
         "o_orderstatus string, n bigint, total double"
@@ -112,8 +125,7 @@ def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
-    out = os.path.join(tempfile.gettempdir(), "mrtweety_sink_orc")
-    shutil.rmtree(out, ignore_errors=True)
+    out = _scratch("sink_orc", sf_dir)
     agg.write.mode("overwrite").orc(out)
     return spark.read.orc(out).select("event_type", "n", "sum_value")
 
@@ -138,8 +150,7 @@ def q_sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.max("n_chars").alias("max_chars"),
     )
-    out = os.path.join(tempfile.gettempdir(), "mrtweety_sink_json")
-    shutil.rmtree(out, ignore_errors=True)
+    out = _scratch("sink_json", sf_dir)
     write_json_lines(agg, out)
     back = spark.read.schema("lang string, n_docs long, max_chars long").json(
         out
@@ -170,8 +181,7 @@ def q_sink_custom_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
-    out = os.path.join(tempfile.gettempdir(), "mrtweety_sink_pyds")
-    shutil.rmtree(out, ignore_errors=True)
+    out = _scratch("sink_pyds", sf_dir)
     docs.write.format("jsonldir").mode("overwrite").save(out)
     return spark.read.schema(
         "doc_id long, text string, lang string, source string, n_chars long"
@@ -197,12 +207,12 @@ def q_maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import math
 
+    global LAST_COMPACT_BASE
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "n_chars"
     )
-    base = os.path.join(tempfile.gettempdir(), "mrtweety_compact")
+    base = LAST_COMPACT_BASE = _scratch("compact", sf_dir)
     frag, compact = f"{base}/frag", f"{base}/compact"
-    shutil.rmtree(base, ignore_errors=True)
     docs.repartition(64).write.parquet(frag)
     n_bytes = sum(
         os.path.getsize(os.path.join(frag, f))
@@ -212,3 +222,8 @@ def q_maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_files = max(1, math.ceil(n_bytes / (32 << 20)))
     spark.read.parquet(frag).coalesce(n_files).write.parquet(compact)
     return spark.read.parquet(compact)
+
+
+# Where the most recent q_maintenance_compact call wrote (scratch
+# paths are per-call unique; the file-count test inspects this).
+LAST_COMPACT_BASE: str | None = None

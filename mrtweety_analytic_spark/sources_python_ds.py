@@ -184,6 +184,8 @@ class JsonLinesDirWriter(DataSourceWriter):
         import json
         import os
 
+        total = 0
+        files = []
         if self.overwrite:
             keep = {m.tmp for m in messages if m is not None}
             for old in glob.glob(os.path.join(self.path, "part-*.jsonl")):
@@ -191,8 +193,28 @@ class JsonLinesDirWriter(DataSourceWriter):
             for stale in glob.glob(os.path.join(self.path, ".tmp-*.jsonl")):
                 if stale not in keep:
                     os.unlink(stale)
-        total = 0
-        files = []
+        else:
+            # Append commit: the manifest must describe the WHOLE
+            # committed table, not just this write's files. Carry the
+            # prior manifest forward; any committed part file it
+            # doesn't know about (e.g. manifest-less prior state) is
+            # line-counted once here.
+            prior_files: dict[str, bool] = {}
+            prior_rows = 0
+            success = os.path.join(self.path, "_SUCCESS")
+            if os.path.exists(success):
+                with open(success) as f:
+                    prior = json.load(f)
+                prior_files = {name: True for name in prior.get("files", [])}
+                prior_rows = prior.get("rows", 0)
+            for old in glob.glob(os.path.join(self.path, "part-*.jsonl")):
+                name = os.path.basename(old)
+                if name not in prior_files:
+                    with open(old) as f:
+                        prior_rows += sum(1 for _ in f)
+                    prior_files[name] = True
+            files.extend(prior_files)
+            total += prior_rows
         for m in messages:
             if m is None:
                 continue

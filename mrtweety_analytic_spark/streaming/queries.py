@@ -487,7 +487,11 @@ def s_topk_update_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(
         tempfile.gettempdir(), f"analytic_upd_{uuid.uuid4().hex[:8]}.json"
     )
-    sink = TopKFileSink(path, k=5)
+    # Slide is known here — pass it explicitly. Inference from
+    # observed window starts breaks on sparse data (an empty slide
+    # period inflates the min start-gap to a multiple of the true
+    # slide, and the sink would pick a still-open window as trailing).
+    sink = TopKFileSink(path, k=5, slide_seconds=21600.0)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:

@@ -644,12 +644,12 @@ def test_compaction_reduces_file_count(spark, sf_dir):
     """q_maintenance_compact must actually shrink the file count (64
     fragments -> ceil(bytes/32MB) files, = 1 at test scale)."""
     import os
-    import tempfile
 
+    from mrtweety_analytic_spark.operators import sinks
     from mrtweety_analytic_spark.queries import QUERIES
 
     QUERIES["q_maintenance_compact"](spark, sf_dir).count()
-    base = os.path.join(tempfile.gettempdir(), "mrtweety_compact")
+    base = sinks.LAST_COMPACT_BASE
     frag = [f for f in os.listdir(f"{base}/frag") if f.endswith(".parquet")]
     comp = [f for f in os.listdir(f"{base}/compact") if f.endswith(".parquet")]
     assert len(frag) == 64
@@ -674,11 +674,22 @@ def test_custom_pyds_writer_commit_protocol(spark, tmp_path):
     assert manifest["rows"] == 3
     assert manifest["files"] == first_parts
     assert not [f for f in os.listdir(out) if f.startswith(".tmp-")]
+    # Append keeps prior parts AND the manifest must describe the
+    # whole table (prior files + rows merged in), not just the delta.
+    df_app = spark.createDataFrame([(4, "d"), (5, "e")], "id long, v string")
+    df_app.coalesce(1).write.format("jsonldir").mode("append").save(out)
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    parts = sorted(f for f in os.listdir(out) if f.startswith("part-"))
+    assert manifest["rows"] == 5
+    assert manifest["files"] == parts
+    assert set(first_parts) < set(parts)
     # Overwrite replaces: old part files gone, new manifest coherent.
     df2 = spark.createDataFrame([(9, "z")], "id long, v string")
     df2.coalesce(1).write.format("jsonldir").mode("overwrite").save(out)
     parts = [f for f in os.listdir(out) if f.startswith("part-")]
     assert len(parts) == 1 and parts[0] not in first_parts
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert manifest["rows"] == 1 and manifest["files"] == parts
     back = spark.read.schema("id long, v string").json(out)
     assert [(r.id, r.v) for r in back.collect()] == [(9, "z")]
 
