@@ -79,11 +79,23 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    errors: dict[str, str] = {}
+
     def run(name: str) -> float:
         t0 = time.time()
         df = QUERIES[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         return round(time.time() - t0, 3)
+
+    def run_guarded(name: str) -> float:
+        # One broken query must not zero the whole bench line (round-3
+        # lesson: a single AnalysisException cost every timing). The
+        # failure is reported in the JSON instead.
+        try:
+            return run(name)
+        except Exception as e:
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            return 0.0
 
     # Warm-up, unmeasured: a real shuffle + codegen pass (a metadata-
     # only count would leave the first measured query paying the
@@ -103,24 +115,24 @@ def main() -> None:
         .orderBy(F.desc("n"), "t").limit(5)
         .write.format("noop").mode("overwrite").save()
     )
-    run("q_scan_parquet")
+    run_guarded("q_scan_parquet")
+    errors.pop("q_scan_parquet", None)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        timings[name] = run(name)
+        timings[name] = run_guarded(name)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

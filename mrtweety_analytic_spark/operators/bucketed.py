@@ -71,28 +71,16 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_bucketed(orders, "b_orders", "o_orderkey", f"{base}/orders")
         _WRITTEN_FOR["sf_dir"] = sf_dir
 
-    # Disable broadcast so the plan demonstrates the co-located join
+    # MERGE hint instead of a session-conf toggle: the hint is part of
+    # the logical plan, so it survives AQE replanning and every later
+    # re-execution by the caller — no broadcast selection, no extra
+    # pinning execution. Both sides are bucketed+sorted on the key, so
+    # the SortMergeJoin reads co-located buckets with zero Exchange
     # (at real fact×fact scale broadcast isn't an option anyway).
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        bl = spark.table("b_lineitem")
-        bo = spark.table("b_orders")
-        joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey, "inner")
-        out = joined.groupBy("o_orderstatus").agg(
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        # Pin join selection under the no-broadcast conf by EXECUTING
-        # once now: AQE re-optimizes at execution time with the
-        # then-current conf, so a planning-only touch would let the
-        # restored threshold turn this back into a broadcast join at
-        # the caller's collect. After this count the
-        # AdaptiveSparkPlanExec instance is finalized
-        # (isFinalPlan=true) and re-executions reuse the co-located
-        # SortMergeJoin; the re-run costs one bucketed-read + 3-row
-        # agg, not the bucketed write.
-        out.count()
-        return out
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    bl = spark.table("b_lineitem").hint("merge")
+    bo = spark.table("b_orders")
+    joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey, "inner")
+    return joined.groupBy("o_orderstatus").agg(
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )

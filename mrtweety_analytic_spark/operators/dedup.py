@@ -168,6 +168,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with a floor that keeps B(B+1)/2 tasks ≥ the local parallelism.
 EMB_BLOCKS_MIN = 8
 EMB_BLOCK_TARGET_BYTES = 64 << 20  # ~64 MB of packed vectors per block row
+# Cap B so the B(B+1)/2 block-pair task grid stays scheduler-feasible:
+# uncapped, 1 TB of vectors at 64 MB/block is ~16k blocks → ~134M
+# pair partitions. At the cap the grid is ~1.3M pairs (fine for a
+# 1000-executor scheduler) and block size grows past 64 MB instead —
+# per-task memory degrades gracefully (two blocks per task) while the
+# task count stays bounded.
+EMB_BLOCKS_MAX = 1600
 
 
 @register(
@@ -213,15 +220,17 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    # One cheap stat pass sizes the blocking: total packed bytes =
-    # n_rows × dim × 8. (At 100 TB this is a metadata-cost scan of two
-    # columns' worth of stats, amortized against n²/2 FLOPs of work.)
+    # One stat pass sizes the blocking: total packed bytes =
+    # n_rows × dim × 8. (This count+first does scan the embedding
+    # column — a real though single-pass cost, amortized against the
+    # n²/2 FLOPs of the pair grid it sizes.)
     stats = emb.select(
         F.count(F.lit(1)).alias("n"), F.first(F.size("e")).alias("dim")
     ).first()
     total_bytes = (stats["n"] or 0) * (stats["dim"] or 0) * 8
-    n_blocks = max(
-        EMB_BLOCKS_MIN, math.ceil(total_bytes / EMB_BLOCK_TARGET_BYTES)
+    n_blocks = min(
+        EMB_BLOCKS_MAX,
+        max(EMB_BLOCKS_MIN, math.ceil(total_bytes / EMB_BLOCK_TARGET_BYTES)),
     )
     blocks = (
         emb.groupBy((F.pmod(F.hash("vec_id"), F.lit(n_blocks))).alias("blk"))

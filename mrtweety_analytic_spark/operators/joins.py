@@ -355,8 +355,11 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BLOOM_CONF = {
-    # Shuffle join required (runtime filters never apply to broadcast
-    # joins — a BHJ already prunes probe-side rows at the join).
+    # InjectRuntimeFilter bails on joins it considers broadcast-able
+    # BY SIZE (it reads autoBroadcastJoinThreshold directly and
+    # ignores strategy hints), so the threshold must be off while the
+    # plan is optimized+materialized below — at real fact⋈dim scale
+    # neither side fits the default threshold and this conf is moot.
     "spark.sql.autoBroadcastJoinThreshold": "-1",
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
@@ -365,6 +368,10 @@ _BLOOM_CONF = {
     # mechanism.
     "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
 }
+
+# Cache handle for the last q_join_bloom_runtime result — unpersisted
+# on the next call so repeated bench runs don't accumulate entries.
+_LAST_BLOOM_OUT = None
 
 
 @register(
@@ -388,6 +395,7 @@ def q_join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
     The injected `might_contain(...)` filter is pinned by
     `tests/test_operators.py::test_runtime_bloom_filter_plan`.
     """
+    global _LAST_BLOOM_OUT
     prev = {k: spark.conf.get(k, None) for k in _BLOOM_CONF}
     for k, v in _BLOOM_CONF.items():
         spark.conf.set(k, v)
@@ -396,21 +404,33 @@ def q_join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders = load_table(spark, sf_dir, "orders").filter(
             F.col("o_orderpriority") == "1-URGENT"
         )
+        # MERGE hint forces the shuffle join in the logical plan
+        # (runtime filters never apply to broadcast joins — a BHJ
+        # already prunes probe rows at the join), so the strategy
+        # survives any replanning without touching
+        # autoBroadcastJoinThreshold.
         out = (
-            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            li.join(
+                orders.hint("merge"), li.l_orderkey == orders.o_orderkey
+            )
             .groupBy("o_orderpriority")
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
             )
         )
-        # Pin the bloom-pruned shuffle join by EXECUTING once under
-        # these confs: AQE replans at execution time against the
-        # then-current session conf, so planning-only pinning would
-        # not survive the finally-block restore. The finalized
-        # adaptive plan is cached on this DataFrame and reused by the
-        # caller's collect.
+        # The bloom injection itself is an optimizer rule gated on the
+        # session conf at execution time, and the caller executes
+        # AFTER the finally-block restores it — so materialize the
+        # 1-row result into the cache now, under the conf. Later
+        # actions read the cache. The previous call's cache entry is
+        # released first (no unbounded accumulation across bench
+        # runs).
+        if _LAST_BLOOM_OUT is not None:
+            _LAST_BLOOM_OUT.unpersist()
+        out = out.persist()
         out.count()
+        _LAST_BLOOM_OUT = out
         return out
     finally:
         for k, v in prev.items():

@@ -24,6 +24,10 @@ from pyspark.sql import functions as F
 from ..registry import register
 from ..sources import load_table
 
+# Cache handle for the last q_sim_knn_batch result — unpersisted on
+# the next call so repeated bench runs don't accumulate entries.
+_LAST_KNN_BATCH_OUT = None
+
 KNN_K = 10
 BATCH_K = 3
 PROBE_MOD = 50  # probes = vec_id % 50 == 0
@@ -208,6 +212,7 @@ def q_sim_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import functools
 
+    global _LAST_KNN_BATCH_OUT
     partial = functools.reduce(DataFrame.unionByName, partials)
     w = W.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("vec_id"))
     out = (
@@ -217,10 +222,15 @@ def q_sim_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Materialize once so the per-chunk probe broadcasts can be
         # released before returning — otherwise executors retain one
         # broadcast per chunk for the session's lifetime. The cached
-        # k·|probes| rows are what the caller re-reads.
+        # k·|probes| rows are what the caller re-reads. The previous
+        # call's cache entry is released first, so repeated bench
+        # runs hold at most one.
         .persist()
     )
+    if _LAST_KNN_BATCH_OUT is not None:
+        _LAST_KNN_BATCH_OUT.unpersist()
     out.count()
+    _LAST_KNN_BATCH_OUT = out
     for bc in bcs:
         # unpersist (not destroy): frees executor copies now; the
         # driver copy remains, so a cache-evicted recompute can still

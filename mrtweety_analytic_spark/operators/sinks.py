@@ -9,6 +9,7 @@ nullability), not just the in-memory result.
 
 from __future__ import annotations
 
+import atexit
 import os
 import tempfile
 import uuid
@@ -20,6 +21,22 @@ from ..registry import register
 from ..sources import load_table
 
 
+# Last scratch dir handed out per (name, sf_dir) — deleted when the
+# next call for the same slot supersedes it, and at interpreter exit.
+_SCRATCH_LIVE: dict[tuple[str, str], str] = {}
+
+
+def _cleanup_scratch() -> None:
+    import shutil
+
+    for path in _SCRATCH_LIVE.values():
+        shutil.rmtree(path, ignore_errors=True)
+    _SCRATCH_LIVE.clear()
+
+
+atexit.register(_cleanup_scratch)
+
+
 def _scratch(name: str, sf_dir: str) -> str:
     """Fresh scratch dir per call — sf_dir-tagged AND uuid-suffixed.
 
@@ -27,14 +44,25 @@ def _scratch(name: str, sf_dir: str) -> str:
     session, or a harness re-evaluating a still-lazy earlier result)
     rmtree the directory out from under an uncollected DataFrame that
     lazily reads it. Unique paths make every returned DataFrame's
-    backing files immutable for its lifetime; the per-call dirs are
-    small aggregates under the OS tempdir.
+    backing files immutable for its lifetime. Unboundedness is
+    handled by succession: a new call for the same (name, sf_dir)
+    slot deletes the PREVIOUS dir (its DataFrame is superseded by the
+    new result), and whatever is live at exit is removed atexit — so
+    at most one dir per slot outlives the process only on a crash.
     """
+    import shutil
+
     tag = sf_dir.strip("/").replace("/", "_")
-    return os.path.join(
+    key = (name, tag)
+    prev = _SCRATCH_LIVE.get(key)
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
+    path = os.path.join(
         tempfile.gettempdir(),
         f"mrtweety_{name}_{tag}_{uuid.uuid4().hex[:8]}",
     )
+    _SCRATCH_LIVE[key] = path
+    return path
 
 
 def write_partitioned_parquet(df: DataFrame, path: str, *keys: str) -> None:

@@ -26,41 +26,75 @@ TABLES = (
 )
 
 # Streaming-source schema for the events table (FIXTURES.md §A).
-# ts is physically timestamp[ns]: Spark's parquet reader has no ns
-# timestamp type, so it arrives as long nanoseconds (see the
-# nanosAsLong conf in session.RUNTIME_CONF) and _restore_event_time
-# converts to µs TimestampType (lossless — corpus values are µs).
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
+# The corpus has shipped with two physical encodings of ts across
+# driver generations — timestamp[ns] (which Spark's parquet reader
+# only accepts as long nanos, see the nanosAsLong conf in
+# session.RUNTIME_CONF) and native timestamp[us]. The file-stream
+# source needs an explicit schema, so it is derived from the parquet
+# footer at call time (_events_stream_schema) rather than hard-coded;
+# _normalize_timestamps then lands every variant on µs TimestampType.
+_EVENTS_FIELDS = (
+    ("event_id", T.LongType()),
+    ("user_id", T.LongType()),
+    ("event_type", T.StringType()),
+    ("value", T.DoubleType()),
+    ("props", T.StringType()),
 )
 
 
-def _restore_event_time(df: DataFrame) -> DataFrame:
-    """long-nanos ts -> TimestampType(µs), preserving column order."""
+def _events_stream_schema(sf_dir: str) -> T.StructType:
+    """Streaming schema for events, with ts typed to match the file's
+    physical encoding (int64 nanos vs timestamp[us] ntz/ltz)."""
+    import pyarrow.parquet as pq
+
+    arrow_ts = pq.read_schema(table_path(sf_dir, "events")).field("ts").type
+    if str(arrow_ts) in ("int64", "timestamp[ns]"):
+        ts_type: T.DataType = T.LongType()
+    elif getattr(arrow_ts, "tz", None):
+        ts_type = T.TimestampType()
+    else:
+        ts_type = T.TimestampNTZType()
+    by_name = dict(_EVENTS_FIELDS)
+    order = ("event_id", "ts", "user_id", "event_type", "value", "props")
+    return T.StructType(
+        [
+            T.StructField(n, ts_type if n == "ts" else by_name[n])
+            for n in order
+        ]
+    )
+
+
+def _normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Land every timestamp variant on µs TimestampType (LTZ, session
+    tz = UTC), preserving column order.
+
+    - long nanos (nanosAsLong read of timestamp[ns], 'ts' only):
+      integer DIV 1000 — not `/`, float division of ~1.7e18 ns
+      exceeds the double mantissa and lands ±1 µs off — then
+      timestamp_micros. Lossless: corpus values are µs precision.
+    - TIMESTAMP_NTZ (native timestamp[us] corpus): cast to LTZ; under
+      the UTC session timezone this is value-identity, and it keeps
+      LTZ-only functions (unix_micros etc.) working downstream.
+    - TimestampType: pass through.
+    """
     from pyspark.sql import functions as F
 
-    # Integer DIV, not `/`: float division of ~1.7e18 ns exceeds the
-    # double mantissa and lands ±1 µs off. Conversion only applies
-    # when ts is physically long nanos (the driver corpus); fixture
-    # tables written with a native TimestampType pass through.
-    if "ts" not in df.columns or not isinstance(
-        df.schema["ts"].dataType, T.LongType
+    def fix(field: T.StructField):
+        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            return F.timestamp_micros(
+                F.expr(f"{field.name} DIV 1000")
+            ).alias(field.name)
+        if isinstance(field.dataType, T.TimestampNTZType):
+            return F.col(field.name).cast("timestamp").alias(field.name)
+        return F.col(field.name)
+
+    if any(
+        (f.name == "ts" and isinstance(f.dataType, T.LongType))
+        or isinstance(f.dataType, T.TimestampNTZType)
+        for f in df.schema.fields
     ):
-        return df
-    cols = [
-        F.timestamp_micros(F.expr(f"{c} DIV 1000")).alias(c)
-        if c == "ts"
-        else F.col(c)
-        for c in df.columns
-    ]
-    return df.select(*cols)
+        return df.select(*[fix(f) for f in df.schema.fields])
+    return df
 
 # Tweet-input contract of the reference pipeline: records navigated as
 # entities.hashtags[].text, tolerating absent `entities`
@@ -93,9 +127,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Batch-load one corpus table, tuning the session on the way."""
     tune(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events":
-        df = _restore_event_time(df)
-    return df
+    return _normalize_timestamps(df)
 
 
 def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -107,11 +139,11 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune(spark)
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_stream_schema(sf_dir))
         .format("parquet")
         # File stream sources take a directory; the glob filter picks
         # the events table out of the shared sf_dir.
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return _restore_event_time(raw)
+    return _normalize_timestamps(raw)

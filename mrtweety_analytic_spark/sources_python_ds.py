@@ -184,8 +184,6 @@ class JsonLinesDirWriter(DataSourceWriter):
         import json
         import os
 
-        total = 0
-        files = []
         if self.overwrite:
             keep = {m.tmp for m in messages if m is not None}
             for old in glob.glob(os.path.join(self.path, "part-*.jsonl")):
@@ -193,36 +191,40 @@ class JsonLinesDirWriter(DataSourceWriter):
             for stale in glob.glob(os.path.join(self.path, ".tmp-*.jsonl")):
                 if stale not in keep:
                     os.unlink(stale)
-        else:
+        file_rows: dict[str, int] = {}
+        if not self.overwrite:
             # Append commit: the manifest must describe the WHOLE
-            # committed table, not just this write's files. Carry the
-            # prior manifest forward; any committed part file it
-            # doesn't know about (e.g. manifest-less prior state) is
-            # line-counted once here.
-            prior_files: dict[str, bool] = {}
-            prior_rows = 0
+            # committed table, not just this write's files. Disk is
+            # the ground truth — the prior manifest only supplies
+            # per-file row counts so unchanged files aren't
+            # re-counted. Manifest entries whose files vanished are
+            # dropped (a stale manifest must not overstate the
+            # table), and committed files the manifest doesn't know
+            # (manifest-less prior state) are line-counted once.
+            prior_rows: dict[str, int] = {}
             success = os.path.join(self.path, "_SUCCESS")
             if os.path.exists(success):
                 with open(success) as f:
                     prior = json.load(f)
-                prior_files = {name: True for name in prior.get("files", [])}
-                prior_rows = prior.get("rows", 0)
+                prior_rows = prior.get("file_rows", {})
             for old in glob.glob(os.path.join(self.path, "part-*.jsonl")):
                 name = os.path.basename(old)
-                if name not in prior_files:
+                if name in prior_rows:
+                    file_rows[name] = prior_rows[name]
+                else:
                     with open(old) as f:
-                        prior_rows += sum(1 for _ in f)
-                    prior_files[name] = True
-            files.extend(prior_files)
-            total += prior_rows
+                        file_rows[name] = sum(1 for _ in f)
         for m in messages:
             if m is None:
                 continue
             os.replace(m.tmp, m.final)
-            files.append(os.path.basename(m.final))
-            total += m.rows
+            file_rows[os.path.basename(m.final)] = m.rows
+        files = sorted(file_rows)
+        total = sum(file_rows.values())
         with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
-            json.dump({"files": sorted(files), "rows": total}, f)
+            json.dump(
+                {"files": files, "rows": total, "file_rows": file_rows}, f
+            )
 
     def abort(self, messages):
         import os
