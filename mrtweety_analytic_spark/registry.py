@@ -19,8 +19,17 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
 
-def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
+def register(
+    name: str, oracle: Optional[str] = None, enabled: bool = True
+) -> Callable[[QueryFn], QueryFn]:
+    """`enabled=False` defines the function without advertising it in
+    the driver contract — for operators whose runtime dependency is
+    absent in the current environment (e.g. transformWithState needs
+    protobuf). The code stays importable and testable either way."""
+
     def deco(fn: QueryFn) -> QueryFn:
+        if not enabled:
+            return fn
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
         QUERIES[name] = fn

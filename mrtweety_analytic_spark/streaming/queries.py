@@ -237,6 +237,109 @@ def s_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
 
 
+def _has_protobuf() -> bool:
+    # transformWithStateInPandas speaks a protobuf protocol to the
+    # JVM-side state server; without the protobuf package the Python
+    # state worker crashes at startup. Gate registration so the
+    # contract only advertises the operator where it can run.
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@register(
+    "s_transform_with_state",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           count(DISTINCT event_type) AS n_types,
+           round(max(value), 6) AS max_value
+    FROM events GROUP BY user_id
+    """,
+    enabled=_has_protobuf(),
+)
+def s_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful processing via transformWithStateInPandas
+    (Spark 4.x successor to applyInPandasWithState): per-user running
+    stats kept in TYPED state-store primitives — a ValueState struct
+    for (count, running max) and a MapState keyed by event_type for
+    the distinct-type count. Unlike the single-blob state of
+    applyInPandasWithState, each primitive is read/written
+    independently (a MapState update touches one key, not the whole
+    map), which is what bounds per-record state I/O when keys carry
+    large state at 100 TB. Full availableNow replay ≙ the batch
+    aggregate, which is what the oracle checks.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    events = load_events_stream(spark, sf_dir).select(
+        "user_id", "event_type", "value"
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n bigint, mx double")
+            self._types = handle.getMapState(
+                "types", "t string", "seen smallint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, mx = (0, None)
+            if self._agg.exists():
+                pn, pmx = self._agg.get()
+                n, mx = pn, pmx
+            for pdf in rows:
+                n += len(pdf)
+                bmx = float(pdf["value"].max())
+                mx = bmx if mx is None else max(mx, bmx)
+                for t in pdf["event_type"].unique():
+                    if not self._types.containsKey((t,)):
+                        self._types.updateValue((t,), (1,))
+            self._agg.update((n, mx))
+            n_types = sum(1 for _ in self._types.keys())
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "n_types": [n_types],
+                    "max_value": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    stats = events.groupBy("user_id").transformWithStateInPandas(
+        UserStats(),
+        outputStructType=(
+            "user_id bigint, n_events bigint, n_types bigint,"
+            " max_value double"
+        ),
+        outputMode="update",
+        timeMode="none",
+    )
+    out = _run_to_memory(spark, stats, "update")
+    # Update mode emits one row per (user, micro-batch); the final
+    # running values are the ones at the max event count.
+    w_last = out.groupBy("user_id").agg(
+        F.max_by(F.struct("n_events", "n_types", "max_value"), "n_events")
+        .alias("s")
+    )
+    return w_last.select(
+        "user_id",
+        F.col("s.n_events").alias("n_events"),
+        F.col("s.n_types").alias("n_types"),
+        F.round("s.max_value", 6).alias("max_value"),
+    )
+
+
 @register(
     "s_dedup_stream",
     oracle="SELECT DISTINCT user_id, event_type FROM events",

@@ -243,3 +243,37 @@ def test_dedup_within_watermark_state_eviction(spark, tmp_path):
     xs = [r for r in spark.table("wmdedup_test").collect() if r.key == "x"]
     assert len(xs) == 2  # first occurrence + past-horizon re-emit
     spark.catalog.dropTempView("wmdedup_test")
+
+
+def test_transform_with_state_gated(spark, sf_dir):
+    """s_transform_with_state (transformWithStateInPandas) must match
+    the batch aggregate when the runtime dependency (protobuf — the
+    state-server protocol) is present; where it isn't, registration
+    is suppressed and this test documents the boundary by skipping."""
+    import pytest
+
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        assert "s_transform_with_state" not in QUERIES
+        pytest.skip("protobuf not installed: transformWithState gated off")
+
+    from mrtweety_analytic_spark.sources import load_table
+
+    out = QUERIES["s_transform_with_state"](spark, sf_dir)
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+    )
+    got = {r["user_id"]: (r["n_events"], r["n_types"], r["max_value"])
+           for r in out.collect()}
+    want = {r["user_id"]: (r["n_events"], r["n_types"], r["max_value"])
+            for r in batch.collect()}
+    assert got == want
