@@ -25,4 +25,5 @@ from . import (  # noqa: F401
     bucketed,
     graph,
     layout,
+    modern,
 )

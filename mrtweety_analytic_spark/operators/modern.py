@@ -1,0 +1,112 @@
+"""Spark 4 surface operators: VARIANT schema governance, SQL pipe
+syntax, and string collations. (The core VARIANT extraction op is
+q_fn_variant in scalars.py; this module adds the governance and
+syntax surface around it.)
+
+The reference parsed its semi-structured tweet payloads with a
+hand-rolled JSON path on every access (SparkApplication.scala:66-85).
+Spark 4's VARIANT type is the engine-native answer at 100 TB: parse
+once into a binary-encoded tree, then field extraction is a typed
+lookup that avoids re-tokenizing the JSON string per access, and the
+parse itself stays in the JVM (no UDF crossing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+
+@register(
+    "q_fn_variant_schema",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           count(DISTINCT json_structure(props)) AS n_shapes
+    FROM events
+    """,
+)
+def q_fn_variant_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema drift probe over semi-structured payloads:
+    schema_of_variant per row, distinct-counted corpus-wide. The
+    ingest-governance primitive for a 100 TB raw-JSON lake — detects
+    producers changing payload shape without scanning twice (one
+    pass, two aggregates).
+    """
+    events = load_table(spark, sf_dir, "events")
+    shapes = events.select(
+        F.schema_of_variant(F.parse_json("props")).alias("shape")
+    )
+    return shapes.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("shape").alias("n_shapes"),
+    )
+
+
+@register(
+    "q_sql_pipe",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    WHERE user_id % 7 = 0
+    GROUP BY event_type
+    ORDER BY n DESC, event_type
+    """,
+)
+def q_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0): the same logical plan Catalyst
+    builds from nested SELECTs, declared as a linear left-to-right
+    flow. Parameterized table reference binds the loaded DataFrame
+    (with its timestamp normalization) instead of a temp view, so
+    registration stays side-effect-free.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        FROM {events}
+        |> WHERE user_id % 7 = 0
+        |> AGGREGATE count(*) AS n, round(sum(value), 4) AS sum_value
+           GROUP BY event_type
+        |> ORDER BY n DESC, event_type
+        |> SELECT event_type, n, sum_value
+        """,
+        events=events,
+    )
+
+
+@register(
+    "q_fn_collation",
+    oracle="""
+    SELECT lower(mixed) AS lang_ci, count(*) AS n
+    FROM (SELECT CASE WHEN doc_id % 2 = 0 THEN upper(lang)
+                      ELSE lang END AS mixed
+          FROM documents)
+    GROUP BY 1
+    """,
+)
+def q_fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping via UTF8_LCASE collation — the
+    engine-level alternative to lower()-normalizing every comparison
+    site. A collated column compares/groups/joins case-insensitively
+    in the JVM comparator itself; at 100 TB that also means the
+    shuffle hash respects the collation (no separate normalization
+    pass before every groupBy/join on user-facing text keys). The
+    corpus langs are lowercase, so half the rows are upper()ed first
+    to make the collation do real work; output is lower()ed to a
+    deterministic representative for the oracle hash.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = docs.select(
+        F.when(F.col("doc_id") % 2 == 0, F.upper("lang"))
+        .otherwise(F.col("lang"))
+        .alias("mixed")
+    )
+    grouped = mixed.groupBy(
+        F.collate("mixed", "UTF8_LCASE").alias("lang_grp")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return grouped.select(
+        F.lower("lang_grp").alias("lang_ci"), "n"
+    )
