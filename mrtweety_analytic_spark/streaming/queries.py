@@ -13,6 +13,7 @@ windows the final watermark hasn't passed).
 
 from __future__ import annotations
 
+import atexit
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -235,6 +236,86 @@ def s_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # splits into several batches the memory sink holds intermediate
     # counts too. The final running count is the max per user.
     return out.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+# Previous s_state_reader checkpoint dir — superseded on the next
+# call so repeated runs don't accumulate state dirs in the tempdir;
+# the final one is removed at interpreter exit.
+_LAST_STATE_CKPT: list[str] = []
+
+
+def _cleanup_state_ckpt() -> None:
+    import shutil
+
+    while _LAST_STATE_CKPT:
+        shutil.rmtree(_LAST_STATE_CKPT.pop(), ignore_errors=True)
+
+
+atexit.register(_cleanup_state_ckpt)
+
+
+@register(
+    "s_state_reader",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+           event_type, count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def s_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store batch reader (Spark 4 `statestore` data source):
+    run the checkpointed tumbling-window count to completion, then
+    read the RAW persisted state back as a batch DataFrame and
+    project it to (window_start, event_type, n). The oracle equality
+    against the batch aggregate certifies the full state persistence
+    path — encoder, commit, snapshot — not just the memory-sink
+    output. Operationally this is the streaming debugger at 100 TB:
+    inspect (or repair-audit) a job's state without touching the job,
+    partition-parallel over the state files.
+    """
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    events = load_events_stream(spark, sf_dir)
+    agg = events.groupBy(
+        F.window("ts", "1 day").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    ckpt = os.path.join(
+        tempfile.gettempdir(), f"mrtweety_state_{uuid.uuid4().hex[:8]}"
+    )
+    name = f"s_{uuid.uuid4().hex[:12]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout=600):
+            q.stop()
+            raise TimeoutError("s_state_reader exceeded 600s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    spark.catalog.dropTempView(name)
+    state = spark.read.format("statestore").load(ckpt)
+    out = state.select(
+        F.col("key.window.start").alias("window_start"),
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n"),
+    )
+    # Pin rows before the checkpoint dir is superseded by a later
+    # call (the statestore read is lazy over those files).
+    pinned = spark.createDataFrame(out.collect(), out.schema)
+    while _LAST_STATE_CKPT:
+        shutil.rmtree(_LAST_STATE_CKPT.pop(), ignore_errors=True)
+    _LAST_STATE_CKPT.append(ckpt)
+    return pinned
 
 
 def _has_protobuf() -> bool:
