@@ -198,6 +198,84 @@ def s_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s_stream_join_outer",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    p AS (SELECT event_id AS p_event_id, user_id AS p_user_id, ts AS p_ts
+          FROM events WHERE event_type = 'purchase'),
+    matched AS (
+        SELECT p.p_event_id, count(*) AS n_follow
+        FROM p JOIN events f
+          ON p.p_user_id = f.user_id
+         AND f.ts > p.p_ts
+         AND f.ts <= p.p_ts + INTERVAL '10 minutes'
+        GROUP BY p.p_event_id
+    )
+    SELECT p.p_event_id AS event_id,
+           CAST(coalesce(m.n_follow, 0) AS BIGINT) AS n_follow
+    FROM p LEFT JOIN matched m ON p.p_event_id = m.p_event_id, mx
+    WHERE m.n_follow IS NOT NULL
+       OR p.p_ts + INTERVAL '10 minutes' <= mx.m - INTERVAL '2 hours'
+    """,
+)
+def s_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join with event-time range bounds —
+    the hard half of stateful stream joins: matched rows emit
+    immediately, while an unmatched purchase emits null-extended only
+    once the watermark proves no future follow can arrive, and its
+    state is evicted at the same point (bounded state at 100 TB,
+    where an unbounded outer-join buffer is fatal).
+
+    Determinism note: exactly WHICH boundary rows flush in the final
+    micro-batch depends on per-batch watermark arithmetic, so both
+    the stream result and the oracle restrict null-extended rows to
+    p_ts + 10 min <= max(ts) - 2 h — strictly inside the 1-hour-delay
+    expiry boundary, so every margin-eligible row has provably been
+    emitted by end of replay. Matched rows are exact on both sides.
+    """
+    from ..sources import load_table
+
+    purchases = (
+        load_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    follows = (
+        load_events_stream(spark, sf_dir)
+        .select(
+            F.col("user_id").alias("f_user_id"),
+            F.col("ts").alias("f_ts"),
+            F.col("event_id").alias("f_event_id"),
+        )
+        .withWatermark("f_ts", "1 hour")
+    )
+    joined = purchases.join(
+        follows,
+        (F.col("p_user_id") == F.col("f_user_id"))
+        & (F.col("f_ts") > F.col("p_ts"))
+        & (F.col("f_ts") <= F.col("p_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "left_outer",
+    )
+    out = _run_to_memory(spark, joined, "append")
+    mx = load_table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+    safe = out.filter(
+        F.col("f_event_id").isNotNull()
+        | (
+            F.col("p_ts") + F.expr("INTERVAL 10 MINUTES")
+            <= F.lit(mx) - F.expr("INTERVAL 2 HOURS")
+        )
+    )
+    return safe.groupBy(F.col("p_event_id").alias("event_id")).agg(
+        F.count("f_event_id").alias("n_follow")
+    )
+
+
+@register(
     "s_stateful_count",
     oracle="""
     SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
