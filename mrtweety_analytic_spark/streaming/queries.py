@@ -143,6 +143,60 @@ def s_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s_session_dynamic",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts,
+               ts + CASE WHEN event_type = 'view'
+                         THEN INTERVAL '10 minutes'
+                         ELSE INTERVAL '30 minutes' END AS ends
+        FROM events
+    ),
+    m AS (
+        SELECT user_id, ts,
+               max(ends) OVER (
+                   PARTITION BY user_id ORDER BY ts, ends
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_max_end
+        FROM g
+    ),
+    s AS (
+        SELECT user_id, ts,
+               sum(CASE WHEN prev_max_end IS NULL OR ts >= prev_max_end
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, ts
+                         ROWS UNBOUNDED PRECEDING) AS sid
+        FROM m
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def s_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a DYNAMIC per-event gap (view events hold
+    a session open 10 minutes, everything else 30) — engagement-
+    weighted sessionization that a fixed gap can't express. Spark's
+    session_window accepts a gap EXPRESSION evaluated per row; merge
+    semantics are interval-overlap (an event joins a session while
+    its ts is strictly inside the session's running max end). The
+    oracle reproduces exactly that with a running-max-of-ends
+    gaps-and-islands window.
+    """
+    events = load_events_stream(spark, sf_dir)
+    gap = (
+        F.when(F.col("event_type") == "view", F.lit("10 minutes"))
+        .otherwise(F.lit("30 minutes"))
+    )
+    agg = events.groupBy(
+        F.session_window("ts", gap).alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    out = _run_to_memory(spark, agg, "complete")
+    return out.select(
+        "user_id", F.col("w.start").alias("session_start"), "n"
+    )
+
+
+@register(
     "s_stream_join",
     oracle="""
     SELECT a.event_id AS event_id, count(*) AS n_follow
