@@ -73,3 +73,51 @@ def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").applyInPandas(
         wavg, schema="l_returnflag string, wavg_price double"
     )
+
+
+@register(
+    "q_udf_arrow",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(
+               CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS l2_norm
+    FROM embeddings
+    """,
+)
+def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the zero-copy Arrow-native batch path — record
+    batches flow from Tungsten to pyarrow without the pandas
+    conversion layer (no object boxing, no index materialization),
+    which is the cheapest possible Python crossing for numeric array
+    work. Computes per-vector L2 norm over the embedding column with
+    numpy on the Arrow buffers; float64 end-to-end so the rounded
+    values sit on the same grid as the SQL oracle.
+    """
+    import pyarrow as pa
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+
+    def norms(batches):
+        import numpy as np
+
+        for batch in batches:
+            col = batch.column("e")
+            flat = np.asarray(col.flatten(), dtype=np.float64)
+            # A sliced ListArray keeps raw offsets (not 0-based) while
+            # flatten() trims to the slice — rebase before reduceat.
+            offsets = np.asarray(col.offsets, dtype=np.int64)
+            offsets = offsets - offsets[0]
+            sq = np.add.reduceat(flat * flat, offsets[:-1])
+            # reduceat on an empty slice (zero-length list) returns
+            # the next element; mask those to 0.
+            lengths = np.diff(offsets)
+            sq = np.where(lengths > 0, sq, 0.0)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("vec_id"),
+                 pa.array(np.round(np.sqrt(sq), 6), pa.float64())],
+                names=["vec_id", "l2_norm"],
+            )
+
+    return emb.mapInArrow(norms, schema="vec_id long, l2_norm double")
