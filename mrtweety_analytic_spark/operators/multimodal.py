@@ -84,24 +84,46 @@ def decode_stub(payload: bytes) -> dict:
     }
 
 
-def resize_stub(payload: bytes, target_w: int, target_h: int) -> dict:
-    """STUB resize standing in for PIL.Image.resize: deterministic
-    fake that keeps the real operator's contract (target dims echoed,
-    content-derived checksum changes with the 'resampling')."""
-    stride = max(1, len(payload) // (target_w * target_h or 1))
-    sampled = payload[::stride]
-    return {
-        "width": target_w,
-        "height": target_h,
-        "checksum": sum(sampled) % (1 << 31),
-    }
+def raw_decode_stub(payload: bytes):
+    """STUB for the bytes→pixel-array decode (the only env-blocked
+    step: PIL/libav are not in this container). Deterministic fake:
+    interpret the payload as a single-channel raw image whose width
+    is the largest power of two <= sqrt(len) (so shape is a pure
+    function of content). A real deployment replaces THIS function
+    with `np.asarray(PIL.Image.open(io.BytesIO(payload)))`; the
+    resample kernel below and all Spark plumbing stay unchanged."""
+    import numpy as np
+
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    if buf.size == 0:
+        return np.zeros((0, 0), dtype=np.uint8)
+    w = 1 << max(0, int(buf.size**0.5).bit_length() - 1)
+    h = buf.size // w
+    return buf[: h * w].reshape(h, w)
 
 
-@register("q_multimodal_resize")  # rows-only: stub resample, no SQL twin
+def resize_nearest(img, target_w: int, target_h: int):
+    """REAL nearest-neighbor resample (pure numpy, no codec needed):
+    index-map gather rows/cols at the scaled coordinates — the actual
+    algorithm a thumbnailing pipeline runs, not a checksum fake."""
+    import numpy as np
+
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        return np.zeros((target_h, target_w), dtype=np.uint8)
+    rows = np.minimum((np.arange(target_h) * h) // target_h, h - 1)
+    cols = np.minimum((np.arange(target_w) * w) // target_w, w - 1)
+    return img[rows][:, cols]
+
+
+@register("q_multimodal_resize")  # rows-only: stubbed decode, no SQL twin
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch image resize over opaque binary payloads: Arrow-batched
-    mapInPandas, one Python crossing per batch. Swap resize_stub for a
-    real PIL call and nothing else changes."""
+    mapInPandas, one Python crossing per batch. The resample kernel
+    (resize_nearest) is the real nearest-neighbor algorithm; only the
+    bytes→pixels decode is stubbed (raw_decode_stub — PIL/libav not
+    in this container). Swap the decode for a real one and nothing
+    else changes."""
     import pandas as pd
 
     docs = load_table(spark, sf_dir, "documents")
@@ -111,13 +133,18 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def resize_batches(it):
         for pdf in it:
-            feats = [resize_stub(bytes(p), 64, 64) for p in pdf["payload"]]
+            w, h, cks = [], [], []
+            for p in pdf["payload"]:
+                small = resize_nearest(raw_decode_stub(bytes(p)), 64, 64)
+                w.append(small.shape[1])
+                h.append(small.shape[0])
+                cks.append(int(small.sum()) % (1 << 31))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].to_numpy(),
-                    "width": [f["width"] for f in feats],
-                    "height": [f["height"] for f in feats],
-                    "checksum": [f["checksum"] for f in feats],
+                    "width": w,
+                    "height": h,
+                    "checksum": cks,
                 }
             )
 

@@ -768,3 +768,22 @@ def test_runtime_bloom_filter_plan(spark, sf_dir):
     assert "bloom_filter_agg" in plan
     assert "might_contain" in plan
     assert "BroadcastHashJoin" not in plan.split("== Initial Plan ==")[0]
+
+
+def test_resize_nearest_kernel():
+    """The resample kernel is real math, not a checksum fake: identity
+    resize is the identity, 2x upscale duplicates each pixel, and
+    downscale gathers the exact scaled-coordinate samples."""
+    import numpy as np
+
+    from mrtweety_analytic_spark.operators.multimodal import resize_nearest
+
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    assert np.array_equal(resize_nearest(img, 4, 4), img)
+    up = resize_nearest(img, 8, 8)
+    assert up.shape == (8, 8)
+    assert np.array_equal(up[::2, ::2], img)     # every source pixel kept
+    assert np.array_equal(up[1::2, 1::2], img)   # ...and duplicated
+    down = resize_nearest(img, 2, 2)
+    assert np.array_equal(down, img[[0, 2]][:, [0, 2]])
+    assert resize_nearest(np.zeros((0, 0), np.uint8), 3, 3).shape == (3, 3)
