@@ -168,3 +168,86 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("last_ts"),
         )
     )
+
+
+@register(
+    "q_table_diff",
+    oracle="""
+    WITH v2 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 31 = 0 THEN text || ' v2' ELSE text END
+                   AS text
+        FROM documents WHERE doc_id % 97 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, 'new doc' AS text
+        FROM documents WHERE doc_id % 53 = 0
+    ),
+    j AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               md5(a.text) AS h_a, md5(b.text) AS h_b
+        FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+    )
+    SELECT count(*) FILTER (WHERE id_a IS NULL) AS n_added,
+           count(*) FILTER (WHERE id_b IS NULL) AS n_deleted,
+           count(*) FILTER (WHERE id_a IS NOT NULL AND id_b IS NOT NULL
+                            AND h_a <> h_b) AS n_changed,
+           count(*) FILTER (WHERE h_a = h_b) AS n_unchanged
+    FROM j
+    """,
+)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (table diff): added/deleted/changed/
+    unchanged counts between two versions of a table. The v2 side is
+    a deterministic simulation (drop doc_id%97, edit doc_id%31, add
+    shifted ids for doc_id%53) so the diff itself is the operator
+    under test.
+
+    100 TB shape: each side collapses to (key, content_hash) BEFORE
+    the full outer join — the payload column never crosses the
+    shuffle, only 16-byte digests — and the classifier aggregate is
+    partial-combinable, so the whole diff is one thin-key shuffle
+    regardless of row width. This is the anti-entropy audit run after
+    any backfill/migration (does the rewritten table equal the old
+    one, and where not, how much).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    v2 = (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 31 == 0,
+                F.concat(F.col("text"), F.lit(" v2")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 53 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.lit("new doc").alias("text"),
+            )
+        )
+    )
+    a = docs.select(
+        F.col("doc_id").alias("id_a"), F.md5("text").alias("h_a")
+    )
+    b = v2.select(
+        F.col("doc_id").alias("id_b"), F.md5("text").alias("h_b")
+    )
+    j = a.join(b, a.id_a == b.id_b, "full_outer")
+    return j.agg(
+        F.count(F.when(F.col("id_a").isNull(), 1)).alias("n_added"),
+        F.count(F.when(F.col("id_b").isNull(), 1)).alias("n_deleted"),
+        F.count(
+            F.when(
+                F.col("id_a").isNotNull()
+                & F.col("id_b").isNotNull()
+                & (F.col("h_a") != F.col("h_b")),
+                1,
+            )
+        ).alias("n_changed"),
+        F.count(F.when(F.col("h_a") == F.col("h_b"), 1)).alias(
+            "n_unchanged"
+        ),
+    )
