@@ -65,6 +65,12 @@ HEADLINE = [
     "q_text_chunk",              # overlapping token chunking
     "q_maintenance_zorder",      # Morton-key clustering audit
     "q_join_bloom_runtime",      # runtime bloom-filter pruned join
+    # round-4 additions
+    "q_udf_arrow",               # zero-copy mapInArrow batch path
+    "q_table_diff",              # (key, digest) snapshot reconciliation
+    "q_fn_variant_schema",       # variant schema-drift probe
+    "q_sql_pipe",                # SQL pipe syntax surface
+    "q_fn_collation",            # collated case-insensitive grouping
 ]
 
 
