@@ -110,3 +110,39 @@ def q_fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped.select(
         F.lower("lang_grp").alias("lang_ci"), "n"
     )
+
+
+@register(
+    "q_fn_xml",
+    oracle="""
+    SELECT event_id, event_type AS t, round(value, 4) AS v
+    FROM events
+    """,
+)
+def q_fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingest via from_xml (Spark 4): each event is serialized to
+    an XML fragment and parsed back with a typed schema; the oracle
+    compares against the original columns, so the equality certifies
+    the parser (round-trip identity), not just that it ran. The XML
+    path matters for the enterprise half of a 100 TB lake — feeds
+    that still speak XML parse JVM-side with schema projection, no
+    Python crossing.
+    """
+    events = load_table(spark, sf_dir, "events")
+    xml = events.select(
+        "event_id",
+        F.concat(
+            F.lit("<e><t>"),
+            "event_type",
+            F.lit("</t><v>"),
+            F.col("value").cast("string"),
+            F.lit("</v></e>"),
+        ).alias("x"),
+    )
+    parsed = xml.select(
+        "event_id", F.from_xml("x", "t string, v double").alias("p")
+    )
+    return parsed.select(
+        "event_id", F.col("p.t").alias("t"),
+        F.round("p.v", 4).alias("v"),
+    )
