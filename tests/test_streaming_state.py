@@ -277,3 +277,28 @@ def test_transform_with_state_gated(spark, sf_dir):
     want = {r["user_id"]: (r["n_events"], r["n_types"], r["max_value"])
             for r in batch.collect()}
     assert got == want
+
+
+def test_idempotent_sink_exactly_once(spark, tmp_path):
+    """Redelivering a batch to IdempotentParquetSink (the at-least-
+    once crash-replay case foreachBatch exposes) must not duplicate
+    rows: the batch-id transaction log makes the second delivery a
+    no-op, and distinct batch ids append normally."""
+    import os
+
+    from mrtweety_analytic_spark.streaming.sink import IdempotentParquetSink
+
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    sink = IdempotentParquetSink(out)
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    sink(b0, 0)
+    sink(b0, 0)              # crash-replay redelivery of epoch 0
+    b1 = spark.createDataFrame([(3, "c")], "id long, v string")
+    sink(b1, 1)
+    back = spark.read.parquet(out)
+    assert sorted((r.id, r.v) for r in back.collect()) == [
+        (1, "a"), (2, "b"), (3, "c")
+    ]
+    # No temp litter from the committed path.
+    assert not [f for f in os.listdir(out) if f.startswith(".tmp-")]
