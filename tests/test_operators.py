@@ -787,3 +787,32 @@ def test_resize_nearest_kernel():
     down = resize_nearest(img, 2, 2)
     assert np.array_equal(down, img[[0, 2]][:, [0, 2]])
     assert resize_nearest(np.zeros((0, 0), np.uint8), 3, 3).shape == (3, 3)
+
+
+def test_observe_single_pass_metrics(spark, sf_dir):
+    """df.observe() collects audit metrics as a side-channel of the
+    SAME action — at 100 TB this replaces the second 'count the nulls
+    / sum the bytes' scan every pipeline stage otherwise pays. The
+    observed numbers must equal a direct aggregate."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from mrtweety_analytic_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    obs = Observation("ingest_audit")
+    audited = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").alias("total_chars"),
+        F.count(F.when(F.col("lang").isNull(), 1)).alias("null_langs"),
+    )
+    audited.write.format("noop").mode("overwrite").save()
+    direct = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("c"),
+    ).first()
+    got = obs.get
+    assert got["n_rows"] == direct["n"]
+    assert got["total_chars"] == direct["c"]
+    assert got["null_langs"] == 0
