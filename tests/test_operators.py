@@ -816,3 +816,46 @@ def test_observe_single_pass_metrics(spark, sf_dir):
     assert got["n_rows"] == direct["n"]
     assert got["total_chars"] == direct["c"]
     assert got["null_langs"] == 0
+
+
+def test_aqe_skew_join_split(spark):
+    """AQE must split a skewed shuffle partition at join time: with a
+    hot key holding ~90% of the probe side, the finalized adaptive
+    plan shows SortMergeJoin(skew=true) over a skewed AQEShuffleRead.
+    At 100 TB this is the runtime answer to key skew the static
+    planner can't see (salting remains the fallback when AQE can't
+    apply, e.g. under required output partitioning)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(200000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(1000).select(
+            (F.col("id") % 1000).alias("k"), F.lit("dim").alias("d")
+        )
+        j = left.join(right, "k").select(F.count(F.lit(1)).alias("n"))
+        # collect() finalizes THIS QueryExecution's adaptive plan (a
+        # write would run a separate one and leave this unfinalized).
+        assert j.collect()[0]["n"] == 200000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+        assert "skewed" in plan  # AQEShuffleRead ... skewed
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
