@@ -132,11 +132,23 @@ def main() -> None:
     # per-query codegen + JIT + host-noise cost that repeat execution
     # doesn't; recording both separates engine throughput from
     # first-touch overhead without changing the headline metric's
-    # definition across rounds.
+    # definition across rounds. A query failing only on the warm
+    # re-run is dropped from the warm set (not zero-summed) and
+    # reported under warm_errors, so a cold success is never
+    # mislabeled as a broken query.
     warm: dict[str, float] = {}
+    warm_errors: dict[str, str] = {}
+    cold_errors = dict(errors)
     for name in HEADLINE:
-        if name not in errors:
-            warm[name] = run_guarded(name)
+        if name in cold_errors:
+            continue
+        errors.pop(name, None)
+        t = run_guarded(name)
+        if name in errors:
+            warm_errors[name] = errors.pop(name)
+        else:
+            warm[name] = t
+    errors = cold_errors
 
     total = round(sum(timings.values()), 3)
     payload = {
@@ -150,6 +162,8 @@ def main() -> None:
     }
     if errors:
         payload["errors"] = errors
+    if warm_errors:
+        payload["warm_errors"] = warm_errors
     print(json.dumps(payload))
 
 

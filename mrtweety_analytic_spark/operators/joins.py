@@ -371,7 +371,9 @@ _BLOOM_CONF = {
 
 # Cache handle for the last q_join_bloom_runtime result — unpersisted
 # on the next call so repeated bench runs don't accumulate entries.
-_LAST_BLOOM_OUT = None
+from ..util import LastHandle  # noqa: E402
+
+_LAST_BLOOM_OUT = LastHandle(lambda df: df.unpersist())
 
 
 @register(
@@ -395,7 +397,6 @@ def q_join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
     The injected `might_contain(...)` filter is pinned by
     `tests/test_operators.py::test_runtime_bloom_filter_plan`.
     """
-    global _LAST_BLOOM_OUT
     prev = {k: spark.conf.get(k, None) for k in _BLOOM_CONF}
     for k, v in _BLOOM_CONF.items():
         spark.conf.set(k, v)
@@ -423,14 +424,11 @@ def q_join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
         # session conf at execution time, and the caller executes
         # AFTER the finally-block restores it — so materialize the
         # 1-row result into the cache now, under the conf. Later
-        # actions read the cache. The previous call's cache entry is
-        # released first (no unbounded accumulation across bench
-        # runs).
-        if _LAST_BLOOM_OUT is not None:
-            _LAST_BLOOM_OUT.unpersist()
+        # actions read the cache; the supersession handle releases the
+        # previous call's entry (no accumulation across bench runs).
         out = out.persist()
+        _LAST_BLOOM_OUT.replace(out)
         out.count()
-        _LAST_BLOOM_OUT = out
         return out
     finally:
         for k, v in prev.items():

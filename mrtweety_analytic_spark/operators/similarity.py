@@ -23,10 +23,11 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources import load_table
+from ..util import LastHandle
 
 # Cache handle for the last q_sim_knn_batch result — unpersisted on
 # the next call so repeated bench runs don't accumulate entries.
-_LAST_KNN_BATCH_OUT = None
+_LAST_KNN_BATCH_OUT = LastHandle(lambda df: df.unpersist())
 
 KNN_K = 10
 BATCH_K = 3
@@ -212,7 +213,6 @@ def q_sim_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import functools
 
-    global _LAST_KNN_BATCH_OUT
     partial = functools.reduce(DataFrame.unionByName, partials)
     w = W.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("vec_id"))
     out = (
@@ -227,10 +227,8 @@ def q_sim_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         # runs hold at most one.
         .persist()
     )
-    if _LAST_KNN_BATCH_OUT is not None:
-        _LAST_KNN_BATCH_OUT.unpersist()
+    _LAST_KNN_BATCH_OUT.replace(out)
     out.count()
-    _LAST_KNN_BATCH_OUT = out
     for bc in bcs:
         # unpersist (not destroy): frees executor copies now; the
         # driver copy remains, so a cache-evicted recompute can still

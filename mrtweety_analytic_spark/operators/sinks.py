@@ -21,16 +21,18 @@ from ..registry import register
 from ..sources import load_table
 
 
-# Last scratch dir handed out per (name, sf_dir) — deleted when the
-# next call for the same slot supersedes it, and at interpreter exit.
-_SCRATCH_LIVE: dict[tuple[str, str], str] = {}
+# Scratch dirs handed out per (name, sf_dir), newest last — two
+# generations are retained (see _scratch docstring); older ones are
+# deleted on supersession and everything at interpreter exit.
+_SCRATCH_LIVE: dict[tuple[str, str], list[str]] = {}
 
 
 def _cleanup_scratch() -> None:
     import shutil
 
-    for path in _SCRATCH_LIVE.values():
-        shutil.rmtree(path, ignore_errors=True)
+    for paths in _SCRATCH_LIVE.values():
+        for path in paths:
+            shutil.rmtree(path, ignore_errors=True)
     _SCRATCH_LIVE.clear()
 
 
@@ -45,23 +47,25 @@ def _scratch(name: str, sf_dir: str) -> str:
     rmtree the directory out from under an uncollected DataFrame that
     lazily reads it. Unique paths make every returned DataFrame's
     backing files immutable for its lifetime. Unboundedness is
-    handled by succession: a new call for the same (name, sf_dir)
-    slot deletes the PREVIOUS dir (its DataFrame is superseded by the
-    new result), and whatever is live at exit is removed atexit — so
-    at most one dir per slot outlives the process only on a crash.
+    handled by bounded succession: the slot keeps the newest TWO
+    dirs — the previous generation may still back a lazily
+    re-evaluated DataFrame the caller holds (e.g. bench's cold pass
+    while the warm pass runs), so only the generation before THAT is
+    deleted — and everything still live is removed atexit. Only a
+    crash leaks, and at most two dirs per slot.
     """
     import shutil
 
     tag = sf_dir.strip("/").replace("/", "_")
     key = (name, tag)
-    prev = _SCRATCH_LIVE.get(key)
-    if prev is not None:
-        shutil.rmtree(prev, ignore_errors=True)
+    paths = _SCRATCH_LIVE.setdefault(key, [])
     path = os.path.join(
         tempfile.gettempdir(),
         f"mrtweety_{name}_{tag}_{uuid.uuid4().hex[:8]}",
     )
-    _SCRATCH_LIVE[key] = path
+    paths.append(path)
+    while len(paths) > 2:
+        shutil.rmtree(paths.pop(0), ignore_errors=True)
     return path
 
 

@@ -109,14 +109,23 @@ def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             # flatten() trims to the slice — rebase before reduceat.
             offsets = np.asarray(col.offsets, dtype=np.int64)
             offsets = offsets - offsets[0]
-            sq = np.add.reduceat(flat * flat, offsets[:-1])
-            # reduceat on an empty slice (zero-length list) returns
-            # the next element; mask those to 0.
+            if flat.size:
+                sq = np.add.reduceat(flat * flat, offsets[:-1])
+            else:
+                # reduceat raises on an empty value buffer (a batch of
+                # only empty/null lists); every row's sum is 0.
+                sq = np.zeros(len(col), dtype=np.float64)
+            # reduceat on a zero-length slice returns the NEXT
+            # element; mask those rows to 0.
             lengths = np.diff(offsets)
             sq = np.where(lengths > 0, sq, 0.0)
+            norm = np.round(np.sqrt(sq), 6)
+            # NULL embedding → NULL norm (matching SQL semantics, not
+            # 0.0): carry the list-level validity through.
+            mask = col.is_null().to_numpy(zero_copy_only=False)
             yield pa.RecordBatch.from_arrays(
                 [batch.column("vec_id"),
-                 pa.array(np.round(np.sqrt(sq), 6), pa.float64())],
+                 pa.array(norm, pa.float64(), mask=mask)],
                 names=["vec_id", "l2_norm"],
             )
 

@@ -48,7 +48,11 @@ def _events_stream_schema(sf_dir: str) -> T.StructType:
     import pyarrow.parquet as pq
 
     arrow_ts = pq.read_schema(table_path(sf_dir, "events")).field("ts").type
-    if str(arrow_ts) in ("int64", "timestamp[ns]"):
+    # ns-unit parquet (tz-tagged or not) reaches Spark as INT64 under
+    # the nanosAsLong conf — matching on the naive string form alone
+    # would misroute a timestamp[ns, tz=...] file to the LTZ branch
+    # and crash every micro-batch with a column-type mismatch.
+    if str(arrow_ts) == "int64" or getattr(arrow_ts, "unit", None) == "ns":
         ts_type: T.DataType = T.LongType()
     elif getattr(arrow_ts, "tz", None):
         ts_type = T.TimestampType()
@@ -64,14 +68,20 @@ def _events_stream_schema(sf_dir: str) -> T.StructType:
     )
 
 
+# Columns that are temporal by contract (FIXTURES.md); a LongType
+# reading of one of these means the file is physically timestamp[ns]
+# surfaced through the nanosAsLong conf, never a genuine integer.
+_TEMPORAL_COLUMNS = frozenset({"ts", "l_shipdate", "o_orderdate"})
+
+
 def _normalize_timestamps(df: DataFrame) -> DataFrame:
     """Land every timestamp variant on µs TimestampType (LTZ, session
     tz = UTC), preserving column order.
 
-    - long nanos (nanosAsLong read of timestamp[ns], 'ts' only):
-      integer DIV 1000 — not `/`, float division of ~1.7e18 ns
-      exceeds the double mantissa and lands ±1 µs off — then
-      timestamp_micros. Lossless: corpus values are µs precision.
+    - long nanos (nanosAsLong read of timestamp[ns], temporal-named
+      columns only): integer DIV 1000 — not `/`, float division of
+      ~1.7e18 ns exceeds the double mantissa and lands ±1 µs off —
+      then timestamp_micros. Lossless: corpus values are µs precision.
     - TIMESTAMP_NTZ (native timestamp[us] corpus): cast to LTZ; under
       the UTC session timezone this is value-identity, and it keeps
       LTZ-only functions (unix_micros etc.) working downstream.
@@ -79,8 +89,13 @@ def _normalize_timestamps(df: DataFrame) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
+    def is_long_nanos(field: T.StructField) -> bool:
+        return field.name in _TEMPORAL_COLUMNS and isinstance(
+            field.dataType, T.LongType
+        )
+
     def fix(field: T.StructField):
-        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+        if is_long_nanos(field):
             return F.timestamp_micros(
                 F.expr(f"{field.name} DIV 1000")
             ).alias(field.name)
@@ -89,8 +104,7 @@ def _normalize_timestamps(df: DataFrame) -> DataFrame:
         return F.col(field.name)
 
     if any(
-        (f.name == "ts" and isinstance(f.dataType, T.LongType))
-        or isinstance(f.dataType, T.TimestampNTZType)
+        is_long_nanos(f) or isinstance(f.dataType, T.TimestampNTZType)
         for f in df.schema.fields
     ):
         return df.select(*[fix(f) for f in df.schema.fields])

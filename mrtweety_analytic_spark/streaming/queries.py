@@ -13,7 +13,6 @@ windows the final watermark hasn't passed).
 
 from __future__ import annotations
 
-import atexit
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -21,9 +20,15 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources import load_events_stream
+from ..util import LastHandle
 
 
-def _run_to_memory(spark: SparkSession, df: DataFrame, mode: str) -> DataFrame:
+def _run_to_memory(
+    spark: SparkSession,
+    df: DataFrame,
+    mode: str,
+    checkpoint: str | None = None,
+) -> DataFrame:
     """Execute a streaming aggregation to completion; materialize the
     memory-sink table as a plain local DataFrame.
 
@@ -31,19 +36,23 @@ def _run_to_memory(spark: SparkSession, df: DataFrame, mode: str) -> DataFrame:
     the batch-equivalence harness of SURVEY.md §7.4. State-store
     instances scale with shuffle partitions, so the partition count is
     dropped for the stateful run (8 state stores instead of 32 for a
-    replay this size) and restored after.
+    replay this size) and restored after. Pass `checkpoint` to persist
+    the run's state for post-hoc inspection (s_state_reader); the
+    default temp checkpoint is discarded by Spark on clean stop.
     """
     name = f"s_{uuid.uuid4().hex[:12]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q = (
+        writer = (
             df.writeStream.outputMode(mode)
             .format("memory")
             .queryName(name)
             .trigger(availableNow=True)
-            .start()
         )
+        if checkpoint is not None:
+            writer = writer.option("checkpointLocation", checkpoint)
+        q = writer.start()
         if not q.awaitTermination(timeout=600):
             q.stop()
             raise TimeoutError(f"streaming query {name} exceeded 600s")
@@ -373,17 +382,13 @@ def s_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Previous s_state_reader checkpoint dir — superseded on the next
 # call so repeated runs don't accumulate state dirs in the tempdir;
 # the final one is removed at interpreter exit.
-_LAST_STATE_CKPT: list[str] = []
-
-
-def _cleanup_state_ckpt() -> None:
+def _rmtree(path: str) -> None:
     import shutil
 
-    while _LAST_STATE_CKPT:
-        shutil.rmtree(_LAST_STATE_CKPT.pop(), ignore_errors=True)
+    shutil.rmtree(path, ignore_errors=True)
 
 
-atexit.register(_cleanup_state_ckpt)
+_LAST_STATE_CKPT = LastHandle(_rmtree)
 
 
 @register(
@@ -406,9 +411,7 @@ def s_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-parallel over the state files.
     """
     import os
-    import shutil
     import tempfile
-    import uuid
 
     events = load_events_stream(spark, sf_dir)
     agg = events.groupBy(
@@ -417,24 +420,7 @@ def s_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(
         tempfile.gettempdir(), f"mrtweety_state_{uuid.uuid4().hex[:8]}"
     )
-    name = f"s_{uuid.uuid4().hex[:12]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(timeout=600):
-            q.stop()
-            raise TimeoutError("s_state_reader exceeded 600s")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    spark.catalog.dropTempView(name)
+    _run_to_memory(spark, agg, "complete", checkpoint=ckpt)
     state = spark.read.format("statestore").load(ckpt)
     out = state.select(
         F.col("key.window.start").alias("window_start"),
@@ -444,9 +430,7 @@ def s_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Pin rows before the checkpoint dir is superseded by a later
     # call (the statestore read is lazy over those files).
     pinned = spark.createDataFrame(out.collect(), out.schema)
-    while _LAST_STATE_CKPT:
-        shutil.rmtree(_LAST_STATE_CKPT.pop(), ignore_errors=True)
-    _LAST_STATE_CKPT.append(ckpt)
+    _LAST_STATE_CKPT.replace(ckpt)
     return pinned
 
 

@@ -200,6 +200,14 @@ class IdempotentParquetSink:
         try:
             os.rename(tmp, final)
         except OSError:
-            # Lost the promotion race to a concurrent redelivery —
-            # that attempt committed the identical data; clean up.
-            shutil.rmtree(tmp, ignore_errors=True)
+            if os.path.exists(final):
+                # Lost the promotion race to a concurrent redelivery
+                # — that attempt committed the identical data.
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                # Genuine rename failure (permissions, missing parent,
+                # …): swallowing it would let the checkpoint commit a
+                # batch whose data was never promoted — the silent
+                # data-loss case. Surface it so the query fails and
+                # the batch is redelivered.
+                raise

@@ -33,15 +33,19 @@ def _write_events(dirpath: str, ts_type: pa.DataType) -> None:
     ts = [
         dt.datetime.strptime(r[1], "%Y-%m-%d %H:%M:%S.%f") for r in ROWS
     ]
+    epoch_ns = pa.array(
+        [int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6) * 1000
+         for t in ts],
+        type=pa.int64(),
+    )
     if ts_type == "int64-nanos":
-        arr = pa.array(
-            [int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6) * 1000
-             for t in ts],
-            type=pa.int64(),
-        )
         # Physically timestamp[ns]: what rounds 1-2 shipped. Spark
         # reads it as long nanos under nanosAsLong=true.
-        arr = arr.cast(pa.timestamp("ns"))
+        arr = epoch_ns.cast(pa.timestamp("ns"))
+    elif getattr(ts_type, "unit", None) == "ns":
+        # tz-tagged ns: ALSO surfaces as INT64 under nanosAsLong —
+        # the stream-schema branch must key on the unit, not the tz.
+        arr = epoch_ns.cast(ts_type)
     else:
         arr = pa.array(ts, type=ts_type)
     table = pa.table(
@@ -60,6 +64,7 @@ def _write_events(dirpath: str, ts_type: pa.DataType) -> None:
 
 ENCODINGS = {
     "nanos": "int64-nanos",
+    "nanos_utc": pa.timestamp("ns", tz="UTC"),
     "us_ntz": pa.timestamp("us"),
     "us_utc": pa.timestamp("us", tz="UTC"),
 }
