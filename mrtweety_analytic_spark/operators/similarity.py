@@ -219,14 +219,19 @@ def q_sim_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         partial.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= BATCH_K)
         .select("probe_id", "vec_id", "score")
-        # Materialize once so the per-chunk probe broadcasts can be
-        # released before returning — otherwise executors retain one
-        # broadcast per chunk for the session's lifetime. The cached
-        # k·|probes| rows are what the caller re-reads. The previous
-        # call's cache entry is released first, so repeated bench
-        # runs hold at most one.
-        .persist()
     )
+    # Materialize once so the per-chunk probe broadcasts can be
+    # released before returning — otherwise executors retain one
+    # broadcast per chunk for the session's lifetime. The cached
+    # k·|probes| rows are what the caller re-reads. The previous
+    # call's entry is released BEFORE the new persist (see
+    # q_join_bloom_runtime: a cache-identical repeat plan would dedup
+    # onto the old entry and die with its unpersist; knn_batch plans
+    # differ per call via fresh closures, but the ordering keeps this
+    # safe if that ever changes), so repeated bench runs hold at most
+    # one.
+    _LAST_KNN_BATCH_OUT.clear()
+    out = out.persist()
     _LAST_KNN_BATCH_OUT.replace(out)
     out.count()
     for bc in bcs:
