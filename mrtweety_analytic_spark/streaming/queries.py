@@ -171,7 +171,7 @@ def s_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
         SELECT user_id, ts,
-               sum(CASE WHEN prev_max_end IS NULL OR ts >= prev_max_end
+               sum(CASE WHEN prev_max_end IS NULL OR ts > prev_max_end
                         THEN 1 ELSE 0 END)
                    OVER (PARTITION BY user_id ORDER BY ts, ts
                          ROWS UNBOUNDED PRECEDING) AS sid
@@ -186,9 +186,11 @@ def s_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     a session open 10 minutes, everything else 30) — engagement-
     weighted sessionization that a fixed gap can't express. Spark's
     session_window accepts a gap EXPRESSION evaluated per row; merge
-    semantics are interval-overlap (an event joins a session while
-    its ts is strictly inside the session's running max end). The
-    oracle reproduces exactly that with a running-max-of-ends
+    semantics are INCLUSIVE interval-overlap — an event at or before
+    the session's running max end joins it; only ts strictly past the
+    end opens a new session (boundary rule pinned by
+    test_session_window_dynamic_gap_matches_reference). The oracle
+    reproduces exactly that with a running-max-of-ends
     gaps-and-islands window.
     """
     events = load_events_stream(spark, sf_dir)

@@ -136,3 +136,63 @@ def test_retention_day_zero_counts_cohort(spark, sf_dir):
     for r in rows:
         assert r.cohort_day in day0
         assert r.n_active <= day0[r.cohort_day]
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=150),  # offset seconds
+            st.booleans(),                            # short (10s) vs long (30s) gap
+        ),
+        min_size=0,
+        max_size=25,
+    )
+)
+def test_session_window_dynamic_gap_matches_reference(spark, events):
+    """session_window with a per-event gap expression must merge
+    intervals exactly like the reference algorithm: sort by event
+    time, a row joins the current session while its ts is strictly
+    before the running max end (ts + its own gap extends the end),
+    ts >= end starts a new session. Random offsets produce duplicate
+    timestamps and exact-boundary collisions — the cases the sf-scale
+    oracle never hits."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (base + dt.timedelta(seconds=off), 10 if short else 30)
+        for off, short in events
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "ts timestamp, gap_s int")
+    gap = F.when(F.col("gap_s") == 10, F.lit("10 seconds")).otherwise(
+        F.lit("30 seconds")
+    )
+    got = sorted(
+        (r["w"]["start"], r["n"])
+        for r in df.groupBy(F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    # Reference merge. Ties: same-ts rows always co-session (gap > 0),
+    # so sorting by (ts, end) is order-deterministic. Boundary rule
+    # (verified empirically, and what this test exists to pin): Spark
+    # merges INCLUSIVELY — an event at exactly the session's current
+    # end joins it; only ts strictly past the end opens a new session.
+    items = sorted((ts, ts + dt.timedelta(seconds=g)) for ts, g in rows)
+    sessions = []
+    cur_start, cur_end, cur_n = None, None, 0
+    for ts, end in items:
+        if cur_end is None or ts > cur_end:
+            if cur_end is not None:
+                sessions.append((cur_start, cur_n))
+            cur_start, cur_end, cur_n = ts, end, 1
+        else:
+            cur_end = max(cur_end, end)
+            cur_n += 1
+    sessions.append((cur_start, cur_n))
+    assert got == sorted(sessions)
