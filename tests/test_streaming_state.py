@@ -302,3 +302,47 @@ def test_idempotent_sink_exactly_once(spark, tmp_path):
     ]
     # No temp litter from the committed path.
     assert not [f for f in os.listdir(out) if f.startswith(".tmp-")]
+
+
+def test_chained_window_emits_at_exact_watermark_boundary(spark, tmp_path):
+    """s_chained_windows boundary rule: a day window whose END equals
+    the final watermark (max event time) IS emitted — Spark finalizes
+    append-mode windows when watermark >= end, and the oracle's
+    `day + 1 DAY <= max(ts)` cutoff must stay inclusive to match.
+    Random corpus timestamps never land on an exact boundary, so this
+    agreement is pinned here with constructed data."""
+    import datetime as dt
+    import uuid
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (base + dt.timedelta(hours=h), "a") for h in (1, 5, 9)
+    ] + [(dt.datetime(2024, 1, 2), "a")]  # exactly at day-1 end
+    p = str(tmp_path / "events")
+    spark.createDataFrame(rows, "ts timestamp, event_type string").write.parquet(p)
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string")
+        .parquet(p)
+        .withWatermark("ts", "0 seconds")
+    )
+    lvl1 = stream.groupBy(
+        F.window("ts", "6 hours").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    lvl2 = lvl1.groupBy(
+        F.window(F.window_time("w"), "1 day").alias("d")
+    ).agg(F.sum("n").alias("n_events"), F.count(F.lit(1)).alias("n_cells"))
+    name = f"wmb_{uuid.uuid4().hex[:8]}"
+    q = (
+        lvl2.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(timeout=300)
+    out = spark.table(name).collect()
+    spark.catalog.dropTempView(name)
+    assert len(out) == 1
+    assert out[0]["d"]["start"] == base
+    assert out[0]["n_events"] == 3  # the boundary event belongs to day 2
+    assert out[0]["n_cells"] == 2
