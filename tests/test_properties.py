@@ -152,11 +152,13 @@ def test_retention_day_zero_counts_cohort(spark, sf_dir):
 def test_session_window_dynamic_gap_matches_reference(spark, events):
     """session_window with a per-event gap expression must merge
     intervals exactly like the reference algorithm: sort by event
-    time, a row joins the current session while its ts is strictly
+    time, a row joins the current session while its ts is at or
     before the running max end (ts + its own gap extends the end),
-    ts >= end starts a new session. Random offsets produce duplicate
-    timestamps and exact-boundary collisions — the cases the sf-scale
-    oracle never hits."""
+    and only ts strictly past the end starts a new session. Random
+    offsets produce duplicate timestamps and exact-boundary
+    collisions — the cases the sf-scale oracle never hits (this test
+    caught the >= vs > boundary bug in the s_session_dynamic
+    oracle)."""
     import datetime as dt
 
     from pyspark.sql import functions as F
@@ -196,3 +198,65 @@ def test_session_window_dynamic_gap_matches_reference(spark, events):
             cur_n += 1
     sessions.append((cur_start, cur_n))
     assert got == sorted(sessions)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(  # (user, offset_s, is_purchase) — coarse offsets force ties
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=0, max_value=8),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_asof_join_matches_reference(spark, raw):
+    """q_join_asof's equi-join + max(struct) must pick exactly the
+    reference answer — latest view at-or-before the purchase, ties on
+    ts resolved to the larger event_id — including same-timestamp
+    collisions the corpus's microsecond-random ts never produces."""
+    import datetime as dt
+
+    from mrtweety_analytic_spark.operators.joins import q_join_asof
+    from mrtweety_analytic_spark.sources import table_path
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            base + dt.timedelta(seconds=off),
+            user,
+            "purchase" if purch else "view",
+            float(i),
+            "{}",
+        )
+        for i, (user, off, purch) in enumerate(raw)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    import tempfile
+    import uuid
+
+    d = tempfile.mkdtemp(prefix=f"asof_{uuid.uuid4().hex[:6]}_")
+    df.write.mode("overwrite").parquet(table_path(d, "events"))
+    got = {
+        r["event_id"]: r["last_view_value"]
+        for r in q_join_asof(spark, d).collect()
+    }
+    want = {}
+    for i, (user, off, purch) in enumerate(raw):
+        if not purch:
+            continue
+        cands = [
+            (base + dt.timedelta(seconds=o2), j, float(j))
+            for j, (u2, o2, p2) in enumerate(raw)
+            if not p2 and u2 == user
+            and base + dt.timedelta(seconds=o2) <= base + dt.timedelta(seconds=off)
+        ]
+        want[i] = max(cands)[2] if cands else None
+    assert got == want
