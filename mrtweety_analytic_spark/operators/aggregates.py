@@ -447,3 +447,45 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.bitmap_count("bm_all")).alias("n_users"),
         F.sum(F.bitmap_count("bm_buy")).alias("n_buyers"),
     )
+
+
+@register(
+    "q_agg_salted_twophase",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS sum_value,
+           round(max(value), 6) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation — the groupBy-side skew answer
+    (complementing join-side salting in joins.salted_join and AQE's
+    skew-JOIN splitting, which does not apply to aggregations): rows
+    first aggregate on (key, salt) so a hot key's traffic spreads
+    over N_SALTS reducers, then the per-salt partials re-aggregate on
+    the key alone. Works because count/sum/max are commutative
+    monoids — phase 2 combines partials exactly like Spark's own
+    partial_agg, so the result is bit-identical to the plain groupBy
+    (which is what the oracle checks). The second shuffle moves only
+    |keys|·N_SALTS partial rows. With 5 event_type values over 100k+
+    events, every key is 'hot' relative to a single reducer — the
+    pattern under test is exactly what a power-law key distribution
+    needs at 100 TB.
+    """
+    N_SALTS = 8
+    events = load_table(spark, sf_dir, "events")
+    salted = events.withColumn(
+        "_salt", F.pmod(F.xxhash64("event_id"), F.lit(N_SALTS))
+    )
+    phase1 = salted.groupBy("event_type", "_salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum("value").alias("psum"),
+        F.max("value").alias("pmax"),
+    )
+    return phase1.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.round(F.sum("psum"), 4).alias("sum_value"),
+        F.round(F.max("pmax"), 6).alias("max_value"),
+    )
