@@ -251,3 +251,57 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_unchanged"
         ),
     )
+
+
+@register(
+    "q_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS day,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type,
+               avg(n) OVER w AS mu,
+               stddev_samp(n) OVER w AS sigma,
+               day, n
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type)
+    )
+    SELECT event_type, day, n,
+           round((n - mu) / sigma, 6) AS z
+    FROM stats
+    WHERE sigma > 0 AND abs((n - mu) / sigma) > 2
+    """,
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: daily event counts per type, z-scored
+    against that type's own day distribution, rows beyond 2 sigma
+    flagged — the ingest-monitoring primitive that catches a producer
+    outage or a crawler loop before it poisons a training snapshot.
+    Two thin aggregations: the day grid is O(types x days) rows, so
+    the stats window costs nothing after the first groupBy collapses
+    the event stream map-side.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("event_type")
+    stats = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_samp("n").over(w).alias("sigma"),
+    )
+    return stats.filter(
+        (F.col("sigma") > 0)
+        & (F.abs((F.col("n") - F.col("mu")) / F.col("sigma")) > 2)
+    ).select(
+        "event_type",
+        "day",
+        "n",
+        F.round((F.col("n") - F.col("mu")) / F.col("sigma"), 6).alias("z"),
+    )
