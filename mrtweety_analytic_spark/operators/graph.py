@@ -160,3 +160,62 @@ def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy(F.col("d").alias("degree")).agg(
         F.count(F.lit(1)).alias("n_nodes")
     )
+
+
+@register(
+    "q_graph_triangles",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+             greatest(a.l_partkey, b.l_partkey) AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST((SELECT count(*) FROM edges e1
+                 JOIN edges e2 ON e1.v = e2.u
+                 JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v)
+                AS BIGINT) AS n_triangles
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the co-order part graph (parts are
+    connected when some order contains both) — the classic clustering
+    /community signal, and the canonical test of a join planner's
+    wedge enumeration. Oriented formulation: every edge is stored
+    once as (u < v), so each triangle {a<b<c} is counted exactly once
+    as the wedge a→b→c closed by a→c — no post-hoc division by 6 and,
+    at scale, no high-degree node ever fans out both sides of a
+    wedge. (Production refinement at 100 TB: orient by degree rather
+    than id so hub nodes take the low-fan-out role; same plan shape.)
+    The edge list is built once and localCheckpointed: the triangle
+    join re-reads the materialized ~|E| rows, not the fact join.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    wedges = e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+    closed = wedges.join(
+        e3,
+        (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+    )
+    n_tri = closed.agg(F.count(F.lit(1)).alias("n")).first()["n"]
+    n_edges = edges.count()
+    return spark.createDataFrame(
+        [(n_edges, n_tri)], "n_edges long, n_triangles long"
+    )
