@@ -175,3 +175,49 @@ def q_source_custom_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tags.groupBy(F.lower("hashtag").alias("hashtag")).agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@register(
+    "q_source_binaryfile",
+    oracle="""
+    SELECT count(*) AS n_files,
+           CAST(sum(length(text)) AS BIGINT) AS total_bytes,
+           count(DISTINCT md5(text)) AS n_distinct
+    FROM (SELECT text FROM documents ORDER BY doc_id LIMIT 20)
+    """,
+)
+def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `binaryFile` source — Spark's native opaque-blob ingest
+    (one row per file: path, modificationTime, length, content) and
+    the front door for image/audio/video payloads at 100 TB (pair
+    with pathGlobFilter + recursiveFileLookup over an object-store
+    prefix; downstream decode is the multimodal mapInPandas tier).
+    Certified end-to-end: 20 deterministic payload files are written
+    out, read back through binaryFile, and the (count, bytes,
+    distinct-digest) profile must equal the same profile computed
+    relationally from the source table.
+    """
+    import os
+
+    from .sinks import _scratch
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(20)
+        .select("doc_id", "text")
+        .collect()
+    )
+    # Succession-cleaned scratch slot (two generations retained,
+    # atexit removal) — same lifecycle as the sink roundtrips.
+    out = _scratch("binfiles", sf_dir)
+    os.makedirs(out)
+    for r in docs:
+        with open(os.path.join(out, f"doc_{r['doc_id']}.bin"), "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+    files = spark.read.format("binaryFile").load(out)
+    return files.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("length").alias("total_bytes"),
+        F.countDistinct(F.md5("content")).alias("n_distinct"),
+    )
