@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..registry import register
-from ..sources import load_table
+from ..sources import load_table, table_path
 
 
 @register(
@@ -220,4 +220,31 @@ def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_files"),
         F.sum("length").alias("total_bytes"),
         F.countDistinct(F.md5("content")).alias("n_distinct"),
+    )
+
+
+@register(
+    "q_scan_file_metadata",
+    oracle="""
+    SELECT 'events.parquet' AS file_name,
+           count(*) AS n_rows,
+           count(DISTINCT event_id) AS n_ids
+    FROM events
+    """,
+)
+def q_scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `_metadata` hidden column on file scans: every row carries
+    its source file (name, path, size, mod time) with no extra I/O —
+    row-level lineage. At 100 TB this is the quarantine primitive:
+    when a corrupt producer file poisons a snapshot, grouping by
+    `_metadata.file_name` identifies and excises exactly the affected
+    rows without re-reading the lake. Certified by profiling the
+    events table per source file against the relational row count.
+    """
+    df = spark.read.parquet(table_path(sf_dir, "events")).select(
+        F.col("_metadata.file_name").alias("file_name"), "event_id"
+    )
+    return df.groupBy("file_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("event_id").alias("n_ids"),
     )
