@@ -93,15 +93,17 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return round(time.time() - t0, 3)
 
-    def run_guarded(name: str) -> float:
+    def run_guarded(name: str) -> float | None:
         # One broken query must not zero the whole bench line (round-3
         # lesson: a single AnalysisException cost every timing). The
-        # failure is reported in the JSON instead.
+        # failure is reported in the JSON, and the timing is None —
+        # never 0.0, which would be summed and make a breakage look
+        # like a speedup in headline_total.
         try:
             return run(name)
         except Exception as e:
             errors[name] = f"{type(e).__name__}: {e}"[:300]
-            return 0.0
+            return None
 
     # Warm-up, unmeasured: a real shuffle + codegen pass (a metadata-
     # only count would leave the first measured query paying the
@@ -124,7 +126,10 @@ def main() -> None:
     run_guarded("q_scan_parquet")
     errors.pop("q_scan_parquet", None)
 
-    timings: dict[str, float] = {}
+    # A failed query records null (JSON) and is excluded from the
+    # total, so a failure can only make the headline look WORSE
+    # (n_failed > 0), never faster.
+    timings: dict[str, float | None] = {}
     for name in HEADLINE:
         timings[name] = run_guarded(name)
 
@@ -144,13 +149,13 @@ def main() -> None:
             continue
         errors.pop(name, None)
         t = run_guarded(name)
-        if name in errors:
-            warm_errors[name] = errors.pop(name)
+        if name in errors or t is None:
+            warm_errors[name] = errors.pop(name, "unknown")
         else:
             warm[name] = t
     errors = cold_errors
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(t for t in timings.values() if t is not None), 3)
     payload = {
         "metric": "headline_total",
         "value": total,
@@ -159,6 +164,7 @@ def main() -> None:
         "queries_warm": warm,
         "warm_total": round(sum(warm.values()), 3),
         "sf": sf,
+        "n_failed": len([t for t in timings.values() if t is None]),
     }
     if errors:
         payload["errors"] = errors

@@ -20,24 +20,51 @@ from ..registry import register
 from ..sources import load_table
 
 
+# Spark's schema_of_variant infers a DECIMAL(p,s) per numeric literal
+# (1.5 and 2.25 are different "shapes") while DuckDB's json_structure
+# calls every float DOUBLE — so the two engines partition payloads
+# differently on corpora with varied numeric scales. Both sides
+# collapse every numeric leaf type to the token NUM before
+# distinct-counting, making the compared partition "structure +
+# leaf-kind class" (string / number / bool / null / nested), which
+# both engines agree on. Pinned by
+# tests/test_properties.py::test_variant_shape_partition_matches_duckdb.
+_SPARK_NUM_TYPES = (
+    r"DECIMAL\(\d+,\s*\d+\)|BIGINT|SMALLINT|TINYINT|DOUBLE|FLOAT|INT"
+)
+# Quote-delimited in the JSON structure document so only type tokens
+# in value position match (a field literally named "DOUBLE" would
+# also match — acceptable for a synthetic-corpus gate).
+_DUCK_NUM_TYPES = (
+    '"(U?BIGINT|U?INTEGER|U?SMALLINT|U?TINYINT|HUGEINT|UHUGEINT'
+    '|DOUBLE|FLOAT|DECIMAL[^"]*)"'
+)
+
+
 @register(
     "q_fn_variant_schema",
-    oracle="""
+    oracle=f"""
     SELECT count(*) AS n_rows,
-           count(DISTINCT json_structure(props)) AS n_shapes
+           count(DISTINCT regexp_replace(
+               CAST(json_structure(props) AS VARCHAR),
+               '{_DUCK_NUM_TYPES}', '"NUM"', 'g')) AS n_shapes
     FROM events
     """,
 )
 def q_fn_variant_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema drift probe over semi-structured payloads:
-    schema_of_variant per row, distinct-counted corpus-wide. The
-    ingest-governance primitive for a 100 TB raw-JSON lake — detects
-    producers changing payload shape without scanning twice (one
-    pass, two aggregates).
+    schema_of_variant per row (numeric leaf types normalized),
+    distinct-counted corpus-wide. The ingest-governance primitive for
+    a 100 TB raw-JSON lake — detects producers changing payload shape
+    without scanning twice (one pass, two aggregates).
     """
     events = load_table(spark, sf_dir, "events")
     shapes = events.select(
-        F.schema_of_variant(F.parse_json("props")).alias("shape")
+        F.regexp_replace(
+            F.schema_of_variant(F.parse_json("props")),
+            _SPARK_NUM_TYPES,
+            "NUM",
+        ).alias("shape")
     )
     return shapes.agg(
         F.count(F.lit(1)).alias("n_rows"),

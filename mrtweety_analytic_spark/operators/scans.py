@@ -181,7 +181,10 @@ def q_source_custom_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_source_binaryfile",
     oracle="""
     SELECT count(*) AS n_files,
-           CAST(sum(length(text)) AS BIGINT) AS total_bytes,
+           -- strlen = BYTE length in DuckDB: the files are written
+           -- UTF-8-encoded, so compare bytes-vs-bytes (length() would
+           -- count characters and drift on non-ASCII corpora).
+           CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
            count(DISTINCT md5(text)) AS n_distinct
     FROM (SELECT text FROM documents ORDER BY doc_id LIMIT 20)
     """,

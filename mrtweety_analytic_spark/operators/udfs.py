@@ -110,10 +110,16 @@ def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             offsets = np.asarray(col.offsets, dtype=np.int64)
             offsets = offsets - offsets[0]
             if flat.size:
-                sq = np.add.reduceat(flat * flat, offsets[:-1])
+                # Sentinel-pad the value buffer: a trailing empty/null
+                # list makes offsets[:-1] end at len(flat), which is a
+                # legal reduceat start only if that index exists. The
+                # lengths>0 mask below zeroes whatever the pad produces.
+                sq = np.add.reduceat(
+                    np.append(flat * flat, 0.0), offsets[:-1]
+                )
             else:
-                # reduceat raises on an empty value buffer (a batch of
-                # only empty/null lists); every row's sum is 0.
+                # Empty value buffer (a batch of only empty/null
+                # lists); every row's sum is 0.
                 sq = np.zeros(len(col), dtype=np.float64)
             # reduceat on a zero-length slice returns the NEXT
             # element; mask those rows to 0.

@@ -260,3 +260,67 @@ def test_asof_join_matches_reference(spark, raw):
         ]
         want[i] = max(cands)[2] if cands else None
     assert got == want
+
+
+def test_variant_shape_partition_matches_duckdb(spark):
+    """Pin the cross-engine shape partition for q_fn_variant_schema:
+    after numeric-leaf normalization, Spark schema_of_variant and
+    DuckDB json_structure must induce the SAME number of distinct
+    shapes on a corpus designed to stress exactly their documented
+    divergence (numeric literals of different scales, ints vs floats,
+    nested objects, arrays)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+    from mrtweety_analytic_spark.operators.modern import (
+        _DUCK_NUM_TYPES,
+        _SPARK_NUM_TYPES,
+    )
+
+    payloads = [
+        '{"a": 1}',
+        '{"a": 2}',            # same shape as above
+        '{"a": 1.5}',          # DECIMAL(2,1) vs DOUBLE — must merge
+        '{"a": 2.25}',         # DECIMAL(3,2) vs DOUBLE — must merge
+        '{"a": -7}',           # BIGINT vs (U)BIGINT sign split
+        '{"a": "s"}',          # string leaf: its own class
+        '{"a": true}',
+        '{"a": null}',
+        '{"a": {"b": 1.5, "c": 2}}',
+        '{"a": {"b": 99.125, "c": 3}}',  # same nested shape
+        '{"a": [1, 2, 3]}',
+        '{"a": [1.5, 2.25]}',
+        '{"b": 1}',            # different field name: new shape
+    ]
+
+    df = spark.createDataFrame([(p,) for p in payloads], "props string")
+    spark_shapes = (
+        df.select(
+            F.regexp_replace(
+                F.schema_of_variant(F.parse_json("props")),
+                _SPARK_NUM_TYPES,
+                "NUM",
+            ).alias("shape")
+        )
+        .groupBy("shape")
+        .count()
+        .collect()
+    )
+
+    con = duckdb.connect()
+    duck_shapes = con.execute(
+        f"""
+        SELECT regexp_replace(CAST(json_structure(props) AS VARCHAR),
+                              '{_DUCK_NUM_TYPES}', '"NUM"', 'g') AS shape,
+               count(*) AS n
+        FROM (SELECT unnest(?) AS props)
+        GROUP BY shape
+        """,
+        [payloads],
+    ).fetchall()
+
+    # Same partition: same number of classes AND same class sizes.
+    assert len(spark_shapes) == len(duck_shapes)
+    assert sorted(r["count"] for r in spark_shapes) == sorted(
+        n for _, n in duck_shapes
+    )
