@@ -30,9 +30,26 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources import load_table
+from ..util import LastHandle
 
 DAMPING = 0.85
 N_ITER = 3
+
+
+def _release_ckpts(dfs) -> None:
+    # localCheckpoint blocks are NOT in the CacheManager, so
+    # DataFrame.unpersist() is a no-op on them; the persisted RDD
+    # hangs off the LogicalRDD leaf and must be released there.
+    for df in dfs:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+
+
+# Supersession holder for each graph operator's checkpointed edge
+# blocks: repeated bench/verify runs keep at most one generation in
+# the block manager instead of accumulating for the session lifetime
+# (same pattern as _LAST_BLOOM_OUT in joins.py). LastHandle swallows
+# release errors from a stopped session.
+_LAST_GRAPH_CKPT = LastHandle(_release_ckpts)
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,6 +129,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst", "d")
         .localCheckpoint(eager=True)
     )
+    _LAST_GRAPH_CKPT.replace([edges, ed])
     n = deg.count()
     ranks = deg.select(
         F.col("src").alias("node"), F.lit(1.0 / n).alias("r")
@@ -156,9 +174,42 @@ def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram predicts shuffle skew in the PageRank contribution
     join; a heavy-tail head is what you'd salt)."""
     edges = _edges(spark, sf_dir)
+    _LAST_GRAPH_CKPT.replace([edges])
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     return deg.groupBy(F.col("d").alias("degree")).agg(
         F.count(F.lit(1)).alias("n_nodes")
+    )
+
+
+def _orient_by_degree(base: DataFrame) -> DataFrame:
+    """Re-orient a deduplicated undirected edge set (stored once per
+    edge as id-ordered (u, v)) so every edge points from its
+    lower-(degree, id) endpoint to the higher — the arboricity-bounded
+    orientation: a hub of degree d takes the wedge SOURCE role only
+    against neighbors of equal-or-higher rank, so its out-fan-out
+    (and thus the wedge blowup it can cause) is bounded by the
+    graph's degeneracy instead of d. The degree table is O(|V|),
+    broadcast (same |V| << |E| argument as the PageRank rank vector).
+    """
+    deg = (
+        base.select(F.col("u").alias("node"))
+        .unionAll(base.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    joined = base.join(
+        F.broadcast(deg.select(F.col("node").alias("u"), F.col("d").alias("du"))),
+        "u",
+    ).join(
+        F.broadcast(deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))),
+        "v",
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    return joined.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("u"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("v"),
     )
 
 
@@ -183,19 +234,24 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected when some order contains both) — the classic clustering
     /community signal, and the canonical test of a join planner's
     wedge enumeration. Oriented formulation: every edge is stored
-    once as (u < v), so each triangle {a<b<c} is counted exactly once
-    as the wedge a→b→c closed by a→c — no post-hoc division by 6 and,
-    at scale, no high-degree node ever fans out both sides of a
-    wedge. (Production refinement at 100 TB: orient by degree rather
-    than id so hub nodes take the low-fan-out role; same plan shape.)
-    The edge list is built once and localCheckpointed: the triangle
-    join re-reads the materialized ~|E| rows, not the fact join.
+    once, directed from its lower-(degree, id) endpoint to the higher
+    (a total order, so the orientation is acyclic and each triangle
+    is counted exactly once as the wedge a→b→c closed by a→c — no
+    post-hoc division by 6). Degree-orientation is the 100 TB design:
+    on a power-law graph an id-oriented hub with d co-parts fans out
+    O(d²) wedges whenever its id sorts low, while (degree, id)
+    orientation bounds every node's wedge fan-out by the graph's
+    degeneracy. The triangle count itself is orientation-invariant,
+    so the id-oriented DuckDB oracle is unchanged. The edge list is
+    built once and localCheckpointed (superseded per run via
+    _LAST_GRAPH_CKPT): the triangle join re-reads the materialized
+    ~|E| rows, not the fact join.
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
     a, b = li.alias("a"), li.alias("b")
-    edges = (
+    base = (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -206,8 +262,9 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.l_partkey").alias("v"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    edges = _orient_by_degree(base).localCheckpoint(eager=True)
+    _LAST_GRAPH_CKPT.replace([edges])
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     wedges = e1.join(e2, F.col("e1.v") == F.col("e2.u"))
     closed = wedges.join(

@@ -88,7 +88,15 @@ def q_sim_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(KNN_K)
 
 
-PROBE_CHUNK = 4096  # driver peak memory per chunk = CHUNK × dim floats
+# Inner numpy slab width: bounds the transient score-matrix slice to
+# arrow_batch_rows × PROBE_CHUNK doubles inside each executor batch.
+PROBE_CHUNK = 4096
+# Hard ceiling on the brute-force tier's probe-set size: the probe
+# matrix is shipped once via torrent broadcast, so driver + each
+# executor hold O(PROBE_MAX × dim) doubles (~50 MB at dim 64). Probe
+# sets beyond this are not a brute-force workload — route them
+# through q_sim_ivf_label (cell-blocked) or q_sim_lsh_bucketed.
+PROBE_MAX = 100_000
 
 
 @register(
@@ -113,19 +121,25 @@ PROBE_CHUNK = 4096  # driver peak memory per chunk = CHUNK × dim floats
     """,
 )
 def q_sim_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch ANN baseline: top-3 neighbours for every 50th vector.
+    """Batch kNN, brute-force tier: top-3 neighbours for every 50th
+    vector — ONE distributed job over ONE corpus scan.
 
     Probe side: the probe set must reach every corpus partition (that
-    is the definition of brute-force batch kNN), but it must never be
-    driver-unbounded. Probes stream through the driver in fixed
-    PROBE_CHUNK slices, each shipped once per executor via
-    sparkContext.broadcast (torrent, not per-task closure capture) —
-    driver peak memory during collection is one chunk regardless of
-    probe count, and each chunk costs one corpus scan (the classic
-    blocked brute-force trade).
+    is the definition of brute-force batch kNN). It is materialized
+    once and shipped once per executor via sparkContext.broadcast
+    (torrent, not per-task closure capture), behind a hard PROBE_MAX
+    ceiling — beyond that this is no longer a brute-force workload
+    and callers are pointed at the cell-blocked (q_sim_ivf_label) or
+    LSH (q_sim_lsh_bucketed) tiers. No driver-sequential chunk loop:
+    the earlier blocked design collected probes in PROBE_CHUNK slices
+    and paid one full corpus scan per slice (O(corpus × probes/CHUNK)
+    total); this shape is O(corpus) scan cost with the probe fan-out
+    parallelized across (corpus-partition × probe-slab) work inside
+    the executors.
 
-    Corpus side: each partition computes one float64 BLAS matmul per
-    chunk and keeps only its local top-k per probe, ordered by the
+    Corpus side: each Arrow batch computes float64 BLAS matmuls in
+    PROBE_CHUNK-wide probe slabs (bounding the transient score-matrix
+    slice) and keeps only its local top-k per probe, ordered by the
     same (rounded score desc, vec_id asc) lexsort as the global
     window, so cutoff ties can never drop a row the global tiebreak
     would keep. The final window sees k rows per (probe, partition)
@@ -141,39 +155,40 @@ def q_sim_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select("vec_id", "embedding")
     sc = spark.sparkContext
 
-    partials = []
-    bcs = []
-    offset = 0
-    while True:
-        chunk = (
-            probe_df.orderBy("vec_id")
-            .offset(offset)
-            .limit(PROBE_CHUNK)
-            .collect()
+    probes = probe_df.orderBy("vec_id").limit(PROBE_MAX + 1).collect()
+    if len(probes) > PROBE_MAX:
+        raise ValueError(
+            f"q_sim_knn_batch is the brute-force tier, capped at "
+            f"{PROBE_MAX} probes; route larger probe sets through "
+            f"q_sim_ivf_label or q_sim_lsh_bucketed"
         )
-        if not chunk:
-            break
-        offset += len(chunk)
-        bc = sc.broadcast(
-            (
-                np.array([r["vec_id"] for r in chunk], dtype=np.int64),
-                np.array([r["embedding"] for r in chunk], dtype=np.float64),
-            )
+    if not probes:
+        return spark.createDataFrame(
+            [], "probe_id long, vec_id long, score double"
         )
-        bcs.append(bc)
+    bc = sc.broadcast(
+        (
+            np.array([r["vec_id"] for r in probes], dtype=np.int64),
+            np.array([r["embedding"] for r in probes], dtype=np.float64),
+        )
+    )
 
-        def score_batches(it, _bc=bc):
-            probe_ids, pm = _bc.value
-            pnorm = np.sqrt((pm * pm).sum(axis=1))
-            for pdf in it:
-                corpus_m = np.array(list(pdf["embedding"]), dtype=np.float64)
-                vids = pdf["vec_id"].to_numpy()
-                cnorm = np.sqrt((corpus_m * corpus_m).sum(axis=1))
+    def score_batches(it):
+        probe_ids, pm = bc.value
+        pnorm = np.sqrt((pm * pm).sum(axis=1))
+        for pdf in it:
+            corpus_m = np.array(list(pdf["embedding"]), dtype=np.float64)
+            vids = pdf["vec_id"].to_numpy()
+            cnorm = np.sqrt((corpus_m * corpus_m).sum(axis=1))
+            out = []
+            for j0 in range(0, len(probe_ids), PROBE_CHUNK):
+                pslab = slice(j0, j0 + PROBE_CHUNK)
                 scores = np.round(
-                    (corpus_m @ pm.T) / np.outer(cnorm, pnorm), 6
+                    (corpus_m @ pm[pslab].T)
+                    / np.outer(cnorm, pnorm[pslab]),
+                    6,
                 )
-                out = []
-                for j, pid in enumerate(probe_ids):
+                for j, pid in enumerate(probe_ids[pslab]):
                     col = scores[:, j]
                     cand_idx = np.nonzero(vids != pid)[0]
                     if len(cand_idx) == 0:
@@ -192,53 +207,38 @@ def q_sim_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                             }
                         )
                     )
-                yield pd.concat(out) if out else pd.DataFrame(
-                    {"probe_id": pd.Series(dtype="int64"),
-                     "vec_id": pd.Series(dtype="int64"),
-                     "score": pd.Series(dtype="float64")}
-                )
-
-        partials.append(
-            corpus.mapInPandas(
-                score_batches, schema="probe_id long, vec_id long, score double"
+            yield pd.concat(out) if out else pd.DataFrame(
+                {"probe_id": pd.Series(dtype="int64"),
+                 "vec_id": pd.Series(dtype="int64"),
+                 "score": pd.Series(dtype="float64")}
             )
-        )
 
-    if not partials:
-        # No probe matched vec_id % PROBE_MOD (empty table): the
-        # reduce below would raise on an empty sequence.
-        return spark.createDataFrame(
-            [], "probe_id long, vec_id long, score double"
-        )
-
-    import functools
-
-    partial = functools.reduce(DataFrame.unionByName, partials)
+    partial = corpus.mapInPandas(
+        score_batches, schema="probe_id long, vec_id long, score double"
+    )
     w = W.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("vec_id"))
     out = (
         partial.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= BATCH_K)
         .select("probe_id", "vec_id", "score")
     )
-    # Materialize once so the per-chunk probe broadcasts can be
-    # released before returning — otherwise executors retain one
-    # broadcast per chunk for the session's lifetime. The cached
-    # k·|probes| rows are what the caller re-reads. The previous
-    # call's entry is released BEFORE the new persist (see
-    # q_join_bloom_runtime: a cache-identical repeat plan would dedup
-    # onto the old entry and die with its unpersist; knn_batch plans
-    # differ per call via fresh closures, but the ordering keeps this
-    # safe if that ever changes), so repeated bench runs hold at most
-    # one.
+    # Materialize once so the probe broadcast can be released before
+    # returning — otherwise executors retain it for the session's
+    # lifetime. The cached k·|probes| rows are what the caller
+    # re-reads. The previous call's entry is released BEFORE the new
+    # persist (see q_join_bloom_runtime: a cache-identical repeat
+    # plan would dedup onto the old entry and die with its unpersist;
+    # knn_batch plans differ per call via fresh closures, but the
+    # ordering keeps this safe if that ever changes), so repeated
+    # bench runs hold at most one.
     _LAST_KNN_BATCH_OUT.clear()
     out = out.persist()
     _LAST_KNN_BATCH_OUT.replace(out)
     out.count()
-    for bc in bcs:
-        # unpersist (not destroy): frees executor copies now; the
-        # driver copy remains, so a cache-evicted recompute can still
-        # re-broadcast.
-        bc.unpersist()
+    # unpersist (not destroy): frees executor copies now; the driver
+    # copy remains, so a cache-evicted recompute can still
+    # re-broadcast.
+    bc.unpersist()
     return out
 
 

@@ -35,6 +35,11 @@ class LastHandle:
         while len(self._values) > self._keep:
             self._release_one(self._values.pop(0))
 
+    def current(self) -> Any | None:
+        """The newest live value, or None — lets an operator serve a
+        repeat call from its pinned resource instead of rebuilding."""
+        return self._values[-1] if self._values else None
+
     def clear(self) -> None:
         while self._values:
             self._release_one(self._values.pop())

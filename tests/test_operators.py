@@ -859,3 +859,79 @@ def test_aqe_skew_join_split(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_udf_arrow_trailing_empty_and_null_embedding(spark, tmp_path):
+    """Regression: a batch whose LAST list is empty (or null) puts
+    offsets[:-1]'s final entry at len(flat); un-padded reduceat raises
+    'index out-of-bounds'. The sentinel-padded buffer must handle it,
+    and null embeddings must stay NULL (not 0.0)."""
+    import math
+
+    from mrtweety_analytic_spark.operators.udfs import q_udf_arrow
+
+    rows = [
+        (1, [3.0, 4.0]),
+        (2, []),          # empty mid-batch
+        (3, [5.0, 12.0]),
+        (4, None),        # null mid-batch
+        (5, []),          # trailing EMPTY list — the crash shape
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out_dir = str(tmp_path / "corpus")
+    df.coalesce(1).write.parquet(f"{out_dir}/embeddings.parquet")
+
+    got = {
+        r["vec_id"]: r["l2_norm"]
+        for r in q_udf_arrow(spark, out_dir).collect()
+    }
+    assert got[1] == 5.0
+    assert got[2] == 0.0
+    assert got[3] == 13.0
+    assert got[4] is None
+    assert got[5] == 0.0
+
+    # Trailing NULL list variant (distinct arrow validity layout).
+    df2 = spark.createDataFrame(
+        [(1, [6.0, 8.0]), (2, None)],
+        "vec_id long, embedding array<double>",
+    )
+    out2 = str(tmp_path / "corpus2")
+    df2.coalesce(1).write.parquet(f"{out2}/embeddings.parquet")
+    got2 = {
+        r["vec_id"]: r["l2_norm"]
+        for r in q_udf_arrow(spark, out2).collect()
+    }
+    assert math.isclose(got2[1], 10.0)
+    assert got2[2] is None
+
+
+def test_triangle_orientation_bounds_hub_fanout(spark):
+    """Degree-(then id)-orientation must bound wedge fan-out by graph
+    degeneracy, not hub degree: on a star-plus-triangle fixture the
+    id-orientation gives the hub out-degree 50 (O(d^2) wedges), while
+    degree-orientation caps every node's out-degree at 2 — and the
+    wedge join still finds exactly the one triangle."""
+    from mrtweety_analytic_spark.operators.graph import _orient_by_degree
+
+    # Hub 0 — (deliberately the LOWEST id, the id-orientation worst
+    # case) — connected to 1..50; edge (1,2) closes one triangle.
+    rows = [(0, i) for i in range(1, 51)] + [(1, 2)]
+    base = spark.createDataFrame(rows, "u long, v long")
+
+    oriented = _orient_by_degree(base)
+    out_deg = {
+        r["u"]: r["n"]
+        for r in oriented.groupBy("u").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert max(out_deg.values()) <= 2          # degeneracy bound
+    assert out_deg.get(0) is None              # hub is never a source
+    assert oriented.count() == 51              # every edge kept once
+
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    wedges = e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+    closed = wedges.join(
+        e3,
+        (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+    )
+    assert closed.count() == 1
