@@ -22,67 +22,74 @@ from mrtweety_analytic_spark.queries import ORACLES, QUERIES  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-# Engine-defining queries first: if the correctness harness caps or
-# truncates its sweep, the flagship, streaming pipeline, LLM-data
-# tier (dedup/similarity/text/multimodal), TPC-H star shapes, and the
-# remaining SURVEY §2B components land inside the first 50 entries.
+# Round-5 rotation (VERDICT r04 item 1): every name the driver's
+# 50-entry correctness window samples this round is one it has NEVER
+# sampled in rounds 1-4 (the flagship/streaming/LLM tiers already
+# carry driver-green rows from r01-r04 and stay oracle-verified
+# locally), plus five re-checks: the four stale r01 rows
+# (q_agg_collect, whose only driver row predates its fix in commit
+# 6841fdb, and the three rows-only sketches) and q_fn_variant_schema
+# (oracle re-pinned this round with numeric-type normalization).
+# Round 6 takes the remaining never-sampled names.
 PRIORITY = [
-    "q_text_trending",
-    "s_topk_pipeline",
-    "s_tumbling",
-    "s_sliding",
-    "s_session",
-    "s_stream_join",
-    "s_stateful_count",
-    "s_dedup_stream",
-    "s_chained_windows",
-    "s_static_join",
-    "q_dedup_exact",
-    "q_dedup_normkey",
-    "q_dedup_minhash_lsh",
-    "q_dedup_simhash",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_embedding",
-    "q_dedup_clusters",
-    "q_dedup_keep_latest",
-    "q_dedup_pipeline",
-    "q_sim_knn_cosine",
-    "q_sim_knn_batch",
-    "q_sim_ivf_label",
-    "q_sim_lsh_bucketed",
-    "q_sim_centroid",
-    "q_sim_kmeans_assign",
-    "q_sim_quantize",
-    "q_text_tokens",
-    "q_text_tfidf",
-    "q_text_langid",
-    "q_text_quality",
-    "q_text_fingerprint",
-    "q_text_tokencount",
-    "q_text_trending_by_source",
-    "q_text_prep_pipeline",
-    "q_multimodal_struct",
-    "q_multimodal_binary",
-    "q_multimodal_dedup",
-    "q_multimodal_resize",
-    "q_multimodal_decode",
-    "q_tpch_q3like",
-    "q_tpch_q5like",
-    "q_tpch_q7like",
-    "q_tpch_q10like",
-    "q_tpch_q18like",
-    "q_tpch_q6like",
-    # Round-4 additions inside the window: new streaming capabilities
-    # (outer stream-join, state-store reader) and the Spark 4 surface
-    # (pipe syntax, variant governance, collations). The four
-    # single-operator shapes they displace (win_topk/sort_limit/udf/
-    # udaf) carry driver-green rows from earlier rounds and stay
-    # oracle-verified locally.
-    "s_stream_join_outer",
-    "s_state_reader",
-    "q_sql_pipe",
+    # stale-r01 re-checks
+    "q_agg_collect",
+    "q_agg_approx_distinct",
+    "q_agg_sketch_merge",
+    "q_agg_approx_quantile",
+    # operators changed this round — earn fresh driver rows
+    "q_udf_arrow",
+    "q_source_binaryfile",
+    "q_join_bloom_runtime",
+    "q_graph_triangles",
+    "q_graph_pagerank",
+    "q_graph_degree",
     "q_fn_variant_schema",
-    "q_fn_collation",
+    # window functions
+    "q_win_rank",
+    "q_win_lag_lead",
+    "q_win_frame",
+    "q_win_percentile",
+    "q_win_fill_forward",
+    "q_win_first_last",
+    "q_win_pct_change",
+    # set operations
+    "q_set_union",
+    "q_set_intersect",
+    "q_set_except",
+    "q_set_intersect_all",
+    "q_set_except_all",
+    # TPC-H shapes without a driver row
+    "q_tpch_q2like",
+    "q_tpch_q4like",
+    "q_tpch_q8like",
+    "q_tpch_q9like",
+    "q_tpch_q11like",
+    "q_tpch_q12like",
+    "q_tpch_q13like",
+    "q_tpch_q15like",
+    "q_tpch_q17like",
+    "q_tpch_q20like",
+    "q_tpch_q21like",
+    # sink roundtrips
+    "q_sink_parquet_roundtrip",
+    "q_sink_csv_roundtrip",
+    "q_sink_json_roundtrip",
+    "q_sink_orc_roundtrip",
+    "q_sink_custom_pyds",
+    # data quality / changelog / recursion
+    "q_dq_profile",
+    "q_dq_expectations",
+    "q_cdc_apply",
+    "q_recursive_cte",
+    # scalar-function surface
+    "q_fn_variant",
+    "q_fn_xml",
+    "q_fn_json",
+    "q_fn_string",
+    "q_fn_date",
+    "q_fn_math",
+    "q_fn_array",
 ]
 
 

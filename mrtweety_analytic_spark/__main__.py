@@ -33,6 +33,20 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--out", default="analytic.json")
     s.add_argument("--window", default="15 minutes")
     s.add_argument("--slide", default="10 seconds")
+    s.add_argument(
+        "--live",
+        action="store_true",
+        help="run the reference's live loop: processingTime trigger "
+        "(= --slide) over the tweet-JSON stream source + "
+        "awaitTermination, instead of the availableNow replay",
+    )
+    s.add_argument(
+        "--duration",
+        type=float,
+        default=0.0,
+        help="with --live: stop after this many seconds (0 = run "
+        "until interrupted, the reference's mode)",
+    )
 
     q = sub.add_parser("query", parents=[common])
     q.add_argument("name")
@@ -58,6 +72,31 @@ def main(argv: list[str] | None = None) -> int:
         ]
         write_result_file(args.out, render_document(rows[: args.k]))
         print(f"wrote {args.out}: {rows[: args.k]}")
+        return 0
+
+    if args.cmd == "stream" and args.live:
+        # ≙ SparkApplication.scala:37 (10 s batch interval) + :97-102
+        # (start + awaitTermination): the genuine live trigger loop.
+        from .streaming.live import start_live_topk
+
+        query = start_live_topk(
+            spark,
+            args.out,
+            trigger=args.slide,
+            window=args.window,
+            slide=args.slide,
+        )
+        print(
+            f"live stream started: trigger every {args.slide}, "
+            f"writing top-5 to {args.out}"
+        )
+        if args.duration > 0:
+            query.awaitTermination(timeout=args.duration)
+            query.stop()
+            query.awaitTermination()
+        else:
+            query.awaitTermination()
+        print(f"live stream stopped; latest document at {args.out}")
         return 0
 
     if args.cmd == "stream":

@@ -332,3 +332,50 @@ def test_custom_stream_source_incremental_offsets(spark):
     rows = spark.table("tg_stream_test").select("id").collect()
     ids = sorted(r.id for r in rows)
     assert ids == list(range(500))  # every row once, none duplicated
+
+
+def test_live_processing_time_trigger(spark, tmp_path):
+    """The reference's actual operating mode (SparkApplication.scala:
+    37, 97-102): a live processingTime trigger over the tweet stream
+    source, document re-emitted per trigger. Bounded: start, wait for
+    two result-file generations (distinct `datetime` stamps), stop.
+    Trigger/window shrunk from the reference's 10 s/15 min so the
+    test completes in seconds — the MODE (processing-time trigger +
+    awaitTermination lifecycle) is what's under test."""
+    import json
+    import time
+
+    from mrtweety_analytic_spark.streaming.live import start_live_topk
+
+    out = str(tmp_path / "analytic.json")
+    q = start_live_topk(
+        spark,
+        out,
+        trigger="1 seconds",
+        window="4 seconds",
+        slide="2 seconds",
+        rows=1_000_000,
+        chunk=50,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    try:
+        assert q.isActive
+        stamps: set[str] = set()
+        deadline = time.time() + 60
+        while len(stamps) < 2 and time.time() < deadline:
+            time.sleep(0.5)
+            try:
+                with open(out) as f:
+                    doc = json.load(f)
+            except (FileNotFoundError, json.JSONDecodeError):
+                continue  # not yet written / racing the writer
+            stamps.add(doc["datetime"])
+            assert isinstance(doc["items"], list)
+            for item in doc["items"]:
+                assert set(item) == {"count", "hashtag"}
+        assert len(stamps) >= 2, (
+            f"expected 2 result-file generations within 60s, saw {stamps}"
+        )
+    finally:
+        q.stop()
+        q.awaitTermination(timeout=30)
