@@ -324,3 +324,39 @@ def test_variant_shape_partition_matches_duckdb(spark):
     assert sorted(r["count"] for r in spark_shapes) == sorted(
         n for _, n in duck_shapes
     )
+
+
+def test_knn_batch_slab_boundary_invariance(spark, tmp_path, monkeypatch):
+    """The probe-slab chunking inside q_sim_knn_batch is a pure
+    execution detail: forcing PROBE_CHUNK=2 (probes split mid-slab)
+    must give byte-identical results to one big slab, including
+    score-tie ordering across slab boundaries."""
+    import mrtweety_analytic_spark.operators.similarity as sim
+
+    # 3 probes (vec_id 0, 50, 100 under PROBE_MOD=50); duplicate
+    # embeddings manufacture exact score ties across candidates.
+    rows = [
+        (0, [1.0, 0.0], "a"),
+        (1, [1.0, 0.1], "a"),
+        (2, [1.0, 0.1], "a"),   # tie with vec 1
+        (3, [0.9, 0.2], "a"),
+        (50, [0.0, 1.0], "a"),
+        (51, [0.1, 1.0], "a"),
+        (100, [0.5, 0.5], "a"),
+        (101, [0.5, 0.5], "a"),  # tie with probe's own direction
+        (102, [0.4, 0.6], "a"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    out = str(tmp_path / "corpus")
+    df.coalesce(1).write.parquet(f"{out}/embeddings.parquet")
+
+    def run():
+        got = sim.q_sim_knn_batch(spark, out).collect()
+        return sorted((r["probe_id"], r["vec_id"], r["score"]) for r in got)
+
+    baseline = run()
+    monkeypatch.setattr(sim, "PROBE_CHUNK", 2)
+    assert run() == baseline
+    assert len({p for p, _, _ in baseline}) == 3  # all probes answered
