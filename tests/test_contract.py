@@ -40,19 +40,29 @@ def test_registry_shape():
 
 
 def test_priority_window():
-    """Engine-defining queries sit in the first 50 registry slots so a
-    capped correctness sweep still covers them."""
+    """Round 5+: the 50-slot driver window rotates onto queries the
+    driver has never sampled (VERDICT r04 item 1) — rounds 1-4 pinned
+    the engine-defining names here and they now carry driver-green
+    rows. Assert the window's structural contract: exactly 50 unique
+    registered names leading the ordering, including this round's
+    mandatory re-checks (the stale r01 rows and the operators whose
+    oracles changed this round)."""
     names = list(entrymod.queries())
-    first = set(names[:50])
+    prio = entrymod.PRIORITY
+    assert len(prio) == 50
+    assert len(set(prio)) == 50
+    assert names[:50] == prio
     for required in (
-        "q_text_trending",
-        "s_topk_pipeline",
-        "q_dedup_minhash_lsh",
-        "q_sim_lsh_bucketed",
-        "q_tpch_q3like",
-        "q_multimodal_decode",
+        "q_agg_collect",         # only driver row is the fixed r01 error
+        "q_agg_approx_distinct",  # r01-era rows-only sketches
+        "q_agg_sketch_merge",
+        "q_agg_approx_quantile",
+        "q_fn_variant_schema",    # oracle re-pinned (numeric normalize)
+        "q_source_binaryfile",    # oracle re-pinned (byte length)
+        "q_udf_arrow",            # arrow edge-case fix
+        "q_graph_triangles",      # degree orientation
     ):
-        assert required in first, f"{required} outside driver window"
+        assert required in prio, f"{required} outside driver window"
 
 
 def test_batch_outputs_are_atomic(spark, sf_dir):
