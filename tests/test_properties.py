@@ -360,3 +360,85 @@ def test_knn_batch_slab_boundary_invariance(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(sim, "PROBE_CHUNK", 2)
     assert run() == baseline
     assert len({p for p, _, _ in baseline}) == 3  # all probes answered
+
+
+def test_bag_setops_multiplicity_matches_duckdb(spark):
+    """Pin INTERSECT ALL / EXCEPT ALL bag semantics on constructed
+    multiplicities (the class random corpus data rarely stresses):
+    min-count for intersect-all, count-difference (floored at 0) for
+    except-all, including keys present on only one side and NULLs
+    (SQL bag ops match NULLs to each other)."""
+    import duckdb
+
+    a_vals = [1, 1, 1, 2, 2, 3, None, None]
+    b_vals = [1, 1, 2, 2, 2, 4, None]
+    a = spark.createDataFrame([(v,) for v in a_vals], "k int")
+    b = spark.createDataFrame([(v,) for v in b_vals], "k int")
+
+    def counts(df):
+        out = {}
+        for r in df.collect():
+            out[r["k"]] = out.get(r["k"], 0) + 1
+        return out
+
+    con = duckdb.connect()
+
+    def duck(op):
+        rows = con.execute(
+            f"""
+            SELECT k FROM (SELECT unnest(?::INT[]) AS k)
+            {op}
+            SELECT k FROM (SELECT unnest(?::INT[]) AS k)
+            """,
+            [a_vals, b_vals],
+        ).fetchall()
+        out = {}
+        for (v,) in rows:
+            out[v] = out.get(v, 0) + 1
+        return out
+
+    assert counts(a.intersectAll(b)) == duck("INTERSECT ALL")
+    assert counts(a.exceptAll(b)) == duck("EXCEPT ALL")
+    # The constructed expectation, spelled out:
+    assert counts(a.intersectAll(b)) == {1: 2, 2: 2, None: 1}
+    assert counts(a.exceptAll(b)) == {1: 1, 3: 1, None: 1}
+
+
+def test_window_percentile_interpolation_matches_duckdb(spark):
+    """Pin Spark percentile(0.5) against DuckDB quantile_cont on the
+    interpolation-sensitive shapes: even group sizes (midpoint
+    interpolation), duplicate values at the median boundary, and a
+    singleton group."""
+    import duckdb
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    groups = {
+        "even": [1.0, 2.0, 3.0, 10.0],       # interpolate 2.0..3.0
+        "dup_edge": [1.0, 2.0, 2.0, 7.0],    # median inside a tie run
+        "odd": [5.0, 1.0, 9.0],
+        "single": [42.0],
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    w = W.partitionBy("g")
+    got = {
+        (r["g"], r["v"]): r["med"]
+        for r in df.select(
+            "g", "v", F.round(F.percentile("v", 0.5).over(w), 4).alias("med")
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    expect = {}
+    for g, vs in groups.items():
+        med = con.execute(
+            "SELECT round(quantile_cont(x, 0.5), 4) "
+            "FROM (SELECT unnest(?::DOUBLE[]) AS x)", [vs]
+        ).fetchone()[0]
+        for v in vs:
+            expect[(g, v)] = med
+    assert got == expect
+    assert expect[("even", 1.0)] == 2.5
+    assert expect[("dup_edge", 1.0)] == 2.0
