@@ -30,7 +30,23 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # (q_agg_collect, whose only driver row predates its fix in commit
 # 6841fdb, and the three rows-only sketches) and q_fn_variant_schema
 # (oracle re-pinned this round with numeric-type normalization).
-# Round 6 takes the remaining never-sampled names.
+# Round 6 takes the remaining never-sampled names — exactly 50 of
+# them, a complete window (swap this list in after CORRECTNESS_r05
+# lands green): q_agg_salted_twophase q_anomaly_zscore q_date_spine
+# q_dedup_containment q_dedup_lsh_eval q_events_anomaly_zscore
+# q_events_funnel q_events_retention q_events_transitions
+# q_fn_array_lambda q_fn_base64 q_fn_bitwise q_fn_case
+# q_fn_date_arith q_fn_hash_digest q_fn_interval q_fn_map
+# q_fn_regex_extract_all q_fn_try_cast q_fn_url_parse
+# q_join_bucketed q_lateral_subquery q_maintenance_compact
+# q_maintenance_zorder q_scan_file_metadata q_sessionize_gaps
+# q_sim_pq_assign q_subquery_in q_subquery_scalar q_table_diff
+# q_text_chunk q_text_cooccur q_text_decontaminate q_text_domain_mix
+# q_text_edit_distance q_text_ngrams q_text_pack_sequences
+# q_text_redact q_text_repetition q_text_sentiment
+# q_text_unigram_logprob q_text_vocab_coverage q_tpch_q14like
+# q_tpch_q16like q_tpch_q19like q_tpch_q22like q_udtf_expand_json
+# s_dedup_within_watermark s_session_dynamic s_topk_update_sink
 PRIORITY = [
     # stale-r01 re-checks
     "q_agg_collect",
