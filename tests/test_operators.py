@@ -935,3 +935,37 @@ def test_triangle_orientation_bounds_hub_fanout(spark):
         (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
     )
     assert closed.count() == 1
+
+
+def test_knn_batch_probe_ceiling_routes_to_scale_tiers(spark, tmp_path, monkeypatch):
+    """The brute-force tier must refuse probe sets beyond PROBE_MAX
+    with a pointer to the IVF/LSH tiers rather than attempt an
+    unbounded broadcast."""
+    import pytest as _pytest
+
+    import mrtweety_analytic_spark.operators.similarity as sim
+
+    rows = [(i * sim.PROBE_MOD, [1.0, float(i)]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = str(tmp_path / "corpus")
+    df.write.parquet(f"{out}/embeddings.parquet")
+
+    monkeypatch.setattr(sim, "PROBE_MAX", 2)
+    with _pytest.raises(ValueError, match="q_sim_ivf_label"):
+        sim.q_sim_knn_batch(spark, out)
+
+
+def test_shingle_pair_generation_has_no_join(spark, sf_dir):
+    """Plan pin for the postings-list pair generation: the inverted-
+    index dedup tiers must contain NO join for pair enumeration (the
+    skew-prone self-join shape) — pairs explode map-side from bounded
+    posting arrays; the only joins left are the broadcast stop-shingle
+    semi-join and the final size lookups."""
+    from mrtweety_analytic_spark.operators.dedup import q_dedup_ngram_jaccard
+
+    df = q_dedup_ngram_jaccard(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate explode" in plan  # the map-side pair explode
