@@ -630,13 +630,19 @@ def _shingle_index(docs: DataFrame, df_cap: int = 100
             lambda i: F.concat_ws(" ", F.slice(arr, i + 1, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    # The shingle index feeds four consumers (df-filter, both join
-    # sides, sizes); no explicit persist — the distinct's Exchange is
-    # deduplicated by ReusedExchange, and measured persist() was pure
-    # overhead on top of that. Shingles are xxhash64'd to int64 before
-    # the distinct/joins: 8-byte shuffle keys instead of ~30-byte
-    # strings (~30% faster measured; collision probability over 250k
-    # shingles ≈ 2e-9, far below the float-rounding tolerance).
+    # The shingle index feeds three consumers (df-filter, postings,
+    # sizes); no explicit persist — the subtree IS re-planned per
+    # consumer (ReusedExchange=0 under AQE: pruning differences
+    # defeat reuse), but re-deriving the map-side tokenization is
+    # measured CHEAPER than materializing the index (persist A/B at
+    # sf 0.1: 5.4-5.9 s vs 4.0-4.2 s; cache of the pre-filter
+    # distinct likewise a wash — see PLANS.md round 5). At 100 TB the
+    # flip point is where tokenization I/O exceeds index size; both
+    # paths are a one-line swap. Shingles are xxhash64'd to int64
+    # before the distinct/joins: 8-byte shuffle keys instead of
+    # ~30-byte strings (~30% faster measured; collision probability
+    # over 250k shingles ≈ 2e-9, far below the float-rounding
+    # tolerance).
     all_shingles = (
         docs.select("doc_id", F.explode(sh).alias("shingle"))
         .select("doc_id", F.xxhash64("shingle").alias("shingle"))
