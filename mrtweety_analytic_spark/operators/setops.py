@@ -56,13 +56,23 @@ def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_set_except",
     oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
+    SELECT event_id FROM events WHERE value > 90
     EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier
+    SELECT event_id FROM events WHERE user_id % 3 = 0
     """,
 )
 def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _cust_nations(spark, sf_dir).subtract(_supp_nations(spark, sf_dir))
+    """Set difference (EXCEPT/subtract). Operands are high-value
+    events minus a user cohort — chosen because the result AND the
+    removed overlap are both non-empty at every corpus SF; the
+    earlier customer-minus-supplier nation difference was empty on
+    the dense synthetic corpus, so its gate certified nothing (both
+    engines agreeing on the empty set is a trivial pass).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hi = ev.filter(F.col("value") > 90).select("event_id")
+    cohort = ev.filter(F.col("user_id") % 3 == 0).select("event_id")
+    return hi.subtract(cohort)
 
 
 @register(
