@@ -103,3 +103,30 @@ def duck(sf_dir):
 def test_oracle_sample(spark, duck, sf_dir, name):
     status, detail = compare(spark, duck, name, sf_dir)
     assert status == "OK", f"{name}: {status} {detail}"
+
+
+def test_no_oracle_gate_is_trivially_empty():
+    """Every DuckDB oracle must return rows at the driver's gate
+    scale (sf0.01): a gate where both engines agree on the EMPTY SET
+    certifies nothing (caught live twice — customer-minus-supplier
+    nations and customers-without-orders are both empty on the dense
+    synthetic corpus). Re-run after every corpus regeneration: a gate
+    going empty means the operator needs non-degenerate operands, not
+    that the engine is correct. Pure DuckDB — ~5 s, no Spark."""
+    import duckdb
+
+    from mrtweety_analytic_spark.queries import ORACLES
+    from mrtweety_analytic_spark.sources import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.01/{t}.parquet')"
+        )
+    empty = [
+        name
+        for name, sql in ORACLES.items()
+        if not con.execute(sql).fetchall()
+    ]
+    assert not empty, f"trivially-empty oracle gates: {empty}"
