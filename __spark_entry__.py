@@ -37,7 +37,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # q_events_funnel q_events_retention q_events_transitions
 # q_fn_array_lambda q_fn_base64 q_fn_bitwise q_fn_case
 # q_fn_date_arith q_fn_hash_digest q_fn_interval q_fn_map
-# q_fn_regex_extract_all q_fn_try_cast q_fn_url_parse
+# q_fn_math q_fn_regex_extract_all q_fn_try_cast q_fn_url_parse
 # q_join_bucketed q_lateral_subquery q_maintenance_compact
 # q_maintenance_zorder q_scan_file_metadata q_sessionize_gaps
 # q_sim_pq_assign q_subquery_in q_subquery_scalar q_table_diff
@@ -104,7 +104,7 @@ PRIORITY = [
     "q_fn_json",
     "q_fn_string",
     "q_fn_date",
-    "q_fn_math",
+    "q_join_anti",  # gate made non-trivial this round — driver re-check
     "q_fn_array",
 ]
 
