@@ -15,7 +15,12 @@ registered operator and prints rows.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+# ≙ reference result-file contract (SparkApplication.scala:40-42):
+# the RESULT_FILENAME env var overrides the default analytic.json.
+_DEFAULT_OUT = os.environ.get("RESULT_FILENAME", "analytic.json")
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -26,11 +31,11 @@ def main(argv: list[str] | None = None) -> int:
     common.add_argument("--sf-dir", default="/root/testdata/sf0.001")
 
     t = sub.add_parser("trending", parents=[common])
-    t.add_argument("--out", default="analytic.json")
+    t.add_argument("--out", default=_DEFAULT_OUT)
     t.add_argument("--k", type=int, default=5)
 
     s = sub.add_parser("stream", parents=[common])
-    s.add_argument("--out", default="analytic.json")
+    s.add_argument("--out", default=_DEFAULT_OUT)
     s.add_argument("--window", default="15 minutes")
     s.add_argument("--slide", default="10 seconds")
     s.add_argument(
