@@ -1,0 +1,312 @@
+"""Dataset-lifecycle operators: history building, canonicalization
+dedup, passage-level duplication, decayed aggregation, reproducible
+sampling.
+
+The reference engine keeps no history and no lineage (its one query
+re-derives the top-5 window from scratch each trigger,
+`SparkApplication.scala:87-95`); a 100 TB corpus pipeline needs the
+opposite — slowly-changing history for audit, canonical-URL dedup at
+ingest (the Common-Crawl front door), passage-level exact-duplication
+signals (Lee et al., "Deduplicating Training Data Makes Language
+Models Better"), recency-weighted scores, and samples that are
+reproducible across reruns and engines.
+
+Scale notes per operator are in the docstrings; none of these shuffle
+raw text except the passage index (whose fan-out is bounded by the
+shingle width), and every aggregate is partial-aggregable map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..registry import register
+from ..sources import load_table
+
+
+@register(
+    "q_cdc_scd2",
+    oracle="""
+    WITH ch AS (
+        SELECT user_id, event_id, ts, round(value, 4) AS value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, value, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS valid_to,
+           CASE WHEN lead(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM ch
+    """,
+)
+def q_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2: turn a changelog into
+    validity intervals. Each purchase event opens a version whose
+    `valid_to` is the next change's timestamp (half-open interval),
+    NULL marking the current version — the standard warehouse history
+    build, done with one `lead()` window instead of a self-join.
+
+    Scale: one shuffle, partitioned by the dimension key; the window
+    frame is (ts, event_id)-ordered within each key, so skew follows
+    key cardinality (user activity), not corpus size. No raw-payload
+    shuffle — only the versioned columns move.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.round("value", 4).alias("value"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
+# Deterministic noisy URL variants: four surface forms per logical
+# document group (mixed-case host, explicit default port, utm tracking
+# params, trailing slash) that must all collapse to one canonical URL.
+_URL_ORACLE = """
+    WITH raw AS (
+        SELECT doc_id,
+               CASE CAST(doc_id % 4 AS INTEGER)
+                 WHEN 0 THEN 'https://docs.Example.COM/corpus/'
+                             || CAST(doc_id // 4 AS VARCHAR)
+                 WHEN 1 THEN 'https://docs.example.com:443/corpus/'
+                             || CAST(doc_id // 4 AS VARCHAR)
+                 WHEN 2 THEN 'https://docs.example.com/corpus/'
+                             || CAST(doc_id // 4 AS VARCHAR)
+                             || '?utm_source=feed&utm_medium=rss'
+                 ELSE 'https://docs.example.com/corpus/'
+                             || CAST(doc_id // 4 AS VARCHAR) || '/'
+               END AS url
+        FROM documents
+    ),
+    canon AS (
+        SELECT doc_id,
+               'https://'
+               || lower(regexp_extract(
+                      regexp_replace(url, ':443', ''),
+                      'https://([^/]+)', 1))
+               || regexp_replace(regexp_extract(
+                      regexp_replace(
+                          regexp_replace(url, ':443', ''),
+                          '[?&]utm_[a-z]+=[^&#]*', '', 'g'),
+                      'https://[^/]+([^?#]*)', 1), '/+$', '')
+                   AS canonical_url
+        FROM raw
+    )
+    SELECT canonical_url,
+           count(*) AS n_variants,
+           min(doc_id) AS keep_doc_id
+    FROM canon
+    GROUP BY canonical_url
+"""
+
+
+@register("q_dedup_url", oracle=_URL_ORACLE)
+def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL deduplication — the crawl-ingest front door.
+
+    Four deterministic surface variants are synthesized per document
+    (mixed-case host, explicit :443 default port, utm_* tracking
+    params, trailing slash); canonicalization lower-cases the host,
+    strips the default port, removes tracking parameters, and trims
+    the trailing slash, then keeps one representative (min doc_id)
+    per canonical URL. The oracle re-derives the same canonical form
+    with DuckDB's regex dialect, so the gate certifies the
+    normalization semantics, not one engine's regex quirks.
+
+    Scale: canonicalization is row-local codegen'd string work; the
+    only shuffle is the groupBy on the canonical key — O(unique URLs)
+    — and raw page payloads (not modeled here) would never move, only
+    the canonical key and doc id.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    group = (F.col("doc_id") / 4).cast("long").cast("string")
+    base = F.concat(F.lit("https://docs.example.com/corpus/"), group)
+    mixed = F.concat(F.lit("https://docs.Example.COM/corpus/"), group)
+    port = F.concat(F.lit("https://docs.example.com:443/corpus/"), group)
+    url = (
+        F.when(F.col("doc_id") % 4 == 0, mixed)
+        .when(F.col("doc_id") % 4 == 1, port)
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(base, F.lit("?utm_source=feed&utm_medium=rss")),
+        )
+        .otherwise(F.concat(base, F.lit("/")))
+    )
+    noport = F.regexp_replace(url, ":443", "")
+    host = F.lower(F.regexp_extract(noport, "https://([^/]+)", 1))
+    path = F.regexp_replace(
+        F.regexp_extract(
+            F.regexp_replace(noport, r"[?&]utm_[a-z]+=[^&#]*", ""),
+            "https://[^/]+([^?#]*)",
+            1,
+        ),
+        "/+$",
+        "",
+    )
+    canon = F.concat(F.lit("https://"), host, path)
+    return (
+        docs.select("doc_id", canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+_SHINGLE_W = 8
+
+
+@register(
+    "q_text_passage_dedup",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               array_to_string(t[i.i:i.i + {_SHINGLE_W - 1}], ' ') AS passage
+        FROM toks,
+             unnest(generate_series(1, greatest(len(t) - {_SHINGLE_W - 1}, 0)))
+                 AS i(i)
+    )
+    SELECT passage,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_occurrences
+    FROM sh
+    GROUP BY passage
+    HAVING count(DISTINCT doc_id) >= 2
+    """,
+)
+def q_text_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-passage detection: every {w}-token window that
+    occurs in at least two distinct documents, with its document and
+    occurrence counts — the passage-level exact-substring duplication
+    signal (the suffix-array signal of Lee et al. 2022, expressed as
+    a bounded shingle index instead of a driver-side suffix array).
+
+    Scale: shingling is map-side `transform(sequence(...))` over the
+    token array (JVM codegen, no Python); the shuffle key is the
+    passage string and the aggregate is partial-aggregable, so hot
+    passages combine map-side before the exchange. Fan-out per doc is
+    len(tokens) − w + 1 rows of w tokens each — bounded, linear in
+    corpus size, and the raw document text never shuffles (only its
+    w-token windows do).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("t")
+    )
+    shingles = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(t) - {_SHINGLE_W - 1}, 0)),"
+                f" i -> array_join(slice(t, i, {_SHINGLE_W}), ' '))"
+            )
+        ).alias("passage"),
+    )
+    return (
+        shingles.groupBy("passage")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+@register(
+    "q_agg_decayed",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS tmax FROM events)
+    SELECT event_type,
+           round(sum(value * exp(-date_diff('day', ts, tmax) / 30.0)), 4)
+               AS decayed_sum,
+           count(*) AS n_events
+    FROM events, mx
+    GROUP BY event_type
+    """,
+)
+def q_agg_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed aggregation (30-day e-folding):
+    recency-weighted engagement per event type — the trending-score
+    primitive that a batch recompute of the reference's sliding
+    window generalizes to (`SparkApplication.scala:87-88` weights all
+    events in the window equally; decay replaces the hard cutoff).
+
+    Day-granular decay keeps the weight integral across engines
+    (integer day difference → identical doubles); the 1-row max-ts
+    aggregate is broadcast into the scan, so the whole thing is one
+    scan + one partial-aggregable groupBy.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("tmax"))
+    days = F.datediff(F.to_date("tmax"), F.to_date("ts"))
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.exp(-days / F.lit(30.0))), 4
+            ).alias("decayed_sum"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+_RESERVOIR_K = 25
+
+
+@register(
+    "q_sample_reservoir",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT source, doc_id, n_chars, rk
+    FROM ranked WHERE rk <= {_RESERVOIR_K}
+    """,
+)
+def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible fixed-size-per-stratum sample (reservoir-sample
+    semantics without the order dependence): rank documents within
+    each source by the md5 of their id — a uniform, engine-agnostic
+    pseudo-random order — and keep the first k. Unlike seeded
+    Bernoulli sampling this is exactly reproducible across engines,
+    partitionings, and reruns (the audit requirement for training-set
+    provenance), and unlike a true streaming reservoir it is
+    deterministic under re-execution.
+
+    Scale: WindowGroupLimit pushes the top-k below the exchange
+    (partial per-partition top-k before the shuffle), so each
+    partition forwards at most k rows per stratum — the same
+    plan shape pinned for q_win_topk_per_group.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= _RESERVOIR_K)
+    )
