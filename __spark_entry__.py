@@ -47,12 +47,22 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # q_text_unigram_logprob q_text_vocab_coverage q_tpch_q14like
 # q_tpch_q16like q_tpch_q19like q_tpch_q22like q_udtf_expand_json
 # s_dedup_within_watermark s_session_dynamic s_topk_update_sink
+# q_fn_json q_fn_string q_fn_date q_fn_array q_fn_variant (displaced from the
+# round-5 window by the five round-5-new lifecycle operators, which
+# take precedence: new code needs driver evidence before old
+# replica-green scalar rows do)
 PRIORITY = [
     # stale-r01 re-checks
     "q_agg_collect",
     "q_agg_approx_distinct",
     "q_agg_sketch_merge",
     "q_agg_approx_quantile",
+    # operators NEW this round — earn fresh driver rows first
+    "q_cdc_scd2",
+    "q_dedup_url",
+    "q_text_passage_dedup",
+    "q_agg_decayed",
+    "q_sample_reservoir",
     # operators changed this round — earn fresh driver rows
     "q_udf_arrow",
     "q_source_binaryfile",
@@ -99,13 +109,8 @@ PRIORITY = [
     "q_cdc_apply",
     "q_recursive_cte",
     # scalar-function surface
-    "q_fn_variant",
     "q_fn_xml",
-    "q_fn_json",
-    "q_fn_string",
-    "q_fn_date",
     "q_join_anti",  # gate made non-trivial this round — driver re-check
-    "q_fn_array",
 ]
 
 

@@ -71,6 +71,12 @@ HEADLINE = [
     "q_fn_variant_schema",       # variant schema-drift probe
     "q_sql_pipe",                # SQL pipe syntax surface
     "q_fn_collation",            # collated case-insensitive grouping
+    # round-5 additions
+    "q_text_passage_dedup",      # bounded shingle index, map-side fan-out
+    "q_dedup_url",               # canonical-URL ingest dedup
+    "q_cdc_scd2",                # changelog -> validity intervals
+    "q_agg_decayed",             # recency-weighted aggregation
+    "q_sample_reservoir",        # deterministic per-stratum top-k sample
 ]
 
 
