@@ -47,7 +47,8 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # q_text_unigram_logprob q_text_vocab_coverage q_tpch_q14like
 # q_tpch_q16like q_tpch_q19like q_tpch_q22like q_udtf_expand_json
 # s_dedup_within_watermark s_session_dynamic s_topk_update_sink
-# q_fn_json q_fn_string q_fn_date q_fn_array q_fn_variant (displaced from the
+# q_fn_json q_fn_string q_fn_date q_fn_array q_fn_variant q_graph_degree
+# (displaced from the
 # round-5 window by the five round-5-new lifecycle operators, which
 # take precedence: new code needs driver evidence before old
 # replica-green scalar rows do)
@@ -69,7 +70,7 @@ PRIORITY = [
     "q_join_bloom_runtime",
     "q_graph_triangles",
     "q_graph_pagerank",
-    "q_graph_degree",
+    "s_decayed_score",  # new this round: stateful decayed-score streaming op
     "q_fn_variant_schema",
     # window functions
     "q_win_rank",

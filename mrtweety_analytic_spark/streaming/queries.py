@@ -818,3 +818,86 @@ def s_topk_update_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "rank int, hashtag string, n long"
     )
+
+
+@register(
+    "s_decayed_score",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS tmax FROM events)
+    SELECT event_type,
+           round(sum(value * exp(-date_diff('day', ts, tmax) / 30.0)), 4)
+               AS decayed_sum,
+           count(*) AS n_events
+    FROM events, mx
+    GROUP BY event_type
+    """,
+)
+def s_decayed_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exponentially-decayed score via applyInPandasWithState
+    — the stateful-streaming twin of q_agg_decayed, and the decay
+    upgrade of the reference's equal-weight sliding window
+    (`SparkApplication.scala:88` forgets an event entirely the moment
+    it leaves the 15-min window; exponential decay downweights it
+    smoothly instead).
+
+    Order-insensitivity is the design point: each event's contribution
+    `value · exp(-(day_max - day) / 30)` is computed against a FIXED
+    reference day (resolved before the stream starts; a live
+    deployment would re-anchor per trigger), so the state update is a
+    commutative monoid fold — correct under any batch split or
+    arrival order, which is exactly what the replay harness plus
+    batch oracle certify. Anchoring at the corpus horizon rather than
+    the epoch also keeps the exponent small (no overflow for any
+    corpus age). State per key is (sum, n): O(event types), emitted
+    per batch in update mode; the final fold per key is the emission
+    with the largest n (n grows monotonically, value does not have
+    to).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..sources import load_table
+
+    tmax = (
+        load_table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+    )
+    anchor = pd.Timestamp(tmax).normalize()
+
+    events = load_events_stream(spark, sf_dir).select(
+        "event_type", "ts", "value"
+    )
+
+    def update_score(key, pdf_iter, state):
+        s, n = state.get if state.exists else (0.0, 0)
+        for pdf in pdf_iter:
+            days = (anchor - pdf["ts"].dt.normalize()).dt.days
+            s += float((pdf["value"] * np.exp(-days / 30.0)).sum())
+            n += len(pdf)
+        state.update((s, n))
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "decayed_raw": [s], "n_events": [n]}
+        )
+
+    scored = events.groupBy("event_type").applyInPandasWithState(
+        update_score,
+        outputStructType="event_type string, decayed_raw double, n_events long",
+        stateStructType="s double, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_memory(spark, scored, "update")
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.max_by(
+                F.struct("decayed_raw", "n_events"), "n_events"
+            ).alias("b")
+        )
+        .select(
+            "event_type",
+            F.round("b.decayed_raw", 4).alias("decayed_sum"),
+            F.col("b.n_events").alias("n_events"),
+        )
+    )
