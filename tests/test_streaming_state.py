@@ -346,3 +346,87 @@ def test_chained_window_emits_at_exact_watermark_boundary(spark, tmp_path):
     assert out[0]["d"]["start"] == base
     assert out[0]["n_events"] == 3  # the boundary event belongs to day 2
     assert out[0]["n_cells"] == 2
+
+
+def test_decayed_score_multi_batch_order_insensitive(spark, tmp_path):
+    """s_decayed_score's design claim: contributions anchored to a
+    fixed reference day form a commutative monoid, so ANY batch split
+    — including one that delivers newest events first — yields the
+    batch answer. Three files replayed one-per-trigger, with the
+    latest-day events written to the file the source picks up first."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = str(tmp_path / "events_decay")
+    days = [29, 3, 11]  # first-delivered file holds the NEWEST events
+    rows_by_file = [
+        [(f * 10 + j, "a" if j % 2 == 0 else "b",
+          float(j + 1), f"2024-01-{d+1:02d} 12:00:00")
+         for j in range(4)]
+        for f, d in enumerate(days)
+    ]
+    for rows in rows_by_file:
+        spark.createDataFrame(
+            rows, "event_id long, event_type string, value double, ts_s string"
+        ).selectExpr(
+            "event_id", "event_type", "value", "cast(ts_s as timestamp) as ts"
+        ).write.mode("append").parquet(src)
+
+    anchor = pd.Timestamp("2024-01-30")  # day 29, the corpus horizon
+
+    def update_score(key, pdf_iter, state):
+        s, n = state.get if state.exists else (0.0, 0)
+        for pdf in pdf_iter:
+            d = (anchor - pdf["ts"].dt.normalize()).dt.days
+            s += float((pdf["value"] * np.exp(-d / 30.0)).sum())
+            n += len(pdf)
+        state.update((s, n))
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "decayed_raw": [s], "n_events": [n]}
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, event_type string, value double, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    scored = stream.groupBy("event_type").applyInPandasWithState(
+        update_score,
+        outputStructType="event_type string, decayed_raw double, n_events long",
+        stateStructType="s double, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        scored.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("decay_multi_batch")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(timeout=300)
+    finally:
+        q.stop()
+    raw = spark.table("decay_multi_batch")
+    assert raw.count() > 2  # proves the replay really split into batches
+    final = {
+        r["event_type"]: r["b"]["decayed_raw"]
+        for r in raw.groupBy("event_type")
+        .agg(F.max_by(F.struct("decayed_raw", "n_events"), "n_events").alias("b"))
+        .collect()
+    }
+    want = {"a": 0.0, "b": 0.0}
+    for rows, d in zip(rows_by_file, days):
+        for _, et, v, _ts in rows:
+            want[et] += v * math.exp(-(29 - d) / 30.0)
+    assert final.keys() == want.keys()
+    for k in want:
+        assert abs(final[k] - want[k]) < 1e-9, k
+    spark.catalog.dropTempView("decay_multi_batch")
