@@ -581,3 +581,126 @@ def q_sim_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.c_label").alias("code"),
         F.col("b.d").alias("dist_l2"),
     )
+
+
+NPROBE = 2
+RERANK_K = 3
+
+
+@register(
+    "q_sim_ivf_rerank",
+    oracle=f"""
+    WITH cent AS (
+        SELECT label, list(c ORDER BY dim) AS ce FROM (
+            SELECT label, i AS dim, avg(e) AS c FROM (
+                SELECT label,
+                       unnest(CAST(embedding AS DOUBLE[])) AS e,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings
+            ) GROUP BY label, i
+        ) GROUP BY label
+    ),
+    probes AS (
+        SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pe
+        FROM embeddings WHERE vec_id % {PROBE_MOD} = 0
+    ),
+    cells AS (
+        SELECT probe_id, label FROM (
+            SELECT p.probe_id, c.label,
+                   row_number() OVER (
+                       PARTITION BY p.probe_id
+                       ORDER BY round(list_cosine_similarity(c.ce, p.pe), 4)
+                                    DESC, c.label
+                   ) AS rn
+            FROM probes p, cent c
+        ) WHERE rn <= {NPROBE}
+    ),
+    cand AS (
+        SELECT p.probe_id, e.vec_id,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            p.pe), 6) AS score
+        FROM probes p
+        JOIN cells s ON s.probe_id = p.probe_id
+        JOIN embeddings e ON e.label = s.label
+        WHERE e.vec_id <> p.probe_id
+    )
+    SELECT probe_id, vec_id, score FROM (
+        SELECT probe_id, vec_id, score,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY score DESC, vec_id) AS rn
+        FROM cand
+    ) WHERE rn <= {RERANK_K}
+    """,
+)
+def q_sim_ivf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN retrieval — the production serving shape: a
+    coarse quantizer routes each probe to its NPROBE closest cells,
+    then ONLY those cells' vectors are exactly reranked. Completes
+    the similarity tier-ladder: q_sim_knn_* (exact brute force) →
+    q_sim_ivf_label (intra-cell all-pairs) → this (probe routing +
+    rerank, what an IVF index actually executes per query).
+
+    Scale shape: centroids are a partial-aggregable (label, dim)
+    aggregate — shuffle O(labels × dims), independent of corpus size.
+    Probe→cell routing is a window top-NPROBE over the tiny
+    probes × labels grid. The rerank candidate set arrives via an
+    EQUI-join on the cell id (probe routing broadcast onto the
+    embeddings scan) — candidate cost is Σ|selected cells|, never
+    n × probes. Both ranking cuts order by rounded scores with id
+    tiebreaks, so the result is reproducible and engine-exact
+    (float64, round 4 for routing / 6 for rerank — the same parity
+    recipe as the knn tiers).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+
+    # Coarse codebook: per-(label, dim) mean, re-assembled in dim
+    # order. O(labels × dims) rows — broadcast-sized at any corpus
+    # scale (the codebook IS small by construction; that's what makes
+    # it a codebook).
+    cent = (
+        emb.select("label", F.posexplode("e").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.avg("v").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "c"))),
+                lambda s: s["c"],
+            ).alias("ce")
+        )
+    )
+
+    probes = emb.filter(F.col("vec_id") % PROBE_MOD == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
+    )
+
+    routed = probes.join(F.broadcast(cent))  # probes × labels grid
+    w_route = W.partitionBy("probe_id").orderBy(
+        F.desc(F.round(cosine_expr(F.col("ce"), F.col("pe")), 4)),
+        F.asc("label"),
+    )
+    cells = (
+        routed.withColumn("rn", F.row_number().over(w_route))
+        .filter(F.col("rn") <= NPROBE)
+        .select("probe_id", "label", "pe")
+    )
+
+    cand = (
+        emb.join(F.broadcast(cells), "label")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(cosine_expr(F.col("e"), F.col("pe")), 6).alias("score"),
+        )
+    )
+    w_rank = W.partitionBy("probe_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= RERANK_K)
+        .select("probe_id", "vec_id", "score")
+    )
