@@ -48,7 +48,9 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # q_tpch_q16like q_tpch_q19like q_tpch_q22like q_udtf_expand_json
 # s_dedup_within_watermark s_session_dynamic s_topk_update_sink
 # q_fn_json q_fn_string q_fn_date q_fn_array q_fn_variant q_graph_degree
-# q_tpch_q21like (displaced from the
+# q_tpch_q21like q_scan_schema_merge q_events_attribution
+# (latter two: round-5-new, added after the window filled — round 6
+# must sample them) (displaced from the
 # round-5 window by the five round-5-new lifecycle operators, which
 # take precedence: new code needs driver evidence before old
 # replica-green scalar rows do)

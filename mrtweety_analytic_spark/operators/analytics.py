@@ -1129,3 +1129,78 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT n_nationkey, n_name, depth FROM h
         """
     )
+
+
+@register(
+    "q_events_attribution",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id, user_id, ts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+        SELECT user_id, ts, event_id, event_type
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    attributed AS (
+        SELECT p.event_id, p.value,
+               (SELECT t.event_type FROM touches t
+                WHERE t.user_id = p.user_id
+                  AND t.ts <= p.ts
+                  AND t.ts > p.ts - INTERVAL 3 DAY
+                ORDER BY t.ts DESC, t.event_id DESC LIMIT 1) AS touch_type
+        FROM purchases p
+    )
+    SELECT coalesce(touch_type, 'direct') AS touch_type,
+           count(*) AS n_purchases,
+           round(sum(value), 4) AS revenue
+    FROM attributed GROUP BY 1
+    """,
+)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: each purchase credits the most
+    recent click/view by the same user within a 3-day lookback (ties
+    broken by event_id); purchases with no touch in the window are
+    'direct'. The marketing-analytics staple, built from the as-of
+    primitive (q_join_asof) plus the attribution rollup.
+
+    Scale shape: the touch side joins on the user_id EQUI key with
+    the lookback band as residual, and the per-purchase argmax is the
+    partial-aggregable max(struct(ts, id, type)) — no per-group sort,
+    no window over the fact table. Output is O(touch types): the
+    whole fact volume collapses in two partial-agg shuffles.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    touches = ev.filter(
+        F.col("event_type").isin("click", "view")
+    ).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("t_type"),
+    )
+    joined = purchases.join(
+        touches,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("t_ts") <= F.col("ts"))
+        & (F.col("t_ts") > F.col("ts") - F.expr("INTERVAL 3 DAYS")),
+        "left",
+    )
+    last_touch = joined.groupBy("event_id").agg(
+        F.max(F.struct("t_ts", "t_id", "t_type")).alias("b"),
+        F.first("value").alias("value"),
+    )
+    return (
+        last_touch.groupBy(
+            F.coalesce(F.col("b.t_type"), F.lit("direct")).alias(
+                "touch_type"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 4).alias("revenue"),
+        )
+    )

@@ -259,3 +259,59 @@ def q_maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Where the most recent q_maintenance_compact call wrote (scratch
 # paths are per-call unique; the file-count test inspects this).
 LAST_COMPACT_BASE: str | None = None
+
+
+@register(
+    "q_scan_schema_merge",
+    oracle="""
+    WITH merged AS (
+        SELECT doc_id, n_chars, NULL AS lang
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id, n_chars, lang
+        FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT coalesce(lang, '<pre-evolution>') AS lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM merged GROUP BY 1
+    """,
+)
+def q_scan_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read (mergeSchema): two parquet
+    generations of the same table — the older one written BEFORE a
+    `lang` column existed — are scanned as one dataset; the union
+    schema is reconciled by field name and the missing column
+    null-fills. This is the data-lake reality at 100 TB: a corpus is
+    never rewritten when a field is added, so the scan layer must
+    reconcile schema drift (the batch counterpart of the streaming
+    footer-derived schema handling in sources.py). The oracle
+    re-derives the same union from the source table, so what's
+    certified is the null-fill semantics, not just row counts.
+
+    Scale note: mergeSchema reads every file footer at planning time
+    — O(files) driver work, the documented cost of on-read evolution.
+    Production tables bound it with a metastore/table-format schema;
+    the per-file reconciliation semantics certified here are the same
+    ones those formats apply.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    out = _scratch("schema_merge", sf_dir)
+    gen1 = os.path.join(out, "gen1")
+    gen2 = os.path.join(out, "gen2")
+    docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "n_chars"
+    ).write.mode("overwrite").parquet(gen1)
+    docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "n_chars", "lang"
+    ).write.mode("overwrite").parquet(gen2)
+    merged = spark.read.option("mergeSchema", True).parquet(gen1, gen2)
+    return (
+        merged.groupBy(
+            F.coalesce("lang", F.lit("<pre-evolution>")).alias("lang")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
