@@ -77,6 +77,9 @@ HEADLINE = [
     "q_cdc_scd2",                # changelog -> validity intervals
     "q_agg_decayed",             # recency-weighted aggregation
     "q_sample_reservoir",        # deterministic per-stratum top-k sample
+    "q_sim_ivf_rerank",          # two-stage ANN: centroid routing + exact rerank
+    "q_scan_schema_merge",       # mergeSchema scan over drifted generations
+    "q_events_attribution",      # last-touch as-of argmax + rollup
 ]
 
 
