@@ -305,3 +305,47 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round((F.col("n") - F.col("mu")) / F.col("sigma"), 6).alias("z"),
     )
+
+
+@register(
+    "q_dq_kanonymity",
+    oracle="""
+    WITH classes AS (
+        SELECT lang, source, count(*) AS class_size
+        FROM documents GROUP BY lang, source
+    )
+    SELECT count(*) AS n_classes,
+           count(*) FILTER (WHERE class_size < 5) AS n_below_k,
+           CAST(coalesce(sum(class_size) FILTER (WHERE class_size < 5), 0)
+                AS BIGINT) AS n_rows_at_risk,
+           CAST(min(class_size) AS BIGINT) AS min_class_size
+    FROM classes
+    """,
+)
+def q_dq_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple
+    (lang, source): equivalence-class sizes, the number of classes
+    (and rows) below k=5, and the smallest class — the re-
+    identification risk report a governed corpus release runs before
+    publishing. Rows in sub-k classes are the suppression/
+    generalization candidates.
+
+    Scale: one partial-aggregable groupBy on the quasi-identifier
+    tuple (shuffle O(classes)), then a second aggregate over the
+    O(classes) result — the fact table is scanned once and never
+    re-shuffled. Generalizing to wider quasi-identifier sets only
+    widens the first groupBy key.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    classes = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    below = F.col("class_size") < 5
+    return classes.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.count(F.when(below, 1)).alias("n_below_k"),
+        F.coalesce(
+            F.sum(F.when(below, F.col("class_size"))), F.lit(0)
+        ).alias("n_rows_at_risk"),
+        F.min("class_size").alias("min_class_size"),
+    )
