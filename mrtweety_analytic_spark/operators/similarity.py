@@ -673,7 +673,9 @@ def q_sim_ivf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     probes = emb.filter(F.col("vec_id") % PROBE_MOD == 0).select(
-        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
+        F.col("vec_id").alias("probe_id"),
+        F.col("e").alias("pe"),
+        F.sqrt(dot_expr(F.col("e"), F.col("e"))).alias("pnorm"),
     )
 
     routed = probes.join(F.broadcast(cent))  # probes × labels grid
@@ -684,16 +686,24 @@ def q_sim_ivf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = (
         routed.withColumn("rn", F.row_number().over(w_route))
         .filter(F.col("rn") <= NPROBE)
-        .select("probe_id", "label", "pe")
+        .select("probe_id", "label", "pe", "pnorm")
     )
 
+    # Norms are per-ROW invariants: computed once on each side before
+    # the pair join, so the per-pair work is ONE interpreted HOF fold
+    # (the dot product), not the three cosine_expr would do.
     cand = (
-        emb.join(F.broadcast(cells), "label")
+        emb.withColumn("enorm", F.sqrt(dot_expr(F.col("e"), F.col("e"))))
+        .join(F.broadcast(cells), "label")
         .filter(F.col("vec_id") != F.col("probe_id"))
         .select(
             "probe_id",
             "vec_id",
-            F.round(cosine_expr(F.col("e"), F.col("pe")), 6).alias("score"),
+            F.round(
+                dot_expr(F.col("e"), F.col("pe"))
+                / (F.col("enorm") * F.col("pnorm")),
+                6,
+            ).alias("score"),
         )
     )
     w_rank = W.partitionBy("probe_id").orderBy(
