@@ -315,3 +315,46 @@ def q_scan_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sum_chars"),
         )
     )
+
+
+@register(
+    "q_scan_corrupt_tolerant",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE doc_id % 2 = 0
+    GROUP BY lang
+    """,
+)
+def q_scan_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-file tolerance at the scan: a directory holding one
+    good parquet generation (the even doc_ids) plus one garbage file
+    (truncated-upload / bit-rot stand-in) is read with
+    `ignoreCorruptFiles` — the poison file is skipped, the good rows
+    all survive, and the oracle certifies the survivors value-for-
+    value. At 100 TB a handful of bad objects is a statistical
+    certainty; without this posture one rotted file kills the whole
+    job (the read-side sibling of q_fn_try_cast's poison-record
+    stance). The flag is scoped to this read via the DataFrameReader
+    option, not session-wide — tolerance is a per-pipeline decision.
+
+    Scale: no extra cost on the good path — corruption is detected at
+    footer/page decode of the bad file only; everything else is a
+    plain pruned parquet scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    out = _scratch("corrupt_scan", sf_dir)
+    docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "lang", "n_chars"
+    ).write.mode("overwrite").parquet(out)
+    # A file parquet will open (it matches the glob) but cannot parse:
+    # wrong magic, truncated footer.
+    with open(os.path.join(out, "part-corrupt.parquet"), "wb") as f:
+        f.write(b"NOTPARQUET" * 13)
+    merged = (
+        spark.read.option("ignoreCorruptFiles", "true").parquet(out)
+    )
+    return merged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )

@@ -148,3 +148,26 @@ def test_ivf_rerank_candidates_stay_in_routed_cells(spark, sf_dir):
         assert labels[r["vec_id"]] in allowed[r["probe_id"]], r
     assert all(len(v) <= RERANK_K for v in per_probe.values())
     assert per_probe  # non-trivial
+
+
+def test_corrupt_scan_poison_is_real(spark, tmp_path):
+    """The tolerance gate is only meaningful if the poison file
+    actually kills an unprotected read: same layout, no
+    ignoreCorruptFiles -> the scan must raise; with it -> exactly the
+    good rows survive."""
+    import pytest
+
+    good = spark.range(10).selectExpr("id", "id * 2 AS v")
+    good.write.mode("overwrite").parquet(str(tmp_path / "t"))
+    with open(tmp_path / "t" / "part-corrupt.parquet", "wb") as f:
+        f.write(b"NOTPARQUET" * 13)
+
+    with pytest.raises(Exception):
+        spark.read.parquet(str(tmp_path / "t")).count()
+
+    ok = (
+        spark.read.option("ignoreCorruptFiles", "true")
+        .parquet(str(tmp_path / "t"))
+    )
+    assert ok.count() == 10
+    assert ok.agg(F.sum("v")).first()[0] == 90
