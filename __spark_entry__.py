@@ -49,7 +49,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # s_dedup_within_watermark s_session_dynamic s_topk_update_sink
 # q_fn_json q_fn_string q_fn_date q_fn_array q_fn_variant q_graph_degree
 # q_tpch_q21like q_scan_schema_merge q_events_attribution
-# q_dq_kanonymity q_scan_corrupt_tolerant
+# q_dq_kanonymity q_scan_corrupt_tolerant q_fn_sql_udf
 # (latter two: round-5-new, added after the window filled — round 6
 # must sample them) (displaced from the
 # round-5 window by the five round-5-new lifecycle operators, which

@@ -173,3 +173,52 @@ def q_fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", F.col("p.t").alias("t"),
         F.round("p.v", 4).alias("v"),
     )
+
+
+@register(
+    "q_fn_sql_udf",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)
+               AS revenue_taxed
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar functions (Spark 4 `CREATE FUNCTION ...
+    RETURN <expr>`): business logic named once in the catalog and
+    reused — including one SQL UDF composing another — instead of
+    copy-pasted expressions. Unlike Python UDFs these are pure
+    Catalyst expressions after inlining: they codegen, push down, and
+    cost NOTHING over writing the expression inline (the whole point
+    — named semantics without leaving the JVM). The oracle evaluates
+    the inlined expressions directly, certifying the definition +
+    resolution + inlining path end-to-end.
+
+    Scale: identical plan to the hand-inlined expression — one
+    partial-aggregable groupBy; the function catalog is a
+    session-level nicety, not a runtime cost.
+    """
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION line_revenue("
+        "price DOUBLE, discount DOUBLE) RETURNS DOUBLE "
+        "RETURN price * (1 - discount)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION line_revenue_taxed("
+        "price DOUBLE, discount DOUBLE, tax DOUBLE) RETURNS DOUBLE "
+        "RETURN line_revenue(price, discount) * (1 + tax)"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("sqludf_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               round(sum(line_revenue(l_extendedprice, l_discount)), 4)
+                   AS revenue,
+               round(sum(line_revenue_taxed(l_extendedprice, l_discount,
+                                            l_tax)), 4) AS revenue_taxed
+        FROM sqludf_lineitem GROUP BY l_returnflag
+        """
+    )
