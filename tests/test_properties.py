@@ -442,3 +442,41 @@ def test_window_percentile_interpolation_matches_duckdb(spark):
     assert got == expect
     assert expect[("even", 1.0)] == 2.5
     assert expect[("dup_edge", 1.0)] == 2.0
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(  # per-doc shingle-id sets, ids from a small universe
+        st.sets(st.integers(min_value=0, max_value=9), max_size=6),
+        min_size=0,
+        max_size=8,
+    )
+)
+def test_pair_counts_matches_bruteforce(spark, doc_shingles):
+    """_pair_counts (postings-array explode) must equal the brute-
+    force pair intersection count for ANY doc->shingle-set incidence,
+    including empty docs, singleton postings, and hot shingles shared
+    by every doc."""
+    from itertools import combinations
+
+    from mrtweety_analytic_spark.operators.dedup import _pair_counts
+
+    rows = [
+        (doc_id, sh)
+        for doc_id, shset in enumerate(doc_shingles)
+        for sh in shset
+    ]
+    want = {}
+    for (a, sa), (b, sb) in combinations(enumerate(doc_shingles), 2):
+        n = len(sa & sb)
+        if n:
+            want[(a, b)] = n
+    if not rows:
+        assert want == {}
+        return
+    shingles = spark.createDataFrame(rows, "doc_id long, shingle long")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_common"]
+        for r in _pair_counts(shingles).collect()
+    }
+    assert got == want
