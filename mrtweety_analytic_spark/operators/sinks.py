@@ -358,3 +358,72 @@ def q_scan_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
     )
+
+
+@register(
+    "q_source_json_corrupt",
+    oracle="""
+    WITH lines AS (
+        SELECT event_id,
+               CAST(props->>'$.k' AS BIGINT) AS k,
+               event_id % 7 = 0 AS corrupt
+        FROM events
+    )
+    SELECT count(*) FILTER (WHERE NOT corrupt) AS n_good,
+           count(*) FILTER (WHERE corrupt) AS n_corrupt,
+           CAST(sum(k) FILTER (WHERE NOT corrupt) AS BIGINT) AS sum_k,
+           CAST(min(event_id) FILTER (WHERE corrupt) AS BIGINT)
+               AS first_corrupt_id
+    FROM lines
+    """,
+)
+def q_source_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE JSON-lines ingest with corrupt-record capture: a
+    feed where every 7th record is malformed (truncated JSON) is read
+    with `columnNameOfCorruptRecord`, so poison lines land in a
+    quarantine column instead of killing the job or silently
+    vanishing — and they stay ATTRIBUTABLE (the raw line is kept, so
+    the quarantine report can name the offending records). Completes
+    the poison-tolerance triad: q_fn_try_cast (value level),
+    q_scan_corrupt_tolerant (file level), this (record level).
+
+    The corrupt line embeds its event_id in a recoverable prefix, so
+    the gate certifies all three behaviors: good rows parse
+    value-for-value, corrupt rows are counted not dropped, and the
+    quarantined raw text is the original line (first_corrupt_id is
+    re-parsed OUT of the quarantine column).
+
+    Scale: schema-on-read JSON scan, no shuffle until the final 1-row
+    report; quarantine adds one string column on the corrupt subset
+    only.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k")
+    )
+    line = F.when(
+        F.col("event_id") % 7 == 0,
+        # Malformed: opening brace + id, no closing — a truncated write.
+        F.concat(F.lit('{"event_id": '), F.col("event_id"), F.lit(", TRUNC")),
+    ).otherwise(
+        F.to_json(F.struct("event_id", "k"))
+    )
+    out = _scratch("json_corrupt", sf_dir)
+    ev.select(line.alias("value")).write.mode("overwrite").text(out)
+    parsed = (
+        spark.read.schema(
+            "event_id long, k long, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+    )
+    bad = F.col("_corrupt_record").isNotNull()
+    return parsed.agg(
+        F.count(F.when(~bad, 1)).alias("n_good"),
+        F.count(F.when(bad, 1)).alias("n_corrupt"),
+        F.sum(F.when(~bad, F.col("k"))).alias("sum_k"),
+        F.min(
+            F.regexp_extract(F.col("_corrupt_record"), r'"event_id": (\d+)', 1)
+            .cast("long")
+        ).alias("first_corrupt_id"),
+    )
