@@ -714,3 +714,81 @@ def q_sim_ivf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= RERANK_K)
         .select("probe_id", "vec_id", "score")
     )
+
+
+@register(
+    "q_sim_outliers",
+    oracle="""
+    WITH cent AS (
+        SELECT label, list(c ORDER BY dim) AS ce FROM (
+            SELECT label, i AS dim, avg(e) AS c FROM (
+                SELECT label,
+                       unnest(CAST(embedding AS DOUBLE[])) AS e,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings
+            ) GROUP BY label, i
+        ) GROUP BY label
+    ),
+    d AS (
+        SELECT e.vec_id, e.label,
+               list_distance(CAST(e.embedding AS DOUBLE[]), c.ce) AS dist
+        FROM embeddings e JOIN cent c ON c.label = e.label
+    ),
+    stats AS (
+        SELECT label, avg(dist) AS mu, stddev_samp(dist) AS sigma
+        FROM d GROUP BY label
+    )
+    SELECT d.vec_id, d.label,
+           round((dist - mu) / sigma, 4) AS z
+    FROM d JOIN stats s ON s.label = d.label
+    WHERE round((dist - mu) / sigma, 4) >= 2.0
+    """,
+)
+def q_sim_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier audit: vectors whose Euclidean distance to
+    their OWN cell centroid is >= 2 sigma for that cell — the
+    mislabeled/noise-vector report run before trusting cell-routed
+    ANN (an outlier-polluted cell degrades both q_sim_ivf_label's
+    recall and q_sim_ivf_rerank's routing). The z-score cut is taken
+    on the 4-decimal grid in both engines, so membership at the
+    threshold is engine-exact.
+
+    Scale: centroid build is the O(labels × dims) partial aggregate;
+    distances are one map-side fold against the broadcast codebook;
+    per-label moments are a second O(labels) aggregate broadcast
+    back. The embedding column is scanned once and never shuffled.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cent = (
+        emb.select("label", F.posexplode("e").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.avg("v").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "c"))),
+                lambda s: s["c"],
+            ).alias("ce")
+        )
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("e"), F.col("ce"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    d = emb.join(F.broadcast(cent), "label").select(
+        "vec_id", "label", dist.alias("dist")
+    )
+    stats = d.groupBy("label").agg(
+        F.avg("dist").alias("mu"), F.stddev_samp("dist").alias("sigma")
+    )
+    z = F.round((F.col("dist") - F.col("mu")) / F.col("sigma"), 4)
+    return (
+        d.join(F.broadcast(stats), "label")
+        .select("vec_id", "label", z.alias("z"))
+        .filter(F.col("z") >= 2.0)
+    )
