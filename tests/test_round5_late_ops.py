@@ -171,3 +171,49 @@ def test_corrupt_scan_poison_is_real(spark, tmp_path):
     )
     assert ok.count() == 10
     assert ok.agg(F.sum("v")).first()[0] == 90
+
+
+def test_approx_distinct_within_hll_bounds(spark, sf_dir):
+    """The rows-only HLL entry must track the exact per-group distinct
+    within the default rsd (0.05) with margin — converts the weaker
+    rows-only gate into a bounded claim."""
+    from mrtweety_analytic_spark.queries import QUERIES
+    from mrtweety_analytic_spark.sources import load_table
+
+    got = {
+        r["l_returnflag"]: r["approx_parts"]
+        for r in QUERIES["q_agg_approx_distinct"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    assert got.keys() == exact.keys()
+    for k in got:
+        # default rsd 0.05 -> 3 sigma margin
+        assert abs(got[k] - exact[k]) <= max(3, 0.15 * exact[k]), k
+
+
+def test_approx_quantile_close_to_exact(spark, sf_dir):
+    from mrtweety_analytic_spark.queries import QUERIES
+    from mrtweety_analytic_spark.sources import load_table
+
+    approx = {
+        r["l_returnflag"]: r["p50_approx"]
+        for r in QUERIES["q_agg_approx_quantile"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["p50"]
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.percentile("l_extendedprice", 0.5).alias("p50"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k in exact:
+        # accuracy=10000 -> rank error <= n/10000; prices are spread,
+        # so 2% value tolerance is generous yet meaningful.
+        assert abs(approx[k] - exact[k]) / exact[k] < 0.02, k
