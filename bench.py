@@ -80,6 +80,7 @@ HEADLINE = [
     "q_sim_ivf_rerank",          # two-stage ANN: centroid routing + exact rerank
     "q_scan_schema_merge",       # mergeSchema scan over drifted generations
     "q_events_attribution",      # last-touch as-of argmax + rollup
+    "q_text_heavy_hitters",      # Misra-Gries candidates + exact verify
 ]
 
 

@@ -1094,3 +1094,89 @@ def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).alias("n_tokens"),
         F.concat_ws(" ", chunk).alias("chunk_text"),
     )
+
+
+HH_M = 2000  # Misra-Gries counters per partition == 1/phi
+
+
+@register(
+    "q_text_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS term
+        FROM documents
+    ),
+    tot AS (SELECT count(*) AS n FROM toks)
+    SELECT term, count(*) AS n_occ
+    FROM toks, tot
+    GROUP BY term, tot.n
+    HAVING count(*) > tot.n / {HH_M}.0
+    """,
+)
+def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT phi-heavy hitters (phi = 1/HH_M) over the token stream in
+    two bounded-memory passes — the Misra-Gries candidate/verify
+    architecture that replaces a full-vocabulary groupBy at 100 TB:
+
+      pass 1: each partition streams its tokens through a Misra-Gries
+      summary of HH_M counters (mapInPandas, O(HH_M) memory regardless
+      of vocabulary size). Any term with global frequency > n/HH_M
+      must exceed its share in at least one partition (pigeonhole),
+      so the UNION of per-partition candidate sets is a guaranteed
+      superset of the true heavy hitters — the classic distributed-
+      MG merge property.
+
+      pass 2: exact counts for candidates only (broadcast semi-join
+      onto the token stream + one partial-aggregable groupBy over
+      the candidate-bounded key space), filtered at the exact
+      threshold (strictly greater than n/HH_M — the
+      strict form is exactly what the MG summary guarantees to
+      retain, so the candidate superset covers every emitted term
+      on ANY corpus, boundary cases included).
+
+    The output is EXACT (the sketch only bounds the candidate set),
+    which is why a plain SQL oracle can certify a sketch-built
+    answer — the measure-don't-guess trick of q_dedup_lsh_eval,
+    promoted to the result itself. The vocabulary-sized shuffle of a
+    naive groupBy never happens: shuffled keys <= candidates <=
+    HH_M x partitions.
+    """
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    )
+
+    def mg_candidates(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for t in pdf["term"]:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < HH_M:
+                    counters[t] = 1
+                else:
+                    # decrement-all step, dropping zeroed counters
+                    dead = []
+                    for k in counters:
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counters[k]
+        yield pd.DataFrame({"term": list(counters.keys())})
+
+    cand = (
+        toks.mapInPandas(mg_candidates, schema="term string")
+        .distinct()
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        toks.join(F.broadcast(cand), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_occ") > F.col("n") / F.lit(float(HH_M)))
+        .select("term", "n_occ")
+    )

@@ -217,3 +217,45 @@ def test_approx_quantile_close_to_exact(spark, sf_dir):
         # accuracy=10000 -> rank error <= n/10000; prices are spread,
         # so 2% value tolerance is generous yet meaningful.
         assert abs(approx[k] - exact[k]) / exact[k] < 0.02, k
+
+
+def test_heavy_hitters_survive_counter_eviction(spark, tmp_path):
+    """Misra-Gries candidate pass must keep every true heavy hitter
+    even when the counter table overflows and decrements (vocabulary
+    >> HH_M), across multiple partitions — the distributed-MG
+    superset property the operator's exactness rests on."""
+    import pandas as pd
+
+    from mrtweety_analytic_spark.operators.textops import HH_M
+
+    n_noise = HH_M + 900  # force eviction churn
+    words = [f"w{i}" for i in range(n_noise)] + ["hot"] * 200 + ["warm"] * 50
+    # Spread tokens over documents so partitions see interleaved
+    # noise and heavy terms.
+    docs, chunk = [], 40
+    for i in range(0, len(words), chunk):
+        docs.append(" ".join(words[i : i + chunk]))
+    pd.DataFrame(
+        {
+            "doc_id": range(len(docs)),
+            "text": docs,
+            "lang": ["en"] * len(docs),
+            "source": ["s"] * len(docs),
+            "n_chars": [len(d) for d in docs],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    got = {
+        r["term"]: r["n_occ"]
+        for r in QUERIES["q_text_heavy_hitters"](spark, str(tmp_path)).collect()
+    }
+    n = len(words)
+    want = {
+        t: c
+        for t, c in pd.Series(words).value_counts().items()
+        if c > n / HH_M
+    }
+    assert got == want
+    assert "hot" in got and "warm" in got  # eviction didn't lose them
