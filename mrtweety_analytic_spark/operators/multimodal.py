@@ -259,3 +259,97 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # No n_copies>1 filter: the full digest->group map is compared
     # (dup groups exist only at sf 0.1 in this corpus — 8 groups —
     # and an empty report would make the sf 0.01 gate vacuous).
+
+
+# Content-defined chunking parameters: 3-byte rolling window rule,
+# expected chunk ~32 bytes between the min/max clamps.
+CDC_MIN, CDC_MAX, CDC_MOD = 16, 128, 32
+
+
+def cdc_boundaries(buf: bytes) -> list:
+    """Pure-function chunker shared by the operator and its pytest
+    reference: candidate boundaries where a 3-byte window hash hits
+    0 mod CDC_MOD, greedily accepted at >= CDC_MIN spacing, with
+    forced splits so no chunk exceeds CDC_MAX. Returns chunk end
+    offsets (exclusive), always ending at len(buf)."""
+    import numpy as np
+
+    b = np.frombuffer(buf, dtype=np.uint8).astype(np.int64)
+    ends = []
+    if len(b) >= 3:
+        h = (b[2:] * 167 + b[1:-1] * 31 + b[:-2]) % CDC_MOD
+        cand = (np.nonzero(h == 0)[0] + 2).tolist()
+    else:
+        cand = []
+    last = 0
+    for c in cand:
+        while c - last > CDC_MAX:
+            last += CDC_MAX
+            ends.append(last)
+        if c - last >= CDC_MIN:
+            ends.append(c)
+            last = c
+    n = len(b)
+    while n - last > CDC_MAX:
+        last += CDC_MAX
+        ends.append(last)
+    if n > last or n == 0:
+        ends.append(n)
+    return ends
+
+
+@register("q_multimodal_cdc_chunks")  # rows-only: rolling-window rule
+def q_multimodal_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking of opaque payloads — the storage-dedup
+    primitive for binary/media columns: chunk boundaries follow the
+    CONTENT (a rolling-window hash rule), so an insertion near the
+    start of a blob shifts only the chunks it touches and every
+    later chunk keeps its digest — which is exactly what makes
+    chunk-level dedup across near-identical media files work, and
+    what fixed-size chunking structurally cannot do (every boundary
+    after the edit moves). Emits (doc_id, chunk_idx, chunk_len,
+    chunk_md5); downstream chunk-dedup is a plain groupBy on the
+    digest (q_dedup_exact's shape, one level down).
+
+    Not SQL-expressible (sequential rolling rule) → rows-only gate;
+    the semantics are pinned instead by pytest: exact parity with the
+    pure-Python reference chunker, full reconstruction (chunk lens
+    sum to payload bytes), clamp invariants, and the shift-resistance
+    property above. Scale: mapInPandas over Arrow batches, chunking
+    is per-row numpy work, no shuffle at all — the digest groupBy
+    downstream is the only exchange a consumer adds.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    def chunk_batches(batches):
+        for pdf in batches:
+            out_id, out_idx, out_len, out_md5 = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                start = 0
+                for i, end in enumerate(cdc_boundaries(buf)):
+                    out_id.append(doc_id)
+                    out_idx.append(i)
+                    out_len.append(end - start)
+                    out_md5.append(hashlib.md5(buf[start:end]).hexdigest())
+                    start = end
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_id, dtype="int64"),
+                    "chunk_idx": pd.Series(out_idx, dtype="int64"),
+                    "chunk_len": pd.Series(out_len, dtype="int64"),
+                    "chunk_md5": pd.Series(out_md5, dtype="object"),
+                }
+            )
+
+    return payloads.mapInPandas(
+        chunk_batches,
+        schema="doc_id long, chunk_idx long, chunk_len long, chunk_md5 string",
+    )

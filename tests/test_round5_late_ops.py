@@ -259,3 +259,66 @@ def test_heavy_hitters_survive_counter_eviction(spark, tmp_path):
     }
     assert got == want
     assert "hot" in got and "warm" in got  # eviction didn't lose them
+
+
+def test_cdc_chunking_reconstruction_clamps_and_shift_resistance(spark, tmp_path):
+    """Content-defined chunking invariants: (1) Spark output ==
+    pure-Python reference, (2) chunk lengths reconstruct the payload,
+    (3) every chunk within [CDC_MIN, CDC_MAX] except possibly the
+    final remainder, (4) inserting bytes at the FRONT of a payload
+    leaves the tail chunk digests intact — the property fixed-size
+    chunking cannot have."""
+    import hashlib
+    import random
+
+    from mrtweety_analytic_spark.operators.multimodal import (
+        CDC_MAX,
+        CDC_MIN,
+        cdc_boundaries,
+    )
+
+    rng = random.Random(7)
+    base = bytes(rng.randrange(256) for _ in range(600))
+    shifted = b"XYZ" + base  # 3-byte front insertion
+    texts = {0: base, 1: shifted}
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": [t.decode("latin-1") for t in texts.values()],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": [len(t) for t in texts.values()],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    rows = QUERIES["q_multimodal_cdc_chunks"](spark, str(tmp_path)).collect()
+    by_doc: dict = {}
+    for r in sorted(rows, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+        by_doc.setdefault(r["doc_id"], []).append(r)
+
+    for doc_id, raw in texts.items():
+        # NOTE: the operator encodes text as UTF-8; latin-1 bytes over
+        # 0x7F re-encode to multi-byte UTF-8, so compare against the
+        # same re-encoded buffer the operator saw.
+        buf = raw.decode("latin-1").encode("utf-8")
+        ends = cdc_boundaries(buf)
+        chunks = by_doc[doc_id]
+        assert [r["chunk_len"] for r in chunks] == [
+            e - s for s, e in zip([0] + ends[:-1], ends)
+        ]
+        assert sum(r["chunk_len"] for r in chunks) == len(buf)
+        for r in chunks[:-1]:
+            assert CDC_MIN <= r["chunk_len"] <= CDC_MAX
+        assert chunks[-1]["chunk_len"] <= CDC_MAX
+        start = 0
+        for r, e in zip(chunks, ends):
+            assert r["chunk_md5"] == hashlib.md5(buf[start:e]).hexdigest()
+            start = e
+
+    # Shift resistance: the two payloads must share most tail chunks.
+    d0 = {r["chunk_md5"] for r in by_doc[0]}
+    d1 = {r["chunk_md5"] for r in by_doc[1]}
+    shared = len(d0 & d1)
+    assert shared >= max(1, len(d0) - 3), (len(d0), len(d1), shared)
