@@ -830,3 +830,67 @@ def q_dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(1.0)), 6
         ).alias("recall"),
     )
+
+
+SIMHASH_BANDS = 4
+SIMHASH_MAX_HAMMING = 3  # < SIMHASH_BANDS, so pigeonhole guarantees recall
+
+
+@register("q_dedup_simhash_pairs")  # rows-only: xxhash64 has no DuckDB twin
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS at scale — the Manku et al. (WWW'07)
+    banding trick that turns 'all pairs within Hamming distance K'
+    from an O(n²) bit comparison into equi-joins: split the 64-bit
+    signature into SIMHASH_BANDS 16-bit bands; any two signatures
+    with Hamming distance <= SIMHASH_MAX_HAMMING (< number of bands)
+    must agree EXACTLY on at least one band (pigeonhole), so
+    candidates come from a (band_idx, band_value) self-equi-join and
+    only candidates pay the exact bit_count(xor) verify. Recall is
+    exact by construction, not probabilistic — unlike MinHash-LSH
+    banding, nothing is sampled.
+
+    Scale: the join key space is 4n rows; hot bands (common 16-bit
+    patterns) are the skew to watch — the same stop-key capping as
+    the shingle index applies if a band value's posting list explodes
+    (not needed at this corpus's signature entropy). Verify is
+    codegen'd integer xor/popcount. Rows-only gate (xxhash64 has no
+    DuckDB twin); recall/precision vs brute force pinned by pytest.
+    """
+    sigs = q_dedup_simhash(spark, sf_dir).select("doc_id", "simhash")
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for i in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.band_idx", "b.band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
+    )

@@ -322,3 +322,33 @@ def test_cdc_chunking_reconstruction_clamps_and_shift_resistance(spark, tmp_path
     d1 = {r["chunk_md5"] for r in by_doc[1]}
     shared = len(d0 & d1)
     assert shared >= max(1, len(d0) - 3), (len(d0), len(d1), shared)
+
+
+def test_simhash_banding_matches_bruteforce_hamming(spark, sf_dir):
+    """Banded candidate generation + verify must return EXACTLY the
+    brute-force set of pairs within SIMHASH_MAX_HAMMING — the
+    pigeonhole recall guarantee is structural, so any miss is a bug,
+    and the verify filter makes precision exact too."""
+    from mrtweety_analytic_spark.operators.dedup import (
+        SIMHASH_MAX_HAMMING,
+        q_dedup_simhash,
+    )
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in q_dedup_simhash(spark, sf_dir).collect()
+    }
+    want = {}
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1")
+            if h <= SIMHASH_MAX_HAMMING:
+                want[(a, b)] = h
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in QUERIES["q_dedup_simhash_pairs"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert want  # fixture contains near-dup docs, so non-trivial
