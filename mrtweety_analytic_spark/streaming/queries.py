@@ -901,3 +901,114 @@ def s_decayed_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.n_events").alias("n_events"),
         )
     )
+
+
+SHH_PHI = 500     # report terms with count > n / SHH_PHI
+SHH_GROUPS = 8    # state-store key space (salt groups)
+SHH_M = 250       # MG counters per group; recall needs n_g/SHH_M <= n/SHH_PHI
+
+
+@register(
+    "s_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS term
+        FROM documents
+    ),
+    tot AS (SELECT count(*) AS n FROM toks)
+    SELECT term, count(*) AS n_occ
+    FROM toks, tot
+    GROUP BY term, tot.n
+    HAVING count(*) > tot.n / {SHH_PHI}.0
+    """,
+)
+def s_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING heavy hitters with BOUNDED state — the capability the
+    reference's windowed count cannot have: its per-key state grows
+    with the distinct-hashtag count, while this keeps O(SHH_GROUPS ×
+    SHH_M) counters total no matter how large the vocabulary gets.
+
+    Shape: tokens are salted into SHH_GROUPS state keys by term hash
+    (a term lives in exactly ONE group, so no cross-group merge);
+    each group folds its token stream through a Misra-Gries summary
+    of SHH_M counters inside applyInPandasWithState. MG's guarantee
+    is ORDER-INDEPENDENT — any term with group count > n_g/SHH_M is
+    in the final summary under every batch split and arrival order —
+    so with SHH_M ≥ SHH_PHI/SHH_GROUPS (modulo hash imbalance) the
+    candidate union is a deterministic superset of the true
+    phi-heavy hitters. A batch verify pass then computes EXACT counts
+    for candidates only (the q_text_heavy_hitters pass-2 shape),
+    which is why a streaming sketch operator can carry a full SQL
+    oracle: the sketch bounds the candidate set, never the answer.
+    """
+    import os as _os
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..sources import load_table
+
+    docs_batch = load_table(spark, sf_dir, "documents")
+    footer_schema = spark.read.parquet(
+        _os.path.join(sf_dir, "documents.parquet")
+    ).schema
+    stream = (
+        spark.readStream.schema(footer_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    toks = stream.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    ).select(
+        "term",
+        F.pmod(F.xxhash64("term"), F.lit(SHH_GROUPS)).alias("g"),
+    )
+
+    def mg_update(key, pdf_iter, state):
+        if state.exists:
+            terms, counts = state.get
+            counters = dict(zip(terms, counts))
+        else:
+            counters = {}
+        for pdf in pdf_iter:
+            for t in pdf["term"]:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < SHH_M:
+                    counters[t] = 1
+                else:
+                    dead = []
+                    for k in counters:
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counters[k]
+        state.update(
+            (list(counters.keys()), [int(v) for v in counters.values()])
+        )
+        yield pd.DataFrame({"term": list(counters.keys())})
+
+    cand_stream = toks.groupBy("g").applyInPandasWithState(
+        mg_update,
+        outputStructType="term string",
+        stateStructType="terms array<string>, counts array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    cand = _run_to_memory(spark, cand_stream, "update").select("term").distinct()
+
+    btoks = docs_batch.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    )
+    total = btoks.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        btoks.join(F.broadcast(cand), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_occ") > F.col("n") / F.lit(float(SHH_PHI)))
+        .select("term", "n_occ")
+    )
