@@ -894,3 +894,72 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .distinct()
     )
+
+
+VAL_MOD = 10  # 1/VAL_MOD of clusters land in the validation split
+
+
+@register(
+    "q_split_leakage_safe",
+    oracle=f"""
+    WITH RECURSIVE {_EDGES_SQL},
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc, other) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT r.doc, e.b FROM reach r JOIN edges e ON e.a = r.other
+    ),
+    cl AS (SELECT doc, min(other) AS cluster_id FROM reach GROUP BY doc),
+    asg AS (
+        SELECT d.doc_id, d.n_chars,
+               coalesce(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN cl c ON c.doc = d.doc_id
+    )
+    SELECT CASE WHEN cluster_id % {VAL_MOD} = 0 THEN 'val' ELSE 'train' END
+               AS split,
+           count(*) AS n_docs,
+           count(DISTINCT cluster_id) AS n_clusters,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM asg GROUP BY 1
+    """,
+)
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/validation split: the assignment unit is
+    the NEAR-DUP CLUSTER, not the document — every document in a
+    connected component of the Jaccard near-dup graph lands in the
+    same split (singletons are their own cluster), so a validation
+    document can never have a near-duplicate twin in training. This
+    is the split-contamination failure mode of naive per-doc
+    hashing (a val doc's paraphrase in train inflates eval), closed
+    structurally: split is a pure function of cluster id.
+
+    Scale: cluster labels come from the bounded-iteration label
+    propagation (q_dedup_clusters); the assignment itself is a
+    row-local modulus after one left join of docs to the O(clustered
+    docs) label table — broadcast-sized whenever near-dups are rare,
+    which is the expected regime after the exact tier.
+    """
+    from ..registry import QUERIES
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = QUERIES["q_dedup_clusters"](spark, sf_dir)
+    asg = docs.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        "n_chars",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+    )
+    split = F.when(
+        F.col("cluster_id") % VAL_MOD == 0, F.lit("val")
+    ).otherwise(F.lit("train"))
+    return (
+        asg.groupBy(split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )

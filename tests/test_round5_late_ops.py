@@ -352,3 +352,35 @@ def test_simhash_banding_matches_bruteforce_hamming(spark, sf_dir):
     }
     assert got == want
     assert want  # fixture contains near-dup docs, so non-trivial
+
+
+def test_leakage_safe_split_never_splits_a_cluster(spark, sf_dir):
+    """Structural guarantee check at doc level: reconstruct per-doc
+    assignments and assert no near-dup cluster spans train and val,
+    and that the val fraction is materially nonzero."""
+    from mrtweety_analytic_spark.operators.dedup import VAL_MOD
+    from mrtweety_analytic_spark.queries import QUERIES
+    from mrtweety_analytic_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    clusters = QUERIES["q_dedup_clusters"](spark, sf_dir)
+    asg = docs.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+    )
+    rows = asg.collect()
+    split_of_cluster: dict = {}
+    n_val = 0
+    for r in rows:
+        s = "val" if r["cluster_id"] % VAL_MOD == 0 else "train"
+        n_val += s == "val"
+        prev = split_of_cluster.setdefault(r["cluster_id"], s)
+        assert prev == s  # a cluster can only ever map to one split
+    assert 0 < n_val < len(rows)
+    # And the aggregate op agrees with the doc-level reconstruction.
+    agg = {
+        r["split"]: r["n_docs"]
+        for r in QUERIES["q_split_leakage_safe"](spark, sf_dir).collect()
+    }
+    assert agg["val"] == n_val
+    assert agg["train"] == len(rows) - n_val
