@@ -1204,3 +1204,92 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("revenue"),
         )
     )
+
+
+@register(
+    "q_events_window_funnel",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    t1 AS (
+        SELECT user_id, min(ts) AS ts1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+        SELECT e.user_id, min(e.ts) AS ts2
+        FROM events e JOIN t1 ON t1.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > t1.ts1
+          AND e.ts <= t1.ts1 + INTERVAL 3 DAY
+        GROUP BY e.user_id
+    ),
+    t3 AS (
+        SELECT e.user_id, min(e.ts) AS ts3
+        FROM events e
+        JOIN t1 ON t1.user_id = e.user_id
+        JOIN t2 ON t2.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+          AND e.ts <= t1.ts1 + INTERVAL 3 DAY
+        GROUP BY e.user_id
+    )
+    SELECT CASE WHEN t3.user_id IS NOT NULL THEN 3
+                WHEN t2.user_id IS NOT NULL THEN 2
+                WHEN t1.user_id IS NOT NULL THEN 1
+                ELSE 0 END AS depth,
+           count(*) AS n_users
+    FROM u
+    LEFT JOIN t1 ON t1.user_id = u.user_id
+    LEFT JOIN t2 ON t2.user_id = u.user_id
+    LEFT JOIN t3 ON t3.user_id = u.user_id
+    GROUP BY 1
+    """,
+)
+def q_events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered window funnel (the ClickHouse `windowFunnel` shape):
+    per user, the deepest prefix of view → click → purchase completed
+    IN ORDER within a 3-day horizon opened by the first view; report
+    users per depth. Strictly-increasing timestamps between steps
+    (a click at the same instant as the view does not advance).
+
+    Scale: ONE shuffle — all three step times are window aggregates
+    over the same user_id partitioning (step k's minimum conditions
+    on step k-1's column, so the sequential dependency costs extra
+    window PASSES, not extra Exchanges), then an O(users) rollup.
+    The oracle takes the equivalent 3-join form, which documents
+    precisely the re-scan cost the window formulation avoids.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    horizon = F.expr("INTERVAL 3 DAYS")
+    is_ = lambda t: F.col("event_type") == t  # noqa: E731
+    staged = (
+        ev.withColumn("ts1", F.min(F.when(is_("view"), F.col("ts"))).over(w))
+        .withColumn(
+            "ts2",
+            F.min(
+                F.when(
+                    is_("click")
+                    & (F.col("ts") > F.col("ts1"))
+                    & (F.col("ts") <= F.col("ts1") + horizon),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "ts3",
+            F.min(
+                F.when(
+                    is_("purchase")
+                    & (F.col("ts") > F.col("ts2"))
+                    & (F.col("ts") <= F.col("ts1") + horizon),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    depth = (
+        F.when(F.col("ts3").isNotNull(), 3)
+        .when(F.col("ts2").isNotNull(), 2)
+        .when(F.col("ts1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    per_user = staged.groupBy("user_id").agg(F.max(depth).alias("depth"))
+    return per_user.groupBy("depth").agg(F.count(F.lit(1)).alias("n_users"))
