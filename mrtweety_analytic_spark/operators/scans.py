@@ -91,6 +91,28 @@ def q_sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table materialized Hive-partitioned by event_type,
+    cached across calls (key includes source size+mtime so a
+    regenerated corpus never reuses a stale copy). Shared by the
+    static (q_scan_partition_pruned) and dynamic (q_join_dpp)
+    pruning certificates."""
+    import os
+    import tempfile
+
+    events = load_table(spark, sf_dir, "events")
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"mrtweety_part_events_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{st.st_size}_{int(st.st_mtime)}_{os.getuid()}",
+    )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        events.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    return spark.read.parquet(out)
+
+
 @register(
     "q_scan_partition_pruned",
     oracle="""
@@ -105,26 +127,12 @@ def q_scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     events table Hive-partitioned by event_type (the write any 100 TB
     event lake does), then answer a two-type query — the scan touches
     only the two selected partition directories (static pruning; the
-    dynamic variant is guarded by test_dynamic_partition_pruning).
+    dynamic variant is certified by q_join_dpp and
+    test_dynamic_partition_pruning).
     The oracle states the same semantics over the unpartitioned table,
     so the partitioned layout is proven value-preserving too.
     """
-    import os
-    import tempfile
-
-    events = load_table(spark, sf_dir, "events")
-    # Cache key includes the source file's size+mtime so a regenerated
-    # corpus (or a different machine user) never reuses a stale copy.
-    src = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(src)
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"mrtweety_part_events_{os.path.basename(os.path.normpath(sf_dir))}"
-        f"_{st.st_size}_{int(st.st_mtime)}_{os.getuid()}",
-    )
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        events.write.mode("overwrite").partitionBy("event_type").parquet(out)
-    part = spark.read.parquet(out)
+    part = partitioned_events(spark, sf_dir)
     return (
         part.filter(F.col("event_type").isin("purchase", "signup"))
         .groupBy(F.col("event_type").cast("string").alias("event_type"))
@@ -250,4 +258,48 @@ def q_scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("file_name").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("event_id").alias("n_ids"),
+    )
+
+
+@register(
+    "q_join_dpp",
+    oracle="""
+    WITH dim AS (
+        SELECT event_type FROM events
+        GROUP BY event_type HAVING avg(value) > 25
+    )
+    SELECT e.event_type, count(*) AS n, round(sum(e.value), 4) AS total
+    FROM events e JOIN dim USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning, certified end-to-end: the
+    Hive-partitioned fact is joined to a dim whose qualifying keys
+    are only known at RUNTIME (event types with avg value > 25), so
+    no static filter exists for the planner to push — Catalyst
+    instead plants a dynamicpruning subquery in the fact's partition
+    filters and the scan reads only the dim-selected directories
+    once the build side materializes. At 100 TB this is the
+    difference between reading the selected event_type directories
+    and the whole lake whenever the selective predicate lives on the
+    dimension. Value parity is oracle-certified; the
+    dynamicpruningexpression plan shape is pinned by
+    tests/test_operators.py::test_join_dpp_plan_has_dynamic_pruning.
+    """
+    part = partitioned_events(spark, sf_dir)
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.avg("value").alias("av"))
+        .filter(F.col("av") > 25)
+        .select("event_type")
+    )
+    return (
+        part.join(dim, "event_type")
+        .groupBy(F.col("event_type").cast("string").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total"),
+        )
     )

@@ -384,3 +384,17 @@ def test_leakage_safe_split_never_splits_a_cluster(spark, sf_dir):
     }
     assert agg["val"] == n_val
     assert agg["train"] == len(rows) - n_val
+
+
+def test_join_dpp_plan_has_dynamic_pruning(spark, sf_dir):
+    """q_join_dpp's fact scan must carry a dynamicpruning partition
+    filter — the runtime-pruned scan the operator exists to certify."""
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["q_join_dpp"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "dynamicpruning" in plan.lower()
