@@ -81,6 +81,7 @@ HEADLINE = [
     "q_scan_schema_merge",       # mergeSchema scan over drifted generations
     "q_events_attribution",      # last-touch as-of argmax + rollup
     "q_text_heavy_hitters",      # Misra-Gries candidates + exact verify
+    "q_corpus_funnel",           # capstone curation funnel composite
 ]
 
 

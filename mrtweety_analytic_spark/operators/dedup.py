@@ -963,3 +963,115 @@ def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sum_chars"),
         )
     )
+
+
+def _funnel_oracle() -> str:
+    from .textops import _STOP_SQL, _prep_hits_sql
+
+    edges_on_fdocs = _EDGES_SQL.replace("FROM documents", "FROM fdocs")
+    return f"""
+    WITH RECURSIVE metrics AS (
+        SELECT doc_id,
+               count(*) AS n_tokens,
+               1.0 * count(*) FILTER (WHERE term IN ({_STOP_SQL}))
+                   / count(*) AS stop_ratio,
+               {_prep_hits_sql()}
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        WHERE term <> ''
+        GROUP BY doc_id
+    ),
+    q AS (
+        SELECT d.* FROM documents d JOIN metrics m ON d.doc_id = m.doc_id
+        WHERE NOT (m.h_en = 0 AND m.h_de = 0 AND m.h_es = 0 AND m.h_fr = 0)
+          AND m.h_en >= m.h_de AND m.h_en >= m.h_es AND m.h_en >= m.h_fr
+          AND m.stop_ratio <= 0.5
+          AND m.n_tokens BETWEEN 10 AND 500
+    ),
+    ek AS (
+        SELECT min(doc_id) AS doc_id FROM q
+        GROUP BY md5(trim(regexp_replace(
+                    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                    ' +', ' ', 'g')))
+    ),
+    fdocs AS (SELECT q.* FROM q JOIN ek ON q.doc_id = ek.doc_id),
+    {edges_on_fdocs},
+    near_dropped AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+    final AS (
+        SELECT * FROM fdocs
+        WHERE doc_id NOT IN (SELECT doc_id FROM near_dropped)
+    )
+    SELECT 1 AS stage_idx, 'raw' AS stage, count(*) AS n_docs
+    FROM documents
+    UNION ALL SELECT 2, 'quality', count(*) FROM q
+    UNION ALL SELECT 3, 'exact_dedup', count(*) FROM fdocs
+    UNION ALL SELECT 4, 'near_dedup', count(*) FROM final
+    """
+
+
+@register("q_corpus_funnel", oracle=_funnel_oracle())
+def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-curation funnel in ONE call — the capstone
+    composite a reference user migrating a training-data pipeline
+    actually runs: quality gates (language-ID, stopword ratio, token
+    budget — q_text_prep_pipeline's chain) → exact dedup (normalized
+    fingerprint keep-min) → near-dup removal (inverted-index Jaccard,
+    drop the larger id of each pair) — reported as a per-stage
+    retention funnel, the number every curation run is judged by.
+
+    Each stage consumes the previous stage's SURVIVORS (near-dup
+    pairs are computed only among exact-dedup survivors, the
+    cost-ordering design of q_dedup_pipeline), so the expensive tiers
+    see monotonically shrinking inputs. Monotonicity of the funnel is
+    pytest-pinned; every stage count is oracle-certified against one
+    composed CTE chain.
+    """
+    from .textops import STOPWORDS, _is_en_predicate, _lang_hit_cols
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    metrics = t.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (
+            F.sum(F.when(F.col("term").isin(*STOPWORDS), 1).otherwise(0))
+            / F.count(F.lit(1))
+        ).alias("stop_ratio"),
+        *_lang_hit_cols(),
+    )
+    q = (
+        docs.join(metrics, "doc_id")
+        .filter(
+            _is_en_predicate()
+            & (F.col("stop_ratio") <= 0.5)
+            & F.col("n_tokens").between(10, 500)
+        )
+        .select(*docs.columns)
+    )
+    exact_kept = (
+        q.groupBy(F.md5(normalized_text(F.col("text"))).alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    fdocs = q.join(exact_kept, "doc_id", "left_semi")
+    near_dropped = (
+        _jaccard_pairs(fdocs)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    final = fdocs.join(near_dropped, "doc_id", "left_anti")
+
+    def stage(idx: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+
+    return (
+        stage(1, "raw", docs)
+        .unionByName(stage(2, "quality", q))
+        .unionByName(stage(3, "exact_dedup", fdocs))
+        .unionByName(stage(4, "near_dedup", final))
+    )

@@ -398,3 +398,18 @@ def test_join_dpp_plan_has_dynamic_pruning(spark, sf_dir):
         .toString()
     )
     assert "dynamicpruning" in plan.lower()
+
+
+def test_corpus_funnel_is_monotone(spark, sf_dir):
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    rows = sorted(
+        QUERIES["q_corpus_funnel"](spark, sf_dir).collect(),
+        key=lambda r: r["stage_idx"],
+    )
+    assert [r["stage"] for r in rows] == [
+        "raw", "quality", "exact_dedup", "near_dedup",
+    ]
+    counts = [r["n_docs"] for r in rows]
+    assert counts == sorted(counts, reverse=True)  # monotone funnel
+    assert counts[-1] > 0  # something survives curation
