@@ -1149,22 +1149,25 @@ def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def mg_candidates(batches):
+        # Mergeable-summaries MG (Agarwal et al., PODS'12): each
+        # Arrow batch is reduced with a vectorized value_counts (its
+        # exact counts ARE a zero-error MG summary), then merged into
+        # the running summary — combine counts, and when over
+        # capacity subtract the (HH_M+1)-th largest from everything
+        # and drop the non-positive. Total undercount stays
+        # <= n_p/(HH_M+1), so the superset guarantee is intact, and
+        # the per-TOKEN Python loop (the one piece that would not
+        # survive a 100x token count) becomes a per-UNIQUE-TERM merge.
         counters: dict[str, int] = {}
         for pdf in batches:
-            for t in pdf["term"]:
-                if t in counters:
-                    counters[t] += 1
-                elif len(counters) < HH_M:
-                    counters[t] = 1
-                else:
-                    # decrement-all step, dropping zeroed counters
-                    dead = []
-                    for k in counters:
-                        counters[k] -= 1
-                        if counters[k] == 0:
-                            dead.append(k)
-                    for k in dead:
-                        del counters[k]
+            for t, c in pdf["term"].value_counts().items():
+                counters[t] = counters.get(t, 0) + int(c)
+            if len(counters) > HH_M:
+                vals = sorted(counters.values(), reverse=True)
+                v = vals[HH_M]
+                counters = {
+                    k: c - v for k, c in counters.items() if c > v
+                }
         yield pd.DataFrame({"term": list(counters.keys())})
 
     cand = (

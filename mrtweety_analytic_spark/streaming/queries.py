@@ -972,20 +972,19 @@ def s_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             counters = dict(zip(terms, counts))
         else:
             counters = {}
+        # Mergeable-summaries MG (see q_text_heavy_hitters): exact
+        # per-batch value_counts merged into the summary; over
+        # capacity, subtract the (SHH_M+1)-th largest and drop
+        # non-positive. Order-independent bound, per-unique-term cost.
         for pdf in pdf_iter:
-            for t in pdf["term"]:
-                if t in counters:
-                    counters[t] += 1
-                elif len(counters) < SHH_M:
-                    counters[t] = 1
-                else:
-                    dead = []
-                    for k in counters:
-                        counters[k] -= 1
-                        if counters[k] == 0:
-                            dead.append(k)
-                    for k in dead:
-                        del counters[k]
+            for t, c in pdf["term"].value_counts().items():
+                counters[t] = counters.get(t, 0) + int(c)
+            if len(counters) > SHH_M:
+                vals = sorted(counters.values(), reverse=True)
+                v = vals[SHH_M]
+                counters = {
+                    k: c - v for k, c in counters.items() if c > v
+                }
         state.update(
             (list(counters.keys()), [int(v) for v in counters.values()])
         )
