@@ -792,3 +792,61 @@ def q_sim_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", z.alias("z"))
         .filter(F.col("z") >= 2.0)
     )
+
+
+@register("q_sim_lsh_eval")  # rows-only: the LSH side is seeded-approximate
+def q_sim_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure, don't guess — for the EMBEDDING tier: precision/
+    recall of the random-projection LSH neighbour pairs
+    (q_sim_lsh_bucketed, L2 <= 1.0 on unit vectors ≙ cosine >= 0.5)
+    against the exact blocked all-pairs tier (q_dedup_embedding,
+    cosine >= 0.5). The audit row a pipeline reads before switching
+    its semantic-dedup stage from the exact to the bucketed path at
+    100 TB — the embedding-space sibling of q_dedup_lsh_eval's
+    shingle-space certificate. Both inputs are pair-level results,
+    so the full-outer comparison join is O(candidate pairs).
+    """
+    from .dedup import q_dedup_embedding
+
+    exact = q_dedup_embedding(spark, sf_dir).select(
+        "vec_a", "vec_b", F.lit(1).alias("in_exact")
+    )
+    approx = QUERIES_LSH_PAIRS(spark, sf_dir).select(
+        "vec_a", "vec_b", F.lit(1).alias("in_approx")
+    )
+    j = exact.join(approx, ["vec_a", "vec_b"], "full_outer")
+    return j.agg(
+        F.count(
+            F.when(
+                F.col("in_exact").isNotNull()
+                & F.col("in_approx").isNotNull(),
+                1,
+            )
+        ).alias("tp"),
+        F.count(F.when(F.col("in_exact").isNull(), 1)).alias("fp"),
+        F.count(F.when(F.col("in_approx").isNull(), 1)).alias("fn"),
+    ).select(
+        "tp",
+        "fp",
+        "fn",
+        F.round(
+            F.when(
+                F.col("tp") + F.col("fp") > 0,
+                F.col("tp") / (F.col("tp") + F.col("fp")),
+            ).otherwise(F.lit(1.0)),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.when(
+                F.col("tp") + F.col("fn") > 0,
+                F.col("tp") / (F.col("tp") + F.col("fn")),
+            ).otherwise(F.lit(1.0)),
+            6,
+        ).alias("recall"),
+    )
+
+
+def QUERIES_LSH_PAIRS(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_sim_lsh_bucketed's pair set, deduplicated to canonical
+    (vec_a < vec_b) rows for the eval join."""
+    return q_sim_lsh_bucketed(spark, sf_dir).select("vec_a", "vec_b").distinct()
