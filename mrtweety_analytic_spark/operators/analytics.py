@@ -1293,3 +1293,68 @@ def q_events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_user = staged.groupBy("user_id").agg(F.max(depth).alias("depth"))
     return per_user.groupBy("depth").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@register(
+    "q_events_rfm",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS tmax FROM events),
+    base AS (
+        SELECT user_id,
+               date_diff('day', max(ts), (SELECT tmax FROM mx)) AS recency_d,
+               count(*) AS frequency,
+               round(sum(value), 4) AS monetary
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ),
+    scored AS (
+        SELECT user_id,
+               ntile(4) OVER (ORDER BY recency_d DESC, user_id) AS r,
+               ntile(4) OVER (ORDER BY frequency ASC, user_id) AS f,
+               ntile(4) OVER (ORDER BY monetary ASC, user_id) AS m
+        FROM base
+    )
+    SELECT r || '-' || f || '-' || m AS segment,
+           count(*) AS n_users
+    FROM scored GROUP BY 1
+    """,
+)
+def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-analytics rollup:
+    per-user Recency (days since last purchase), Frequency, Monetary,
+    each quartiled (higher score = better: recent, frequent, big),
+    users counted per R-F-M segment. Ntile ties are broken by user_id
+    in BOTH engines so quartile edges are deterministic.
+
+    Scale: one partial-aggregable groupBy collapses the fact to
+    O(users); the three ntiles run over that collapsed frame (a
+    single-partition sort of O(users) rows — at 10⁹ users you would
+    swap ntile for percentile-threshold bucketing, which this
+    operator's quartile semantics reduce to); the segment rollup is
+    O(64) rows.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    mx = ev.agg(F.max("ts").alias("tmax"))
+    base = (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.to_date(F.first("tmax")), F.to_date(F.max("ts"))
+            ).alias("recency_d"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("value"), 4).alias("monetary"),
+        )
+    )
+    scored = base.select(
+        "user_id",
+        F.ntile(4).over(W.orderBy(F.desc("recency_d"), "user_id")).alias("r"),
+        F.ntile(4).over(W.orderBy(F.asc("frequency"), "user_id")).alias("f"),
+        F.ntile(4).over(W.orderBy(F.asc("monetary"), "user_id")).alias("m"),
+    )
+    seg = F.concat_ws("-", "r", "f", "m")
+    return scored.groupBy(seg.alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )

@@ -223,3 +223,56 @@ def q_win_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(F.percentile("value", 0.5).over(w), 4).alias("med_value"),
     )
+
+
+@register(
+    "q_win_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    grp AS (
+        SELECT user_id, d,
+               d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                        AS INTEGER) AS anchor
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, count(*) AS len
+        FROM grp GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks
+    FROM streaks GROUP BY user_id
+    """,
+)
+def q_win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-DAY activity streak per user — the
+    calendar gaps-and-islands shape (distinct from q_sessionize_gaps'
+    continuous-time gap): consecutive active dates share the constant
+    `date - row_number` anchor, so streaks fall out of one window
+    pass plus two aggregates, no self-join and no recursive walk.
+
+    Scale: distinct (user, day) first — the fact collapses to at most
+    users × days rows BEFORE the window — then everything downstream
+    is O(active-days). One exchange on user_id, reused by the window
+    and both aggregates.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    grp = days.select(
+        "user_id",
+        "d",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("anchor"),
+    )
+    streaks = grp.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest_streak"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+    )
