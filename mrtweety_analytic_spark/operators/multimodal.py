@@ -353,3 +353,57 @@ def q_multimodal_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk_batches,
         schema="doc_id long, chunk_idx long, chunk_len long, chunk_md5 string",
     )
+
+
+@register(
+    "q_multimodal_pair_align",
+    oracle="""
+    WITH j AS (
+        SELECT d.doc_id, e.vec_id, d.n_chars,
+               len(e.embedding) AS dim
+        FROM documents d FULL OUTER JOIN embeddings e
+          ON d.doc_id = e.vec_id
+    )
+    SELECT count(*) FILTER (WHERE doc_id IS NOT NULL
+                            AND vec_id IS NOT NULL) AS n_paired,
+           count(*) FILTER (WHERE vec_id IS NULL) AS n_text_only,
+           count(*) FILTER (WHERE doc_id IS NULL) AS n_vector_only,
+           CAST(coalesce(sum(n_chars) FILTER (WHERE vec_id IS NOT NULL), 0)
+                AS BIGINT) AS paired_chars,
+           CAST(coalesce(max(dim), 0) AS BIGINT) AS dim
+    FROM j
+    """,
+)
+def q_multimodal_pair_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired-dataset alignment audit: full-outer join the text
+    corpus to its embedding table on the shared id and report
+    coverage — paired rows, text-without-vector, vector-without-text,
+    plus the paired character mass and embedding dim. This is the
+    gate a multimodal/contrastive training-set build runs before
+    writing shards: silent coverage holes (an embedding job that
+    skipped a partition) surface here as n_text_only, not as a
+    mysteriously small training set later.
+
+    Scale: one equi-join on the id (the natural co-partitioning key
+    for both tables — bucketed layouts make it shuffle-free), then a
+    single wide aggregate; the embedding payload contributes only
+    its length, so vectors never shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.size("embedding").alias("dim")
+    )
+    j = docs.join(emb, docs.doc_id == emb.vec_id, "full_outer")
+    paired = F.col("doc_id").isNotNull() & F.col("vec_id").isNotNull()
+    return j.agg(
+        F.count(F.when(paired, 1)).alias("n_paired"),
+        F.count(F.when(F.col("vec_id").isNull(), 1)).alias("n_text_only"),
+        F.count(F.when(F.col("doc_id").isNull(), 1)).alias("n_vector_only"),
+        F.coalesce(
+            F.sum(F.when(F.col("vec_id").isNotNull(), F.col("n_chars"))),
+            F.lit(0),
+        ).alias("paired_chars"),
+        F.coalesce(F.max("dim"), F.lit(0)).cast("long").alias("dim"),
+    )
