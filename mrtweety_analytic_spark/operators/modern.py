@@ -222,3 +222,76 @@ def q_fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sqludf_lineitem GROUP BY l_returnflag
         """
     )
+
+
+@register(
+    "q_sql_named_params",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 4) AS total
+    FROM orders
+    WHERE o_totalprice > 150000 AND o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_sql_named_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 4 named-parameter binding): the query
+    text carries `:threshold` / `:status` placeholders and values
+    bind at execution — no string interpolation, so user input can
+    never splice into the query text (the SQL-injection-safe calling
+    convention for a query service) and the SAME parse tree is
+    reused across parameter values (plan-cache friendly at a 100 TB
+    service's query rate). The oracle inlines the bound values,
+    certifying that binding is semantically identical to literal SQL.
+    """
+    li = load_table(spark, sf_dir, "orders")
+    li.createOrReplaceTempView("params_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 4) AS total
+        FROM params_orders
+        WHERE o_totalprice > :threshold AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"threshold": 150000, "status": "O"},
+    )
+
+
+@register(
+    "q_observe_metrics",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT)
+               AS n_discounted,
+           round(sum(l_extendedprice), 4) AS total_price
+    FROM lineitem
+    """,
+)
+def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Observation API end-to-end: data-quality metrics ride the
+    SAME scan as the consuming action (df.observe + one noop write),
+    then surface as a result row — observability without a second
+    pass, which at 100 TB is the difference between metrics-for-free
+    and doubling the read bill. The oracle recomputes the metrics
+    directly, certifying that observed values equal a dedicated
+    aggregation.
+    """
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("dq")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias(
+            "n_discounted"
+        ),
+        F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    return spark.createDataFrame(
+        [(got["n_rows"], got["n_discounted"], got["total_price"])],
+        "n_rows long, n_discounted long, total_price double",
+    )
