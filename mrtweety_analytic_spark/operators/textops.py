@@ -1183,3 +1183,96 @@ def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_occ") > F.col("n") / F.lit(float(HH_M)))
         .select("term", "n_occ")
     )
+
+
+@register(
+    "q_text_domain_entropy",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, source, count(*) AS n
+        FROM documents GROUP BY lang, source
+    ),
+    tot AS (SELECT sum(n) AS t FROM counts)
+    SELECT round(-sum((n / t) * ln(n / t)), 4) AS entropy_nats,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           round(ln(count(*)), 4) AS max_entropy_nats
+    FROM counts, tot
+    """,
+)
+def q_text_domain_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the (lang, source) mixture — the diversity
+    number a data-mixture dashboard tracks: entropy near ln(cells)
+    means a balanced corpus, near 0 means one domain dominates (and
+    q_text_domain_mix's resampling weights are about to matter). One
+    partial-aggregable groupBy to O(cells), then the entropy fold
+    over that tiny frame with the total riding a 1-row broadcast.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.agg(F.sum("n").alias("t"))
+    p = F.col("n") / F.col("t")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(-F.sum(p * F.log(p)), 4).alias("entropy_nats"),
+            F.count(F.lit(1)).alias("n_cells"),
+            F.round(F.log(F.count(F.lit(1))), 4).alias(
+                "max_entropy_nats"
+            ),
+        )
+    )
+
+
+@register(
+    "q_text_zipf_fit",
+    oracle="""
+    WITH tf AS (
+        SELECT term, count(*) AS freq
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS term
+              FROM documents)
+        WHERE term <> ''
+        GROUP BY term
+    ),
+    ranked AS (
+        SELECT freq,
+               row_number() OVER (ORDER BY freq DESC, term) AS rank
+        FROM tf
+    )
+    SELECT round(regr_slope(ln(freq), ln(rank)), 4) AS zipf_slope,
+           round(regr_r2(ln(freq), ln(rank)), 4) AS r2,
+           CAST(count(*) AS BIGINT) AS vocab
+    FROM ranked
+    """,
+)
+def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the term-frequency distribution: OLS slope of
+    ln(freq) on ln(rank) (natural text sits near −1; a slope far off
+    flags synthetic, boilerplate-heavy, or truncated corpora — a
+    cheap corpus-health diagnostic before training). Uses the
+    built-in regr_slope/regr_r2 aggregates — mergeable sufficient
+    statistics, so the fit itself is one partial-aggregable pass over
+    the O(vocab) frequency table; the rank window runs on that same
+    collapsed table, never the token stream.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = W.orderBy(F.desc("freq"), "term")
+    ranked = tf.select(
+        "freq", F.row_number().over(w).alias("rank")
+    )
+    return ranked.agg(
+        F.round(
+            F.regr_slope(F.log("freq"), F.log("rank")), 4
+        ).alias("zipf_slope"),
+        F.round(F.regr_r2(F.log("freq"), F.log("rank")), 4).alias("r2"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
