@@ -850,3 +850,56 @@ def QUERIES_LSH_PAIRS(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_sim_lsh_bucketed's pair set, deduplicated to canonical
     (vec_a < vec_b) rows for the eval join."""
     return q_sim_lsh_bucketed(spark, sf_dir).select("vec_a", "vec_b").distinct()
+
+
+from ..registry import ORACLES as _ORACLES  # noqa: E402  (module-load order)
+
+
+@register(
+    "q_sim_ivf_recall_eval",
+    oracle=f"""
+    WITH ivf AS ({_ORACLES['q_sim_ivf_rerank']}),
+    exact AS ({_ORACLES['q_sim_knn_batch']}),
+    j AS (
+        SELECT e.probe_id, e.vec_id, i.vec_id AS hit
+        FROM exact e LEFT JOIN ivf i
+          ON i.probe_id = e.probe_id AND i.vec_id = e.vec_id
+    )
+    SELECT CAST(count(DISTINCT probe_id) AS BIGINT) AS n_probes,
+           count(*) AS n_exact,
+           count(hit) AS n_hit,
+           round(1.0 * count(hit) / count(*), 4) AS recall_at_k
+    FROM j
+    """,
+)
+def q_sim_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF routed-rerank tier against the exact
+    brute-force top-k on the SAME probe set — the number that
+    licenses replacing exact kNN with IVF at scale (accuracy lost to
+    routing = 1 − recall, and it is measured, not assumed). Unlike
+    the LSH evals this one is FULLY oracle-certified: both tiers are
+    deterministic, so the oracle recomposes both CTE chains and
+    takes the same overlap — the eval itself is hash-checked, not
+    just its inputs.
+
+    Scale: both sides are k·probes-row results; the comparison join
+    is O(k·probes) regardless of corpus size.
+    """
+    ivf = q_sim_ivf_rerank(spark, sf_dir).select(
+        F.col("probe_id").alias("i_probe"), F.col("vec_id").alias("i_vec")
+    )
+    exact = q_sim_knn_batch(spark, sf_dir).select("probe_id", "vec_id")
+    j = exact.join(
+        ivf,
+        (F.col("probe_id") == F.col("i_probe"))
+        & (F.col("vec_id") == F.col("i_vec")),
+        "left",
+    )
+    return j.agg(
+        F.countDistinct("probe_id").alias("n_probes"),
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("i_vec").alias("n_hit"),
+        F.round(F.count("i_vec") / F.count(F.lit(1)), 4).alias(
+            "recall_at_k"
+        ),
+    )
