@@ -82,6 +82,7 @@ HEADLINE = [
     "q_events_attribution",      # last-touch as-of argmax + rollup
     "q_text_heavy_hitters",      # Misra-Gries candidates + exact verify
     "q_corpus_funnel",           # capstone curation funnel composite
+    "q_sim_ivf_kmeans",          # learned-quantizer IVF (2 Lloyd iters)
 ]
 
 

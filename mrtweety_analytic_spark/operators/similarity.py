@@ -1000,7 +1000,7 @@ def q_sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF retrieval with a LEARNED coarse quantizer — the production
     fix for q_sim_ivf_recall_eval's finding (label cells are not
     cosine-coherent; recall@3 ≈ 0.21): two deterministic Lloyd
-    iterations (seeds = the {K} smallest vec_ids, round-6 L2
+    iterations (seeds = the KM_K smallest vec_ids, round-6 L2
     assignment with cluster-asc tiebreaks) learn cells from the
     vectors themselves, then the same route-top-NPROBE → exact-rerank
     pipeline runs over the learned cells. Measured recall@3 ≈ 0.51
