@@ -30,11 +30,11 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # (q_agg_collect, whose only driver row predates its fix in commit
 # 6841fdb, and the three rows-only sketches) and q_fn_variant_schema
 # (oracle re-pinned this round with numeric-type normalization).
-# After this round, 81 registered names remain never-driver-
+# After this round, 84 registered names remain never-driver-
 # sampled (all replica-green at sf 0.01, and green under a vanilla
-# driver-style session): round 6's window takes 50, round 7 the
-# rest. The set (recomputed from CORRECTNESS_r01-r04 ∪ this
-# PRIORITY vs the as-built registry):
+# driver-style session, tools/verify_vanilla.py): round 6's window
+# takes 50, round 7 the rest. The set (recomputed from
+# CORRECTNESS_r01-r04 ∪ this PRIORITY vs the as-built registry):
 # q_agg_salted_twophase q_anomaly_zscore q_corpus_funnel
 # q_date_spine q_dedup_containment q_dedup_lsh_eval
 # q_dedup_simhash_pairs q_dq_kanonymity q_events_anomaly_zscore
@@ -48,7 +48,8 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # q_maintenance_compact q_maintenance_zorder
 # q_multimodal_cdc_chunks q_multimodal_pair_align
 # q_observe_metrics q_scan_corrupt_tolerant q_scan_file_metadata
-# q_scan_schema_merge q_sessionize_gaps q_sim_lsh_eval
+# q_scan_schema_merge q_sessionize_gaps q_sim_ivf_kmeans
+# q_sim_ivf_kmeans_recall q_sim_ivf_recall_eval q_sim_lsh_eval
 # q_sim_outliers q_sim_pq_assign q_source_json_corrupt
 # q_split_leakage_safe q_sql_named_params q_subquery_in
 # q_subquery_scalar q_table_diff q_text_chunk q_text_cooccur
@@ -60,13 +61,14 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # q_tpch_q21like q_tpch_q22like q_udtf_expand_json q_win_streaks
 # s_dedup_within_watermark s_heavy_hitters s_session_dynamic
 # s_topk_update_sink
-# Of these, the 23 round-5-new operators should LEAD the round-6
+# Of these, the 26 round-5-new operators should LEAD the round-6
 # window (new code earns driver evidence first):
 # q_corpus_funnel q_dedup_simhash_pairs q_dq_kanonymity
 # q_events_attribution q_events_rfm q_events_window_funnel
 # q_fn_sql_udf q_join_dpp q_multimodal_cdc_chunks
 # q_multimodal_pair_align q_observe_metrics
-# q_scan_corrupt_tolerant q_scan_schema_merge q_sim_lsh_eval
+# q_scan_corrupt_tolerant q_scan_schema_merge q_sim_ivf_kmeans
+# q_sim_ivf_kmeans_recall q_sim_ivf_recall_eval q_sim_lsh_eval
 # q_sim_outliers q_source_json_corrupt q_split_leakage_safe
 # q_sql_named_params q_text_domain_entropy q_text_heavy_hitters
 # q_text_zipf_fit q_win_streaks s_heavy_hitters
