@@ -413,3 +413,78 @@ def test_corpus_funnel_is_monotone(spark, sf_dir):
     counts = [r["n_docs"] for r in rows]
     assert counts == sorted(counts, reverse=True)  # monotone funnel
     assert counts[-1] > 0  # something survives curation
+
+
+def test_ivf_kmeans_matches_numpy_reference(spark, tmp_path):
+    """q_sim_ivf_kmeans end-to-end against an independent numpy
+    implementation of the same spec (seeds = smallest ids, 2 Lloyd
+    iterations on round-6 L2 with cluster-asc ties, route top-NPROBE
+    by round-4 cosine, rerank top-RERANK_K by round-6 cosine with id
+    ties) on a constructed corpus with planted cluster structure —
+    pins the unrolled iteration order and every tiebreak, not just
+    the fixture corpus's happy path."""
+    import numpy as np
+
+    from mrtweety_analytic_spark.operators.similarity import (
+        KM_K,
+        NPROBE,
+        PROBE_MOD,
+        RERANK_K,
+    )
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(4, 16)) * 3
+    E = np.vstack([
+        centers[i % 4] + rng.normal(size=16) * 0.4 for i in range(120)
+    ])
+    ids = np.arange(120)
+    pd.DataFrame(
+        {
+            "vec_id": ids,
+            "embedding": [row.astype("float32") for row in E],
+            "label": (ids % 4).astype("int32"),
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet")
+
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    got = {
+        (r["probe_id"], r["vec_id"]): r["score"]
+        for r in QUERIES["q_sim_ivf_kmeans"](spark, str(tmp_path)).collect()
+    }
+
+    # numpy reference of the exact spec (float32 storage re-read as
+    # float64, like the operator's cast)
+    Ed = E.astype("float32").astype("float64")
+
+    def assign(C):
+        d = np.round(
+            np.sqrt(((Ed[:, None, :] - C[None, :, :]) ** 2).sum(-1)), 6
+        )
+        # argmin with cluster-asc tiebreak = plain argmin over rounded
+        return d.argmin(1)
+
+    C = Ed[:KM_K].copy()
+    for _ in range(2):
+        a = assign(C)
+        # Seeds are real data points on a well-separated corpus: every
+        # cluster keeps members (asserted), so no empty-cell handling
+        # is needed and positional cluster order == ascending cl.
+        assert all((a == k).any() for k in range(KM_K))
+        C = np.array([Ed[a == k].mean(0) for k in range(KM_K)])
+    af = assign(C)
+    norms = np.linalg.norm(Ed, axis=1)
+    Cn = np.linalg.norm(C.astype("float64"), axis=1)
+    want = {}
+    for p in np.where(ids % PROBE_MOD == 0)[0]:
+        cosc = np.round((C @ Ed[p]) / (Cn * norms[p]), 4)
+        cells = np.lexsort((np.arange(len(C)), -cosc))[:NPROBE]
+        cand = np.where(np.isin(af, cells))[0]
+        cand = cand[cand != p]
+        sc = np.round((Ed[cand] @ Ed[p]) / (norms[cand] * norms[p]), 6)
+        order = np.lexsort((ids[cand], -sc))[:RERANK_K]
+        for i in order:
+            want[(int(ids[p]), int(ids[cand][i]))] = float(sc[i])
+    assert got.keys() == want.keys()
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-9, k
