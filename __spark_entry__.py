@@ -49,7 +49,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # q_multimodal_cdc_chunks q_multimodal_pair_align
 # q_observe_metrics q_scan_corrupt_tolerant q_scan_file_metadata
 # q_scan_schema_merge q_sessionize_gaps q_sim_ivf_kmeans
-# q_sim_ivf_kmeans_recall q_sim_ivf_recall_eval q_sim_lsh_eval
+# q_sim_ivf_kmeans_recall q_text_passage_scrub q_sim_ivf_recall_eval q_sim_lsh_eval
 # q_sim_outliers q_sim_pq_assign q_source_json_corrupt
 # q_split_leakage_safe q_sql_named_params q_subquery_in
 # q_subquery_scalar q_table_diff q_text_chunk q_text_cooccur
@@ -68,7 +68,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # q_fn_sql_udf q_join_dpp q_multimodal_cdc_chunks
 # q_multimodal_pair_align q_observe_metrics
 # q_scan_corrupt_tolerant q_scan_schema_merge q_sim_ivf_kmeans
-# q_sim_ivf_kmeans_recall q_sim_ivf_recall_eval q_sim_lsh_eval
+# q_sim_ivf_kmeans_recall q_text_passage_scrub q_sim_ivf_recall_eval q_sim_lsh_eval
 # q_sim_outliers q_source_json_corrupt q_split_leakage_safe
 # q_sql_named_params q_text_domain_entropy q_text_heavy_hitters
 # q_text_zipf_fit q_win_streaks s_heavy_hitters

@@ -310,3 +310,138 @@ def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= _RESERVOIR_K)
     )
+
+
+@register(
+    "q_text_passage_scrub",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(lower(text), ' ')) AS term,
+               generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, i.i AS s,
+               array_to_string(t[i.i:i.i + {_SHINGLE_W - 1}], ' ') AS passage
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+              FROM documents),
+             unnest(generate_series(1, greatest(len(t) - {_SHINGLE_W - 1}, 0)))
+                 AS i(i)
+    ),
+    dup AS (
+        SELECT passage FROM sh
+        GROUP BY passage HAVING count(DISTINCT doc_id) >= 2
+    ),
+    starts AS (
+        SELECT DISTINCT sh.doc_id, sh.s
+        FROM sh JOIN dup ON dup.passage = sh.passage
+    ),
+    covered AS (
+        SELECT DISTINCT t.doc_id, t.pos
+        FROM toks t JOIN starts st
+          ON st.doc_id = t.doc_id
+         AND t.pos BETWEEN st.s AND st.s + {_SHINGLE_W - 1}
+    ),
+    kept AS (
+        SELECT t.doc_id, t.term, t.pos
+        FROM toks t LEFT JOIN covered c
+          ON c.doc_id = t.doc_id AND c.pos = t.pos
+        WHERE c.pos IS NULL
+    ),
+    base AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id),
+    rem AS (SELECT doc_id, count(*) AS n_removed FROM covered GROUP BY doc_id),
+    cln AS (
+        SELECT doc_id, md5(string_agg(term, ' ' ORDER BY pos)) AS cleaned_md5
+        FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens,
+           coalesce(r.n_removed, 0) AS n_removed,
+           coalesce(c.cleaned_md5, md5('')) AS cleaned_md5
+    FROM base b
+    LEFT JOIN rem r ON r.doc_id = b.doc_id
+    LEFT JOIN cln c ON c.doc_id = b.doc_id
+    """,
+)
+def q_text_passage_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level dedup as an ACTION, not just a report: every
+    token covered by any cross-document duplicated 8-token window
+    (q_text_passage_dedup's detection rule) is removed from every
+    document, and the scrubbed text is certified by digest — the Lee
+    et al. 2022 exact-substring dedup applied, expressed fully
+    relationally (shingle starts → covered position ranges → token
+    anti-join → ordered reassembly), so a plain SQL oracle can check
+    the rewritten corpus byte-for-byte. Aggressive variant: all
+    occurrences go (a keep-one policy is the same plan with a
+    row_number gate on `starts`).
+
+    Scale: positions and shingle starts are map-side fan-out from the
+    token array; `covered` is an equi-join on doc_id with the range
+    as residual (never a cross product — a shingle start covers at
+    most {_SHINGLE_W} positions of ITS document); the reassembly
+    groups by doc with an ordered in-group sort. Raw text shuffles
+    once, as (doc_id, term, pos) triples.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t_arr = F.split(F.lower(F.col("text")), " ")
+    toks = docs.select(
+        "doc_id", F.posexplode(t_arr).alias("pos0", "term")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(split(lower(text), ' ')) - {_SHINGLE_W - 1}, 0)),"
+                f" i -> struct(i AS s, array_join(slice(split(lower(text), ' '), i, {_SHINGLE_W}), ' ') AS passage))"
+            )
+        ).alias("x"),
+    ).select("doc_id", "x.s", "x.passage")
+    dup = (
+        sh.groupBy("passage")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("passage")
+    )
+    starts = (
+        sh.join(F.broadcast(dup), "passage", "left_semi")
+        .select("doc_id", "s")
+        .distinct()
+    )
+    st = starts.select(F.col("doc_id").alias("s_doc"), "s")
+    covered = (
+        toks.join(
+            st,
+            (F.col("doc_id") == F.col("s_doc"))
+            & F.col("pos").between(F.col("s"), F.col("s") + _SHINGLE_W - 1),
+        )
+        .select("doc_id", "pos")
+        .distinct()
+    )
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    base = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    rem = covered.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_removed")
+    )
+    cln = kept.groupBy("doc_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "term"))),
+                    lambda x: x["term"],
+                ),
+                " ",
+            )
+        ).alias("cleaned_md5")
+    )
+    return (
+        base.join(rem, "doc_id", "left")
+        .join(cln, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+            F.coalesce("cleaned_md5", F.md5(F.lit(""))).alias(
+                "cleaned_md5"
+            ),
+        )
+    )
