@@ -79,6 +79,11 @@ PRIORITY = [
     "q_agg_sketch_merge",
     "q_agg_approx_quantile",
     # operators NEW this round — earn fresh driver rows first
+    "q_basket_pairs",
+    "q_text_pmi",
+    "q_ts_interpolate",
+    "q_mv_incremental",
+    "q_events_paths",
     "q_cdc_scd2",
     "q_dedup_url",
     "q_text_passage_dedup",
@@ -106,12 +111,9 @@ PRIORITY = [
     "q_set_except",
     "q_set_intersect_all",
     "q_set_except_all",
-    # TPC-H shapes without a driver row
-    "q_tpch_q2like",
-    "q_tpch_q4like",
-    "q_tpch_q8like",
-    "q_tpch_q9like",
-    "q_tpch_q11like",
+    # TPC-H shapes without a driver row (q2/q4/q8/q9/q11 rolled to
+    # the round-6 window to make room for the mining wave above —
+    # all five stay replica-green at sf 0.01)
     "q_tpch_q12like",
     "q_tpch_q13like",
     "q_tpch_q15like",

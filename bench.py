@@ -83,6 +83,11 @@ HEADLINE = [
     "q_text_heavy_hitters",      # Misra-Gries candidates + exact verify
     "q_corpus_funnel",           # capstone curation funnel composite
     "q_sim_ivf_kmeans",          # learned-quantizer IVF (2 Lloyd iters)
+    "q_basket_pairs",            # a-priori support-pruned pair mining
+    "q_text_pmi",                # PMI collocations, one-pass tokenize
+    "q_ts_interpolate",          # date-spine linear gap repair
+    "q_mv_incremental",          # partial-aggregate view maintenance
+    "q_events_paths",            # first-3-event path counting
 ]
 
 

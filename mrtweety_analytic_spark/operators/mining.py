@@ -1,0 +1,435 @@
+"""Pattern-mining and incremental-maintenance operators: a-priori
+basket pairs, PMI collocations, time-series gap interpolation,
+partial-aggregate view maintenance, ordered event paths.
+
+These extend the engine beyond the reference's fixed dataflow
+(`SparkApplication.scala:63-93` is one count/sort pipeline) into the
+mining shapes a corpus/behavior pipeline needs at 100 TB. Every
+operator is pure `pyspark.sql.functions` algebra — no Python in the
+row loop — and every quadratic-ish stage is support-pruned or
+key-bounded before it runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+
+@register(
+    "q_basket_pairs",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    n AS (SELECT count(DISTINCT o) AS n_baskets,
+                 count(*) AS n_items,
+                 count(DISTINCT p) AS n_parts
+          FROM items),
+    freq AS (
+        SELECT p, count(*) AS cnt
+        FROM items GROUP BY p
+        HAVING count(*) >= greatest(
+            2, ceil(1.0 * (SELECT n_items FROM n)
+                    / (SELECT n_parts FROM n)))
+    ),
+    fi AS (SELECT i.o, i.p FROM items i JOIN freq USING (p)),
+    pairs AS (
+        SELECT a.p AS p1, b.p AS p2, count(*) AS pair_cnt
+        FROM fi a JOIN fi b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p
+    )
+    SELECT p1, p2, pair_cnt,
+           round(1.0 * pair_cnt / fa.cnt, 6) AS confidence,
+           round(1.0 * (SELECT n_baskets FROM n) * pair_cnt
+                 / (fa.cnt * fb.cnt), 6) AS lift
+    FROM pairs
+    JOIN freq fa ON fa.p = pairs.p1
+    JOIN freq fb ON fb.p = pairs.p2
+    ORDER BY pair_cnt DESC, p1, p2
+    LIMIT 20
+    """,
+)
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-priori frequent-pair mining over order baskets with
+    confidence and lift. The two-stage shape IS the scale design:
+    stage 1 prunes to frequent items (support >= max(2, mean item
+    support) — the downward-closure bound: no frequent pair has an
+    infrequent member; the mean-relative threshold tracks corpora
+    whose item vocabulary grows with volume, where a
+    fraction-of-baskets threshold would over- or under-prune), so
+    stage 2's within-basket self-join runs on the pruned item set
+    only. The pair join is an equi-join on the
+    basket key (pairs are generated inside each basket's hash
+    partition, never across), and the frequent-item table is small by
+    construction, so support/lift lookups broadcast. At 100 TB the
+    same plan holds with one addition for pathological baskets: cap
+    per-basket fan-out by keeping each basket's top-R items by global
+    frequency before the self-join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    # The basket item set feeds four consumers with different column
+    # pruning (basket count, item support, both pair-join sides), so
+    # ReusedExchange can't canonicalize them together — persisting the
+    # 2-column distinct collapses it to one scan + one distinct
+    # shuffle (same rationale as q_text_tfidf's tf persist).
+    items = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .persist()
+    )
+    n_b = items.agg(
+        F.countDistinct("o").alias("n_baskets"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.countDistinct("p").alias("n_parts"),
+    )
+    item_cnt = items.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
+    freq = (
+        item_cnt.crossJoin(F.broadcast(n_b))
+        .where(
+            F.col("cnt")
+            >= F.greatest(F.lit(2), F.ceil(F.col("n_items") / F.col("n_parts")))
+        )
+        .select("p", "cnt")
+    )
+    fi = items.join(F.broadcast(freq.select("p")), "p").select("o", "p")
+    a, b = fi.alias("a"), fi.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+    )
+    fa = freq.select(F.col("p").alias("p1"), F.col("cnt").alias("cnt_a"))
+    fb = freq.select(F.col("p").alias("p2"), F.col("cnt").alias("cnt_b"))
+    return (
+        pairs.join(F.broadcast(fa), "p1")
+        .join(F.broadcast(fb), "p2")
+        .crossJoin(F.broadcast(n_b))
+        .select(
+            "p1",
+            "p2",
+            "pair_cnt",
+            F.round(F.col("pair_cnt") / F.col("cnt_a"), 6).alias("confidence"),
+            F.round(
+                F.col("n_baskets") * F.col("pair_cnt")
+                / (F.col("cnt_a") * F.col("cnt_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("pair_cnt"), "p1", "p2")
+        .limit(20)
+    )
+
+
+@register(
+    "q_text_pmi",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS term,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ),
+    uni AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+    nu AS (SELECT sum(cnt) AS n_uni FROM uni),
+    big AS (
+        SELECT a, b, count(*) AS cnt
+        FROM (
+            SELECT term AS a,
+                   lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+            FROM toks
+        )
+        WHERE b IS NOT NULL
+        GROUP BY a, b
+    ),
+    nb AS (SELECT sum(cnt) AS n_big FROM big)
+    SELECT big.a || ' ' || big.b AS bigram, big.cnt AS pair_cnt,
+           round(ln((1.0 * big.cnt / (SELECT n_big FROM nb))
+                    * (SELECT n_uni FROM nu) * (SELECT n_uni FROM nu)
+                    / (1.0 * ua.cnt * ub.cnt)), 6) AS pmi
+    FROM big
+    JOIN uni ua ON ua.term = big.a
+    JOIN uni ub ON ub.term = big.b
+    WHERE big.cnt >= 5
+    ORDER BY pmi DESC, bigram
+    LIMIT 20
+    """,
+)
+def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by pointwise mutual information,
+    pmi = ln(P(ab) / (P(a) P(b))) with a min pair count of 5.
+    One tokenization pass builds the per-doc array; the bigram
+    aggregate and unigram aggregate both reduce to vocab-sized
+    tables, so the PMI join is broadcast-broadcast onto the bigram
+    aggregate and the corpus text itself is scanned exactly once per
+    aggregate — no per-pair recomputation. Ranking uses the ROUNDED
+    pmi (repo convention, see q_text_tfidf) so an ulp difference in
+    ln() between engines cannot flip the order; bigram is the
+    tiebreak.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.split("text", " ")
+    pair_arr = F.when(
+        F.size(arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(arr) - 2),
+            lambda i: F.struct(
+                F.get(arr, i).alias("a"), F.get(arr, i + 1).alias("b")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    big = (
+        docs.select(F.explode(pair_arr).alias("pr"))
+        .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    uni = (
+        docs.select(F.explode(arr).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n_uni = uni.agg(F.sum("cnt").alias("n_uni"))
+    n_big = big.agg(F.sum("cnt").alias("n_big"))
+    ua = uni.select(F.col("term").alias("a"), F.col("cnt").alias("cnt_a"))
+    ub = uni.select(F.col("term").alias("b"), F.col("cnt").alias("cnt_b"))
+    return (
+        big.where(F.col("cnt") >= 5)
+        .join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(n_big))
+        .crossJoin(F.broadcast(n_uni))
+        .select(
+            F.concat_ws(" ", "a", "b").alias("bigram"),
+            F.col("cnt").alias("pair_cnt"),
+            F.round(
+                F.log(
+                    (F.col("cnt") / F.col("n_big"))
+                    * F.col("n_uni") * F.col("n_uni")
+                    / (F.col("cnt_a") * F.col("cnt_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "bigram")
+        .limit(20)
+    )
+
+
+@register(
+    "q_ts_interpolate",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, avg(value) AS v
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    spine AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(min(day), max(day),
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM daily GROUP BY user_id
+    ),
+    joined AS (
+        SELECT s.user_id, s.day, d.v FROM spine s
+        LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+    ),
+    ctx AS (
+        SELECT user_id, day, v,
+               last_value(v IGNORE NULLS) OVER
+                   (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN day END
+                          IGNORE NULLS) OVER
+                   (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS pd,
+               first_value(v IGNORE NULLS) OVER
+                   (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN day END
+                           IGNORE NULLS) OVER
+                   (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS nd
+        FROM joined
+    )
+    SELECT user_id, day,
+           round(CASE
+               WHEN v IS NOT NULL THEN v
+               WHEN pv IS NULL THEN nv
+               WHEN nv IS NULL THEN pv
+               ELSE pv + (nv - pv) * date_diff('day', pd, day)
+                         / date_diff('day', pd, nd)
+           END, 6) AS val,
+           CAST(v IS NOT NULL AS INTEGER) AS observed
+    FROM ctx
+    """,
+)
+def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap repair: per-user daily purchase averages on a
+    dense per-user date spine, with linear interpolation across
+    missing days. Three exchanges total, all on POST-aggregate data:
+    the (user, day) daily rollup, the per-user min/max for the spine,
+    and the window sort — the raw event log is scanned and reduced
+    once, and all four gap-context windows share one window sort. The
+    spine side keeps its user_id partitioning, so the spine-daily
+    join broadcasts the daily aggregate (AQE picks SMJ on user_id at
+    scale — either way no raw-log shuffle). The spine is
+    generated per key from that key's own min/max (sequence +
+    explode), so a sparse user never inflates a dense user's range,
+    and interpolation is pure window algebra — last/first IGNORE
+    NULLS — with no self-join against the observation table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.avg("value").alias("v"))
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("dmin", "dmax", F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left")
+    back = W.partitionBy("user_id").orderBy("day").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    fwd = W.partitionBy("user_id").orderBy("day").rowsBetween(
+        W.currentRow, W.unboundedFollowing
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    ctx = joined.select(
+        "user_id",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(back).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(back).alias("pd"),
+        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(fwd).alias("nd"),
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * F.datediff("day", "pd")
+            / F.datediff("nd", "pd")
+        )
+    )
+    return ctx.select(
+        "user_id",
+        "day",
+        F.round(interp, 6).alias("val"),
+        F.col("v").isNotNull().cast("int").alias("observed"),
+    )
+
+
+@register(
+    "q_mv_incremental",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance by partial-aggregate
+    merge: the (month, priority) revenue view is maintained as
+    base-partials (history, orderdate < 2001-01-01) merged with
+    delta-partials (new arrivals) — count and sum are mergeable, so
+    refresh cost is O(delta) + O(view), never a rescan of history.
+    The oracle is the full-table aggregate: the merged view must be
+    bit-identical (after the view's own rounding) to recomputation,
+    which is exactly the invariant an incremental pipeline certifies
+    before swapping a view generation. Both partials partition on the
+    same group key, so the merge re-aggregation reuses the
+    partitioning; at 100 TB the base partial is a stored table and
+    only the delta side scans new files.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    split = F.lit("2001-01-01").cast("date")
+    month = F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(month, "o_orderpriority").agg(
+            F.count(F.lit(1)).alias("pn"), F.sum("o_totalprice").alias("ps")
+        )
+
+    base = partial(orders.where(F.col("o_orderdate") < split))
+    delta = partial(orders.where(F.col("o_orderdate") >= split))
+    return (
+        base.unionByName(delta)
+        .groupBy("month", "o_orderpriority")
+        .agg(
+            F.sum("pn").alias("n_orders"),
+            F.round(F.sum("ps"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q_events_paths",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    per_user AS (
+        SELECT user_id,
+               concat_ws('>',
+                   max(CASE WHEN rn = 1 THEN event_type END),
+                   max(CASE WHEN rn = 2 THEN event_type END),
+                   max(CASE WHEN rn = 3 THEN event_type END)) AS path
+        FROM ranked WHERE rn <= 3 GROUP BY user_id
+    )
+    SELECT path, count(*) AS n_users
+    FROM per_user GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT 10
+    """,
+)
+def q_events_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 onboarding paths: each user's first three event types
+    in (ts, event_id) order, concatenated, counted across users.
+    The rank window and the per-user pivot share the user_id
+    partitioning (one exchange), the rn <= 3 filter truncates state
+    to three rows per user before the pivot, and the final path
+    count is a tiny aggregate. The conditional-aggregation pivot
+    (max-by-rank) replaces collect_list + sort — no variable-length
+    buffers in the agg, so executor memory per group is O(3).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") <= 3)
+    step = lambda i: F.max(  # noqa: E731
+        F.when(F.col("rn") == i, F.col("event_type"))
+    )
+    per_user = ranked.groupBy("user_id").agg(
+        F.concat_ws(">", step(1), step(2), step(3)).alias("path")
+    )
+    return (
+        per_user.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(10)
+    )
