@@ -84,6 +84,9 @@ PRIORITY = [
     "q_ts_interpolate",
     "q_mv_incremental",
     "q_events_paths",
+    "q_dq_referential",
+    "q_ts_autocorr",
+    "q_ts_ewma",
     "q_cdc_scd2",
     "q_dedup_url",
     "q_text_passage_dedup",
@@ -111,12 +114,9 @@ PRIORITY = [
     "q_set_except",
     "q_set_intersect_all",
     "q_set_except_all",
-    # TPC-H shapes without a driver row (q2/q4/q8/q9/q11 rolled to
-    # the round-6 window to make room for the mining wave above —
-    # all five stay replica-green at sf 0.01)
-    "q_tpch_q12like",
-    "q_tpch_q13like",
-    "q_tpch_q15like",
+    # TPC-H shapes without a driver row (q2/q4/q8/q9/q11/q12/q13/q15
+    # rolled to the round-6 window to make room for the mining and
+    # time-series waves above — all stay replica-green at sf 0.01)
     "q_tpch_q17like",
     "q_tpch_q20like",
     "q_sim_ivf_rerank",  # new this round: two-stage ANN retrieval

@@ -88,6 +88,9 @@ HEADLINE = [
     "q_ts_interpolate",          # date-spine linear gap repair
     "q_mv_incremental",          # partial-aggregate view maintenance
     "q_events_paths",            # first-3-event path counting
+    "q_dq_referential",          # FK orphan/coverage audit
+    "q_ts_autocorr",             # seasonality probe on daily series
+    "q_ts_ewma",                 # one-pass EWMA window algebra
 ]
 
 

@@ -433,3 +433,119 @@ def q_events_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_users"), "path")
         .limit(10)
     )
+
+
+@register(
+    "q_ts_autocorr",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+        SELECT event_type, v,
+               lag(v, 1) OVER w AS v1,
+               lag(v, 2) OVER w AS v2,
+               lag(v, 3) OVER w AS v3
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type,
+           round(corr(v, v1), 6) + 0.0 AS ac1,
+           round(corr(v, v2), 6) + 0.0 AS ac2,
+           round(corr(v, v3), 6) + 0.0 AS ac3
+    FROM lagged GROUP BY event_type
+    """,
+)
+def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..3 autocorrelation of the per-type daily event-count
+    series — the seasonality probe run before choosing a forecast
+    window. The raw log reduces to an O(types x days) series in one
+    partial-aggregable pass; the lag windows and the corr aggregate
+    both ride the event_type partitioning, so the post-reduction work
+    never exceeds the series size. corr is a mergeable second-moment
+    aggregate (same Welford-merge property as q_agg_corr_stats), so
+    nothing here is sequential at scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("v"))
+    w = W.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "v",
+        F.lag("v", 1).over(w).alias("v1"),
+        F.lag("v", 2).over(w).alias("v2"),
+        F.lag("v", 3).over(w).alias("v3"),
+    )
+    return lagged.groupBy("event_type").agg(
+        F.round(F.corr("v", "v1"), 6).alias("ac1"),
+        F.round(F.corr("v", "v2"), 6).alias("ac2"),
+        F.round(F.corr("v", "v3"), 6).alias("ac3"),
+    )
+
+
+@register(
+    "q_ts_ewma",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT event_type, day, v,
+               date_diff('day',
+                         min(day) OVER (PARTITION BY event_type),
+                         day) AS d
+        FROM daily
+    )
+    SELECT event_type, day, CAST(v AS DOUBLE) AS v,
+           round(sum(v * power(1.0 / 0.7, d)) OVER w
+                 / sum(power(1.0 / 0.7, d)) OVER w, 6) AS ewma
+    FROM idx
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha = 0.3,
+    adjust-form: ewma_t = sum (1-a)^(t-i) v_i / sum (1-a)^(t-i))
+    over the per-type daily counts. The algebraic trick that makes
+    it ONE window pass instead of a sequential recurrence: the
+    common (1-a)^t factor cancels between numerator and denominator,
+    leaving two running sums of v_i * r^(-i) with r = 1-a — both
+    plain cumulative-sum window aggregates over the same sort, no
+    recursion, no self-join, and both engines sum the frames in the
+    identical ascending-day order so the doubles agree bit-for-bit
+    before the rounding. The day index is per-key (datediff from the
+    key's own first day), bounding the r^(-i) magnitude by the key's
+    span.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("v"))
+    wk = W.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "day",
+        "v",
+        F.datediff("day", F.min("day").over(wk)).alias("d"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    weight = F.pow(F.lit(1.0 / 0.7), F.col("d"))
+    return idx.select(
+        "event_type",
+        "day",
+        "v",
+        F.round(
+            F.sum(F.col("v") * weight).over(w) / F.sum(weight).over(w), 6
+        ).alias("ewma"),
+    )

@@ -349,3 +349,93 @@ def q_dq_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_rows_at_risk"),
         F.min("class_size").alias("min_class_size"),
     )
+
+
+@register(
+    "q_dq_referential",
+    oracle="""
+    SELECT 'lineitem.l_orderkey -> orders' AS fk,
+           (SELECT count(*) FROM lineitem) AS child_rows,
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+               AS orphan_rows,
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                              WHERE l.l_orderkey = o.o_orderkey))
+               AS childless_parents
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)),
+           (SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey))
+    UNION ALL
+    SELECT 'customer.c_nationkey -> nation',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey)),
+           (SELECT count(*) FROM nation n
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_nationkey = n.n_nationkey))
+    """,
+)
+def q_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the star schema's three FK
+    edges: orphaned children (FK with no parent — broken ingest) and
+    childless parents (coverage holes) per relationship. Each
+    direction is one anti-join on the key — the parent side of every
+    edge here is dimension-sized, so the probe broadcasts and the
+    fact is scanned once per edge with only a count leaving the
+    executors; at 100 TB the orders<->lineitem edge flips to a
+    shuffled anti-join on the key, which is still O(rows) with
+    map-side pre-aggregation of the distinct probe keys. The output
+    is O(edges) rows — the gate a warehouse runs before trusting a
+    snapshot for joins.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey")
+
+    def edge(
+        fk: str, child: DataFrame, ckey: str, parent: DataFrame, pkey: str
+    ) -> DataFrame:
+        child_rows = child.agg(F.count(F.lit(1)).alias("child_rows"))
+        orphans = child.join(
+            parent, child[ckey] == parent[pkey], "left_anti"
+        ).agg(F.count(F.lit(1)).alias("orphan_rows"))
+        childless = parent.join(
+            child, parent[pkey] == child[ckey], "left_anti"
+        ).agg(F.count(F.lit(1)).alias("childless_parents"))
+        return (
+            child_rows.crossJoin(F.broadcast(orphans))
+            .crossJoin(F.broadcast(childless))
+            .select(
+                F.lit(fk).alias("fk"),
+                "child_rows",
+                "orphan_rows",
+                "childless_parents",
+            )
+        )
+
+    return (
+        edge("lineitem.l_orderkey -> orders", li, "l_orderkey",
+             orders.select("o_orderkey"), "o_orderkey")
+        .unionByName(
+            edge("orders.o_custkey -> customer",
+                 orders.select("o_custkey"), "o_custkey",
+                 cust.select("c_custkey"), "c_custkey"))
+        .unionByName(
+            edge("customer.c_nationkey -> nation",
+                 cust.select("c_nationkey"), "c_nationkey",
+                 nation, "n_nationkey"))
+    )

@@ -166,3 +166,63 @@ def test_events_paths_cover_all_users(spark, sf_dir):
     total_in_top = sum(r.n_users for r in rows)
     assert total_in_top <= n_users
     assert expected_path.count(">") == 2
+
+
+def test_dq_referential_counts_and_clean_fixture(spark, sf_dir):
+    rows = {r.fk: r for r in QUERIES["q_dq_referential"](spark, sf_dir).collect()}
+    assert len(rows) == 3
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    # the synthetic star schema is referentially clean on the child side
+    for r in rows.values():
+        assert r.orphan_rows == 0
+        assert r.child_rows > 0
+    assert rows["lineitem.l_orderkey -> orders"].child_rows == li.count()
+    # childless parents independently recomputed via outer join
+    childless = (
+        orders.join(
+            li.select("l_orderkey").distinct(),
+            orders.o_orderkey == F.col("l_orderkey"),
+            "left",
+        )
+        .where(F.col("l_orderkey").isNull())
+        .count()
+    )
+    assert rows["lineitem.l_orderkey -> orders"].childless_parents == childless
+
+
+def test_ts_autocorr_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .count()
+        .orderBy("event_type", "day")
+        .collect()
+    )
+    series: dict[str, list[float]] = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append(float(r["count"]))
+    out = {r.event_type: r for r in QUERIES["q_ts_autocorr"](spark, sf_dir).collect()}
+    for et, v in series.items():
+        v = np.array(v)
+        for lag, col in ((1, "ac1"), (2, "ac2"), (3, "ac3")):
+            expect = np.corrcoef(v[lag:], v[:-lag])[0, 1]
+            assert out[et][col] == pytest.approx(expect, abs=1e-5), (et, lag)
+
+
+def test_ts_ewma_matches_pandas(spark, sf_dir):
+    import pandas as pd
+
+    rows = QUERIES["q_ts_ewma"](spark, sf_dir).collect()
+    pdf = (
+        spark.createDataFrame(rows)
+        .toPandas()
+        .sort_values(["event_type", "day"])
+    )
+    for et, g in pdf.groupby("event_type"):
+        # the fixture series is dense daily, so row order == day index
+        assert (pd.to_datetime(g["day"]).diff().dt.days.dropna() == 1).all()
+        expect = g["v"].ewm(alpha=0.3, adjust=True).mean()
+        assert g["ewma"].values == pytest.approx(expect.values, abs=1e-5)
