@@ -30,11 +30,14 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # (q_agg_collect, whose only driver row predates its fix in commit
 # 6841fdb, and the three rows-only sketches) and q_fn_variant_schema
 # (oracle re-pinned this round with numeric-type normalization).
-# After this round, 84 registered names remain never-driver-
+# After this round, 93 registered names remain never-driver-
 # sampled (all replica-green at sf 0.01, and green under a vanilla
 # driver-style session, tools/verify_vanilla.py): round 6's window
 # takes 50, round 7 the rest. The set (recomputed from
-# CORRECTNESS_r01-r04 ∪ this PRIORITY vs the as-built registry):
+# CORRECTNESS_r01-r04 ∪ this PRIORITY vs the as-built registry —
+# plus the nine rolled out for the late round-5 mining/time-series/
+# upsert waves: q_tpch_q2/4/8/9/11/12/13/15like,
+# q_sink_orc_roundtrip):
 # q_agg_salted_twophase q_anomaly_zscore q_corpus_funnel
 # q_date_spine q_dedup_containment q_dedup_lsh_eval
 # q_dedup_simhash_pairs q_dq_kanonymity q_events_anomaly_zscore
@@ -99,6 +102,7 @@ PRIORITY = [
     "q_graph_triangles",
     "q_graph_pagerank",
     "s_decayed_score",  # new this round: stateful decayed-score streaming op
+    "s_upsert_sink",  # new: foreachBatch CDC upsert, merge-law certified
     "q_fn_variant_schema",
     # window functions
     "q_win_rank",
@@ -124,7 +128,6 @@ PRIORITY = [
     "q_sink_parquet_roundtrip",
     "q_sink_csv_roundtrip",
     "q_sink_json_roundtrip",
-    "q_sink_orc_roundtrip",
     "q_sink_custom_pyds",
     # data quality / changelog / recursion
     "q_dq_profile",

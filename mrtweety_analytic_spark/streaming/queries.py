@@ -1011,3 +1011,89 @@ def s_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_occ") > F.col("n") / F.lit(float(SHH_PHI)))
         .select("term", "n_occ")
     )
+
+
+class UpsertKeyedSink:
+    """foreachBatch keyed-merge sink: last-write-wins upsert of each
+    key's newest row, ordered by (ts, event_id).
+
+    The merge is a per-key max over a totally ordered version tuple —
+    associative, commutative, and idempotent — so the final table is
+    identical under ANY batch split and under trigger replay
+    (exactly-once effect from an at-least-once channel; pytest-pinned
+    by the 3-slice and double-apply tests). Each batch is REDUCED
+    executor-side first (partial-aggregable max(struct)), so only
+    O(keys-in-batch) rows reach the merge target. The in-process dict
+    is the test stand-in for that target; at scale the same reduced
+    batch feeds MERGE INTO on a keyed table — the merge law, not the
+    container, is what the certificate covers.
+    """
+
+    def __init__(self) -> None:
+        self.rows: dict = {}
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        merged = (
+            batch_df.groupBy("user_id")
+            .agg(
+                F.max(
+                    F.struct("ts", "event_id", "event_type", "value")
+                ).alias("m")
+            )
+            .select("user_id", "m.*")
+            .collect()
+        )
+        for r in merged:
+            cur = self.rows.get(r.user_id)
+            if cur is None or (r.ts, r.event_id) > (cur[0], cur[1]):
+                self.rows[r.user_id] = (r.ts, r.event_id, r.event_type, r.value)
+
+
+@register(
+    "s_upsert_sink",
+    oracle="""
+    SELECT user_id, event_type AS last_type,
+           round(value, 6) AS last_value, ts AS last_ts
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC)
+                        AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def s_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert: the event stream maintains a keyed
+    current-state table (one row per user, that user's newest event)
+    through a foreachBatch last-write-wins merge — the streaming twin
+    of q_cdc_apply, and the third sink certificate after the top-k
+    document sink's complete/update modes. The oracle recomputes the
+    final table relationally (keep-latest per key), so the
+    certificate covers stream -> merge -> table state end to end.
+    """
+    from ..sources import load_events_stream
+
+    events = load_events_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    sink = UpsertKeyedSink()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            events.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout=600):
+            q.stop()
+            raise TimeoutError("s_upsert_sink exceeded 600s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    rows = [
+        (uid, et, round(float(v), 6), ts)
+        for uid, (ts, eid, et, v) in sorted(sink.rows.items())
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, last_type string, last_value double, last_ts timestamp"
+    )

@@ -430,3 +430,51 @@ def test_decayed_score_multi_batch_order_insensitive(spark, tmp_path):
     for k in want:
         assert abs(final[k] - want[k]) < 1e-9, k
     spark.catalog.dropTempView("decay_multi_batch")
+
+
+def test_upsert_sink_batch_split_invariance_and_idempotency(spark, tmp_path):
+    """The UpsertKeyedSink merge law: last-write-wins over the
+    (ts, event_id) version tuple must give the SAME final table for
+    (a) one batch, (b) a 3-way split replay in file order, and
+    (c) a replayed (duplicate) batch — the exactly-once-effect
+    certificate for the streaming CDC upsert."""
+    from datetime import datetime
+
+    from mrtweety_analytic_spark.streaming.queries import UpsertKeyedSink
+
+    rows = [
+        # (user, ts-second, event_id, type, value) — user 1's newest
+        # row arrives in the FIRST slice (out-of-order delivery), and
+        # user 2 has two rows with the same ts (event_id tiebreak).
+        (1, 50, 105, "click", 1.0),
+        (2, 10, 101, "view", 2.0),
+        (1, 10, 100, "signup", 3.0),
+        (2, 10, 102, "purchase", 4.0),
+        (3, 30, 103, "error", 5.0),
+        (1, 40, 104, "view", 6.0),
+    ]
+    schema = "user_id long, ts timestamp, event_id long, event_type string, value double"
+
+    def df_of(sl):
+        return spark.createDataFrame(
+            [(u, datetime(2024, 1, 1, 0, 0, s), e, t, v)
+             for u, s, e, t, v in sl],
+            schema,
+        )
+
+    single = UpsertKeyedSink()
+    single(df_of(rows), 0)
+
+    split = UpsertKeyedSink()
+    for i, sl in enumerate((rows[:2], rows[2:4], rows[4:])):
+        split(df_of(sl), i)
+
+    replayed = UpsertKeyedSink()
+    for i, sl in enumerate((rows[:2], rows[2:4], rows[2:4], rows[4:])):
+        replayed(df_of(sl), i)
+
+    assert single.rows == split.rows == replayed.rows
+    # and the content is the actual per-key newest row
+    assert single.rows[1][1:] == (105, "click", 1.0)
+    assert single.rows[2][1:] == (102, "purchase", 4.0)
+    assert single.rows[3][1:] == (103, "error", 5.0)
