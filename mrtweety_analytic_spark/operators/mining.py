@@ -17,6 +17,12 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources import load_table
+from ..util import LastHandle
+
+# Supersession holder for q_basket_pairs' persisted item set:
+# repeated bench/verify runs keep at most one generation in the
+# block manager (same pattern as _LAST_GRAPH_CKPT in graph.py).
+_LAST_ITEMS = LastHandle(lambda dfs: [df.unpersist() for df in dfs])
 
 
 @register(
@@ -81,6 +87,7 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
+    _LAST_ITEMS.replace([items])
     n_b = items.agg(
         F.countDistinct("o").alias("n_baskets"),
         F.count(F.lit(1)).alias("n_items"),
