@@ -480,3 +480,115 @@ def test_pair_counts_matches_bruteforce(spark, doc_shingles):
         for r in _pair_counts(shingles).collect()
     }
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=0.0, max_value=100.0,
+                  allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_ewma_window_algebra_matches_pandas(spark, values):
+    """The (1-a)^t cancellation trick (q_ts_ewma): two cumulative
+    window sums must reproduce pandas ewm(adjust=True) on ANY dense
+    series, not just the fixture's."""
+    import pandas as pd
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(values)], "d int, v double"
+    )
+    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    weight = F.pow(F.lit(1.0 / 0.7), F.col("d"))
+    out = (
+        df.select(
+            "d",
+            (F.sum(F.col("v") * weight).over(w) / F.sum(weight).over(w))
+            .alias("ewma"),
+        )
+        .orderBy("d")
+        .collect()
+    )
+    expect = pd.Series(values).ewm(alpha=0.3, adjust=True).mean()
+    for r, e in zip(out, expect):
+        assert abs(r.ewma - e) < 1e-8
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),   # day offset
+            st.floats(min_value=-50.0, max_value=50.0,
+                      allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_interpolation_recovers_observations_and_stays_linear(spark, obs):
+    """q_ts_interpolate's window algebra on arbitrary sparse series:
+    observed days exact, gap days on the straight line between
+    flanking observations (checked against a direct numpy recompute).
+    """
+    from datetime import date, timedelta
+
+    import numpy as np
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    base = date(2024, 3, 1)
+    daily = spark.createDataFrame(
+        [(1, base + timedelta(days=d), float(v)) for d, v in obs],
+        "user_id long, day date, v double",
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("dmin", "dmax", F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left")
+    back = W.partitionBy("user_id").orderBy("day").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    fwd = W.partitionBy("user_id").orderBy("day").rowsBetween(
+        W.currentRow, W.unboundedFollowing
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    ctx = joined.select(
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(back).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(back).alias("pd"),
+        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(fwd).alias("nd"),
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * F.datediff("day", "pd")
+            / F.datediff("nd", "pd")
+        )
+    )
+    rows = ctx.select("day", interp.alias("val")).orderBy("day").collect()
+    days = sorted(d for d, _ in obs)
+    xs = np.array(days, dtype=float)
+    ys = np.array([dict(obs)[d] for d in days], dtype=float)
+    for r in rows:
+        d = (r.day - base).days
+        expect = float(np.interp(d, xs, ys))
+        assert abs(r.val - expect) < 1e-8, (d, r.val, expect)
