@@ -210,18 +210,33 @@ def q_win_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_win_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentile as a WINDOW aggregate: every event row
-    carries its user's median value — the enrich-don't-collapse form
-    of q_agg_percentile (no join back to the group result). One
-    hash-partition exchange on user_id; the sort/interpolation runs
-    per partition.
+    """Exact median as a WINDOW enrichment: every event row carries
+    its user's median value — the enrich-don't-collapse form of
+    q_agg_percentile (no join back to the group result). Computed by
+    rank interpolation over one window sort (row_number + full-frame
+    conditional max), NOT `percentile(...).over(...)`, whose
+    aggregate buffer holds the whole partition's values in executor
+    memory — the same O(group) hazard q_agg_percentile removes. All
+    four window expressions here are constant-state aggregates
+    sharing one user_id exchange + one sort.
     """
     ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id")
-    return ev.select(
+    ws = W.partitionBy("user_id").orderBy("value")
+    wn = W.partitionBy("user_id")
+    ranked = ev.select(
         "event_id",
         "user_id",
-        F.round(F.percentile("value", 0.5).over(w), 4).alias("med_value"),
+        F.col("value").alias("v"),
+        F.row_number().over(ws).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    h = 1 + (F.col("n") - 1) * F.lit(0.5)
+    lo = F.floor(h)
+    vlo = F.max(F.when(F.col("rn") == lo, F.col("v"))).over(wn)
+    vhi = F.max(F.when(F.col("rn") == lo + 1, F.col("v"))).over(wn)
+    med = vlo + (h - lo) * (F.coalesce(vhi, vlo) - vlo)
+    return ranked.select(
+        "event_id", "user_id", F.round(med, 4).alias("med_value")
     )
 
 
