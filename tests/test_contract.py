@@ -20,6 +20,8 @@ SAMPLE = [
     "q_sim_knn_cosine",
     "q_dedup_exact",
     "q_fn_date",
+    "q_basket_pairs",   # mining wave: support-pruned pair join
+    "q_ts_ewma",        # mining wave: window-algebra EWMA
 ]
 
 
