@@ -30,14 +30,14 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # (q_agg_collect, whose only driver row predates its fix in commit
 # 6841fdb, and the three rows-only sketches) and q_fn_variant_schema
 # (oracle re-pinned this round with numeric-type normalization).
-# After this round, 93 registered names remain never-driver-
+# After this round, 95 registered names remain never-driver-
 # sampled (all replica-green at sf 0.01, and green under a vanilla
 # driver-style session, tools/verify_vanilla.py): round 6's window
 # takes 50, round 7 the rest. The set (recomputed from
 # CORRECTNESS_r01-r04 ∪ this PRIORITY vs the as-built registry —
-# plus the nine rolled out for the late round-5 mining/time-series/
-# upsert waves: q_tpch_q2/4/8/9/11/12/13/15like,
-# q_sink_orc_roundtrip):
+# plus the eleven rolled out for the late round-5 mining/
+# time-series/event/upsert waves: q_tpch_q2/4/8/9/11/12/13/15/17/
+# 20like, q_sink_orc_roundtrip):
 # q_agg_salted_twophase q_anomaly_zscore q_corpus_funnel
 # q_date_spine q_dedup_containment q_dedup_lsh_eval
 # q_dedup_simhash_pairs q_dq_kanonymity q_events_anomaly_zscore
@@ -90,6 +90,8 @@ PRIORITY = [
     "q_dq_referential",
     "q_ts_autocorr",
     "q_ts_ewma",
+    "q_events_ltv",
+    "q_events_concurrency",
     "q_cdc_scd2",
     "q_dedup_url",
     "q_text_passage_dedup",
@@ -118,11 +120,10 @@ PRIORITY = [
     "q_set_except",
     "q_set_intersect_all",
     "q_set_except_all",
-    # TPC-H shapes without a driver row (q2/q4/q8/q9/q11/q12/q13/q15
-    # rolled to the round-6 window to make room for the mining and
-    # time-series waves above — all stay replica-green at sf 0.01)
-    "q_tpch_q17like",
-    "q_tpch_q20like",
+    # TPC-H shapes all rolled to the round-6 window (q2/q4/q8/q9/
+    # q11/q12/q13/q15/q17/q20like) to make room for the mining,
+    # time-series, and event-analytics waves above — every one stays
+    # replica-green at sf 0.01 and vanilla-session-green
     "q_sim_ivf_rerank",  # new this round: two-stage ANN retrieval
     # sink roundtrips
     "q_sink_parquet_roundtrip",

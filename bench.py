@@ -91,6 +91,8 @@ HEADLINE = [
     "q_dq_referential",          # FK orphan/coverage audit
     "q_ts_autocorr",             # seasonality probe on daily series
     "q_ts_ewma",                 # one-pass EWMA window algebra
+    "q_events_ltv",              # cohort LTV curves, window on tiny agg
+    "q_events_concurrency",      # partition-parallel sweep-line
 ]
 
 

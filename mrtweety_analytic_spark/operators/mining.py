@@ -565,3 +565,150 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("v") * weight).over(w) / F.sum(weight).over(w), 6
         ).alias("ewma"),
     )
+
+
+@register(
+    "q_events_ltv",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    f AS (SELECT user_id, min(day) AS cohort_day FROM p GROUP BY 1),
+    per_age AS (
+        SELECT f.cohort_day,
+               CAST(date_diff('day', f.cohort_day, p.day) AS INTEGER)
+                   AS age_days,
+               sum(p.value) AS rev
+        FROM p JOIN f USING (user_id)
+        GROUP BY 1, 2
+    ),
+    sized AS (SELECT cohort_day, count(*) AS n_users FROM f GROUP BY 1)
+    SELECT per_age.cohort_day, age_days,
+           round(sum(rev) OVER (PARTITION BY per_age.cohort_day
+                                ORDER BY age_days
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW)
+                 / n_users, 6) AS cum_ltv_per_user
+    FROM per_age JOIN sized USING (cohort_day)
+    """,
+)
+def q_events_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: cumulative purchase revenue per
+    user by cohort age — the monetized twin of q_events_retention.
+    The raw log collapses in two partial-aggregable passes (first-day
+    per user, revenue per (cohort, age)); the cumulative sum is a
+    window over the TINY (cohorts x ages) aggregate, so the running
+    sum never touches fact-scale data. Revenue is summed BEFORE the
+    rounding and normalized by fixed cohort size, so curve points are
+    comparable across cohorts of different sizes.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.to_date("ts").alias("day"), "value"
+    )
+    f = p.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    per_age = (
+        p.join(f, "user_id")
+        .groupBy(
+            "cohort_day", F.datediff("day", "cohort_day").alias("age_days")
+        )
+        .agg(F.sum("value").alias("rev"))
+    )
+    sized = f.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("n_users"))
+    w = (
+        W.partitionBy("cohort_day")
+        .orderBy("age_days")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        per_age.join(F.broadcast(sized), "cohort_day")
+        .select(
+            "cohort_day",
+            "age_days",
+            F.round(F.sum("rev").over(w) / F.col("n_users"), 6).alias(
+                "cum_ltv_per_user"
+            ),
+        )
+    )
+
+
+@register(
+    "q_events_concurrency",
+    oracle="""
+    WITH sess AS (
+        SELECT ts AS s, ts + INTERVAL 30 MINUTE AS e FROM events
+        WHERE event_type = 'view'
+    ),
+    deltas AS (
+        SELECT CAST(s AS DATE) AS day, s AS t, 1 AS d FROM sess
+        UNION ALL
+        SELECT CAST(e AS DATE) AS day, e AS t, -1 AS d FROM sess
+        WHERE CAST(e AS DATE) = CAST(s AS DATE)
+        UNION ALL
+        -- a session crossing midnight contributes an open start to
+        -- the next day (clip at the boundary: +1 at midnight)
+        SELECT CAST(e AS DATE) AS day, CAST(CAST(e AS DATE) AS TIMESTAMP)
+                   AS t, 1 AS d
+        FROM sess WHERE CAST(e AS DATE) <> CAST(s AS DATE)
+        UNION ALL
+        SELECT CAST(e AS DATE) AS day, e AS t, -1 AS d
+        FROM sess WHERE CAST(e AS DATE) <> CAST(s AS DATE)
+    )
+    SELECT day, CAST(max(running) AS BIGINT) AS peak_concurrency
+    FROM (
+        SELECT day,
+               sum(d) OVER (PARTITION BY day
+                            ORDER BY t, d DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS running
+        FROM deltas
+    )
+    GROUP BY day
+    """,
+)
+def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent 30-minute view-sessions per day — the
+    sweep-line interval algorithm in pure window algebra: each
+    session emits a +1 at its start and a -1 at its end, the running
+    sum over (time, starts-first) is the live-session count, and the
+    per-day max is the answer. Sessions crossing midnight are CLIPPED
+    at the boundary (an open start re-emitted at the next day's
+    midnight), which keeps the sweep PARTITION-PARALLEL by day — no
+    global single-partition sort, the classic sweep-line scale trap.
+    Ties order starts before ends (d DESC), i.e. touching intervals
+    overlap at the boundary instant.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sess = ev.where(F.col("event_type") == "view").select(
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("interval 30 minutes")).alias("e"),
+    )
+    same_day = F.to_date("e") == F.to_date("s")
+    starts = sess.select(
+        F.to_date("s").alias("day"), F.col("s").alias("t"), F.lit(1).alias("d")
+    )
+    ends_same = sess.where(same_day).select(
+        F.to_date("e").alias("day"), F.col("e").alias("t"), F.lit(-1).alias("d")
+    )
+    reopen = sess.where(~same_day).select(
+        F.to_date("e").alias("day"),
+        F.to_date("e").cast("timestamp").alias("t"),
+        F.lit(1).alias("d"),
+    )
+    ends_cross = sess.where(~same_day).select(
+        F.to_date("e").alias("day"), F.col("e").alias("t"), F.lit(-1).alias("d")
+    )
+    deltas = starts.unionByName(ends_same).unionByName(reopen).unionByName(
+        ends_cross
+    )
+    w = (
+        W.partitionBy("day")
+        .orderBy(F.col("t"), F.col("d").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        deltas.select("day", F.sum("d").over(w).alias("running"))
+        .groupBy("day")
+        .agg(F.max("running").alias("peak_concurrency"))
+    )

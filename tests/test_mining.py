@@ -226,3 +226,81 @@ def test_ts_ewma_matches_pandas(spark, sf_dir):
         assert (pd.to_datetime(g["day"]).diff().dt.days.dropna() == 1).all()
         expect = g["v"].ewm(alpha=0.3, adjust=True).mean()
         assert g["ewma"].values == pytest.approx(expect.values, abs=1e-5)
+
+
+def test_events_ltv_monotone_and_matches_recompute(spark, sf_dir):
+    rows = QUERIES["q_events_ltv"](spark, sf_dir).collect()
+    assert rows
+    by_cohort: dict = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_day, []).append(r)
+    # cumulative curves are non-decreasing in age
+    for rs in by_cohort.values():
+        rs.sort(key=lambda r: r.age_days)
+        vals = [r.cum_ltv_per_user for r in rs]
+        assert all(b >= a - 1e-9 for a, b in zip(vals, vals[1:]))
+    # one cohort recomputed independently in python
+    ev = load_table(spark, sf_dir, "events")
+    p = [
+        (r.user_id, r.day, r.value)
+        for r in ev.where(F.col("event_type") == "purchase")
+        .select("user_id", F.to_date("ts").alias("day"), "value")
+        .collect()
+    ]
+    first: dict = {}
+    for u, d, v in p:
+        first[u] = min(first.get(u, d), d)
+    cohort = min(first.values())
+    users = {u for u, c in first.items() if c == cohort}
+    per_age: dict = {}
+    for u, d, v in p:
+        if u in users:
+            per_age[(d - cohort).days] = per_age.get((d - cohort).days, 0.0) + v
+    cum, expect = 0.0, {}
+    for age in sorted(per_age):
+        cum += per_age[age]
+        expect[age] = round(cum / len(users), 6)
+    got = {r.age_days: r.cum_ltv_per_user for r in by_cohort[cohort]}
+    assert set(got) == set(expect)
+    for age, v in expect.items():
+        assert got[age] == pytest.approx(v, abs=1e-5)
+
+
+def test_events_concurrency_matches_bruteforce(spark, sf_dir):
+    from datetime import datetime, timedelta
+
+    rows = {
+        r.day: r.peak_concurrency
+        for r in QUERIES["q_events_concurrency"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    sess = [
+        (r.s, r.s + timedelta(minutes=30))
+        for r in ev.where(F.col("event_type") == "view")
+        .select(F.col("ts").alias("s"))
+        .collect()
+    ]
+    # clip sessions at midnight exactly as the operator defines
+    by_day: dict = {}
+    for s, e in sess:
+        if s.date() == e.date():
+            by_day.setdefault(s.date(), []).append((s, e))
+        else:
+            mid = datetime.combine(e.date(), datetime.min.time())
+            by_day.setdefault(s.date(), []).append((s, mid))
+            by_day.setdefault(e.date(), []).append((mid, e))
+    # NB: the operator emits no explicit end for the first half of a
+    # crossing session (the -1 lands on the next day), so the first
+    # day's sweep never decrements it — equivalent to clipping at
+    # midnight since the day's sweep ends there anyway.
+    for day, ivs in by_day.items():
+        starts = sorted(t for t, _ in ivs)
+        peak = 0
+        for t in starts:
+            # starts-first tie rule: at instant t, subtract only ends
+            # strictly before t
+            active = sum(1 for s, _ in ivs if s <= t) - sum(
+                1 for _, e in ivs if e < t
+            )
+            peak = max(peak, active)
+        assert rows[day] == peak, day
