@@ -60,6 +60,19 @@ def main(argv: list[str] | None = None) -> int:
     d = sub.add_parser("dedup", parents=[common])
     d.add_argument("--out", default="documents_dedup.parquet")
 
+    sq = sub.add_parser(
+        "sql",
+        parents=[common],
+        help="run ad-hoc SQL with the corpus tables registered as "
+        "temp views (region nation customer supplier part orders "
+        "lineitem events documents embeddings)",
+    )
+    sq.add_argument("statement", help="SQL text, or @path/to/file.sql")
+    sq.add_argument("--show", type=int, default=20)
+    sq.add_argument(
+        "--out", default=None, help="write the result as parquet here"
+    )
+
     args = p.parse_args(argv)
 
     from .queries import QUERIES
@@ -139,6 +152,25 @@ def main(argv: list[str] | None = None) -> int:
         final.write.mode("overwrite").parquet(args.out)
         n_raw, n_kept = docs.count(), spark.read.parquet(args.out).count()
         print(f"wrote {args.out}: kept {n_kept}/{n_raw} documents")
+        return 0
+
+    if args.cmd == "sql":
+        from .sources import TABLES, load_table
+
+        for t_name in TABLES:
+            load_table(spark, args.sf_dir, t_name).createOrReplaceTempView(
+                t_name
+            )
+        stmt = args.statement
+        if stmt.startswith("@"):
+            with open(stmt[1:]) as fh:
+                stmt = fh.read()
+        df = spark.sql(stmt)
+        if args.out:
+            df.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        else:
+            df.show(args.show, truncate=False)
         return 0
 
     if args.cmd == "query":

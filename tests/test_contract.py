@@ -132,3 +132,36 @@ def test_no_oracle_gate_is_trivially_empty():
         if not con.execute(sql).fetchall()
     ]
     assert not empty, f"trivially-empty oracle gates: {empty}"
+
+
+def test_cli_sql_subcommand(spark, tmp_path, capsys):
+    """Ad-hoc SQL entry point: corpus tables registered as views,
+    result written as parquet."""
+    from mrtweety_analytic_spark.__main__ import main as cli_main
+
+    out = str(tmp_path / "sql_out.parquet")
+    rc = cli_main(
+        [
+            "sql",
+            "SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+            "--out",
+            out,
+        ]
+    )
+    assert rc == 0
+    got = {
+        r.o_orderpriority: r.n for r in spark.read.parquet(out).collect()
+    }
+    import duckdb
+
+    expect = dict(
+        duckdb.connect()
+        .execute(
+            "SELECT o_orderpriority, count(*) FROM "
+            "'/root/testdata/sf0.001/orders.parquet' GROUP BY 1"
+        )
+        .fetchall()
+    )
+    assert got == expect
