@@ -92,6 +92,7 @@ PRIORITY = [
     "q_ts_ewma",
     "q_events_ltv",
     "q_events_concurrency",
+    "q_mv_join_incremental",
     "q_cdc_scd2",
     "q_dedup_url",
     "q_text_passage_dedup",
@@ -135,8 +136,7 @@ PRIORITY = [
     "q_dq_expectations",
     "q_cdc_apply",
     "q_recursive_cte",
-    # scalar-function surface
-    "q_fn_xml",
+    # (q_fn_xml rolled to round 6 for the delta-join MV op)
     "q_join_anti",  # gate made non-trivial this round — driver re-check
 ]
 

@@ -93,6 +93,7 @@ HEADLINE = [
     "q_ts_ewma",                 # one-pass EWMA window algebra
     "q_events_ltv",              # cohort LTV curves, window on tiny agg
     "q_events_concurrency",      # partition-parallel sweep-line
+    "q_mv_join_incremental",     # delta-join view maintenance
 ]
 
 

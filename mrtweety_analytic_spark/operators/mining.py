@@ -712,3 +712,75 @@ def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.max("running").alias("peak_concurrency"))
     )
+
+
+@register(
+    "q_mv_join_incremental",
+    oracle="""
+    SELECT n.n_name AS nation,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY 1
+    """,
+)
+def q_mv_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view by the delta-join law:
+    with both inputs split into (base, delta),
+    A' join B' = (A join B) + (dA join B) + (A join dB) + (dA join dB)
+    — three delta terms, each bounded by a delta side, so a refresh
+    never re-joins base-with-base (the O(history^2) recompute the law
+    exists to avoid). Orders split on a date watermark (the natural
+    CDC delta), customers on a key range (a dimension backfill); the
+    four terms union and feed one partial-aggregable rollup on the
+    shared group key. The oracle is the full recompute over the
+    unsplit inputs — the generation-swap invariant, exactly as in
+    q_mv_incremental. All four join terms broadcast the dimension
+    side here; at 100 TB the base-fact term is the stored view and
+    only delta terms execute.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    o_split = F.lit("2001-01-01").cast("date")
+    a = orders.where(F.col("o_orderdate") < o_split)
+    da = orders.where(F.col("o_orderdate") >= o_split)
+    # dimension backfill: the top key decile arrives as the delta;
+    # the split point rides a 1-row broadcast (no driver collect)
+    c_split = cust.agg(F.max("c_custkey").alias("mx"))
+    marked = cust.crossJoin(F.broadcast(c_split))
+    b = marked.where(F.col("c_custkey") * 10 < F.col("mx") * 9).select(
+        "c_custkey", "c_nationkey"
+    )
+    db = marked.where(F.col("c_custkey") * 10 >= F.col("mx") * 9).select(
+        "c_custkey", "c_nationkey"
+    )
+
+    def term(o_side: DataFrame, c_side: DataFrame) -> DataFrame:
+        return o_side.join(
+            F.broadcast(c_side), o_side.o_custkey == c_side.c_custkey
+        ).select("c_nationkey", "o_totalprice")
+
+    joined = (
+        term(a, b)
+        .unionByName(term(da, b))
+        .unionByName(term(a, db))
+        .unionByName(term(da, db))
+    )
+    return (
+        joined.join(F.broadcast(nation),
+                    joined.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )

@@ -304,3 +304,35 @@ def test_events_concurrency_matches_bruteforce(spark, sf_dir):
             )
             peak = max(peak, active)
         assert rows[day] == peak, day
+
+
+def test_mv_join_incremental_terms_all_nonempty(spark, sf_dir):
+    """The delta-join law is only demonstrated if all four
+    (base/delta x base/delta) terms contribute rows — and the merged
+    view must equal the direct join recompute."""
+    from pyspark.sql import functions as F2
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    o_split = F2.lit("2001-01-01").cast("date")
+    mx = cust.agg(F2.max("c_custkey").alias("mx")).collect()[0].mx
+    for o_pred in (F2.col("o_orderdate") < o_split,
+                   F2.col("o_orderdate") >= o_split):
+        for c_pred in (F2.col("c_custkey") * 10 < mx * 9,
+                       F2.col("c_custkey") * 10 >= mx * 9):
+            n = (orders.where(o_pred)
+                 .join(cust.where(c_pred),
+                       F2.col("o_custkey") == F2.col("c_custkey"))
+                 .count())
+            assert n > 0
+    mv = QUERIES["q_mv_join_incremental"](spark, sf_dir)
+    nation = load_table(spark, sf_dir, "nation")
+    direct = (
+        orders.join(cust, F2.col("o_custkey") == F2.col("c_custkey"))
+        .join(nation, F2.col("c_nationkey") == F2.col("n_nationkey"))
+        .groupBy(F2.col("n_name").alias("nation"))
+        .agg(F2.count(F2.lit(1)).alias("n_orders"),
+             F2.round(F2.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    assert mv.exceptAll(direct).count() == 0
+    assert direct.exceptAll(mv).count() == 0
