@@ -30,14 +30,14 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # (q_agg_collect, whose only driver row predates its fix in commit
 # 6841fdb, and the three rows-only sketches) and q_fn_variant_schema
 # (oracle re-pinned this round with numeric-type normalization).
-# After this round, 95 registered names remain never-driver-
+# After this round, 96 registered names remain never-driver-
 # sampled (all replica-green at sf 0.01, and green under a vanilla
 # driver-style session, tools/verify_vanilla.py): round 6's window
 # takes 50, round 7 the rest. The set (recomputed from
 # CORRECTNESS_r01-r04 ∪ this PRIORITY vs the as-built registry —
-# plus the eleven rolled out for the late round-5 mining/
+# plus the twelve rolled out for the late round-5 mining/
 # time-series/event/upsert waves: q_tpch_q2/4/8/9/11/12/13/15/17/
-# 20like, q_sink_orc_roundtrip):
+# 20like, q_sink_orc_roundtrip, q_fn_xml):
 # q_agg_salted_twophase q_anomaly_zscore q_corpus_funnel
 # q_date_spine q_dedup_containment q_dedup_lsh_eval
 # q_dedup_simhash_pairs q_dq_kanonymity q_events_anomaly_zscore
