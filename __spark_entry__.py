@@ -93,6 +93,8 @@ PRIORITY = [
     "q_events_ltv",
     "q_events_concurrency",
     "q_mv_join_incremental",
+    "q_text_feature_hash",
+    "s_window_distinct",
     "q_cdc_scd2",
     "q_dedup_url",
     "q_text_passage_dedup",
@@ -128,8 +130,8 @@ PRIORITY = [
     "q_sim_ivf_rerank",  # new this round: two-stage ANN retrieval
     # sink roundtrips
     "q_sink_parquet_roundtrip",
-    "q_sink_csv_roundtrip",
-    "q_sink_json_roundtrip",
+    # (csv/json roundtrip sinks rolled to round 6 — parquet and
+    # the custom Python-DS sink stay as the window's sink rows)
     "q_sink_custom_pyds",
     # data quality / changelog / recursion
     "q_dq_profile",

@@ -94,6 +94,7 @@ HEADLINE = [
     "q_events_ltv",              # cohort LTV curves, window on tiny agg
     "q_events_concurrency",      # partition-parallel sweep-line
     "q_mv_join_incremental",     # delta-join view maintenance
+    "q_text_feature_hash",       # 256-bucket hashing-trick featurizer
 ]
 
 

@@ -784,3 +784,51 @@ def q_mv_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+@register(
+    "q_text_feature_hash",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    bucketed AS (
+        SELECT doc_id,
+               (strpos('0123456789abcdef', substr(md5(term), 1, 1)) - 1)
+                   * 16
+               + (strpos('0123456789abcdef', substr(md5(term), 2, 1)) - 1)
+                   AS bucket
+        FROM toks WHERE term <> ''
+    )
+    SELECT doc_id, CAST(bucket AS INTEGER) AS bucket,
+           count(*) AS cnt
+    FROM bucketed GROUP BY 1, 2
+    """,
+)
+def q_text_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing-trick featurizer: tokens hashed into 256 buckets,
+    per-document bucket counts — the fixed-width sparse feature
+    vector a downstream trainer consumes without a vocabulary table.
+    The bucket is derived from the md5 hex digits ARITHMETICALLY
+    (two strpos lookups), not an engine hash function, so the exact
+    same bucketing reproduces in any engine — the provenance
+    requirement for feature pipelines (same rule as
+    q_sample_reservoir's md5 ordering). One explode + one
+    partial-aggregable groupBy; output is bounded by docs x 256.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hexes = "0123456789abcdef"
+    b = (
+        (F.expr(f"locate(substring(md5(term), 1, 1), '{hexes}')") - 1) * 16
+        + (F.expr(f"locate(substring(md5(term), 2, 1), '{hexes}')") - 1)
+    )
+    return (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        .where(F.col("term") != "")
+        .select("doc_id", b.cast("int").alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -1097,3 +1097,33 @@ def s_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "user_id long, last_type string, last_value double, last_ts timestamp"
     )
+
+
+@register(
+    "s_window_distinct",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def s_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per tumbling day window, in streaming.
+    count(DISTINCT) is unsupported inside a streaming aggregation, so
+    the engine-correct pattern is dedup-then-count: dropDuplicates on
+    (user, day) keeps the FIRST event per key (state O(distinct
+    keys), watermark-evictable in production), and the downstream
+    windowed count then counts rows — two chained stateful operators,
+    the same chaining certified by s_chained_windows. The oracle is
+    the batch COUNT(DISTINCT), so the certificate covers the whole
+    dedup->window->count equivalence.
+    """
+    events = load_events_stream(spark, sf_dir).select(
+        "ts", "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    deduped = events.dropDuplicates(["user_id", "day"])
+    agg = deduped.groupBy(F.window("ts", "1 day").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    out = _run_to_memory(spark, agg, "complete")
+    return out.select(F.col("w.start").alias("window_start"), "n_users")

@@ -336,3 +336,48 @@ def test_mv_join_incremental_terms_all_nonempty(spark, sf_dir):
     )
     assert mv.exceptAll(direct).count() == 0
     assert direct.exceptAll(mv).count() == 0
+
+
+def test_feature_hash_bucket_range_and_conservation(spark, sf_dir):
+    """Hashing-trick physics: every bucket in [0, 256), and the
+    bucket counts conserve the total non-empty token count (hashing
+    redistributes, never drops)."""
+    df = QUERIES["q_text_feature_hash"](spark, sf_dir)
+    agg = df.agg(
+        F.min("bucket").alias("lo"),
+        F.max("bucket").alias("hi"),
+        F.sum("cnt").alias("total"),
+    ).collect()[0]
+    assert 0 <= agg.lo and agg.hi <= 255
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .where(F.col("t") != "")
+        .count()
+    )
+    assert agg.total == n_tokens
+    # determinism: same term always lands in the same bucket -> the
+    # per-doc bucket count for a known token matches a direct filter
+    some = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .where(F.col("t") != "")
+        .limit(1)
+        .collect()[0]
+        .t
+    )
+    import hashlib
+
+    expect_bucket = int(hashlib.md5(some.encode()).hexdigest()[:2], 16)
+    got = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term") == some)
+        .select(
+            (
+                (F.expr("locate(substring(md5(term), 1, 1), '0123456789abcdef')") - 1) * 16
+                + (F.expr("locate(substring(md5(term), 2, 1), '0123456789abcdef')") - 1)
+            ).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    assert [r.b for r in got] == [expect_bucket]
