@@ -95,6 +95,7 @@ PRIORITY = [
     "q_mv_join_incremental",
     "q_text_feature_hash",
     "s_window_distinct",
+    "q_sink_partition_overwrite",
     "q_cdc_scd2",
     "q_dedup_url",
     "q_text_passage_dedup",
@@ -137,7 +138,6 @@ PRIORITY = [
     "q_dq_profile",
     "q_dq_expectations",
     "q_cdc_apply",
-    "q_recursive_cte",
     # (q_fn_xml rolled to round 6 for the delta-join MV op)
     "q_join_anti",  # gate made non-trivial this round — driver re-check
 ]

@@ -427,3 +427,67 @@ def q_source_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
         ).alias("first_corrupt_id"),
     )
+
+
+@register(
+    "q_sink_partition_overwrite",
+    oracle="""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def q_sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the physical layer of
+    incremental refresh (q_mv_incremental is the logical layer): a
+    monthly-partitioned table holds one STALE month (simulating a
+    late-data restatement); the corrected month is rewritten with
+    partitionOverwriteMode=dynamic, which replaces ONLY the
+    partitions present in the written frame and leaves every other
+    month's files untouched (no-rewrite pinned by the pytest file
+    audit). The certified final state is the full recompute — the
+    restatement invariant. At 100 TB this is the difference between
+    rewriting one month and rewriting the table.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    month = F.date_format(
+        F.date_trunc("month", "o_orderdate"), "yyyy-MM"
+    ).alias("month")
+    correct = orders.groupBy(month, "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    last = correct.agg(F.max("month").alias("m"))
+    # generation 1: every month correct EXCEPT the newest (stale rows
+    # carry zeroed revenue — the late-data gap)
+    stale = correct.crossJoin(F.broadcast(last)).select(
+        "month",
+        "o_orderpriority",
+        "n_orders",
+        F.when(F.col("month") == F.col("m"), F.lit(0.0))
+        .otherwise(F.col("revenue"))
+        .alias("revenue"),
+    )
+    out = _scratch("sink_dyn_overwrite", sf_dir)
+    stale.write.mode("overwrite").partitionBy("month").parquet(out)
+    # restatement: rewrite ONLY the stale month, dynamic mode
+    fix = (
+        correct.crossJoin(F.broadcast(last))
+        .where(F.col("month") == F.col("m"))
+        .select("month", "o_orderpriority", "n_orders", "revenue")
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        fix.write.mode("overwrite").partitionBy("month").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(out)
+    return back.select(
+        F.col("month").cast("string"),
+        "o_orderpriority",
+        "n_orders",
+        "revenue",
+    )

@@ -381,3 +381,45 @@ def test_feature_hash_bucket_range_and_conservation(spark, sf_dir):
         .collect()
     )
     assert [r.b for r in got] == [expect_bucket]
+
+
+def test_partition_overwrite_touches_only_stale_month(spark, sf_dir, tmp_path):
+    """Dynamic partition overwrite must leave untouched partitions'
+    FILES alone (no rewrite) and replace exactly the written one."""
+    import os
+
+    from pyspark.sql import functions as F2
+
+    out = str(tmp_path / "dyn")
+    base = spark.createDataFrame(
+        [("2024-01", 1, 10.0), ("2024-02", 2, 20.0), ("2024-03", 3, 0.0)],
+        "month string, k int, v double",
+    )
+    base.write.mode("overwrite").partitionBy("month").parquet(out)
+
+    def files(month):
+        d = os.path.join(out, f"month={month}")
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before = {m: files(m) for m in ("2024-01", "2024-02")}
+    fix = spark.createDataFrame(
+        [("2024-03", 3, 30.0)], "month string, k int, v double"
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        fix.write.mode("overwrite").partitionBy("month").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    after = {m: files(m) for m in ("2024-01", "2024-02")}
+    assert before == after  # untouched partitions: same files, same mtimes
+    got = {
+        (r.month, r.k): r.v
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {("2024-01", 1): 10.0, ("2024-02", 2): 20.0,
+                   ("2024-03", 3): 30.0}
