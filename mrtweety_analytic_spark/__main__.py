@@ -60,6 +60,19 @@ def main(argv: list[str] | None = None) -> int:
     d = sub.add_parser("dedup", parents=[common])
     d.add_argument("--out", default="documents_dedup.parquet")
 
+    pl = sub.add_parser(
+        "pipeline",
+        parents=[common],
+        help="run a JSON-spec corpus-curation pipeline over documents",
+    )
+    pl.add_argument("--spec", required=True, help="path to spec JSON")
+    pl.add_argument("--out", default="documents_curated.parquet")
+    pl.add_argument(
+        "--report",
+        action="store_true",
+        help="count survivors after each stage (one job per stage)",
+    )
+
     sq = sub.add_parser(
         "sql",
         parents=[common],
@@ -152,6 +165,23 @@ def main(argv: list[str] | None = None) -> int:
         final.write.mode("overwrite").parquet(args.out)
         n_raw, n_kept = docs.count(), spark.read.parquet(args.out).count()
         print(f"wrote {args.out}: kept {n_kept}/{n_raw} documents")
+        return 0
+
+    if args.cmd == "pipeline":
+        import json as _json
+
+        from .pipeline_spec import compile_pipeline, run_pipeline_with_report
+
+        with open(args.spec) as fh:
+            spec = _json.load(fh)
+        if args.report:
+            df, report = run_pipeline_with_report(spark, args.sf_dir, spec)
+            for stage, n in report:
+                print(f"{stage:16s} {n} docs")
+        else:
+            df = compile_pipeline(spark, args.sf_dir, spec)
+        df.write.mode("overwrite").parquet(args.out)
+        print(f"wrote {args.out}: {spark.read.parquet(args.out).count()} docs")
         return 0
 
     if args.cmd == "sql":

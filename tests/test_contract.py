@@ -165,3 +165,32 @@ def test_cli_sql_subcommand(spark, tmp_path, capsys):
         .fetchall()
     )
     assert got == expect
+
+
+def test_pipeline_spec_matches_manual_composition(spark, sf_dir):
+    """The spec runner's fold must equal composing the same stages by
+    hand — and an unknown stage must fail before any job runs."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F2
+
+    from mrtweety_analytic_spark.operators.dedup import dedup_corpus
+    from mrtweety_analytic_spark.pipeline_spec import compile_pipeline
+    from mrtweety_analytic_spark.sources import load_table
+
+    spec = [
+        {"stage": "filter_lang", "lang": "en"},
+        {"stage": "min_chars", "min": 50},
+        {"stage": "dedup_exact"},
+        {"stage": "dedup_near"},
+    ]
+    got = compile_pipeline(spark, sf_dir, spec)
+    docs = load_table(spark, sf_dir, "documents").where(
+        (F2.col("lang") == "en") & (F2.col("n_chars") >= 50)
+    )
+    _, expect = dedup_corpus(docs)
+    assert got.count() == expect.count()
+    assert (
+        got.select("doc_id").exceptAll(expect.select("doc_id")).count() == 0
+    )
+    with _pytest.raises(ValueError, match="unknown pipeline stage"):
+        compile_pipeline(spark, sf_dir, [{"stage": "nope"}])
