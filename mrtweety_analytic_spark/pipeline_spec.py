@@ -27,7 +27,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators.dedup import dedup_corpus, normalized_text, _jaccard_pairs
+from .operators.dedup import normalized_text, _jaccard_pairs
 from .sources import load_table
 
 StageFn = Callable[[DataFrame, dict], DataFrame]
