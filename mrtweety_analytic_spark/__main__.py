@@ -56,6 +56,11 @@ def main(argv: list[str] | None = None) -> int:
     q = sub.add_parser("query", parents=[common])
     q.add_argument("name")
     q.add_argument("--show", type=int, default=20)
+    q.add_argument(
+        "--explain",
+        action="store_true",
+        help="print the formatted physical plan instead of rows",
+    )
 
     d = sub.add_parser("dedup", parents=[common])
     d.add_argument("--out", default="documents_dedup.parquet")
@@ -211,7 +216,10 @@ def main(argv: list[str] | None = None) -> int:
             )
             return 2
         df = QUERIES[args.name](spark, args.sf_dir)
-        df.show(args.show, truncate=False)
+        if args.explain:
+            df.explain("formatted")
+        else:
+            df.show(args.show, truncate=False)
         return 0
 
     return 2

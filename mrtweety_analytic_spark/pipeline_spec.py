@@ -86,6 +86,19 @@ def _sample_mod(df: DataFrame, p: dict) -> DataFrame:
     return df.where(F.col("doc_id") % m == r)
 
 
+def _dedup_semantic(df: DataFrame, p: dict) -> DataFrame:
+    """Paraphrase tier: drop the larger doc_id of every embedding
+    pair with cosine >= 0.5, via the blocked exact pair join
+    (q_dedup_embedding — vec_id pairs 1:1 with doc_id per
+    FIXTURES.md). The runner injects _spark/_sf_dir so the stage can
+    reach the embeddings table alongside the documents frame."""
+    from .queries import QUERIES
+
+    pairs = QUERIES["q_dedup_embedding"](p["_spark"], p["_sf_dir"])
+    dropped = pairs.select(F.col("vec_b").alias("doc_id")).distinct()
+    return df.join(dropped, "doc_id", "left_anti")
+
+
 STAGES: dict[str, StageFn] = {
     "filter_lang": _filter_lang,
     "min_chars": _min_chars,
@@ -94,6 +107,7 @@ STAGES: dict[str, StageFn] = {
     "redact": _redact,
     "dedup_exact": _dedup_exact,
     "dedup_near": _dedup_near,
+    "dedup_semantic": _dedup_semantic,
     "sample_mod": _sample_mod,
 }
 
@@ -110,7 +124,9 @@ def compile_pipeline(
         )
     df = load_table(spark, sf_dir, "documents")
     for step in spec:
-        df = STAGES[step["stage"]](df, step)
+        df = STAGES[step["stage"]](
+            df, {**step, "_spark": spark, "_sf_dir": sf_dir}
+        )
     return df
 
 
@@ -125,6 +141,8 @@ def run_pipeline_with_report(
     for step in spec:
         if step.get("stage") not in STAGES:
             raise ValueError(f"unknown pipeline stage {step.get('stage')!r}")
-        df = STAGES[step["stage"]](df, step)
+        df = STAGES[step["stage"]](
+            df, {**step, "_spark": spark, "_sf_dir": sf_dir}
+        )
         report.append((step["stage"], df.count()))
     return df, report

@@ -194,3 +194,22 @@ def test_pipeline_spec_matches_manual_composition(spark, sf_dir):
     )
     with _pytest.raises(ValueError, match="unknown pipeline stage"):
         compile_pipeline(spark, sf_dir, [{"stage": "nope"}])
+
+
+def test_pipeline_semantic_stage_drops_pair_larger_id(spark):
+    """dedup_semantic drops exactly the larger doc_id of each
+    cos>=0.5 embedding pair (one such pair exists at sf0.01)."""
+    from pyspark.sql import functions as F2
+
+    from mrtweety_analytic_spark.pipeline_spec import compile_pipeline
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    pairs = QUERIES["q_dedup_embedding"](spark, sf).collect()
+    assert len(pairs) >= 1  # fixture contract for this test
+    dropped_expect = {r.vec_b for r in pairs}
+    out = compile_pipeline(spark, sf, [{"stage": "dedup_semantic"}])
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    n_docs = QUERIES["q_dedup_exact"](spark, sf).count()
+    assert kept.isdisjoint(dropped_expect)
+    assert len(kept) == 500 - len(dropped_expect)
