@@ -139,6 +139,14 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_win_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ranking-distribution functions (ntile / percent_rank /
+    cume_dist) over the dimension-sized customer table. The
+    partition-less window is the operator's SEMANTICS (total order)
+    and is fine for any dimension that fits one partition; for a
+    fact-scale total order the same quartiles come from
+    percentile-threshold bucketing (two scans, no global sort) — the
+    documented q_events_rfm scale note applies here identically.
+    """
     customer = load_table(spark, sf_dir, "customer")
     w = W.orderBy(F.desc("c_acctbal"), "c_custkey")
     return customer.select(
