@@ -199,8 +199,6 @@ def test_pipeline_spec_matches_manual_composition(spark, sf_dir):
 def test_pipeline_semantic_stage_drops_pair_larger_id(spark):
     """dedup_semantic drops exactly the larger doc_id of each
     cos>=0.5 embedding pair (one such pair exists at sf0.01)."""
-    from pyspark.sql import functions as F2
-
     from mrtweety_analytic_spark.pipeline_spec import compile_pipeline
     from mrtweety_analytic_spark.queries import QUERIES
 
@@ -210,6 +208,5 @@ def test_pipeline_semantic_stage_drops_pair_larger_id(spark):
     dropped_expect = {r.vec_b for r in pairs}
     out = compile_pipeline(spark, sf, [{"stage": "dedup_semantic"}])
     kept = {r.doc_id for r in out.select("doc_id").collect()}
-    n_docs = QUERIES["q_dedup_exact"](spark, sf).count()
     assert kept.isdisjoint(dropped_expect)
     assert len(kept) == 500 - len(dropped_expect)
