@@ -96,11 +96,11 @@ PRIORITY = [
     "q_text_feature_hash",
     "s_window_distinct",
     "q_sink_partition_overwrite",
+    "q_ts_similarity",
     "q_cdc_scd2",
     "q_dedup_url",
     "q_text_passage_dedup",
     "q_agg_decayed",
-    "q_sample_reservoir",
     # operators changed this round — earn fresh driver rows
     "q_udf_arrow",
     "q_source_binaryfile",

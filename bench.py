@@ -95,6 +95,7 @@ HEADLINE = [
     "q_events_concurrency",      # partition-parallel sweep-line
     "q_mv_join_incremental",     # delta-join view maintenance
     "q_text_feature_hash",       # 256-bucket hashing-trick featurizer
+    "q_ts_similarity",           # sparse-identity trajectory top-k
 ]
 
 

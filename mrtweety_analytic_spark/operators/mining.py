@@ -832,3 +832,77 @@ def q_text_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+@register(
+    "q_ts_similarity",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS DOUBLE) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    probe AS (SELECT day, c FROM daily WHERE user_id = 0),
+    ssu AS (SELECT user_id, sum(c * c) AS ss FROM daily GROUP BY 1),
+    ssp AS (SELECT sum(c * c) AS ssp FROM probe),
+    dots AS (
+        SELECT d.user_id, sum(d.c * p.c) AS dot
+        FROM daily d JOIN probe p USING (day)
+        WHERE d.user_id <> 0
+        GROUP BY d.user_id
+    )
+    SELECT user_id,
+           round(sqrt(ssu.ss + (SELECT ssp FROM ssp)
+                      - 2 * coalesce(dots.dot, 0)), 6) AS dist
+    FROM ssu LEFT JOIN dots USING (user_id)
+    WHERE user_id <> 0
+    ORDER BY dist, user_id
+    LIMIT 5
+    """,
+)
+def q_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 users whose daily activity profile is most similar to a
+    probe user's (L2 over the daily event-count series, absent days
+    = 0) — the daily-profile specialization of distributed top-k
+    trajectory similarity search (REPOSE, ICDE 2021; PAPERS.md). The
+    scale trick is the sparse-vector identity
+    dist^2(u, p) = SS_u + SS_p - 2.dot(u, p): per-user sum-of-squares
+    is one partial-aggregable pass, the probe series is a broadcast
+    O(days) table, and the dot product is an equi-join on day — so
+    no user-by-user vector materialization, no dense pivot, and the
+    only shuffle is the O(users) aggregate. TakeOrderedAndProject
+    finishes the top-k without a global sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    probe = daily.where(F.col("user_id") == 0).select(
+        "day", F.col("c").alias("p")
+    )
+    ssu = daily.where(F.col("user_id") != 0).groupBy("user_id").agg(
+        F.sum(F.col("c") * F.col("c")).alias("ss")
+    )
+    ssp = probe.agg(F.sum(F.col("p") * F.col("p")).alias("ssp"))
+    dots = (
+        daily.where(F.col("user_id") != 0)
+        .join(F.broadcast(probe), "day")
+        .groupBy("user_id")
+        .agg(F.sum(F.col("c") * F.col("p")).alias("dot"))
+    )
+    return (
+        ssu.join(dots, "user_id", "left")
+        .crossJoin(F.broadcast(ssp))
+        .select(
+            "user_id",
+            F.round(
+                F.sqrt(
+                    F.col("ss") + F.col("ssp")
+                    - 2 * F.coalesce(F.col("dot"), F.lit(0.0))
+                ),
+                6,
+            ).alias("dist"),
+        )
+        .orderBy("dist", "user_id")
+        .limit(5)
+    )
