@@ -101,6 +101,7 @@ PRIORITY = [
     "q_dedup_url",
     "q_text_passage_dedup",
     "q_agg_decayed",
+    "q_sample_reservoir",
     # operators changed this round — earn fresh driver rows
     "q_udf_arrow",
     "q_source_binaryfile",
@@ -136,7 +137,6 @@ PRIORITY = [
     "q_sink_custom_pyds",
     # data quality / changelog / recursion
     "q_dq_profile",
-    "q_dq_expectations",
     "q_cdc_apply",
     # (q_fn_xml rolled to round 6 for the delta-join MV op)
     "q_join_anti",  # gate made non-trivial this round — driver re-check
