@@ -46,6 +46,12 @@ def main(argv: list[str] | None = None) -> int:
         "awaitTermination, instead of the availableNow replay",
     )
     s.add_argument(
+        "--telemetry",
+        action="store_true",
+        help="print per-batch progress telemetry (rows, rate, state "
+        "size) after the run",
+    )
+    s.add_argument(
         "--duration",
         type=float,
         default=0.0,
@@ -148,6 +154,11 @@ def main(argv: list[str] | None = None) -> int:
         counts = windowed_counts(
             events, window=args.window, slide=args.slide, watermark="1 minute"
         )
+        rec = None
+        if args.telemetry:
+            from .streaming import telemetry
+
+            rec = telemetry.attach(spark)
         # The sink itself selects the latest window and takes the
         # top-5 (≙ foreachRDD(save), SparkApplication.scala:92-95).
         emit = make_topk_file_sink(args.out, k=5)
@@ -159,6 +170,15 @@ def main(argv: list[str] | None = None) -> int:
         )
         query.awaitTermination(timeout=600)
         print(f"stream replay complete; latest window written to {args.out}")
+        if rec is not None:
+            rec.wait_for(1)
+            for r in rec.records:
+                print(
+                    f"batch {r['batch_id']}: {r['input_rows']} rows, "
+                    f"{r['rows_per_sec']:.0f} rows/s, "
+                    f"state {r['state_rows']} rows"
+                )
+            print(rec.summary())
         return 0
 
     if args.cmd == "dedup":

@@ -478,3 +478,51 @@ def test_upsert_sink_batch_split_invariance_and_idempotency(spark, tmp_path):
     assert single.rows[1][1:] == (105, "click", 1.0)
     assert single.rows[2][1:] == (102, "purchase", 4.0)
     assert single.rows[3][1:] == (103, "error", 5.0)
+
+
+def test_telemetry_records_progress_and_state_size(spark, tmp_path):
+    """The ProgressRecorder must see every micro-batch (3 files x
+    maxFilesPerTrigger=1), conserve input-row totals, and report the
+    stateful aggregation's state size."""
+    from mrtweety_analytic_spark.streaming import telemetry
+
+    src = str(tmp_path / "tel_events")
+    for i in range(3):
+        spark.createDataFrame(
+            [(i * 10 + j, j % 4) for j in range(8)],
+            "event_id long, key long",
+        ).write.mode("append").parquet(src)
+
+    rec = telemetry.attach(spark)
+    try:
+        stream = (
+            spark.readStream.schema("event_id long, key long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        agg = stream.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("tel_counts")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(timeout=300)
+        # progress events land asynchronously after termination — poll
+        # until the recorder has seen every input row
+        import time as _time
+
+        deadline = _time.time() + 30
+        while (
+            rec.summary()["total_input_rows"] < 24
+            and _time.time() < deadline
+        ):
+            _time.sleep(0.2)
+        s = rec.summary()
+        assert s["n_batches"] >= 3
+        assert s["total_input_rows"] == 24
+        assert s["max_state_rows"] == 4  # four distinct keys held in state
+    finally:
+        telemetry.detach(spark, rec)
+        spark.catalog.dropTempView("tel_counts")
