@@ -96,6 +96,7 @@ HEADLINE = [
     "q_mv_join_incremental",     # delta-join view maintenance
     "q_text_feature_hash",       # 256-bucket hashing-trick featurizer
     "q_ts_similarity",           # sparse-identity trajectory top-k
+    "q_events_active_users",     # DAU/WAU/MAU bounded fan-out
 ]
 
 

@@ -906,3 +906,95 @@ def q_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist", "user_id")
         .limit(5)
     )
+
+
+@register(
+    "q_events_active_users",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM pairs),
+    dau AS (
+        SELECT day, count(*) AS dau FROM pairs GROUP BY day
+    ),
+    wau AS (
+        SELECT d AS day, count(DISTINCT user_id) AS wau
+        FROM (
+            SELECT user_id,
+                   CAST(unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                               INTERVAL 1 DAY)) AS DATE)
+                       AS d
+            FROM pairs
+        ), bounds
+        WHERE d <= bounds.hi
+        GROUP BY d
+    ),
+    mau AS (
+        SELECT d AS day, count(DISTINCT user_id) AS mau
+        FROM (
+            SELECT user_id,
+                   CAST(unnest(generate_series(day, day + INTERVAL 27 DAY,
+                                               INTERVAL 1 DAY)) AS DATE)
+                       AS d
+            FROM pairs
+        ), bounds
+        WHERE d <= bounds.hi
+        GROUP BY d
+    )
+    SELECT dau.day, dau.dau, wau.wau, mau.mau,
+           round(1.0 * dau.dau / wau.wau, 6) AS stickiness
+    FROM dau JOIN wau USING (day) JOIN mau USING (day)
+    """,
+)
+def q_events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / trailing-28-day MAU and the
+    DAU/WAU stickiness ratio — the activity dashboard every product
+    warehouse maintains. The scale shape: the raw log first reduces
+    to distinct (user, day) pairs; each pair then fans out to the
+    BOUNDED set of trailing windows it contributes to (7 and 28 rows
+    — explode of a fixed-length sequence, not a range join, so there
+    is no O(days x pairs) join and no unbounded window state), and
+    the per-day distinct counts are ordinary partial-aggregable
+    aggregates. Trailing windows whose anchor day exceeds the
+    observed horizon are clipped. The three day-keyed aggregates are
+    O(days) rows and join broadcast.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    hi = pairs.agg(F.max("day").alias("hi"))
+
+    def rolling(window_days: int, out: str) -> DataFrame:
+        fan = pairs.select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    "day",
+                    F.date_add("day", window_days - 1),
+                    F.expr("interval 1 day"),
+                )
+            ).alias("day"),
+        )
+        return (
+            fan.crossJoin(F.broadcast(hi))
+            .where(F.col("day") <= F.col("hi"))
+            .groupBy("day")
+            .agg(F.countDistinct("user_id").alias(out))
+        )
+
+    dau = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    wau = rolling(7, "wau")
+    mau = rolling(28, "mau")
+    return (
+        dau.join(F.broadcast(wau), "day")
+        .join(F.broadcast(mau), "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            "mau",
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )

@@ -423,3 +423,31 @@ def test_partition_overwrite_touches_only_stale_month(spark, sf_dir, tmp_path):
     }
     assert got == {("2024-01", 1): 10.0, ("2024-02", 2): 20.0,
                    ("2024-03", 3): 30.0}
+
+
+def test_active_users_rolling_physics(spark, sf_dir):
+    """WAU/MAU sanity: monotone wau >= dau, mau >= wau; and WAU on a
+    mid-corpus day equals a direct distinct count over its trailing
+    7 days."""
+    from datetime import timedelta
+
+    rows = {r.day: r for r in
+            QUERIES["q_events_active_users"](spark, sf_dir).collect()}
+    assert rows
+    for r in rows.values():
+        assert r.wau >= r.dau
+        assert r.mau >= r.wau
+        assert r.stickiness == pytest.approx(r.dau / r.wau, abs=1e-6)
+    mid = sorted(rows)[len(rows) // 2]
+    ev = load_table(spark, sf_dir, "events")
+    direct = (
+        ev.select("user_id", F.to_date("ts").alias("day"))
+        .where(
+            (F.col("day") >= F.lit(mid - timedelta(days=6)))
+            & (F.col("day") <= F.lit(mid))
+        )
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert rows[mid].wau == direct
