@@ -97,6 +97,7 @@ PRIORITY = [
     "q_sink_partition_overwrite",
     "q_ts_similarity",
     "q_events_active_users",
+    "q_events_growth_accounting",
     "q_cdc_scd2",
     "q_dedup_url",
     "q_text_passage_dedup",
@@ -136,7 +137,6 @@ PRIORITY = [
     # the custom Python-DS sink stay as the window's sink rows)
     "q_sink_custom_pyds",
     # data quality / changelog / recursion
-    "q_cdc_apply",
     # (q_fn_xml rolled to round 6 for the delta-join MV op)
     "q_join_anti",  # gate made non-trivial this round — driver re-check
 ]

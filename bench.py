@@ -97,6 +97,7 @@ HEADLINE = [
     "q_text_feature_hash",       # 256-bucket hashing-trick featurizer
     "q_ts_similarity",           # sparse-identity trajectory top-k
     "q_events_active_users",     # DAU/WAU/MAU bounded fan-out
+    "q_events_growth_accounting", # new/retained/resurrected/churned
 ]
 
 

@@ -998,3 +998,98 @@ def q_events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
         )
     )
+
+
+@register(
+    "q_events_growth_accounting",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    marked AS (
+        SELECT user_id, day,
+               min(day) OVER (PARTITION BY user_id) AS first_day,
+               lag(day) OVER (PARTITION BY user_id ORDER BY day)
+                   AS prev_day
+        FROM pairs
+    ),
+    per_day AS (
+        SELECT day,
+               count(*) AS dau,
+               count(*) FILTER (WHERE day = first_day) AS n_new,
+               count(*) FILTER (WHERE prev_day = day - INTERVAL 1 DAY)
+                   AS n_retained,
+               count(*) FILTER (WHERE day <> first_day AND
+                                (prev_day IS NULL OR
+                                 prev_day < day - INTERVAL 1 DAY))
+                   AS n_resurrected
+        FROM marked GROUP BY day
+    )
+    SELECT day, dau, n_new, n_retained, n_resurrected,
+           lag(dau) OVER (ORDER BY day) - n_retained AS n_churned,
+           CASE WHEN lag(dau) OVER (ORDER BY day) - n_retained > 0
+                THEN round(1.0 * (n_new + n_resurrected)
+                           / (lag(dau) OVER (ORDER BY day) - n_retained),
+                           6)
+           END AS quick_ratio
+    FROM per_day
+    """,
+)
+def q_events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting: every active user classified as new
+    (first-ever day), retained (also active yesterday), or
+    resurrected (returning after a gap); churned(d) = yesterday's
+    actives minus today's retained; quick ratio = (new +
+    resurrected) / churned. Two window passes over the distinct
+    (user, day) pairs — both on the user_id partitioning — reduce
+    the log to an O(days) classification table, and the final lag
+    window runs on that tiny series (the only partition-less window
+    here, O(days) rows by construction). No self-joins: churn is
+    derived from yesterday's DAU by conservation, not by
+    anti-joining consecutive days.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    wu = W.partitionBy("user_id")
+    wo = W.partitionBy("user_id").orderBy("day")
+    marked = pairs.select(
+        "day",
+        F.min("day").over(wu).alias("first_day"),
+        F.lag("day").over(wo).alias("prev_day"),
+    )
+    is_new = F.col("day") == F.col("first_day")
+    is_ret = F.col("prev_day") == F.date_sub("day", 1)
+    per_day = marked.groupBy("day").agg(
+        F.count(F.lit(1)).alias("dau"),
+        F.sum(is_new.cast("long")).alias("n_new"),
+        F.sum(F.coalesce(is_ret, F.lit(False)).cast("long")).alias(
+            "n_retained"
+        ),
+        F.sum(
+            (
+                ~is_new
+                & (
+                    F.col("prev_day").isNull()
+                    | (F.col("prev_day") < F.date_sub("day", 1))
+                )
+            ).cast("long")
+        ).alias("n_resurrected"),
+    )
+    wd = W.orderBy("day")
+    churned = F.lag("dau").over(wd) - F.col("n_retained")
+    return per_day.select(
+        "day",
+        "dau",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        churned.alias("n_churned"),
+        F.when(
+            churned > 0,
+            F.round(
+                (F.col("n_new") + F.col("n_resurrected")) / churned, 6
+            ),
+        ).alias("quick_ratio"),
+    )

@@ -451,3 +451,27 @@ def test_active_users_rolling_physics(spark, sf_dir):
         .count()
     )
     assert rows[mid].wau == direct
+
+
+def test_growth_accounting_conservation(spark, sf_dir):
+    """Growth accounting books must balance: dau = new + retained +
+    resurrected every day, and churned(d) = dau(d-1) - retained(d)."""
+    rows = sorted(
+        QUERIES["q_events_growth_accounting"](spark, sf_dir).collect(),
+        key=lambda r: r.day,
+    )
+    assert rows
+    prev_dau = None
+    for r in rows:
+        assert r.dau == r.n_new + r.n_retained + r.n_resurrected, r
+        if prev_dau is None:
+            assert r.n_churned is None
+        else:
+            assert r.n_churned == prev_dau - r.n_retained
+            if r.n_churned > 0:
+                assert r.quick_ratio == pytest.approx(
+                    (r.n_new + r.n_resurrected) / r.n_churned, abs=1e-6
+                )
+        prev_dau = r.dau
+    # day 1: everyone is new
+    assert rows[0].n_new == rows[0].dau
