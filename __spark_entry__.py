@@ -98,6 +98,7 @@ PRIORITY = [
     "q_ts_similarity",
     "q_events_active_users",
     "q_events_growth_accounting",
+    "q_win_capped_running_sum",
     "q_cdc_scd2",
     "q_dedup_url",
     "q_text_passage_dedup",
@@ -119,7 +120,6 @@ PRIORITY = [
     "q_win_percentile",
     "q_win_fill_forward",
     "q_win_first_last",
-    "q_win_pct_change",
     # set operations
     "q_set_union",
     "q_set_intersect",

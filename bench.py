@@ -98,6 +98,7 @@ HEADLINE = [
     "q_ts_similarity",           # sparse-identity trajectory top-k
     "q_events_active_users",     # DAU/WAU/MAU bounded fan-out
     "q_events_growth_accounting", # new/retained/resurrected/churned
+    "q_win_capped_running_sum",  # non-associative fold, Arrow kernel
 ]
 
 

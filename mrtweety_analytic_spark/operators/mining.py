@@ -1093,3 +1093,78 @@ def q_events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("quick_ratio"),
     )
+
+
+@register(
+    "q_win_capped_running_sum",
+    oracle="""
+    WITH RECURSIVE s AS (
+        SELECT l_partkey AS p,
+               row_number() OVER (PARTITION BY l_partkey
+                                  ORDER BY l_shipdate, l_orderkey,
+                                           l_linenumber) AS rn,
+               CASE WHEN l_returnflag = 'R' THEN -l_quantity
+                    ELSE l_quantity END AS d
+        FROM lineitem
+    ),
+    r AS (
+        SELECT p, rn, greatest(0, d) AS bal FROM s WHERE rn = 1
+        UNION ALL
+        SELECT s.p, s.rn, greatest(0, r.bal + s.d)
+        FROM r JOIN s ON s.p = r.p AND s.rn = r.rn + 1
+    )
+    SELECT p AS l_partkey, CAST(rn AS INTEGER) AS rn,
+           round(bal, 4) AS balance
+    FROM r
+    """,
+)
+def q_win_capped_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floored-at-zero running balance per part (receipts add,
+    returns subtract, stock can't go negative) — the inventory
+    recurrence bal_t = max(0, bal_{t-1} + delta_t). This is the
+    textbook case window algebra CANNOT express: the max() makes the
+    fold non-associative, so no frame/cumsum trick applies (contrast
+    q_ts_ewma, whose fold factors into two cumsums). The engine
+    answer is a per-key Arrow-batched kernel: applyInPandas groups by
+    part, sorts the key's bounded event list, and runs the O(n_k)
+    scalar recurrence in the worker — state never leaves the
+    executor, parallelism is O(parts), and per-task memory is one
+    key's history. The oracle is a DuckDB RECURSIVE CTE unrolling the
+    same fold — certifying a non-SQL-expressible* operator with SQL
+    (*non-window-expressible; recursion depth = max events per key).
+    """
+    import numpy as np
+    import pandas as pd
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        F.when(
+            F.col("l_returnflag") == "R", -F.col("l_quantity")
+        ).otherwise(F.col("l_quantity")).alias("d"),
+    )
+
+    def run_balance(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["l_shipdate", "l_orderkey", "l_linenumber"],
+            kind="mergesort",
+        )
+        deltas = pdf["d"].to_numpy(dtype=np.float64)
+        bal = np.empty_like(deltas)
+        acc = 0.0
+        for i, d in enumerate(deltas):
+            acc = max(0.0, acc + d)
+            bal[i] = acc
+        return pd.DataFrame(
+            {
+                "l_partkey": pdf["l_partkey"].to_numpy(),
+                "rn": np.arange(1, len(deltas) + 1, dtype=np.int32),
+                "balance": np.round(bal, 4),
+            }
+        )
+
+    return li.groupBy("l_partkey").applyInPandas(
+        run_balance, schema="l_partkey long, rn int, balance double"
+    )

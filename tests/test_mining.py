@@ -475,3 +475,28 @@ def test_growth_accounting_conservation(spark, sf_dir):
         prev_dau = r.dau
     # day 1: everyone is new
     assert rows[0].n_new == rows[0].dau
+
+
+def test_capped_running_sum_floor_and_recurrence(spark, sf_dir):
+    """The balance can never be negative, and a directly recomputed
+    per-part recurrence must match row-for-row."""
+    rows = QUERIES["q_win_capped_running_sum"](spark, sf_dir).collect()
+    assert rows and all(r.balance >= 0 for r in rows)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_orderkey", "l_linenumber",
+        F.when(F.col("l_returnflag") == "R", -F.col("l_quantity"))
+        .otherwise(F.col("l_quantity")).alias("d"),
+    )
+    part = rows[0].l_partkey
+    events = sorted(
+        li.where(F.col("l_partkey") == part).collect(),
+        key=lambda r: (r.l_shipdate, r.l_orderkey, r.l_linenumber),
+    )
+    acc, expect = 0.0, []
+    for e in events:
+        acc = max(0.0, acc + e.d)
+        expect.append(round(acc, 4))
+    got = [r.balance for r in sorted(
+        (r for r in rows if r.l_partkey == part), key=lambda r: r.rn
+    )]
+    assert got == pytest.approx(expect, abs=1e-9)
