@@ -99,6 +99,8 @@ PRIORITY = [
     "q_events_active_users",
     "q_events_growth_accounting",
     "q_win_capped_running_sum",
+    "q_ts_forecast_eval",
+    "q_multimodal_offload",
     "q_cdc_scd2",
     "q_dedup_url",
     "q_text_passage_dedup",
@@ -118,8 +120,6 @@ PRIORITY = [
     "q_win_lag_lead",
     "q_win_frame",
     "q_win_percentile",
-    "q_win_fill_forward",
-    "q_win_first_last",
     # set operations
     "q_set_union",
     "q_set_intersect",

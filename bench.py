@@ -99,6 +99,8 @@ HEADLINE = [
     "q_events_active_users",     # DAU/WAU/MAU bounded fan-out
     "q_events_growth_accounting", # new/retained/resurrected/churned
     "q_win_capped_running_sum",  # non-associative fold, Arrow kernel
+    "q_ts_forecast_eval",        # one-step-ahead EWMA backtest
+    "q_multimodal_offload",      # content-addressed payload store
 ]
 
 

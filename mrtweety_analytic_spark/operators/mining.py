@@ -1183,3 +1183,82 @@ def q_win_capped_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketed.groupBy("bkt").applyInPandas(
         run_balance, schema="l_partkey long, rn int, balance double"
     )
+
+
+@register(
+    "q_ts_forecast_eval",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT event_type, day, v,
+               date_diff('day',
+                         min(day) OVER (PARTITION BY event_type),
+                         day) AS d
+        FROM daily
+    ),
+    ew AS (
+        SELECT event_type, day, v,
+               sum(v * power(1.0 / 0.7, d)) OVER w
+                   / sum(power(1.0 / 0.7, d)) OVER w AS ewma
+        FROM idx
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    scored AS (
+        SELECT event_type, v,
+               lag(ewma) OVER (PARTITION BY event_type ORDER BY day)
+                   AS fc
+        FROM ew
+    )
+    SELECT event_type,
+           CAST(count(fc) AS BIGINT) AS n_forecasts,
+           round(avg(abs(v - fc)), 6) AS mae,
+           round(sqrt(avg((v - fc) * (v - fc))), 6) AS rmse
+    FROM scored WHERE fc IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_ts_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead forecast backtest: yesterday's EWMA (the
+    q_ts_ewma smoother) predicts today's count; MAE/RMSE per series
+    score it. The backtest costs nothing beyond the smoother — the
+    forecast column is lag(ewma) over the same day sort (no extra
+    exchange), and the error metrics are ordinary mergeable
+    aggregates over the O(types x days) series. This is the
+    evaluation loop a forecasting pipeline runs before trusting a
+    model — expressed entirely in the engine, no Python.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("v"))
+    wk = W.partitionBy("event_type")
+    idx = daily.select(
+        "event_type", "day", "v",
+        F.datediff("day", F.min("day").over(wk)).alias("d"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    weight = F.pow(F.lit(1.0 / 0.7), F.col("d"))
+    ew = idx.select(
+        "event_type", "day", "v",
+        (F.sum(F.col("v") * weight).over(w) / F.sum(weight).over(w))
+        .alias("ewma"),
+    )
+    wo = W.partitionBy("event_type").orderBy("day")
+    scored = ew.select(
+        "event_type", "v", F.lag("ewma").over(wo).alias("fc")
+    ).where(F.col("fc").isNotNull())
+    err = F.col("v") - F.col("fc")
+    return scored.groupBy("event_type").agg(
+        F.count("fc").alias("n_forecasts"),
+        F.round(F.avg(F.abs(err)), 6).alias("mae"),
+        F.round(F.sqrt(F.avg(err * err)), 6).alias("rmse"),
+    )

@@ -407,3 +407,57 @@ def q_multimodal_pair_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("paired_chars"),
         F.coalesce(F.max("dim"), F.lit(0)).cast("long").alias("dim"),
     )
+
+
+@register(
+    "q_multimodal_offload",
+    oracle="""
+    SELECT doc_id, md5(text) AS content_md5,
+           CAST(strlen(text) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def q_multimodal_offload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed payload offload — the lakehouse pattern for
+    media at 100 TB: big opaque payloads move to a deduplicated
+    digest-keyed STORE table (one copy per unique content), while the
+    record table keeps only a digest pointer in its MANIFEST. Both
+    sides are written to parquet and read back, the manifest re-joins
+    the store on the digest (an equi-join on an 32-char key — at
+    scale a bucketed join on digest prefix), and the certificate is
+    value-level: every reconstructed payload must hash back to the
+    original content (oracle = md5 over the source column), so the
+    whole offload -> store -> rejoin -> reconstruct path is what the
+    gate covers. Document text stands in for the payload bytes (no
+    media in the corpus — same stand-in as q_multimodal_binary);
+    `strlen` in the oracle is DuckDB BYTE length, matching
+    octet_length here.
+    """
+    from .sinks import _scratch
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(payload).alias("digest"),
+        payload.alias("payload"),
+    )
+    store_path = _scratch("offload_store", sf_dir)
+    manifest_path = _scratch("offload_manifest", sf_dir)
+    # store: ONE row per unique content — the dedup is the point
+    keyed.select("digest", "payload").dropDuplicates(
+        ["digest"]
+    ).write.mode("overwrite").parquet(store_path)
+    keyed.select("doc_id", "digest").write.mode("overwrite").parquet(
+        manifest_path
+    )
+    store = spark.read.parquet(store_path)
+    manifest = spark.read.parquet(manifest_path)
+    return (
+        manifest.join(store, "digest")
+        .select(
+            "doc_id",
+            F.md5("payload").alias("content_md5"),
+            F.octet_length("payload").alias("n_bytes"),
+        )
+    )
