@@ -101,6 +101,7 @@ PRIORITY = [
     "q_win_capped_running_sum",
     "q_ts_forecast_eval",
     "q_multimodal_offload",
+    "q_events_ab_test",
     "q_cdc_scd2",
     "q_dedup_url",
     "q_text_passage_dedup",
@@ -118,7 +119,6 @@ PRIORITY = [
     # window functions
     "q_win_rank",
     "q_win_lag_lead",
-    "q_win_frame",
     "q_win_percentile",
     # set operations
     "q_set_union",

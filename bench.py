@@ -101,6 +101,7 @@ HEADLINE = [
     "q_win_capped_running_sum",  # non-associative fold, Arrow kernel
     "q_ts_forecast_eval",        # one-step-ahead EWMA backtest
     "q_multimodal_offload",      # content-addressed payload store
+    "q_events_ab_test",          # deterministic-assignment z-test
 ]
 
 

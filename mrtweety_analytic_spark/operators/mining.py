@@ -1262,3 +1262,116 @@ def q_ts_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.abs(err)), 6).alias("mae"),
         F.round(F.sqrt(F.avg(err * err)), 6).alias("rmse"),
     )
+
+
+@register(
+    "q_events_ab_test",
+    oracle="""
+    WITH assign AS (
+        SELECT user_id,
+               (strpos('0123456789abcdef',
+                       substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1)
+                   % 2 AS variant
+        FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    mx AS (SELECT max(value) AS m FROM events
+           WHERE event_type = 'purchase'),
+    conv AS (
+        SELECT DISTINCT user_id FROM events, mx
+        WHERE event_type = 'purchase' AND value >= 0.5 * m
+    ),
+    per_variant AS (
+        SELECT variant,
+               count(*) AS n_users,
+               count(conv.user_id) AS n_converted
+        FROM assign LEFT JOIN conv USING (user_id)
+        GROUP BY variant
+    ),
+    wide AS (
+        SELECT
+            max(CASE WHEN variant = 0 THEN n_users END) AS na,
+            max(CASE WHEN variant = 0 THEN n_converted END) AS ca,
+            max(CASE WHEN variant = 1 THEN n_users END) AS nb,
+            max(CASE WHEN variant = 1 THEN n_converted END) AS cb
+        FROM per_variant
+    )
+    SELECT CAST(variant AS INTEGER) AS variant, n_users, n_converted,
+           round(1.0 * n_converted / n_users, 6) AS conv_rate,
+           round((1.0 * cb / nb - 1.0 * ca / na)
+                 / sqrt((1.0 * (ca + cb) / (na + nb))
+                        * (1 - 1.0 * (ca + cb) / (na + nb))
+                        * (1.0 / na + 1.0 / nb)), 6) AS z_score
+    FROM per_variant, wide
+    """,
+)
+def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment analysis: users deterministically hash-assigned to
+    two variants (md5 first hex digit, parity — the engine-agnostic
+    arithmetic bucketing of q_text_feature_hash, so assignment
+    reproduces in any engine and never shifts under reruns — the
+    non-negotiable property of an experiment key), conversion = any
+    high-value purchase (value >= half the observed maximum — the
+    every-user-purchases corpus makes plain did-purchase degenerate),
+    and the two-proportion pooled z-test scored in
+    plain column algebra. The fact log reduces to O(users) rows in
+    one pass, the per-variant table is 2 rows, and the z-score rides
+    a 1-row broadcast — the evaluation side of experimentation
+    expressed entirely declaratively.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hexes = "0123456789abcdef"
+    variant = (
+        (
+            F.expr(
+                f"locate(substring(md5(CAST(user_id AS STRING)), 1, 1),"
+                f" '{hexes}')"
+            )
+            - 1
+        )
+        % 2
+    ).alias("variant")
+    assign = ev.select("user_id").distinct().select("user_id", variant)
+    mx = ev.where(F.col("event_type") == "purchase").agg(
+        F.max("value").alias("m")
+    )
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(mx))
+        .where(F.col("value") >= 0.5 * F.col("m"))
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    per_variant = (
+        assign.join(conv, "user_id", "left")
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.coalesce("converted", F.lit(0))).alias("n_converted"),
+        )
+    )
+    wide = per_variant.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("na"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_converted"))).alias("ca"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("nb"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_converted"))).alias("cb"),
+    )
+    pooled = (F.col("ca") + F.col("cb")) / (F.col("na") + F.col("nb"))
+    z = (
+        (F.col("cb") / F.col("nb") - F.col("ca") / F.col("na"))
+        / F.sqrt(
+            pooled * (1 - pooled) * (1 / F.col("na") + 1 / F.col("nb"))
+        )
+    )
+    return (
+        per_variant.crossJoin(F.broadcast(wide))
+        .select(
+            F.col("variant").cast("int"),
+            "n_users",
+            "n_converted",
+            F.round(F.col("n_converted") / F.col("n_users"), 6).alias(
+                "conv_rate"
+            ),
+            F.round(z, 6).alias("z_score"),
+        )
+    )

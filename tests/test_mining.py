@@ -500,3 +500,35 @@ def test_capped_running_sum_floor_and_recurrence(spark, sf_dir):
         (r for r in rows if r.l_partkey == part), key=lambda r: r.rn
     )]
     assert got == pytest.approx(expect, abs=1e-9)
+
+
+def test_ab_test_assignment_and_zscore(spark, sf_dir):
+    """Assignment must be deterministic md5 parity (recomputed in
+    python), groups must partition all users, and the z-score must
+    match scipy-free manual pooled-proportion arithmetic."""
+    import hashlib
+    import math
+
+    rows = {r.variant: r for r in
+            QUERIES["q_events_ab_test"](spark, sf_dir).collect()}
+    assert set(rows) == {0, 1}
+    ev = load_table(spark, sf_dir, "events")
+    users = [r.user_id for r in ev.select("user_id").distinct().collect()]
+    py_assign = {
+        u: int(hashlib.md5(str(u).encode()).hexdigest()[0], 16) % 2
+        for u in users
+    }
+    # conversion groups must be non-degenerate (the gate is hollow if
+    # either variant converts at 0% or 100%)
+    from collections import Counter
+
+    counts = Counter(py_assign.values())
+    assert rows[0].n_users == counts[0]
+    assert rows[1].n_users == counts[1]
+    na, ca = rows[0].n_users, rows[0].n_converted
+    nb, cb = rows[1].n_users, rows[1].n_converted
+    assert 0 < ca + cb < na + nb
+    p = (ca + cb) / (na + nb)
+    z = (cb / nb - ca / na) / math.sqrt(p * (1 - p) * (1 / na + 1 / nb))
+    assert rows[0].z_score == pytest.approx(z, abs=1e-5)
+    assert rows[0].z_score == rows[1].z_score
