@@ -30,39 +30,43 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # (q_agg_collect, whose only driver row predates its fix in commit
 # 6841fdb, and the three rows-only sketches) and q_fn_variant_schema
 # (oracle re-pinned this round with numeric-type normalization).
-# After this round, 101 registered names remain never-driver-
-# sampled (ALL of them replica-green at sf 0.01 AND green under the
-# vanilla driver-style session differential, tools/verify_vanilla.py
-# — 250/250 this round): round 6's window takes 50, round 7 the
-# rest. The exact set, recomputed from CORRECTNESS_r01-r04 union
-# this PRIORITY against the as-built registry:
-# q_agg_salted_twophase q_anomaly_zscore q_corpus_funnel
+# After this round, 107 registered names remain never-driver-
+# sampled (every one replica-green at sf 0.01 AND green under the
+# vanilla driver-style session differential, tools/verify_vanilla.py):
+# round 6's window takes 50 (late-round-5 rolled ops first, then
+# q_fn_*/q_tpch_*), round 7 the rest. The exact set, recomputed from
+# CORRECTNESS_r01-r04 union this PRIORITY against the registry:
+# q_agg_salted_twophase q_anomaly_zscore q_cdc_apply q_corpus_funnel
 # q_date_spine q_dedup_containment q_dedup_lsh_eval
 # q_dedup_simhash_pairs q_dq_expectations q_dq_kanonymity
-# q_events_anomaly_zscore q_events_attribution q_events_funnel
-# q_events_retention q_events_rfm q_events_transitions
-# q_events_window_funnel q_fn_array q_fn_array_lambda q_fn_base64
-# q_fn_bitwise q_fn_case q_fn_date q_fn_date_arith q_fn_hash_digest
-# q_fn_interval q_fn_json q_fn_map q_fn_math q_fn_regex_extract_all
-# q_fn_sql_udf q_fn_string q_fn_try_cast q_fn_url_parse q_fn_variant
-# q_fn_xml q_graph_degree q_join_bucketed q_join_dpp
-# q_lateral_subquery q_maintenance_compact q_maintenance_zorder
-# q_multimodal_cdc_chunks q_multimodal_pair_align q_observe_metrics
-# q_recursive_cte q_scan_corrupt_tolerant q_scan_file_metadata
-# q_scan_schema_merge q_sessionize_gaps q_sim_ivf_kmeans
-# q_sim_ivf_kmeans_recall q_sim_ivf_recall_eval q_sim_lsh_eval
-# q_sim_outliers q_sim_pq_assign q_sink_csv_roundtrip
-# q_sink_json_roundtrip q_sink_orc_roundtrip q_source_json_corrupt
-# q_split_leakage_safe q_sql_named_params q_subquery_in
-# q_subquery_scalar q_table_diff q_text_chunk q_text_cooccur
-# q_text_decontaminate q_text_domain_entropy q_text_domain_mix
-# q_text_edit_distance q_text_heavy_hitters q_text_ngrams
-# q_text_pack_sequences q_text_passage_scrub q_text_redact
-# q_text_repetition q_text_sentiment q_text_unigram_logprob
-# q_text_vocab_coverage q_text_zipf_fit q_tpch_q2/4/8/9/11/12/13/14/
-# 15/16/17/19/20/21/22like q_udtf_expand_json q_win_streaks
-# s_dedup_within_watermark s_heavy_hitters s_session_dynamic
-# s_topk_update_sink
+# q_dq_profile q_events_anomaly_zscore q_events_attribution
+# q_events_funnel q_events_retention q_events_rfm
+# q_events_transitions q_events_window_funnel q_fn_array
+# q_fn_array_lambda q_fn_base64 q_fn_bitwise q_fn_case q_fn_date
+# q_fn_date_arith q_fn_hash_digest q_fn_interval q_fn_json q_fn_map
+# q_fn_math q_fn_regex_extract_all q_fn_sql_udf q_fn_string
+# q_fn_try_cast q_fn_url_parse q_fn_variant q_fn_xml q_graph_degree
+# q_join_bucketed q_join_dpp q_lateral_subquery
+# q_maintenance_compact q_maintenance_zorder q_multimodal_cdc_chunks
+# q_multimodal_pair_align q_observe_metrics q_recursive_cte
+# q_scan_corrupt_tolerant q_scan_file_metadata q_scan_schema_merge
+# q_sessionize_gaps q_sim_ivf_kmeans q_sim_ivf_kmeans_recall
+# q_sim_ivf_recall_eval q_sim_lsh_eval q_sim_outliers
+# q_sim_pq_assign q_sink_csv_roundtrip q_sink_json_roundtrip
+# q_sink_orc_roundtrip q_source_json_corrupt q_split_leakage_safe
+# q_sql_named_params q_subquery_in q_subquery_scalar q_table_diff
+# q_text_chunk q_text_cooccur q_text_decontaminate
+# q_text_domain_entropy q_text_domain_mix q_text_edit_distance
+# q_text_heavy_hitters q_text_ngrams q_text_pack_sequences
+# q_text_passage_scrub q_text_redact q_text_repetition
+# q_text_sentiment q_text_unigram_logprob q_text_vocab_coverage
+# q_text_zipf_fit q_tpch_q11like q_tpch_q12like q_tpch_q13like
+# q_tpch_q14like q_tpch_q15like q_tpch_q16like q_tpch_q17like
+# q_tpch_q19like q_tpch_q20like q_tpch_q21like q_tpch_q22like
+# q_tpch_q2like q_tpch_q4like q_tpch_q8like q_tpch_q9like
+# q_udtf_expand_json q_win_fill_forward q_win_first_last q_win_frame
+# q_win_pct_change q_win_streaks s_dedup_within_watermark
+# s_heavy_hitters s_session_dynamic s_topk_update_sink
 # Of these, the 26 round-5-new operators should LEAD the round-6
 # window (new code earns driver evidence first):
 # q_corpus_funnel q_dedup_simhash_pairs q_dq_kanonymity
