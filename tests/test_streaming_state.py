@@ -526,3 +526,46 @@ def test_telemetry_records_progress_and_state_size(spark, tmp_path):
     finally:
         telemetry.detach(spark, rec)
         spark.catalog.dropTempView("tel_counts")
+
+
+def test_upsert_sink_multibatch_file_stream(spark, tmp_path):
+    """End-to-end streaming CDC upsert over a REAL 3-batch file
+    stream (maxFilesPerTrigger=1): the final keyed table must equal
+    batch keep-latest, with the newest version arriving in the
+    FIRST file (out-of-order across batches)."""
+    from datetime import datetime
+
+    from mrtweety_analytic_spark.streaming.queries import UpsertKeyedSink
+
+    src = str(tmp_path / "upsert_events")
+    schema = (
+        "user_id long, ts timestamp, event_id long, "
+        "event_type string, value double"
+    )
+    batches = [
+        [(1, datetime(2024, 1, 1, 0, 0, 50), 105, "click", 1.0)],
+        [(1, datetime(2024, 1, 1, 0, 0, 10), 100, "signup", 3.0),
+         (2, datetime(2024, 1, 1, 0, 0, 10), 101, "view", 2.0)],
+        [(2, datetime(2024, 1, 1, 0, 0, 10), 102, "purchase", 4.0),
+         (3, datetime(2024, 1, 1, 0, 0, 30), 103, "error", 5.0)],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sink = UpsertKeyedSink()
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(timeout=300)
+    assert len(sink.rows) == 3
+    assert sink.rows[1][1:] == (105, "click", 1.0)   # survived batch 2
+    assert sink.rows[2][1:] == (102, "purchase", 4.0)  # event_id tiebreak
+    assert sink.rows[3][1:] == (103, "error", 5.0)
