@@ -532,3 +532,17 @@ def test_ab_test_assignment_and_zscore(spark, sf_dir):
     z = (cb / nb - ca / na) / math.sqrt(p * (1 - p) * (1 / na + 1 / nb))
     assert rows[0].z_score == pytest.approx(z, abs=1e-5)
     assert rows[0].z_score == rows[1].z_score
+
+
+def test_lsh_eval_certificates_hold(spark, sf_dir):
+    """The approximate-tier certificates must keep their certified
+    quality: the MinHash-LSH candidate tier finds EVERY exact-tier
+    Jaccard pair with no false positives at the acceptance band
+    (tp>0, fp=0, fn=0), and the embedding-LSH eval reports perfect
+    precision/recall on its (sparse) anchor set at gate scale."""
+    r = QUERIES["q_dedup_lsh_eval"](spark, sf_dir).collect()[0]
+    assert r.tp > 0 and r.fp == 0 and r.fn == 0
+    assert r.precision == 1.0 and r.recall == 1.0
+    # embedding tier at sf0.01, where the exact anchor is non-empty
+    r2 = QUERIES["q_sim_lsh_eval"](spark, "/root/testdata/sf0.01").collect()[0]
+    assert r2.fp == 0 and r2.fn == 0
