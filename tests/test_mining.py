@@ -546,3 +546,31 @@ def test_lsh_eval_certificates_hold(spark, sf_dir):
     # embedding tier at sf0.01, where the exact anchor is non-empty
     r2 = QUERIES["q_sim_lsh_eval"](spark, "/root/testdata/sf0.01").collect()[0]
     assert r2.fp == 0 and r2.fn == 0
+
+
+def test_framesample_count_and_checksum_contract(spark, sf_dir):
+    """Frame sampling: number of sampled frames per doc equals
+    ceil(ceil(bytes/64)/4) frames kept (every 4th 64-byte frame),
+    and one doc's checksums recompute exactly in python."""
+    import math
+
+    rows = QUERIES["q_multimodal_framesample"](spark, sf_dir).collect()
+    per_doc: dict = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    docs = {r.doc_id: r.text for r in
+            load_table(spark, sf_dir, "documents").collect()}
+    assert set(per_doc) <= set(docs)
+    for doc_id, text in list(docs.items())[:5]:
+        b = text.encode()
+        frames = [b[i:i + 64] for i in range(0, len(b), 64)][::4]
+        got = sorted(per_doc.get(doc_id, []), key=lambda r: r.frame_idx)
+        assert len(got) == len(frames), doc_id
+        for idx, fr in enumerate(frames):
+            assert got[idx].frame_checksum == sum(fr) % (1 << 31)
+    # total frame-count conservation across the corpus
+    expect_total = sum(
+        len([None for _ in range(0, len(t.encode()), 64)][::4])
+        for t in docs.values()
+    )
+    assert len(rows) == expect_total
