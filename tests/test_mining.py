@@ -574,3 +574,21 @@ def test_framesample_count_and_checksum_contract(spark, sf_dir):
         for t in docs.values()
     )
     assert len(rows) == expect_total
+
+
+def test_minhash_lsh_candidates_superset_of_exact(spark, sf_dir):
+    """Structural pin for the MinHash-LSH tier: candidate pairs are
+    canonical (a<b), carry true Jaccard distance within the
+    acceptance band, and form a SUPERSET of the exact inverted-index
+    pair set (banding may admit extras; it must never miss)."""
+    lsh = QUERIES["q_dedup_minhash_lsh"](spark, sf_dir).collect()
+    assert lsh
+    for r in lsh:
+        assert r.doc_a < r.doc_b
+        assert 0.0 <= r.jaccard_dist <= 0.8  # within the 0.2-sim band
+    cand = {(r.doc_a, r.doc_b) for r in lsh}
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["q_dedup_ngram_jaccard"](spark, sf_dir).collect()
+    }
+    assert exact <= cand, exact - cand
