@@ -592,3 +592,44 @@ def test_interpolation_recovers_observations_and_stays_linear(spark, obs):
         d = (r.day - base).days
         expect = float(np.interp(d, xs, ys))
         assert abs(r.val - expect) < 1e-8, (d, r.val, expect)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),    # user
+            st.integers(min_value=0, max_value=50),   # ts second
+            st.floats(min_value=0.0, max_value=9.0,
+                      allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=0, max_value=11),           # split point
+)
+def test_upsert_merge_law_any_split(spark, events, split):
+    """UpsertKeyedSink: ANY 2-way batch split of ANY event sequence
+    yields the same final table as one batch (the merge-law property
+    behind exactly-once effect, beyond the fixed-case test)."""
+    from datetime import datetime
+
+    from mrtweety_analytic_spark.streaming.queries import UpsertKeyedSink
+
+    rows = [
+        (u, datetime(2024, 1, 1, 0, 0, s), i, "t", v)
+        for i, (u, s, v) in enumerate(events)
+    ]
+    schema = ("user_id long, ts timestamp, event_id long, "
+              "event_type string, value double")
+    split = min(split, len(rows))
+
+    one = UpsertKeyedSink()
+    one(spark.createDataFrame(rows, schema), 0)
+
+    two = UpsertKeyedSink()
+    for i, part in enumerate((rows[:split], rows[split:])):
+        if part:
+            two(spark.createDataFrame(part, schema), i)
+
+    assert one.rows == two.rows
