@@ -1000,6 +1000,53 @@ def q_events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def growth_accounting(pairs: DataFrame) -> DataFrame:
+    """Core of q_events_growth_accounting over a distinct
+    (user_id, day) activity frame — factored out so the hypothesis
+    property can drive it with arbitrary activity patterns."""
+    wu = W.partitionBy("user_id")
+    wo = W.partitionBy("user_id").orderBy("day")
+    marked = pairs.select(
+        "day",
+        F.min("day").over(wu).alias("first_day"),
+        F.lag("day").over(wo).alias("prev_day"),
+    )
+    is_new = F.col("day") == F.col("first_day")
+    is_ret = F.col("prev_day") == F.date_sub("day", 1)
+    per_day = marked.groupBy("day").agg(
+        F.count(F.lit(1)).alias("dau"),
+        F.sum(is_new.cast("long")).alias("n_new"),
+        F.sum(F.coalesce(is_ret, F.lit(False)).cast("long")).alias(
+            "n_retained"
+        ),
+        F.sum(
+            (
+                ~is_new
+                & (
+                    F.col("prev_day").isNull()
+                    | (F.col("prev_day") < F.date_sub("day", 1))
+                )
+            ).cast("long")
+        ).alias("n_resurrected"),
+    )
+    wd = W.orderBy("day")
+    churned = F.lag("dau").over(wd) - F.col("n_retained")
+    return per_day.select(
+        "day",
+        "dau",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        churned.alias("n_churned"),
+        F.when(
+            churned > 0,
+            F.round(
+                (F.col("n_new") + F.col("n_resurrected")) / churned, 6
+            ),
+        ).alias("quick_ratio"),
+    )
+
+
 @register(
     "q_events_growth_accounting",
     oracle="""
@@ -1046,53 +1093,15 @@ def q_events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     window runs on that tiny series (the only partition-less window
     here, O(days) rows by construction). No self-joins: churn is
     derived from yesterday's DAU by conservation, not by
-    anti-joining consecutive days.
+    anti-joining consecutive days. Core algebra in
+    growth_accounting() above, property-tested on random activity
+    patterns.
     """
     ev = load_table(spark, sf_dir, "events")
     pairs = ev.select(
         "user_id", F.to_date("ts").alias("day")
     ).distinct()
-    wu = W.partitionBy("user_id")
-    wo = W.partitionBy("user_id").orderBy("day")
-    marked = pairs.select(
-        "day",
-        F.min("day").over(wu).alias("first_day"),
-        F.lag("day").over(wo).alias("prev_day"),
-    )
-    is_new = F.col("day") == F.col("first_day")
-    is_ret = F.col("prev_day") == F.date_sub("day", 1)
-    per_day = marked.groupBy("day").agg(
-        F.count(F.lit(1)).alias("dau"),
-        F.sum(is_new.cast("long")).alias("n_new"),
-        F.sum(F.coalesce(is_ret, F.lit(False)).cast("long")).alias(
-            "n_retained"
-        ),
-        F.sum(
-            (
-                ~is_new
-                & (
-                    F.col("prev_day").isNull()
-                    | (F.col("prev_day") < F.date_sub("day", 1))
-                )
-            ).cast("long")
-        ).alias("n_resurrected"),
-    )
-    wd = W.orderBy("day")
-    churned = F.lag("dau").over(wd) - F.col("n_retained")
-    return per_day.select(
-        "day",
-        "dau",
-        "n_new",
-        "n_retained",
-        "n_resurrected",
-        churned.alias("n_churned"),
-        F.when(
-            churned > 0,
-            F.round(
-                (F.col("n_new") + F.col("n_resurrected")) / churned, 6
-            ),
-        ).alias("quick_ratio"),
-    )
+    return growth_accounting(pairs)
 
 
 @register(

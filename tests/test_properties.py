@@ -633,3 +633,38 @@ def test_upsert_merge_law_any_split(spark, events, split):
             two(spark.createDataFrame(part, schema), i)
 
     assert one.rows == two.rows
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),   # user
+            st.integers(min_value=0, max_value=9),   # day offset
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_growth_accounting_books_balance_any_pattern(spark, activity):
+    """growth_accounting() on ARBITRARY activity patterns: every
+    day's actives partition exactly into new/retained/resurrected,
+    and churn equals yesterday's DAU minus today's retained."""
+    from datetime import date, timedelta
+
+    from mrtweety_analytic_spark.operators.mining import growth_accounting
+
+    base = date(2024, 5, 1)
+    pairs = spark.createDataFrame(
+        sorted({(u, base + timedelta(days=d)) for u, d in activity}),
+        "user_id long, day date",
+    )
+    rows = sorted(growth_accounting(pairs).collect(), key=lambda r: r.day)
+    prev_dau, prev_day = None, None
+    for r in rows:
+        assert r.dau == r.n_new + r.n_retained + r.n_resurrected
+        if prev_day is not None and (r.day - prev_day).days == 1:
+            assert r.n_churned == prev_dau - r.n_retained
+        if prev_day is None:
+            assert r.n_churned is None
+        prev_dau, prev_day = r.dau, r.day
