@@ -684,6 +684,13 @@ def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("s"),
         (F.col("ts") + F.expr("interval 30 minutes")).alias("e"),
     )
+    return peak_concurrency(sess)
+
+
+def peak_concurrency(sess: DataFrame) -> DataFrame:
+    """Core sweep-line over an (s, e) interval frame — factored out
+    so the hypothesis property can drive it with arbitrary interval
+    sets (including midnight-crossing ones)."""
     same_day = F.to_date("e") == F.to_date("s")
     starts = sess.select(
         F.to_date("s").alias("day"), F.col("s").alias("t"), F.lit(1).alias("d")

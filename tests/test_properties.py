@@ -668,3 +668,52 @@ def test_growth_accounting_books_balance_any_pattern(spark, activity):
         if prev_day is None:
             assert r.n_churned is None
         prev_dau, prev_day = r.dau, r.day
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2800),  # start minute
+            st.integers(min_value=1, max_value=200),   # duration minutes
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_peak_concurrency_matches_bruteforce_any_intervals(spark, ivs):
+    """peak_concurrency() on ARBITRARY interval sets (start minutes
+    span two days, durations up to 200 min so midnight crossing
+    occurs): per-day peaks must match the brute-force sweep with the
+    same clip-at-midnight and starts-before-ends tie rule."""
+    from datetime import datetime, timedelta
+
+    from mrtweety_analytic_spark.operators.mining import peak_concurrency
+
+    base = datetime(2024, 6, 1)
+    rows = [
+        (base + timedelta(minutes=m), base + timedelta(minutes=m + d))
+        for m, d in ivs
+    ]
+    sess = spark.createDataFrame(rows, "s timestamp, e timestamp")
+    got = {r.day: r.peak_concurrency
+           for r in peak_concurrency(sess).collect()}
+
+    by_day: dict = {}
+    for s, e in rows:
+        if s.date() == e.date():
+            by_day.setdefault(s.date(), []).append((s, e))
+        else:
+            mid = datetime.combine(e.date(), datetime.min.time())
+            by_day.setdefault(s.date(), []).append((s, mid))
+            by_day.setdefault(e.date(), []).append((mid, e))
+    expect = {}
+    for day, intervals in by_day.items():
+        peak = 0
+        for t, _ in intervals:
+            active = sum(1 for s, _ in intervals if s <= t) - sum(
+                1 for _, e in intervals if e < t
+            )
+            peak = max(peak, active)
+        expect[day] = peak
+    assert got == expect
