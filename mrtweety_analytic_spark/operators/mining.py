@@ -307,6 +307,13 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", F.to_date("ts").alias("day"))
         .agg(F.avg("value").alias("v"))
     )
+    return interpolate_daily(daily)
+
+
+def interpolate_daily(daily: DataFrame) -> DataFrame:
+    """Core spine + gap-interpolation over a (user_id, day, v) frame
+    — factored out so the hypothesis property drives the ACTUAL
+    operator algebra with arbitrary sparse series."""
     spine = (
         daily.groupBy("user_id")
         .agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))

@@ -539,59 +539,25 @@ def test_interpolation_recovers_observations_and_stays_linear(spark, obs):
     from datetime import date, timedelta
 
     import numpy as np
-    from pyspark.sql import Window as W
-    from pyspark.sql import functions as F
+
+    from mrtweety_analytic_spark.operators.mining import interpolate_daily
 
     base = date(2024, 3, 1)
     daily = spark.createDataFrame(
         [(1, base + timedelta(days=d), float(v)) for d, v in obs],
         "user_id long, day date, v double",
     )
-    spine = (
-        daily.groupBy("user_id")
-        .agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))
-        .select(
-            "user_id",
-            F.explode(
-                F.sequence("dmin", "dmax", F.expr("interval 1 day"))
-            ).alias("day"),
-        )
-    )
-    joined = spine.join(daily, ["user_id", "day"], "left")
-    back = W.partitionBy("user_id").orderBy("day").rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
-    fwd = W.partitionBy("user_id").orderBy("day").rowsBetween(
-        W.currentRow, W.unboundedFollowing
-    )
-    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
-    ctx = joined.select(
-        "day",
-        "v",
-        F.last("v", ignorenulls=True).over(back).alias("pv"),
-        F.last(obs_day, ignorenulls=True).over(back).alias("pd"),
-        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
-        F.first(obs_day, ignorenulls=True).over(fwd).alias("nd"),
-    )
-    interp = (
-        F.when(F.col("v").isNotNull(), F.col("v"))
-        .when(F.col("pv").isNull(), F.col("nv"))
-        .when(F.col("nv").isNull(), F.col("pv"))
-        .otherwise(
-            F.col("pv")
-            + (F.col("nv") - F.col("pv"))
-            * F.datediff("day", "pd")
-            / F.datediff("nd", "pd")
-        )
-    )
-    rows = ctx.select("day", interp.alias("val")).orderBy("day").collect()
+    # drive the ACTUAL operator core, not a re-derivation of it
+    rows = sorted(interpolate_daily(daily).collect(), key=lambda r: r.day)
+    rows = [type(r)(**{**r.asDict(), "val": r.val}) for r in rows]
     days = sorted(d for d, _ in obs)
     xs = np.array(days, dtype=float)
     ys = np.array([dict(obs)[d] for d in days], dtype=float)
     for r in rows:
         d = (r.day - base).days
         expect = float(np.interp(d, xs, ys))
-        assert abs(r.val - expect) < 1e-8, (d, r.val, expect)
+        # the operator rounds to 6 decimals
+        assert abs(r.val - expect) < 5.1e-7, (d, r.val, expect)
 
 
 @settings(max_examples=8, deadline=None)
