@@ -510,6 +510,41 @@ def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ewma_daily(daily: DataFrame) -> DataFrame:
+    """Core adjust-form EWMA (alpha = 0.3) over a
+    (event_type, day, v) series: (event_type, day, v, ewma) with the
+    UNROUNDED smoother — shared by q_ts_ewma (which rounds it for
+    the oracle grid) and q_ts_forecast_eval (which lags it). The
+    (1-a)^t cancellation makes it two cumulative window sums over
+    one sort; see q_ts_ewma's docstring for the algebra."""
+    wk = W.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "day",
+        "v",
+        F.datediff("day", F.min("day").over(wk)).alias("d"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    weight = F.pow(F.lit(1.0 / 0.7), F.col("d"))
+    return idx.select(
+        "event_type",
+        "day",
+        "v",
+        (F.sum(F.col("v") * weight).over(w) / F.sum(weight).over(w))
+        .alias("ewma"),
+    )
+
+
+def _daily_counts(ev: DataFrame) -> DataFrame:
+    return ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("v"))
+
+
 @register(
     "q_ts_ewma",
     oracle="""
@@ -548,29 +583,9 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     span.
     """
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.to_date("ts").alias("day")
-    ).agg(F.count(F.lit(1)).cast("double").alias("v"))
-    wk = W.partitionBy("event_type")
-    idx = daily.select(
-        "event_type",
-        "day",
-        "v",
-        F.datediff("day", F.min("day").over(wk)).alias("d"),
-    )
-    w = (
-        W.partitionBy("event_type")
-        .orderBy("day")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    weight = F.pow(F.lit(1.0 / 0.7), F.col("d"))
-    return idx.select(
-        "event_type",
-        "day",
-        "v",
-        F.round(
-            F.sum(F.col("v") * weight).over(w) / F.sum(weight).over(w), 6
-        ).alias("ewma"),
+    out = ewma_daily(_daily_counts(ev))
+    return out.select(
+        "event_type", "day", "v", F.round("ewma", 6).alias("ewma")
     )
 
 
@@ -1256,25 +1271,7 @@ def q_ts_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     model — expressed entirely in the engine, no Python.
     """
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.to_date("ts").alias("day")
-    ).agg(F.count(F.lit(1)).cast("double").alias("v"))
-    wk = W.partitionBy("event_type")
-    idx = daily.select(
-        "event_type", "day", "v",
-        F.datediff("day", F.min("day").over(wk)).alias("d"),
-    )
-    w = (
-        W.partitionBy("event_type")
-        .orderBy("day")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    weight = F.pow(F.lit(1.0 / 0.7), F.col("d"))
-    ew = idx.select(
-        "event_type", "day", "v",
-        (F.sum(F.col("v") * weight).over(w) / F.sum(weight).over(w))
-        .alias("ewma"),
-    )
+    ew = ewma_daily(_daily_counts(ev))
     wo = W.partitionBy("event_type").orderBy("day")
     scored = ew.select(
         "event_type", "v", F.lag("ewma").over(wo).alias("fc")

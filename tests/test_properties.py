@@ -499,20 +499,18 @@ def test_ewma_window_algebra_matches_pandas(spark, values):
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
+    from datetime import date, timedelta
+
+    from mrtweety_analytic_spark.operators.mining import ewma_daily
+
+    base = date(2024, 7, 1)
     df = spark.createDataFrame(
-        [(i, float(v)) for i, v in enumerate(values)], "d int, v double"
+        [("t", base + timedelta(days=i), float(v))
+         for i, v in enumerate(values)],
+        "event_type string, day date, v double",
     )
-    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
-    weight = F.pow(F.lit(1.0 / 0.7), F.col("d"))
-    out = (
-        df.select(
-            "d",
-            (F.sum(F.col("v") * weight).over(w) / F.sum(weight).over(w))
-            .alias("ewma"),
-        )
-        .orderBy("d")
-        .collect()
-    )
+    # drive the ACTUAL operator core
+    out = sorted(ewma_daily(df).collect(), key=lambda r: r.day)
     expect = pd.Series(values).ewm(alpha=0.3, adjust=True).mean()
     for r, e in zip(out, expect):
         assert abs(r.ewma - e) < 1e-8
