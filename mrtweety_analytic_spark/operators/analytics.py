@@ -40,7 +40,11 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     def exact_pcts(col: str, ps: list[tuple[float, str]]) -> DataFrame:
         ws = W.partitionBy("l_returnflag").orderBy(col)
         wn = W.partitionBy("l_returnflag")
-        ranked = li.select(
+        # quantile_cont ignores NULLs; drop them BEFORE ranking so
+        # neither rn (NULLS FIRST would rank them lowest) nor n
+        # (count(*) would include them) skews the interpolation on a
+        # nullable measure column (ADVICE r05 item 1).
+        ranked = li.where(F.col(col).isNotNull()).select(
             "l_returnflag",
             F.col(col).alias("v"),
             F.row_number().over(ws).alias("rn"),

@@ -503,10 +503,15 @@ def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("v", 2).over(w).alias("v2"),
         F.lag("v", 3).over(w).alias("v3"),
     )
+    # Spark's corr yields NaN on a zero-variance series where DuckDB
+    # yields NULL — normalize NaN→NULL so a constant series matches
+    # the oracle (ADVICE r05 item 3).
+    def ac(lag_col: str, nm: str):
+        c = F.corr("v", lag_col)
+        return F.round(F.when(~F.isnan(c), c), 6).alias(nm)
+
     return lagged.groupBy("event_type").agg(
-        F.round(F.corr("v", "v1"), 6).alias("ac1"),
-        F.round(F.corr("v", "v2"), 6).alias("ac2"),
-        F.round(F.corr("v", "v3"), 6).alias("ac3"),
+        ac("v1", "ac1"), ac("v2", "ac2"), ac("v3", "ac3")
     )
 
 

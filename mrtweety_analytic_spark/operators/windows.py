@@ -223,17 +223,26 @@ def q_win_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     ws = W.partitionBy("user_id").orderBy("value")
     wn = W.partitionBy("user_id")
+    # quantile_cont ignores NULL measures but still emits every row.
+    # NULLs sort FIRST under Spark's default asc order, so the
+    # non-null rank is rn - (#nulls) and n counts only non-nulls —
+    # a nullable `value` no longer skews the interpolation
+    # (ADVICE r05 item 1); all-NULL partitions yield NULL.
     ranked = ev.select(
         "event_id",
         "user_id",
         F.col("value").alias("v"),
         F.row_number().over(ws).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+        F.count("value").over(wn).alias("n"),
+        (F.count(F.lit(1)).over(wn) - F.count("value").over(wn)).alias(
+            "nulls"
+        ),
     )
     h = 1 + (F.col("n") - 1) * F.lit(0.5)
     lo = F.floor(h)
-    vlo = F.max(F.when(F.col("rn") == lo, F.col("v"))).over(wn)
-    vhi = F.max(F.when(F.col("rn") == lo + 1, F.col("v"))).over(wn)
+    nn_rn = F.col("rn") - F.col("nulls")
+    vlo = F.max(F.when(nn_rn == lo, F.col("v"))).over(wn)
+    vhi = F.max(F.when(nn_rn == lo + 1, F.col("v"))).over(wn)
     med = vlo + (h - lo) * (F.coalesce(vhi, vlo) - vlo)
     return ranked.select(
         "event_id", "user_id", F.round(med, 4).alias("med_value")

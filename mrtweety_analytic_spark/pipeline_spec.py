@@ -95,7 +95,16 @@ def _dedup_semantic(df: DataFrame, p: dict) -> DataFrame:
     from .queries import QUERIES
 
     pairs = QUERIES["q_dedup_embedding"](p["_spark"], p["_sf_dir"])
-    dropped = pairs.select(F.col("vec_b").alias("doc_id")).distinct()
+    # Only drop doc_b when its keeper doc_a SURVIVED the earlier
+    # stages of THIS pipeline — otherwise a pair whose keeper was
+    # already filtered out would leave neither copy in the output
+    # (ADVICE r05 item 4).
+    live_keepers = df.select(F.col("doc_id").alias("vec_a"))
+    dropped = (
+        pairs.join(live_keepers, "vec_a", "left_semi")
+        .select(F.col("vec_b").alias("doc_id"))
+        .distinct()
+    )
     return df.join(dropped, "doc_id", "left_anti")
 
 
@@ -136,11 +145,17 @@ def run_pipeline_with_report(
     """Like compile_pipeline, but also counts survivors after each
     stage (one job per stage — the audit mode; production runs the
     single-plan compile_pipeline and counts nothing)."""
+    # Validate the WHOLE spec before running any job (same up-front
+    # check as compile_pipeline) — a typo in stage N must not cost
+    # N-1 counted stages first (ADVICE r05 item 5).
+    unknown = [s.get("stage") for s in spec if s.get("stage") not in STAGES]
+    if unknown:
+        raise ValueError(
+            f"unknown pipeline stage(s) {unknown}; known: {sorted(STAGES)}"
+        )
     df = load_table(spark, sf_dir, "documents")
     report: list[tuple[str, int]] = [("input", df.count())]
     for step in spec:
-        if step.get("stage") not in STAGES:
-            raise ValueError(f"unknown pipeline stage {step.get('stage')!r}")
         df = STAGES[step["stage"]](
             df, {**step, "_spark": spark, "_sf_dir": sf_dir}
         )
