@@ -72,12 +72,25 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     only. The pair join is an equi-join on the
     basket key (pairs are generated inside each basket's hash
     partition, never across), and the frequent-item table is small by
-    construction, so support/lift lookups broadcast. At 100 TB the
-    same plan holds with one addition for pathological baskets: cap
-    per-basket fan-out by keeping each basket's top-R items by global
-    frequency before the self-join.
+    construction, so support/lift lookups broadcast. For pathological
+    baskets, basket_pairs_core(cap_r=R) bounds per-basket fan-out to
+    R(R-1)/2 by keeping each basket's top-R items by global frequency
+    before the self-join (pytest-pinned; off here — the oracle is
+    the exact a-priori).
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    return basket_pairs_core(load_table(spark, sf_dir, "lineitem"))
+
+
+def basket_pairs_core(li: DataFrame, cap_r: int | None = None) -> DataFrame:
+    """Core of q_basket_pairs over any (l_orderkey, l_partkey) frame.
+
+    cap_r: optional per-basket fan-out cap — each basket keeps only
+    its top-cap_r items by (global support desc, item id asc) before
+    the pair self-join, so a mega-basket of B items costs
+    cap_r(cap_r-1)/2 pairs instead of B²/2. Approximate (pairs of a
+    basket's rarer items are missed) and OFF by default; at 100 TB
+    it is the guard that keeps one degenerate basket from dominating
+    the shuffle."""
     # The basket item set feeds four consumers with different column
     # pruning (basket count, item support, both pair-join sides), so
     # ReusedExchange can't canonicalize them together — persisting the
@@ -104,6 +117,17 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p", "cnt")
     )
     fi = items.join(F.broadcast(freq.select("p")), "p").select("o", "p")
+    if cap_r is not None:
+        # Per-basket top-R by global support: rank inside the basket's
+        # hash partition (same o-keyed exchange the pair join needs,
+        # so the cap adds a sort but no extra shuffle).
+        ranked = fi.join(F.broadcast(freq), "p").withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("o").orderBy(F.desc("cnt"), F.asc("p"))
+            ),
+        )
+        fi = ranked.where(F.col("rn") <= cap_r).select("o", "p")
     a, b = fi.alias("a"), fi.alias("b")
     pairs = (
         a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))

@@ -1011,8 +1011,11 @@ def q_sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each Lloyd iteration is one broadcast of K centroids +
     one partial-aggregable (cluster, dim) mean — the q_graph_pagerank
     shape (fixed small iteration count, per-iteration shuffle
-    O(K × dims), never O(n²)); assignment fan-out is K rows per
-    vector with a window top-1 collapse.
+    O(K × dims), never O(n²)); the assignment step is completely
+    SHUFFLE-FREE — centroids collapse to one broadcast array row and
+    each vector's cell is a per-row array_min argmin (no window, no
+    n×K Exchange; same (dist, cl) tiebreak, so results are
+    bit-identical to the window form).
     """
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
@@ -1022,14 +1025,24 @@ def q_sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def assign(c: DataFrame) -> DataFrame:
-        w = W.partitionBy("vec_id").orderBy(
-            F.round(_km_l2(F.col("emb"), F.col("ce")), 6), F.asc("cl")
+        # Shuffle-free argmin (VERDICT r05 item 2): all K centroids
+        # collapse to ONE broadcast array row and each vector takes
+        # array_min over struct(round(dist,6), cl) — the same
+        # lexicographic (dist, cl) tiebreak the old window top-1
+        # used, with zero Exchange of the K-fanned corpus (the
+        # q_sim_kmeans_assign shape, now shared by every Lloyd step).
+        packed = c.agg(F.collect_list(F.struct("cl", "ce")).alias("cents"))
+        best = F.array_min(
+            F.transform(
+                F.col("cents"),
+                lambda s: F.struct(
+                    F.round(_km_l2(F.col("emb"), s["ce"]), 6).alias("dist"),
+                    s["cl"].alias("cl"),
+                ),
+            )
         )
-        return (
-            emb.crossJoin(F.broadcast(c))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "emb", "cl")
+        return emb.crossJoin(F.broadcast(packed)).select(
+            "vec_id", "emb", best["cl"].alias("cl")
         )
 
     def centroids(a: DataFrame) -> DataFrame:

@@ -592,3 +592,27 @@ def test_minhash_lsh_candidates_superset_of_exact(spark, sf_dir):
         for r in QUERIES["q_dedup_ngram_jaccard"](spark, sf_dir).collect()
     }
     assert exact <= cand, exact - cand
+
+
+def test_basket_pairs_cap_bounds_pathological_fanout(spark):
+    """basket_pairs_core(cap_r=R): a degenerate mega-basket generates
+    at most R(R-1)/2 pairs, drawn from the basket's top-R items by
+    (global support desc, id asc) — and with the cap OFF the same
+    corpus yields the full (limited) exact pair set. The cap is the
+    100 TB guard against one basket dominating the pair shuffle."""
+    from mrtweety_analytic_spark.operators.mining import basket_pairs_core
+
+    # two identical baskets of 50 items => every item support 2 ==
+    # the mean-support threshold, so nothing is support-pruned and
+    # the uncapped fan-out is 2 * C(50,2) = 2450 pair instances
+    rows = [(o, p) for o in (1, 2) for p in range(50)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+
+    capped = basket_pairs_core(li, cap_r=5).collect()
+    assert len(capped) == 5 * 4 // 2  # C(5,2), under the LIMIT 20
+    # equal supports => tiebreak keeps the smallest ids 0..4
+    assert all(r.p1 < 5 and r.p2 < 5 for r in capped)
+    assert all(r.pair_cnt == 2 for r in capped)
+
+    exact = basket_pairs_core(li).collect()
+    assert len(exact) == 20  # LIMIT reached: C(50,2) candidates exist

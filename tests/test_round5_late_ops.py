@@ -488,3 +488,25 @@ def test_ivf_kmeans_matches_numpy_reference(spark, tmp_path):
     assert got.keys() == want.keys()
     for k in got:
         assert abs(got[k] - want[k]) < 1e-9, k
+
+
+def test_ivf_kmeans_assignment_is_shuffle_free(spark, sf_dir):
+    """The Lloyd assignment step must be the broadcast-argmin shape
+    (VERDICT r05 item 2): no Window/Exchange keyed on vec_id anywhere
+    in the physical plan — the only windows left are the probe-side
+    route/rerank top-k (probe_id), and every remaining Exchange is a
+    centroid-sized or probe-sided aggregate, never the n x K fanned
+    corpus."""
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["q_sim_ivf_kmeans"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for line in plan.splitlines():
+        if "Window" in line:
+            assert "probe_id" in line, line
+        if "hashpartitioning(vec_id" in line:
+            raise AssertionError(f"corpus-keyed exchange: {line.strip()}")
