@@ -102,6 +102,15 @@ HEADLINE = [
     "q_ts_forecast_eval",        # one-step-ahead EWMA backtest
     "q_multimodal_offload",      # content-addressed payload store
     "q_events_ab_test",          # deterministic-assignment z-test
+    # round-6 additions
+    "q_shard_assign",            # hash-addressed training shards
+    "q_mix_rebalance",           # target-mix down-sampling plan
+    "q_ts_changepoint",          # CUSUM level-shift argmax
+    "q_ts_holt",                 # coupled-recurrence Arrow kernel
+    "q_dq_drift",                # PSI train/serve drift audit
+    "q_join_interval_overlap",   # interval x interval bucket join
+    "q_text_bpe_pairs",          # BPE merge-step pair counts
+    "q_events_pareto",           # Lorenz concentration deciles
 ]
 
 

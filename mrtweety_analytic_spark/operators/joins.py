@@ -470,3 +470,111 @@ def q_join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@register(
+    "q_join_interval_overlap",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) IS NULL
+                         OR ts > lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)
+                              + INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, session_id,
+               min(ts) AS s_start, max(ts) AS s_end
+        FROM (
+            SELECT user_id, ts,
+                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS session_id
+            FROM ordered
+        )
+        GROUP BY user_id, session_id
+    ),
+    inc AS (
+        SELECT CAST(floor(epoch(ts) / 600) AS BIGINT) AS iw,
+               min(ts) AS i_start, max(ts) AS i_end,
+               CAST(count(*) AS BIGINT) AS n_errors
+        FROM events WHERE event_type = 'error'
+        GROUP BY 1
+    )
+    SELECT i.i_start, i.n_errors,
+           CAST(count(*) AS BIGINT) AS n_sessions
+    FROM inc i JOIN sess s
+      ON s.s_start <= i.i_end AND i.i_start <= s.s_end
+    GROUP BY i.i_start, i.n_errors
+    """,
+)
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL × INTERVAL overlap join — how many user activity
+    sessions overlap each error incident (errors grouped into 10-min
+    windows). Distinct from the point-in-band shapes
+    (q_join_range_bucketed, q_join_theta_range): BOTH sides are
+    intervals, so both sides explode to the 1-hour buckets they span
+    and meet on a bucket equi-join; because two intervals can share
+    several buckets, each pair is counted in exactly ONE canonical
+    bucket — max(start-bucket of either side), the first bucket where
+    both are live — so no distinct/dedup shuffle is ever needed (the
+    standard interval-join trick). The exact overlap predicate
+    (s_start <= i_end AND i_start <= s_end) runs as a residual
+    filter on the bucket-matched candidates.
+
+    Scale: fan-out per row = intervals' span / bucket width (sessions
+    are gap-bounded, incidents <= 10 min), so candidate volume is
+    O(n · occupancy), never O(n²); the join is a plain hash shuffle
+    on the bucket key. Both inputs are aggregates of one
+    user-partitioned window pass / one map-side reduce.
+    """
+    from .analytics import sessionize
+
+    events = load_table(spark, sf_dir, "events")
+    sess = (
+        sessionize(events)
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    inc = (
+        events.filter(F.col("event_type") == "error")
+        .groupBy(
+            F.floor(F.unix_timestamp("ts") / 600).alias("iw")
+        )
+        .agg(
+            F.min("ts").alias("i_start"),
+            F.max("ts").alias("i_end"),
+            F.count(F.lit(1)).cast("long").alias("n_errors"),
+        )
+    )
+    hb = 3600
+    sb = F.floor(F.unix_timestamp("s_start") / hb)
+    ib = F.floor(F.unix_timestamp("i_start") / hb)
+    s_x = sess.select(
+        "s_start",
+        "s_end",
+        sb.alias("s_b0"),
+        F.explode(
+            F.sequence(sb, F.floor(F.unix_timestamp("s_end") / hb))
+        ).alias("b"),
+    )
+    i_x = inc.select(
+        "i_start",
+        "i_end",
+        "n_errors",
+        ib.alias("i_b0"),
+        F.explode(
+            F.sequence(ib, F.floor(F.unix_timestamp("i_end") / hb))
+        ).alias("b"),
+    )
+    pairs = s_x.join(i_x, "b").where(
+        (F.col("b") == F.greatest("s_b0", "i_b0"))
+        & (F.col("s_start") <= F.col("i_end"))
+        & (F.col("i_start") <= F.col("s_end"))
+    )
+    return pairs.groupBy("i_start", "n_errors").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )

@@ -451,3 +451,149 @@ def q_text_passage_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# Shared engine-portable uniform hash: the first 12 hex digits of
+# md5(key) as a 48-bit integer. Spark's conv() and DuckDB's
+# '0x'-prefixed cast produce the SAME value (parity pytest-pinned),
+# which is what makes hash-gated sampling reproducible ACROSS ENGINES
+# — the property df.sample()/TABLESAMPLE can never give.
+_HASH48 = "conv(substring(md5(cast(doc_id AS string)), 1, 12), 16, 10)"
+_HASH48_SQL = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT"
+
+N_SHARDS = 8
+
+
+@register(
+    "q_shard_assign",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, {_HASH48_SQL} AS h FROM documents
+    )
+    SELECT doc_id, h % {N_SHARDS} AS shard,
+           row_number() OVER (PARTITION BY h % {N_SHARDS}
+                              ORDER BY h, doc_id) - 1 AS "offset"
+    FROM h
+    """,
+)
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment: every document gets a
+    (shard, offset) address by hash — the reproducible global shuffle
+    a training run needs (same corpus ⇒ same shard layout, on any
+    engine, under any partitioning, across retries).
+
+    Scale: NO global sort/row_number (a single-partition window is
+    the classic zipWithIndex trap) — the shard is a pure map-side
+    hash-mod, and the offset is a row_number PARTITIONED BY shard, so
+    the only exchange is the shard hash partition itself and each
+    shard sorts independently. Within-shard order is (h, doc_id) —
+    hash order, i.e. the shuffle — so consecutive offsets are an
+    unbiased sample of the corpus, which is the point of shuffling
+    training data.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.expr(_HASH48).cast("bigint")
+    with_h = docs.select("doc_id", h.alias("h"))
+    w = W.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        with_h.withColumn("shard", F.pmod(F.col("h"), F.lit(N_SHARDS)))
+        .withColumn("offset", (F.row_number().over(w) - 1).cast("long"))
+        .select("doc_id", "shard", "offset")
+    )
+
+
+# Target language mix for q_mix_rebalance — the "what the training
+# run wants" side of the rebalance; the corpus's availability is the
+# other side.
+MIX_TARGETS = {"en": 0.5, "de": 0.2, "fr": 0.15, "es": 0.1, "zh": 0.05}
+
+_MIX_TARGETS_SQL = " UNION ALL ".join(
+    f"SELECT '{k}' AS lang, CAST({v} AS DOUBLE) AS target"
+    for k, v in MIX_TARGETS.items()
+)
+
+
+@register(
+    "q_mix_rebalance",
+    oracle=f"""
+    WITH targets AS ({_MIX_TARGETS_SQL}),
+    avail AS (
+        SELECT lang, CAST(count(*) AS DOUBLE) AS n_avail
+        FROM documents GROUP BY lang
+    ),
+    k AS (
+        SELECT min(n_avail / target) AS k
+        FROM avail JOIN targets USING (lang)
+    ),
+    rates AS (
+        SELECT lang, n_avail,
+               least(1.0, k.k * target / n_avail) AS rate
+        FROM avail JOIN targets USING (lang) CROSS JOIN k
+    ),
+    kept AS (
+        SELECT d.lang, count(*) AS n_kept
+        FROM documents d JOIN rates r ON d.lang = r.lang
+        WHERE {_HASH48_SQL} / 281474976710656.0 < r.rate
+        GROUP BY d.lang
+    )
+    SELECT r.lang, CAST(r.n_avail AS BIGINT) AS n_avail,
+           round(r.rate, 6) AS rate,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM rates r LEFT JOIN kept k ON r.lang = k.lang
+    """,
+)
+def q_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data mix rebalancing: given target language weights
+    (MIX_TARGETS) and the corpus's availability, down-sample each
+    over-represented language so the kept corpus hits the target mix
+    at the largest achievable size — k = min(avail/target) is the
+    binding-constraint scale (the scarcest language keeps ~100%), and
+    each language keeps rate = k·target/avail of its documents via
+    the engine-portable 48-bit md5 gate (reproducible across engines,
+    retries, and partitionings; no RNG).
+
+    Scale: two tiny aggregates (per-language counts, the min-ratio
+    scalar) broadcast back onto a single map-side filter over the
+    corpus — no shuffle of document rows at all. The keep decision is
+    a pure per-row predicate, so it composes with scan pruning; at
+    100 TB this is one pass. The same shape handles domain/source
+    mixes and quality-tier mixes — the mix key is just a column.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    targets = spark.createDataFrame(
+        list(MIX_TARGETS.items()), "lang string, target double"
+    )
+    avail = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("n_avail")
+    )
+    k = (
+        avail.join(targets, "lang")
+        .agg(F.min(F.col("n_avail") / F.col("target")).alias("k"))
+    )
+    rates = (
+        avail.join(targets, "lang")
+        .crossJoin(F.broadcast(k))
+        .select(
+            "lang",
+            "n_avail",
+            F.least(
+                F.lit(1.0), F.col("k") * F.col("target") / F.col("n_avail")
+            ).alias("rate"),
+        )
+    )
+    u = F.expr(_HASH48).cast("bigint") / F.lit(281474976710656.0)
+    kept = (
+        docs.join(F.broadcast(rates.select("lang", "rate")), "lang")
+        .where(u < F.col("rate"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "lang", "left")
+        .select(
+            "lang",
+            F.col("n_avail").cast("long").alias("n_avail"),
+            F.round("rate", 6).alias("rate"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

@@ -1424,3 +1424,248 @@ def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 6).alias("z_score"),
         )
     )
+
+
+@register(
+    "q_ts_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    mu AS (
+        SELECT event_type, day, v,
+               avg(v) OVER (PARTITION BY event_type) AS mu,
+               count(*) OVER (PARTITION BY event_type) AS n_days
+        FROM daily
+    ),
+    cusum AS (
+        SELECT event_type, day, n_days,
+               round(abs(sum(v - mu) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )), 6) AS dev
+        FROM mu
+    )
+    SELECT event_type, day AS cp_day, dev AS max_cusum,
+           CAST(n_days AS BIGINT) AS n_days
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY dev DESC, day) AS rn
+        FROM cusum
+    ) WHERE rn = 1
+    """,
+)
+def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on the per-type daily count
+    series: the day where the cumulative deviation from the series
+    mean |Σ(v−μ)| peaks is the most likely single level-shift point
+    (Page's CUSUM statistic, argmax form). Deviations are ROUNDED
+    before the argmax rank so float ulp noise can't flip the winner
+    (the engine's round-before-ranking rule); ties break to the
+    earliest day.
+
+    Scale: the raw log collapses to O(types × days) in one
+    partial-aggregable pass; the mean, the cumulative sum, and the
+    argmax all ride the SAME event_type hash partition — one exchange
+    total after the daily reduce, never a global sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = _daily_counts(ev)
+    wt = W.partitionBy("event_type")
+    wcum = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    mu = daily.select(
+        "event_type",
+        "day",
+        "v",
+        F.avg("v").over(wt).alias("mu"),
+        F.count(F.lit(1)).over(wt).alias("n_days"),
+    )
+    cusum = mu.select(
+        "event_type",
+        "day",
+        "n_days",
+        F.round(
+            F.abs(F.sum(F.col("v") - F.col("mu")).over(wcum)), 6
+        ).alias("dev"),
+    )
+    wr = W.partitionBy("event_type").orderBy(F.desc("dev"), F.asc("day"))
+    return (
+        cusum.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("event_type"),
+            F.col("day").alias("cp_day"),
+            F.col("dev").alias("max_cusum"),
+            F.col("n_days").cast("long").alias("n_days"),
+        )
+    )
+
+
+# Holt's linear-trend smoothing parameters (shared by the kernel and
+# the recursive-CTE oracle — change together).
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.3
+
+
+@register(
+    "q_ts_holt",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type, v,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY day) AS rn
+        FROM daily
+    ),
+    n AS (SELECT event_type, max(rn) AS n FROM s GROUP BY 1),
+    h AS (
+        WITH RECURSIVE rec(event_type, rn, l, b) AS (
+            SELECT s1.event_type, CAST(2 AS BIGINT),
+                   {HOLT_ALPHA} * s2.v
+                       + {1 - HOLT_ALPHA} * (s1.v + (s2.v - s1.v)),
+                   {HOLT_BETA} * (({HOLT_ALPHA} * s2.v
+                       + {1 - HOLT_ALPHA} * (s1.v + (s2.v - s1.v))) - s1.v)
+                       + {1 - HOLT_BETA} * (s2.v - s1.v)
+            FROM s s1 JOIN s s2 ON s2.event_type = s1.event_type
+                                AND s1.rn = 1 AND s2.rn = 2
+            UNION ALL
+            SELECT rec.event_type, rec.rn + 1,
+                   {HOLT_ALPHA} * s.v + {1 - HOLT_ALPHA} * (rec.l + rec.b),
+                   {HOLT_BETA} * (({HOLT_ALPHA} * s.v
+                       + {1 - HOLT_ALPHA} * (rec.l + rec.b)) - rec.l)
+                       + {1 - HOLT_BETA} * rec.b
+            FROM rec JOIN s ON s.event_type = rec.event_type
+                           AND s.rn = rec.rn + 1
+        )
+        SELECT * FROM rec
+    )
+    SELECT h.event_type, round(l, 6) AS level, round(b, 6) AS trend,
+           round(l + 7 * b, 6) AS forecast_7d
+    FROM h JOIN n ON n.event_type = h.event_type AND h.rn = n.n
+    """,
+)
+def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend (double-exponential) smoothing of the
+    per-type daily count series: level/trend state after the full
+    series plus a 7-day-ahead forecast. Init l₁=v₁, b₁=v₂−v₁; then
+    lₜ = α·vₜ + (1−α)(lₜ₋₁+bₜ₋₁), bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁.
+    Unlike the EWMA (q_ts_ewma), the coupled (l, b) recurrence has no
+    cumulative-sum algebra, so this is the engine's certified
+    per-key-Python-kernel pattern: applyInPandas over the DAILY
+    AGGREGATE (O(types × days), never raw events), plain-float
+    sequential recurrence in the kernel, and the DuckDB oracle
+    re-derives the exact recurrence with a RECURSIVE CTE — a
+    hash-certified Python kernel, not a rows-only waiver.
+
+    Scale: the kernel's input is the reduced series (calendar-bounded
+    per key); one exchange on event_type. Types with <2 points carry
+    no defined trend and are skipped (documented contract).
+    """
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = _daily_counts(ev)
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day")
+        v = [float(x) for x in pdf["v"]]
+        if len(v) < 2:
+            return pd.DataFrame(
+                {"event_type": [], "level": [], "trend": [],
+                 "forecast_7d": []}
+            )
+        l, b = v[0], v[1] - v[0]
+        for t in range(1, len(v)):
+            l_new = HOLT_ALPHA * v[t] + (1 - HOLT_ALPHA) * (l + b)
+            b = HOLT_BETA * (l_new - l) + (1 - HOLT_BETA) * b
+            l = l_new
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "level": [round(l, 6)],
+                "trend": [round(b, 6)],
+                "forecast_7d": [round(l + 7 * b, 6)],
+            }
+        )
+
+    return daily.groupBy("event_type").applyInPandas(
+        holt,
+        "event_type string, level double, trend double, forecast_7d double",
+    )
+
+
+@register(
+    "q_events_pareto",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    ),
+    dec AS (
+        SELECT user_id, n,
+               ntile(10) OVER (ORDER BY n DESC, user_id) AS decile
+        FROM per_user
+    ),
+    by_dec AS (
+        SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(n) AS BIGINT) AS n_events
+        FROM dec GROUP BY decile
+    )
+    SELECT decile, n_users, n_events,
+           round(CAST(n_events AS DOUBLE) / sum(n_events) OVER (), 6) AS share,
+           round(CAST(sum(n_events) OVER (ORDER BY decile) AS DOUBLE)
+                 / sum(n_events) OVER (), 6) AS cum_share
+    FROM by_dec
+    """,
+)
+def q_events_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / Lorenz concentration audit: users ranked into activity
+    deciles (heaviest first), each decile's share and cumulative share
+    of all events — the "do 10% of users produce 50% of the data?"
+    question every behavioral corpus and every per-user sampling
+    budget starts from.
+
+    Scale: the ntile runs on the PER-USER AGGREGATE (one
+    partial-aggregable reduce of the raw log), and everything after
+    the decile assignment is 10 rows. The global ntile sort is the
+    honest cost — ties broken by user_id so the binning is
+    deterministic; at extreme user cardinality the same output shape
+    is served by pre-ranking on count-distribution boundaries
+    (q_dq_profile's count-of-counts trick), which this operator's
+    certificate would also accept since the decile summary, not the
+    per-user rank, is the contract.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    dec = per_user.select(
+        "n",
+        F.ntile(10).over(W.orderBy(F.desc("n"), F.asc("user_id"))).alias(
+            "decile"
+        ),
+    )
+    by_dec = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
+    w_all = W.partitionBy()
+    w_cum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return by_dec.select(
+        "decile",
+        "n_users",
+        "n_events",
+        F.round(F.col("n_events") / F.sum("n_events").over(w_all), 6).alias(
+            "share"
+        ),
+        F.round(
+            F.sum("n_events").over(w_cum) / F.sum("n_events").over(w_all), 6
+        ).alias("cum_share"),
+    )

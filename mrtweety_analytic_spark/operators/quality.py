@@ -439,3 +439,105 @@ def q_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
                  cust.select("c_nationkey"), "c_nationkey",
                  nation, "n_nationkey"))
     )
+
+
+@register(
+    "q_dq_drift",
+    oracle="""
+    WITH bounds AS (
+        SELECT event_type,
+               min(CAST(ts AS DATE)) AS d0,
+               max(CAST(ts AS DATE)) AS d1,
+               min(value) AS vmin, max(value) AS vmax
+        FROM events GROUP BY event_type
+    ),
+    binned AS (
+        SELECT e.event_type,
+               CASE WHEN CAST(e.ts AS DATE) <= b.d0
+                         + CAST(floor(date_diff('day', b.d0, b.d1) / 2)
+                                AS INTEGER)
+                    THEN 'early' ELSE 'late' END AS period,
+               least(9, CAST(floor((e.value - b.vmin)
+                             / (b.vmax - b.vmin) * 10) AS INTEGER)) AS bin
+        FROM events e JOIN bounds b ON e.event_type = b.event_type
+    ),
+    counts AS (
+        SELECT event_type, bin,
+               count(*) FILTER (WHERE period = 'early') AS ne,
+               count(*) FILTER (WHERE period = 'late') AS nl
+        FROM binned GROUP BY event_type, bin
+    ),
+    tot AS (
+        SELECT event_type, sum(ne) AS te, sum(nl) AS tl
+        FROM counts GROUP BY event_type
+    )
+    SELECT c.event_type,
+           round(sum(
+               (CAST(c.ne + 1 AS DOUBLE) / (t.te + 10)
+                - CAST(c.nl + 1 AS DOUBLE) / (t.tl + 10))
+               * ln((CAST(c.ne + 1 AS DOUBLE) / (t.te + 10))
+                    / (CAST(c.nl + 1 AS DOUBLE) / (t.tl + 10)))
+           ), 6) AS psi,
+           CAST(max(t.te) AS BIGINT) AS n_early,
+           CAST(max(t.tl) AS BIGINT) AS n_late
+    FROM counts c JOIN tot t ON c.event_type = t.event_type
+    GROUP BY c.event_type
+    """,
+)
+def q_dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit (Population Stability Index): per
+    event type, the PSI between the `value` distribution of the
+    calendar first half and second half of the log, over 10
+    equal-width bins with +1 Laplace smoothing — the train/serve
+    skew alarm every production feature pipeline runs (PSI > 0.2 ≈
+    investigate). Smoothing makes empty bins well-defined on both
+    sides, so the statistic is total.
+
+    Scale: two passes over the fact — one partial-aggregable bounds
+    reduce (min/max per type, broadcast back), one map-side
+    bin+period classification feeding a (type × 10-bin) aggregate.
+    The PSI fold itself runs on ≤ types × 10 rows. No window, no
+    sort, no raw-row shuffle beyond the tiny bin aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.max(F.to_date("ts")).alias("d1"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    mid_off = F.floor(F.datediff("d1", "d0") / 2).cast("int")
+    binned = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        F.when(
+            F.to_date("ts") <= F.date_add(F.col("d0"), mid_off), "early"
+        )
+        .otherwise("late")
+        .alias("period"),
+        F.least(
+            F.lit(9),
+            F.floor(
+                (F.col("value") - F.col("vmin"))
+                / (F.col("vmax") - F.col("vmin"))
+                * 10
+            ).cast("int"),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.count(F.when(F.col("period") == "early", 1)).alias("ne"),
+        F.count(F.when(F.col("period") == "late", 1)).alias("nl"),
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("ne").alias("te"), F.sum("nl").alias("tl")
+    )
+    pe = (F.col("ne") + 1).cast("double") / (F.col("te") + 10)
+    pl = (F.col("nl") + 1).cast("double") / (F.col("tl") + 10)
+    return (
+        counts.join(tot, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum((pe - pl) * F.log(pe / pl)), 6).alias("psi"),
+            F.max("te").cast("long").alias("n_early"),
+            F.max("tl").cast("long").alias("n_late"),
+        )
+    )

@@ -1279,3 +1279,73 @@ def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2(F.log("freq"), F.log("rank")), 4).alias("r2"),
         F.count(F.lit(1)).alias("vocab"),
     )
+
+
+@register(
+    "q_text_bpe_pairs",
+    oracle="""
+    WITH words AS (
+        SELECT lower(w) AS word, count(*) AS wn
+        FROM documents,
+             unnest(string_split_regex(text, '\\s+')) AS t(w)
+        WHERE regexp_matches(lower(w), '^[a-z]{2,}$')
+        GROUP BY 1
+    ),
+    pairs AS (
+        SELECT substr(word, CAST(i AS INTEGER), 2) AS pair,
+               sum(wn) AS wsum,
+               count(*) AS n_words
+        FROM words, unnest(range(1, length(word))) AS t(i)
+        GROUP BY 1
+    )
+    SELECT pair, CAST(wsum AS BIGINT) AS wsum,
+           CAST(n_words AS BIGINT) AS n_positions
+    FROM pairs
+    ORDER BY wsum DESC, pair
+    LIMIT 20
+    """,
+)
+def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first merge step of BPE tokenizer training: the most
+    frequent adjacent character pairs across the corpus, weighted by
+    word frequency — exactly the statistic a byte-pair-encoding
+    vocabulary build computes each round (Sennrich et al.; the merge
+    loop repeats this on progressively merged symbols).
+
+    Scale: tokenization reduces the corpus to its WORD VOCABULARY
+    first (one partial-aggregable count — the same reduction every
+    tokenizer trainer does), so the position fan-out (len(word)−1
+    pairs per word) runs over vocabulary-sized data, not corpus-sized
+    — the fan-out is off the tiny side, which is why sequence() is
+    acceptable here where corpus-side shingling uses arrays_zip. The
+    pair aggregate is again partial-aggregable; top-20 is a
+    TakeOrdered, no global sort materialization.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word")
+        )
+        .where(F.col("word").rlike("^[a-z]{2,}$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wn"))
+    )
+    pairs = (
+        words.select(
+            "word",
+            "wn",
+            F.explode(
+                F.sequence(F.lit(1), F.length("word") - 1)
+            ).alias("i"),
+        )
+        .select(
+            F.expr("substring(word, i, 2)").alias("pair"),
+            "wn",
+        )
+        .groupBy("pair")
+        .agg(
+            F.sum("wn").cast("long").alias("wsum"),
+            F.count(F.lit(1)).cast("long").alias("n_positions"),
+        )
+    )
+    return pairs.orderBy(F.desc("wsum"), "pair").limit(20)

@@ -55,14 +55,16 @@ def test_priority_window():
     assert len(set(prio)) == 50
     assert names[:50] == prio
     for required in (
-        "q_agg_collect",         # only driver row is the fixed r01 error
-        "q_agg_approx_distinct",  # r01-era rows-only sketches
-        "q_agg_sketch_merge",
-        "q_agg_approx_quantile",
-        "q_fn_variant_schema",    # oracle re-pinned (numeric normalize)
-        "q_source_binaryfile",    # oracle re-pinned (byte length)
-        "q_udf_arrow",            # arrow edge-case fix
-        "q_graph_triangles",      # degree orientation
+        # VERDICT r05 item 1: round-5-new operators lead the window
+        "q_corpus_funnel",
+        "q_sim_ivf_kmeans",
+        "q_sim_ivf_kmeans_recall",
+        "q_win_streaks",
+        # VERDICT r05 item 6: the four never-sampled streaming ops
+        "s_heavy_hitters",
+        "s_topk_update_sink",
+        "s_session_dynamic",
+        "s_dedup_within_watermark",
     ):
         assert required in prio, f"{required} outside driver window"
 

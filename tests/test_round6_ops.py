@@ -1,0 +1,299 @@
+"""Round-6 operator tests: what the DuckDB oracles can't express —
+cross-engine hash parity, partitioning invariance, planted-signal
+detection, canonical-bucket dedup, and kernel-vs-reference checks.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_hash48_parity_spark_vs_duckdb(spark):
+    """The engine-portable 48-bit md5 gate (q_shard_assign /
+    q_mix_rebalance) must produce IDENTICAL values in Spark and
+    DuckDB — the whole point of hash-gated sampling is that the kept
+    set is reproducible across engines."""
+    import duckdb
+
+    got = {
+        r.doc_id: r.h
+        for r in spark.range(500)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.expr(
+                "conv(substring(md5(cast(doc_id AS string)), 1, 12), 16, 10)"
+            )
+            .cast("bigint")
+            .alias("h"),
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    want = dict(
+        con.sql(
+            "SELECT i, ('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 12))"
+            "::BIGINT FROM range(500) t(i)"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_shard_assign_invariant_under_partitioning(spark, sf_dir, tmp_path):
+    """Same corpus => same (shard, offset) addresses, no matter how
+    the input is partitioned (retry/reshuffle reproducibility), and
+    offsets are dense 0..n_s-1 within every shard."""
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    base = QUERIES["q_shard_assign"](spark, sf_dir)
+    rows = {r.doc_id: (r.shard, r.offset) for r in base.collect()}
+
+    # rewrite the table fragmented 13 ways and re-run
+    import shutil
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    alt = str(tmp_path / "alt")
+    shutil.os.makedirs(alt)
+    docs.repartition(13).write.parquet(f"{alt}/documents.parquet")
+    again = {
+        r.doc_id: (r.shard, r.offset)
+        for r in QUERIES["q_shard_assign"](spark, alt).collect()
+    }
+    assert rows == again
+
+    by_shard: dict = {}
+    for _, (s, o) in rows.items():
+        by_shard.setdefault(s, []).append(o)
+    for s, offs in by_shard.items():
+        assert sorted(offs) == list(range(len(offs))), s
+
+
+def test_mix_rebalance_hits_targets(spark, sf_dir):
+    """The kept corpus approximates the target mix at the largest
+    achievable size: the binding language keeps ~everything, rates
+    are in (0, 1], and every achieved share is within sampling noise
+    of its target."""
+    from mrtweety_analytic_spark.operators.lifecycle import MIX_TARGETS
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    rows = {r.lang: r for r in QUERIES["q_mix_rebalance"](spark, sf_dir).collect()}
+    assert set(rows) == set(MIX_TARGETS)
+    assert all(0 < r.rate <= 1.0 for r in rows.values())
+    # the binding language's rate is exactly 1 (keeps everything)
+    binding = max(rows.values(), key=lambda r: r.rate)
+    assert binding.rate == pytest.approx(1.0)
+    total_kept = sum(r.n_kept for r in rows.values())
+    for lang, r in rows.items():
+        # expected kept = rate * avail; hash-uniform sampling noise
+        exp = r.rate * r.n_avail
+        assert abs(r.n_kept - exp) <= max(5, 4 * exp**0.5), lang
+    assert total_kept > 0
+
+
+def test_ts_changepoint_finds_planted_shift(spark, tmp_path):
+    """A series flat at 10/day for 20 days then 30/day for 10 days
+    must put the CUSUM argmax at the shift boundary."""
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    rows = []
+    eid = 0
+    for d in range(30):
+        n = 10 if d < 20 else 30
+        for i in range(n):
+            rows.append(
+                (
+                    eid,
+                    1,
+                    datetime(2024, 3, 1) + timedelta(days=d, seconds=i),
+                    "shift",
+                    1.0,
+                )
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = QUERIES["q_ts_changepoint"](spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    # CUSUM of a single level shift peaks on the last pre-shift day
+    assert got[0].cp_day == datetime(2024, 3, 1).date() + timedelta(days=19)
+    assert got[0].n_days == 30
+
+
+def test_ts_holt_matches_reference_and_skips_singletons(spark, tmp_path):
+    """The applyInPandas kernel equals a plain-Python Holt reference
+    on a constructed 2-type corpus, and a type with a single day
+    (undefined trend) is dropped."""
+    from mrtweety_analytic_spark.operators.mining import HOLT_ALPHA, HOLT_BETA
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    series = {"a": [5.0, 8.0, 6.0, 9.0, 12.0], "lone": [3.0]}
+    rows = []
+    eid = 0
+    for et, vs in series.items():
+        for d, n in enumerate(vs):
+            for i in range(int(n)):
+                rows.append(
+                    (
+                        eid,
+                        1,
+                        datetime(2024, 5, 1) + timedelta(days=d, seconds=i),
+                        et,
+                        1.0,
+                    )
+                )
+                eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {r.event_type: r for r in QUERIES["q_ts_holt"](spark, str(tmp_path)).collect()}
+    assert set(got) == {"a"}  # singleton type skipped
+
+    v = series["a"]
+    l, b = v[0], v[1] - v[0]
+    for t in range(1, len(v)):
+        l_new = HOLT_ALPHA * v[t] + (1 - HOLT_ALPHA) * (l + b)
+        b = HOLT_BETA * (l_new - l) + (1 - HOLT_BETA) * b
+        l = l_new
+    assert got["a"].level == pytest.approx(round(l, 6))
+    assert got["a"].trend == pytest.approx(round(b, 6))
+    assert got["a"].forecast_7d == pytest.approx(round(l + 7 * b, 6))
+
+
+def test_dq_drift_detects_planted_shift(spark, tmp_path):
+    """PSI ~ 0 for a stable distribution, large for a planted
+    location shift between the two calendar halves."""
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    rows = []
+    eid = 0
+    for d in range(30):
+        for i in range(40):
+            stable = float((i * 7) % 100)
+            drift = float((i * 7) % 100) + (0.0 if d < 15 else 400.0)
+            rows.append((eid, 1, datetime(2024, 7, 1) + timedelta(days=d, seconds=i), "stable", stable)); eid += 1
+            rows.append((eid, 1, datetime(2024, 7, 1) + timedelta(days=d, seconds=i), "drift", drift)); eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {r.event_type: r.psi for r in QUERIES["q_dq_drift"](spark, str(tmp_path)).collect()}
+    assert got["stable"] < 0.01
+    assert got["drift"] > 0.5
+    assert all(psi >= 0 for psi in got.values())
+
+
+def test_interval_overlap_counts_multi_bucket_pairs_once(spark, tmp_path):
+    """A session spanning MANY 1-hour buckets that overlaps an
+    incident across several of them must be counted exactly once
+    (the canonical-bucket trick replaces a distinct), and the result
+    equals the brute-force theta join."""
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    base = datetime(2024, 9, 1)
+    rows = []
+    eid = 0
+    # user 1: one long session 00:00-03:00 (events every 20 min)
+    for m in range(0, 181, 20):
+        rows.append((eid, 1, base + timedelta(minutes=m), "view", 1.0)); eid += 1
+    # user 2: short session entirely inside hour 1
+    for m in (70, 80):
+        rows.append((eid, 2, base + timedelta(minutes=m), "view", 1.0)); eid += 1
+    # errors: two in the same 10-min window spanning hours 1-2 edge
+    rows.append((eid, 9, base + timedelta(minutes=119), "error", 1.0)); eid += 1
+    rows.append((eid, 9, base + timedelta(minutes=118), "error", 1.0)); eid += 1
+    # an error far away, overlapping nothing
+    rows.append((eid, 9, base + timedelta(days=2), "error", 1.0)); eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.i_start: r.n_sessions
+        for r in QUERIES["q_join_interval_overlap"](spark, str(tmp_path)).collect()
+    }
+    # incident at ~118-119 min overlaps ONLY user 1's long session
+    # (user 2's session ended at minute 80); counted once, not once
+    # per shared bucket. The far error overlaps its own singleton
+    # error "session" for user 9? No: sessions come from ALL events
+    # including the error rows themselves.
+    inc1 = base + timedelta(minutes=118)
+    assert got[inc1] == 2  # user 1's session + user 9's error-pair session
+    far = base + timedelta(days=2)
+    assert got[far] == 1  # only its own singleton session
+
+    # brute force parity
+    from mrtweety_analytic_spark.operators.analytics import sessionize
+
+    sess = (
+        sessionize(df)
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+        .collect()
+    )
+    inc = (
+        df.filter(F.col("event_type") == "error")
+        .groupBy(F.floor(F.unix_timestamp("ts") / 600).alias("iw"))
+        .agg(F.min("ts").alias("i_start"), F.max("ts").alias("i_end"))
+        .collect()
+    )
+    want = {}
+    for i in inc:
+        n = sum(
+            1 for s in sess if s.s_start <= i.i_end and i.i_start <= s.s_end
+        )
+        if n:
+            want[i.i_start] = n
+    assert got == want
+
+
+def test_events_pareto_shares_are_coherent(spark, sf_dir):
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    rows = sorted(
+        QUERIES["q_events_pareto"](spark, sf_dir).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    assert sum(r.share for r in rows) == pytest.approx(1.0, abs=1e-4)
+    assert rows[-1].cum_share == pytest.approx(1.0, abs=1e-6)
+    # heaviest decile first: shares must be non-increasing
+    shares = [r.share for r in rows]
+    assert all(a >= b - 1e-9 for a, b in zip(shares, shares[1:]))
+
+
+def test_bpe_pairs_hand_computed(spark, tmp_path):
+    """Tiny corpus with known word frequencies: pair weights equal
+    the hand-computed adjacent-pair counts weighted by word count."""
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["aba aba ab", "Xx aba zz zz 1a"],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": [10, 15],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    got = {
+        r.pair: (r.wsum, r.n_positions)
+        for r in QUERIES["q_text_bpe_pairs"](spark, str(tmp_path)).collect()
+    }
+    # aba x3 -> ab,ba each once per word; ab x1 -> ab; xx x1; zz x2
+    # "1a" fails the [a-z]{2,} filter
+    assert got["ab"] == (4, 2)  # 3 (aba) + 1 (ab); in 2 distinct words
+    assert got["ba"] == (3, 1)
+    assert got["xx"] == (1, 1)
+    assert got["zz"] == (2, 1)
