@@ -111,6 +111,9 @@ HEADLINE = [
     "q_join_interval_overlap",   # interval x interval bucket join
     "q_text_bpe_pairs",          # BPE merge-step pair counts
     "q_events_pareto",           # Lorenz concentration deciles
+    "q_graph_bfs",               # frontier BFS, recursive-CTE oracle
+    "q_text_llr",                # Dunning LLR collocations
+    "q_maintenance_vacuum",      # manifest-vs-listing GC
 ]
 
 

@@ -285,3 +285,80 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n_edges, n_tri)], "n_edges long, n_triangles long"
     )
+
+
+BFS_MAX_LVL = 4
+
+# Min-distance BFS as a recursive CTE: UNION (not UNION ALL) dedups
+# the (node, lvl) frontier each step, so the recursion enumerates
+# at most nodes x levels states, never paths.
+_BFS_ORACLE = f"""
+    WITH RECURSIVE e0 AS (
+        SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    edges AS (SELECT src, dst FROM e0
+              UNION ALL SELECT dst AS src, src AS dst FROM e0),
+    seeds AS (
+        SELECT src AS node FROM (SELECT DISTINCT src FROM edges) t
+        WHERE src LIKE 'c%'
+        ORDER BY CAST(substr(src, 2) AS BIGINT) LIMIT 3
+    ),
+    bfs(node, lvl) AS (
+        SELECT node, 0 FROM seeds
+        UNION
+        SELECT e.dst, b.lvl + 1
+        FROM bfs b JOIN edges e ON e.src = b.node
+        WHERE b.lvl < {BFS_MAX_LVL}
+    )
+    SELECT node, CAST(min(lvl) AS BIGINT) AS lvl
+    FROM bfs GROUP BY node
+"""
+
+
+@register("q_graph_bfs", oracle=_BFS_ORACLE)
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS: minimum hop distance (<= BFS_MAX_LVL) from
+    the three lowest-numbered customer nodes, over the same
+    customer<->supplier edge list as PageRank — the reachability /
+    blast-radius primitive (which sources does a contaminated node
+    touch within k hops?). The DuckDB oracle re-derives min-distance
+    with a recursive CTE, so the frontier iteration is hash-certified,
+    not rows-only.
+
+    Scale: classic frontier BFS — per level ONE hash join of the
+    frontier against the edge list plus an anti-join against the
+    visited set; the frontier/visited sets are O(nodes) while edges
+    stay put, and each level is localCheckpoint'ed so the iterative
+    plan stays flat (the PageRank lineage rule). Path explosion never
+    happens because expansion is set-valued (distinct), exactly like
+    the oracle's UNION recursion.
+    """
+    edges = _edges(spark, sf_dir)
+    ckpts = [edges]
+    seeds = (
+        edges.select("src")
+        .where(F.col("src").startswith("c"))
+        .distinct()
+        .orderBy(F.substring("src", 2, 100).cast("bigint"))
+        .limit(3)
+        .select(F.col("src").alias("node"), F.lit(0).alias("lvl"))
+    )
+    visited = seeds.localCheckpoint(eager=True)
+    ckpts.append(visited)
+    frontier = visited
+    for lvl in range(1, BFS_MAX_LVL + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(lvl).alias("lvl"))
+            .localCheckpoint(eager=True)
+        )
+        ckpts.append(nxt)
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        ckpts.append(visited)
+        frontier = nxt
+    _LAST_GRAPH_CKPT.replace(ckpts)
+    return visited.select("node", F.col("lvl").cast("long").alias("lvl"))

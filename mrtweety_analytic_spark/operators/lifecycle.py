@@ -24,6 +24,12 @@ from pyspark.sql.window import Window as W
 
 from ..registry import register
 from ..sources import load_table
+from ..util import LastHandle
+
+# Supersession holder for q_mix_rebalance's persisted rates frame
+# (repeated bench/verify calls keep one generation in the block
+# manager, same pattern as mining._LAST_ITEMS).
+_LAST_RATES = LastHandle(lambda dfs: [df.unpersist() for df in dfs])
 
 
 @register(
@@ -570,6 +576,10 @@ def q_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         avail.join(targets, "lang")
         .agg(F.min(F.col("n_avail") / F.col("target")).alias("k"))
     )
+    # rates feeds two consumers (the keep filter and the final report
+    # join); persist the language-sized frame so the avail/k subtree
+    # — two scans of documents otherwise — computes once (the
+    # engine's persist-multi-consumer-aggregates rule).
     rates = (
         avail.join(targets, "lang")
         .crossJoin(F.broadcast(k))
@@ -580,7 +590,9 @@ def q_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(1.0), F.col("k") * F.col("target") / F.col("n_avail")
             ).alias("rate"),
         )
+        .persist()
     )
+    _LAST_RATES.replace([rates])
     u = F.expr(_HASH48).cast("bigint") / F.lit(281474976710656.0)
     kept = (
         docs.join(F.broadcast(rates.select("lang", "rate")), "lang")

@@ -24,6 +24,7 @@ from ..util import LastHandle
 # block manager (same pattern as _LAST_GRAPH_CKPT in graph.py).
 _LAST_ITEMS = LastHandle(lambda dfs: [df.unpersist() for df in dfs])
 _LAST_PMI = LastHandle(lambda dfs: [df.unpersist() for df in dfs])
+_LAST_LLR = LastHandle(lambda dfs: [df.unpersist() for df in dfs])
 
 
 @register(
@@ -1668,4 +1669,135 @@ def q_events_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum("n_events").over(w_cum) / F.sum("n_events").over(w_all), 6
         ).alias("cum_share"),
+    )
+
+
+@register(
+    "q_text_llr",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS term,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ),
+    big AS (
+        SELECT a, b, count(*) AS cnt
+        FROM (
+            SELECT term AS a,
+                   lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+            FROM toks
+        )
+        WHERE b IS NOT NULL
+        GROUP BY a, b
+    ),
+    la AS (SELECT a, sum(cnt) AS ra FROM big GROUP BY a),
+    rb AS (SELECT b, sum(cnt) AS cb FROM big GROUP BY b),
+    nb AS (SELECT sum(cnt) AS n FROM big),
+    k AS (
+        SELECT big.a, big.b, big.cnt,
+               CAST(big.cnt AS DOUBLE) AS k11,
+               CAST(la.ra - big.cnt AS DOUBLE) AS k12,
+               CAST(rb.cb - big.cnt AS DOUBLE) AS k21,
+               CAST(nb.n - la.ra - rb.cb + big.cnt AS DOUBLE) AS k22,
+               CAST(la.ra AS DOUBLE) AS ra, CAST(rb.cb AS DOUBLE) AS cb,
+               CAST(nb.n AS DOUBLE) AS n
+        FROM big JOIN la ON la.a = big.a
+                 JOIN rb ON rb.b = big.b
+                 CROSS JOIN nb
+        WHERE big.cnt >= 5
+    )
+    SELECT a || ' ' || b AS bigram, CAST(cnt AS BIGINT) AS pair_cnt,
+           round(2 * (
+               (CASE WHEN k11 > 0
+                     THEN k11 * ln(k11 * n / (ra * cb)) ELSE 0 END)
+             + (CASE WHEN k12 > 0
+                     THEN k12 * ln(k12 * n / (ra * (n - cb))) ELSE 0 END)
+             + (CASE WHEN k21 > 0
+                     THEN k21 * ln(k21 * n / ((n - ra) * cb)) ELSE 0 END)
+             + (CASE WHEN k22 > 0
+                     THEN k22 * ln(k22 * n / ((n - ra) * (n - cb)))
+                     ELSE 0 END)
+           ), 4) AS llr
+    FROM k
+    ORDER BY llr DESC, bigram
+    LIMIT 20
+    """,
+)
+def q_text_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by Dunning's log-likelihood ratio — the
+    frequency-robust complement to q_text_pmi (PMI over-rewards rare
+    pairs; LLR weighs the full 2×2 contingency table of the bigram
+    stream: (a,b) vs (a,¬b) vs (¬a,b) vs (¬a,¬b)). Marginals come
+    from the bigram aggregate itself (a as left token, b as right),
+    so the whole statistic derives from ONE vocab-sized table.
+
+    Scale: same shape as PMI — one corpus tokenization into the
+    bigram aggregate (arrays_zip over shifted slices, codegen'd),
+    then left/right marginals and the total are broadcast-sized
+    re-aggregations of it; the LLR arithmetic is row-local. Ranking
+    uses the ROUNDED llr with the bigram tiebreak (round-before-rank
+    rule).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.split("text", " ")
+    pair_arr = F.arrays_zip(
+        F.slice(arr, 1, F.size(arr) - 1), F.slice(arr, 2, F.size(arr) - 1)
+    )
+    big = (
+        docs.select(F.explode(pair_arr).alias("pr"))
+        .groupBy(F.col("pr.0").alias("a"), F.col("pr.1").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    _LAST_LLR.replace([big])
+    la = big.groupBy("a").agg(F.sum("cnt").alias("ra"))
+    rb = big.groupBy("b").agg(F.sum("cnt").alias("cb"))
+    nb = big.agg(F.sum("cnt").alias("n"))
+    k = (
+        big.where(F.col("cnt") >= 5)
+        .join(F.broadcast(la), "a")
+        .join(F.broadcast(rb), "b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "a",
+            "b",
+            "cnt",
+            F.col("cnt").cast("double").alias("k11"),
+            (F.col("ra") - F.col("cnt")).cast("double").alias("k12"),
+            (F.col("cb") - F.col("cnt")).cast("double").alias("k21"),
+            (F.col("n") - F.col("ra") - F.col("cb") + F.col("cnt"))
+            .cast("double")
+            .alias("k22"),
+            F.col("ra").cast("double").alias("ra"),
+            F.col("cb").cast("double").alias("cb"),
+            F.col("n").cast("double").alias("n"),
+        )
+    )
+
+    def term(kc: str, rexp, cexp):
+        kcol = F.col(kc)
+        return F.when(
+            kcol > 0, kcol * F.log(kcol * F.col("n") / (rexp * cexp))
+        ).otherwise(F.lit(0.0))
+
+    n, ra, cb = F.col("n"), F.col("ra"), F.col("cb")
+    llr = F.round(
+        2
+        * (
+            term("k11", ra, cb)
+            + term("k12", ra, n - cb)
+            + term("k21", n - ra, cb)
+            + term("k22", n - ra, n - cb)
+        ),
+        4,
+    )
+    return (
+        k.select(
+            F.concat_ws(" ", "a", "b").alias("bigram"),
+            F.col("cnt").cast("long").alias("pair_cnt"),
+            llr.alias("llr"),
+        )
+        .orderBy(F.desc("llr"), "bigram")
+        .limit(20)
     )

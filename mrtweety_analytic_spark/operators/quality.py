@@ -441,9 +441,9 @@ def q_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_dq_drift",
-    oracle="""
+# Shared by the batch audit (q_dq_drift) and the streaming monitor
+# (s_dq_drift) — the replayed stream must converge to the same PSI.
+_DRIFT_ORACLE = """
     WITH bounds AS (
         SELECT event_type,
                min(CAST(ts AS DATE)) AS d0,
@@ -482,7 +482,12 @@ def q_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(max(t.tl) AS BIGINT) AS n_late
     FROM counts c JOIN tot t ON c.event_type = t.event_type
     GROUP BY c.event_type
-    """,
+    """
+
+
+@register(
+    "q_dq_drift",
+    oracle=_DRIFT_ORACLE,
 )
 def q_dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift audit (Population Stability Index): per
@@ -500,14 +505,33 @@ def q_dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort, no raw-row shuffle beyond the tiny bin aggregate.
     """
     ev = load_table(spark, sf_dir, "events")
-    bounds = ev.groupBy("event_type").agg(
+    return drift_psi(
+        drift_classified(ev, drift_bounds(ev)).groupBy(
+            "event_type", "period", "bin"
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def drift_bounds(ev: DataFrame) -> DataFrame:
+    """Per-type reference profile for the PSI audit: calendar range
+    and value range. In production this is FROZEN from a reference
+    window; here it is derived from the same log (q_dq_drift) or
+    reused as the static side of the streaming monitor (s_dq_drift).
+    """
+    return ev.groupBy("event_type").agg(
         F.min(F.to_date("ts")).alias("d0"),
         F.max(F.to_date("ts")).alias("d1"),
         F.min("value").alias("vmin"),
         F.max("value").alias("vmax"),
     )
+
+
+def drift_classified(ev: DataFrame, bounds: DataFrame) -> DataFrame:
+    """Map-side period + equal-width-bin classification against a
+    (broadcast) reference profile — works identically on a batch
+    frame and on a stream (stream-static broadcast join)."""
     mid_off = F.floor(F.datediff("d1", "d0") / 2).cast("int")
-    binned = ev.join(F.broadcast(bounds), "event_type").select(
+    return ev.join(F.broadcast(bounds), "event_type").select(
         "event_type",
         F.when(
             F.to_date("ts") <= F.date_add(F.col("d0"), mid_off), "early"
@@ -523,17 +547,28 @@ def q_dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int"),
         ).alias("bin"),
     )
-    counts = binned.groupBy("event_type", "bin").agg(
-        F.count(F.when(F.col("period") == "early", 1)).alias("ne"),
-        F.count(F.when(F.col("period") == "late", 1)).alias("nl"),
+
+
+def drift_psi(counts: DataFrame) -> DataFrame:
+    """Fold (event_type, period, bin, cnt) counts into the smoothed
+    PSI per type — shared by the batch audit and the streaming
+    monitor, so both certify the same statistic."""
+    wide = counts.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("period") == "early", F.col("cnt"))).alias("ne0"),
+        F.sum(F.when(F.col("period") == "late", F.col("cnt"))).alias("nl0"),
+    ).select(
+        "event_type",
+        "bin",
+        F.coalesce("ne0", F.lit(0)).alias("ne"),
+        F.coalesce("nl0", F.lit(0)).alias("nl"),
     )
-    tot = counts.groupBy("event_type").agg(
+    tot = wide.groupBy("event_type").agg(
         F.sum("ne").alias("te"), F.sum("nl").alias("tl")
     )
     pe = (F.col("ne") + 1).cast("double") / (F.col("te") + 10)
     pl = (F.col("nl") + 1).cast("double") / (F.col("tl") + 10)
     return (
-        counts.join(tot, "event_type")
+        wide.join(tot, "event_type")
         .groupBy("event_type")
         .agg(
             F.round(F.sum((pe - pl) * F.log(pe / pl)), 6).alias("psi"),

@@ -491,3 +491,62 @@ def q_sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         "revenue",
     )
+
+
+@register(
+    "q_maintenance_vacuum",
+    oracle="""
+    SELECT user_id, event_type AS last_type,
+           round(value, 6) AS last_value, ts AS last_ts
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC)
+                        AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def q_maintenance_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-table VACUUM — completes the maintenance trio
+    (compact, zorder, vacuum). Builds a keyed copy-on-write table by
+    applying three deterministic changelog slices through
+    UpsertKeyedSink's MERGE protocol, plants the two crash-leftover
+    classes a two-phase commit can leave behind (a version directory
+    written but never referenced by the manifest, and a stale
+    `_CURRENT.tmp` pointer), then vacuums: everything unreachable
+    from the committed manifest is deleted, nothing reachable is
+    touched. The oracle recomputes keep-latest-per-key relationally,
+    so the certificate proves the table still reads EXACTLY right
+    after the GC — vacuum correctness is "removed the garbage,
+    changed no committed byte".
+
+    Scale: vacuum is a pure manifest-vs-listing reconciliation —
+    O(files) driver metadata work, zero data movement; the merge law
+    (max over the full version struct) makes the slice order
+    irrelevant, which is also why replayed batches can never corrupt
+    the table the vacuum audits.
+    """
+    from ..streaming.queries import UpsertKeyedSink
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    base = _scratch("vacuum", sf_dir)
+    sink = UpsertKeyedSink(base_dir=base)
+    for i in range(3):
+        sink(ev.where(F.pmod(F.col("event_id"), F.lit(3)) == i), i)
+    # plant crash leftovers: an uncommitted version dir + a stale
+    # pointer temp file
+    orphan = os.path.join(base, "v999999")
+    os.makedirs(os.path.join(orphan, "bucket=0"), exist_ok=True)
+    with open(os.path.join(orphan, "bucket=0", "part-orphan.parquet"), "w") as f:
+        f.write("crash leftover")
+    with open(os.path.join(base, "_CURRENT.tmp"), "w") as f:
+        f.write("{}")
+    stats = sink.vacuum()
+    assert stats["n_orphans_removed"] >= 1 and stats["n_tmp_removed"] >= 1
+    return sink.table().select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.round("value", 6).alias("last_value"),
+        F.col("ts").alias("last_ts"),
+    )

@@ -25,6 +25,12 @@ from ..sources import load_events_stream
 from ..util import LastHandle
 
 
+def _drift_oracle() -> str:
+    from ..operators.quality import _DRIFT_ORACLE
+
+    return _DRIFT_ORACLE
+
+
 def _run_to_memory(
     spark: SparkSession,
     df: DataFrame,
@@ -1135,6 +1141,33 @@ class UpsertKeyedSink:
             manifest[b] = self._version
         self._commit(manifest)
 
+    def vacuum(self) -> dict[str, int]:
+        """Remove crash leftovers the commit-time GC can never see:
+        version directories written but never referenced by the
+        committed manifest (a writer died between data-write and
+        pointer-swap) and stale `_CURRENT.tmp` pointers. Safe by the
+        commit protocol — readers only follow `_CURRENT`, so deleting
+        unreferenced paths cannot change any committed read. Returns
+        {n_live_versions, n_orphans_removed, n_tmp_removed}."""
+        import shutil
+
+        manifest = self._manifest()
+        live = {f"v{v:06d}" for v in manifest.values()}
+        n_orphans = n_tmp = 0
+        for d in os.listdir(self.base):
+            path = os.path.join(self.base, d)
+            if d.startswith("v") and d not in live:
+                shutil.rmtree(path, ignore_errors=True)
+                n_orphans += 1
+            elif d.endswith(".tmp"):
+                os.remove(path)
+                n_tmp += 1
+        return {
+            "n_live_versions": len(live),
+            "n_orphans_removed": n_orphans,
+            "n_tmp_removed": n_tmp,
+        }
+
     def table(self) -> DataFrame:
         """The current committed keyed table (one row per user_id)."""
         if self._spark is None:
@@ -1236,3 +1269,35 @@ def s_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_memory(spark, agg, "complete")
     return out.select(F.col("w.start").alias("window_start"), "n_users")
+
+
+@register("s_dq_drift", oracle=_drift_oracle())
+def s_dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING drift monitor: the event stream is classified
+    against a FROZEN reference profile (per-type calendar midpoint +
+    value-range bins — the static side of a stream-static broadcast
+    join, exactly how production monitors pin a reference window),
+    counted per (type, period, bin) by an incremental stateful
+    aggregation, and the memory-sink counts fold into the SAME
+    smoothed PSI as the batch audit (q_dq_drift) via the shared
+    drift_psi core — one statistic, two execution models, one oracle.
+
+    Scale: the stream side carries only (type, period, bin) — state
+    is O(types × 2 × 10) rows regardless of volume; the profile is
+    broadcast. The PSI fold happens on the tiny sink table.
+    """
+    from ..operators.quality import (
+        drift_bounds,
+        drift_classified,
+        drift_psi,
+    )
+    from ..sources import load_table
+
+    ev_ref = load_table(spark, sf_dir, "events")
+    bounds = drift_bounds(ev_ref)
+    stream = load_events_stream(spark, sf_dir)
+    counts = drift_classified(stream, bounds).groupBy(
+        "event_type", "period", "bin"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    sink = _run_to_memory(spark, counts, "complete")
+    return drift_psi(sink)

@@ -297,3 +297,111 @@ def test_bpe_pairs_hand_computed(spark, tmp_path):
     assert got["ba"] == (3, 1)
     assert got["xx"] == (1, 1)
     assert got["zz"] == (2, 1)
+
+
+def test_graph_bfs_levels_on_constructed_graph(spark, tmp_path):
+    """Chain + isolated component: BFS levels match hand-derived hop
+    counts, the isolated pair (not reachable from the three seed
+    customers) is absent, and seeds are level 0."""
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    # edges via orders+lineitem: c1-s1, c2-s1 (cluster), c3-s3, c4-s3,
+    # c4-s4 (chain from c3), c10-s10 (isolated: c10 not a seed)
+    orders = [(1, 1), (2, 2), (3, 3), (4, 4), (5, 4), (6, 10)]
+    lines = [(1, 1), (2, 1), (3, 3), (4, 3), (5, 4), (6, 10)]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        lines, "l_orderkey long, l_suppkey long"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    got = {
+        r.node: r.lvl
+        for r in QUERIES["q_graph_bfs"](spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "c1": 0, "c2": 0, "c3": 0,
+        "s1": 1, "s3": 1,
+        "c4": 2,
+        "s4": 3,
+    }  # c10/s10 unreachable -> absent
+
+
+def test_llr_ranks_planted_collocation_and_nonnegative(spark, tmp_path):
+    """A planted always-together bigram must outrank a frequent-but-
+    independent pair, and every LLR is >= 0 (it is a G-test stat)."""
+    import pandas as pd
+
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    filler = " ".join(f"w{i % 7} w{(i * 3) % 11}" for i in range(40))
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(10),
+            "text": [f"alpha beta {filler}" for _ in range(10)],
+            "lang": ["en"] * 10,
+            "source": ["s"] * 10,
+            "n_chars": [100] * 10,
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    rows = QUERIES["q_text_llr"](spark, str(tmp_path)).collect()
+    assert all(r.llr >= 0 for r in rows)
+    assert rows[0].bigram == "alpha beta"
+
+
+def test_streaming_drift_equals_batch_drift(spark, sf_dir):
+    """The streaming monitor and the batch audit must produce the
+    SAME PSI table (shared core + full replay equivalence)."""
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    batch = {
+        r.event_type: r
+        for r in QUERIES["q_dq_drift"](spark, sf_dir).collect()
+    }
+    stream = {
+        r.event_type: r
+        for r in QUERIES["s_dq_drift"](spark, sf_dir).collect()
+    }
+    assert batch.keys() == stream.keys()
+    for k in batch:
+        assert batch[k].psi == stream[k].psi
+        assert batch[k].n_early == stream[k].n_early
+        assert batch[k].n_late == stream[k].n_late
+
+
+def test_vacuum_removes_orphans_only_and_is_idempotent(spark, tmp_path):
+    """vacuum(): committed data unchanged, orphan version dirs and
+    stale tmp pointers removed, second vacuum finds nothing."""
+    import os
+    from datetime import datetime
+
+    from mrtweety_analytic_spark.streaming.queries import UpsertKeyedSink
+
+    sink = UpsertKeyedSink(base_dir=str(tmp_path / "tbl"))
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0, 10), 100, "a", 1.0),
+        (2, datetime(2024, 1, 1, 0, 0, 20), 101, "b", 2.0),
+    ]
+    schema = (
+        "user_id long, ts timestamp, event_id long, "
+        "event_type string, value double"
+    )
+    sink(spark.createDataFrame(rows, schema), 0)
+    before = sink.rows
+
+    orphan = os.path.join(sink.base, "v424242", "bucket=1")
+    os.makedirs(orphan)
+    open(os.path.join(orphan, "junk.parquet"), "w").write("x")
+    open(os.path.join(sink.base, "_CURRENT.tmp"), "w").write("{}")
+
+    stats = sink.vacuum()
+    assert stats["n_orphans_removed"] == 1
+    assert stats["n_tmp_removed"] == 1
+    assert not os.path.exists(os.path.join(sink.base, "v424242"))
+    assert sink.rows == before
+
+    again = sink.vacuum()
+    assert again["n_orphans_removed"] == 0
+    assert again["n_tmp_removed"] == 0
+    assert sink.rows == before
