@@ -114,6 +114,8 @@ HEADLINE = [
     "q_graph_bfs",               # frontier BFS, recursive-CTE oracle
     "q_text_llr",                # Dunning LLR collocations
     "q_maintenance_vacuum",      # manifest-vs-listing GC
+    "q_sample_weighted",         # integer-exact priority sampling
+    "q_agg_countmin_eval",       # CMS sketch, measured error
 ]
 
 

@@ -489,3 +489,68 @@ def q_agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("psum"), 4).alias("sum_value"),
         F.round(F.max("pmax"), 6).alias("max_value"),
     )
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+
+
+@register("q_agg_countmin_eval")  # rows-only: xxhash sketch ≠ SQL oracle
+def q_agg_countmin_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over the token stream with a MEASURED error
+    certificate (the q_dedup_lsh_eval pattern: approximate tier +
+    quantified trust, not asserted trust). The sketch is
+    CMS_DEPTH × CMS_WIDTH counters (each row hashes into one cell
+    per depth via seeded xxhash64); a point estimate is the MIN of a
+    term's cells. The eval probes the 20 heaviest exact terms and
+    reports the overestimate profile — CMS can only overestimate
+    (one-sided error, pytest-pinned), and the expected excess is
+    ~n_tokens/width per depth, min-ed across depths.
+
+    Scale: the sketch aggregate is partial-aggregable into a FIXED
+    256-cell table regardless of volume (the whole point: a mergeable
+    sub-linear summary — per-partition sketches combine by cell-wise
+    sum), and the probe join broadcasts 20 rows. The exact side here
+    exists only to measure the sketch; production keeps the sketch
+    and drops the exact pass.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term")
+    ).where(F.col("term") != "")
+    exact = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "term")
+        .limit(20)
+    )
+
+    def cell(term: F.Column, d: int) -> F.Column:
+        return F.pmod(
+            F.xxhash64(F.concat(F.lit(f"d{d}:"), term)), F.lit(CMS_WIDTH)
+        )
+
+    sketch = None
+    for d in range(CMS_DEPTH):
+        part = toks.groupBy(cell(F.col("term"), d).alias("cell")).agg(
+            F.count(F.lit(1)).alias("n")
+        ).select(F.lit(d).alias("d"), "cell", "n")
+        sketch = part if sketch is None else sketch.unionByName(part)
+
+    probes = exact
+    for d in range(CMS_DEPTH):
+        probes = probes.withColumn(f"c{d}", cell(F.col("term"), d))
+    est = probes
+    for d in range(CMS_DEPTH):
+        sk_d = sketch.where(F.col("d") == d).select(
+            F.col("cell").alias(f"c{d}"), F.col("n").alias(f"n{d}")
+        )
+        est = est.join(F.broadcast(sk_d), f"c{d}")
+    est_col = F.least(*[F.col(f"n{d}") for d in range(CMS_DEPTH)])
+    rel = (est_col - F.col("cnt")) / F.col("cnt")
+    return est.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.count(F.when(est_col < F.col("cnt"), 1)).alias("n_underestimates"),
+        F.round(F.max(rel), 4).alias("max_rel_err"),
+        F.round(F.avg(rel), 4).alias("avg_rel_err"),
+    )

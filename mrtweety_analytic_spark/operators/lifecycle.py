@@ -609,3 +609,92 @@ def q_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+
+
+# Weighted-sample parameters: integer weight from doc length, top-K
+# kept per source stratum.
+WS_MAX_W = 8
+WS_TOP_K = 5
+
+
+@register(
+    "q_sample_weighted",
+    oracle=f"""
+    WITH w AS (
+        SELECT source, doc_id, n_chars,
+               least({WS_MAX_W},
+                     greatest(1, CAST(floor(n_chars / 200) AS INTEGER)))
+                   AS wt
+        FROM documents
+    ),
+    keyed AS (
+        SELECT source, doc_id, n_chars, wt,
+               max(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)))
+                   AS k
+        FROM w, unnest(range(1, wt + 1)) AS t(i)
+        GROUP BY source, doc_id, n_chars, wt
+    )
+    SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(wt AS BIGINT) AS wt
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY source ORDER BY k DESC, doc_id) AS rk
+        FROM keyed
+    ) WHERE rk <= {WS_TOP_K}
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED sampling without replacement (top-{WS_TOP_K} per
+    source, weight ∝ document length) — the A-Res/A-ES family's
+    priority sampling, made ENGINE-EXACT with integer arithmetic: a
+    document of integer weight w draws w independent md5 uniforms
+    (md5(doc_id:i), i=1..w) and its priority is their MAX — the max
+    of w uniforms is distributed exactly as u^(1/w), the classic
+    exponent-key priority, but the comparison stays a hex-STRING
+    order, so no ln/pow libm call whose last ulp could differ between
+    engines ever enters the ranking (the flaw that makes float-keyed
+    weighted sampling non-portable). Completes the sampling tier:
+    uniform modulus, stratified, reservoir, and now weighted.
+
+    Scale: fan-out is the integer weight (≤ {WS_MAX_W}) per row, the
+    priority reduce is partial-aggregable max, and the per-stratum
+    top-K is a WindowGroupLimit — partial top-K before the stratum
+    shuffle, so the full corpus never sorts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    wt = F.least(
+        F.lit(WS_MAX_W),
+        F.greatest(F.lit(1), F.floor(F.col("n_chars") / 200).cast("int")),
+    )
+    keyed = (
+        docs.select("source", "doc_id", "n_chars", wt.alias("wt"))
+        .select(
+            "source",
+            "doc_id",
+            "n_chars",
+            "wt",
+            F.explode(F.sequence(F.lit(1), F.col("wt"))).alias("i"),
+        )
+        .select(
+            "source",
+            "doc_id",
+            "n_chars",
+            "wt",
+            F.md5(
+                F.concat_ws(":", F.col("doc_id"), F.col("i"))
+            ).alias("k"),
+        )
+        .groupBy("source", "doc_id", "n_chars", "wt")
+        .agg(F.max("k").alias("k"))
+    )
+    w = W.partitionBy("source").orderBy(F.desc("k"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= WS_TOP_K)
+        .select(
+            "source",
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.col("wt").cast("long").alias("wt"),
+        )
+    )

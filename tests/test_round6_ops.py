@@ -405,3 +405,53 @@ def test_vacuum_removes_orphans_only_and_is_idempotent(spark, tmp_path):
     assert again["n_orphans_removed"] == 0
     assert again["n_tmp_removed"] == 0
     assert sink.rows == before
+
+
+def test_sample_weighted_contract(spark, sf_dir):
+    """Weighted sampler: exactly WS_TOP_K rows per stratum (fixture
+    strata are larger), weights clamped to [1, WS_MAX_W] and equal to
+    the documented length formula, deterministic across calls."""
+    from mrtweety_analytic_spark.operators.lifecycle import (
+        WS_MAX_W,
+        WS_TOP_K,
+    )
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    rows = QUERIES["q_sample_weighted"](spark, sf_dir).collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+        assert 1 <= r.wt <= WS_MAX_W
+        assert r.wt == min(WS_MAX_W, max(1, r.n_chars // 200))
+    assert all(len(v) == WS_TOP_K for v in by_src.values())
+    again = QUERIES["q_sample_weighted"](spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_countmin_never_underestimates(spark, sf_dir, tmp_path):
+    """CMS one-sided error: no probe is ever underestimated — on the
+    fixture corpus AND on a constructed heavy-skew corpus where the
+    sketch is saturated (500 distinct terms into 64 cells)."""
+    import pandas as pd
+
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    r = QUERIES["q_agg_countmin_eval"](spark, sf_dir).collect()[0]
+    assert r.n_underestimates == 0
+    assert r.n_probes == 20
+    assert r.max_rel_err >= 0
+
+    text = " ".join(
+        ["heavy"] * 200 + [f"t{i}" for i in range(500)]
+    )
+    pd.DataFrame(
+        {
+            "doc_id": [0],
+            "text": [text],
+            "lang": ["en"],
+            "source": ["s"],
+            "n_chars": [len(text)],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    r2 = QUERIES["q_agg_countmin_eval"](spark, str(tmp_path)).collect()[0]
+    assert r2.n_underestimates == 0
