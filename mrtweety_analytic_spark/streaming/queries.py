@@ -1174,6 +1174,8 @@ class UpsertKeyedSink:
             raise RuntimeError("no batch applied yet")
         manifest = self._manifest()
         paths = self._bucket_paths(manifest, sorted(manifest))
+        if not paths:  # nothing committed yet (e.g. empty stream)
+            return self._spark.createDataFrame([], self._SCHEMA)
         return self._spark.read.schema(self._SCHEMA).parquet(*paths)
 
     @property

@@ -681,3 +681,35 @@ def test_peak_concurrency_matches_bruteforce_any_intervals(spark, ivs):
             peak = max(peak, active)
         expect[day] = peak
     assert got == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),   # basket
+            st.integers(min_value=0, max_value=12),  # item
+        ),
+        min_size=4,
+        max_size=40,
+    ),
+    st.integers(min_value=2, max_value=4),           # cap R
+)
+def test_basket_cap_is_sound_subset(spark, rows, cap):
+    """basket_pairs_core(cap_r=R) on ARBITRARY corpora: the capped
+    result is a SOUND approximation — every reported pair exists in
+    the exact result with pair_cnt_capped <= pair_cnt_exact (a pair
+    is only counted in baskets where both members survived the
+    top-R cut), and confidence/lift marginals still come from the
+    UNCAPPED support table."""
+    from mrtweety_analytic_spark.operators.mining import basket_pairs_core
+
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    exact = {
+        (r.p1, r.p2): r.pair_cnt for r in basket_pairs_core(li).collect()
+    }
+    capped = basket_pairs_core(li, cap_r=cap).collect()
+    for r in capped:
+        assert (r.p1, r.p2) in exact or len(exact) == 20, (r.p1, r.p2)
+        if (r.p1, r.p2) in exact:
+            assert r.pair_cnt <= exact[(r.p1, r.p2)]

@@ -455,3 +455,49 @@ def test_countmin_never_underestimates(spark, sf_dir, tmp_path):
     ).to_parquet(tmp_path / "documents.parquet")
     r2 = QUERIES["q_agg_countmin_eval"](spark, str(tmp_path)).collect()[0]
     assert r2.n_underestimates == 0
+
+
+ROUND6_OPS_TABLES = {
+    "q_shard_assign": ["documents"],
+    "q_mix_rebalance": ["documents"],
+    "q_text_bpe_pairs": ["documents"],
+    "q_text_llr": ["documents"],
+    "q_sample_weighted": ["documents"],
+    "q_agg_countmin_eval": ["documents"],
+    "q_ts_changepoint": ["events"],
+    "q_ts_holt": ["events"],
+    "q_dq_drift": ["events"],
+    "q_join_interval_overlap": ["events"],
+    "q_events_pareto": ["events"],
+    "q_maintenance_vacuum": ["events"],
+    "q_graph_bfs": ["orders", "lineitem"],
+}
+
+EMPTY_SCHEMAS = {
+    "documents": "doc_id long, text string, lang string, source string,"
+                 " n_chars long",
+    "events": "event_id long, user_id long, ts timestamp,"
+              " event_type string, value double",
+    "orders": "o_orderkey long, o_custkey long",
+    "lineitem": "l_orderkey long, l_suppkey long",
+}
+
+
+def test_round6_ops_tolerate_empty_corpus(spark, tmp_path):
+    """Every round-6 batch operator must run (not crash) on a
+    zero-row corpus — the restart-on-empty-partition robustness a
+    production pipeline needs. Aggregation-to-scalar ops may emit
+    their one summary row; everything else must emit zero rows."""
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    for t, schema in EMPTY_SCHEMAS.items():
+        spark.createDataFrame([], schema).write.parquet(
+            str(tmp_path / f"{t}.parquet")
+        )
+    may_emit_summary = {"q_agg_countmin_eval"}
+    for name in ROUND6_OPS_TABLES:
+        rows = QUERIES[name](spark, str(tmp_path)).collect()
+        if name in may_emit_summary:
+            assert len(rows) <= 1, name
+        else:
+            assert rows == [], name
