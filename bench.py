@@ -116,6 +116,7 @@ HEADLINE = [
     "q_maintenance_vacuum",      # manifest-vs-listing GC
     "q_sample_weighted",         # integer-exact priority sampling
     "q_agg_countmin_eval",       # CMS sketch, measured error
+    "q_training_export",         # curate -> rebalance -> shard capstone
 ]
 
 

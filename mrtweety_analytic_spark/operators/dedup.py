@@ -970,12 +970,14 @@ def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _funnel_oracle() -> str:
+def _funnel_ctes() -> str:
+    """The funnel's CTE chain up to `final` (the surviving docs) —
+    shared by q_corpus_funnel's stage counts and q_training_export's
+    downstream rebalance/shard stages."""
     from .textops import _STOP_SQL, _prep_hits_sql
 
     edges_on_fdocs = _EDGES_SQL.replace("FROM documents", "FROM fdocs")
-    return f"""
-    WITH RECURSIVE metrics AS (
+    return f"""metrics AS (
         SELECT doc_id,
                count(*) AS n_tokens,
                1.0 * count(*) FILTER (WHERE term IN ({_STOP_SQL}))
@@ -1005,7 +1007,12 @@ def _funnel_oracle() -> str:
     final AS (
         SELECT * FROM fdocs
         WHERE doc_id NOT IN (SELECT doc_id FROM near_dropped)
-    )
+    )"""
+
+
+def _funnel_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_funnel_ctes()}
     SELECT 1 AS stage_idx, 'raw' AS stage, count(*) AS n_docs
     FROM documents
     UNION ALL SELECT 2, 'quality', count(*) FROM q
@@ -1031,9 +1038,31 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest-pinned; every stage count is oracle-certified against one
     composed CTE chain.
     """
+    docs = load_table(spark, sf_dir, "documents")
+    q, fdocs, final = funnel_stages(docs)
+
+    def stage(idx: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+
+    return (
+        stage(1, "raw", docs)
+        .unionByName(stage(2, "quality", q))
+        .unionByName(stage(3, "exact_dedup", fdocs))
+        .unionByName(stage(4, "near_dedup", final))
+    )
+
+
+def funnel_stages(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The curation funnel's survivor chain (quality gate q, exact
+    dedup fdocs, near-dup-free final) — the reusable core behind
+    q_corpus_funnel's stage counts and q_training_export's
+    curate->rebalance->shard composite."""
     from .textops import STOPWORDS, _is_en_predicate, _lang_hit_cols
 
-    docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     ).filter(F.col("term") != "")
@@ -1066,17 +1095,4 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     final = fdocs.join(near_dropped, "doc_id", "left_anti")
-
-    def stage(idx: int, name: str, df: DataFrame) -> DataFrame:
-        return df.agg(
-            F.lit(idx).alias("stage_idx"),
-            F.lit(name).alias("stage"),
-            F.count(F.lit(1)).alias("n_docs"),
-        )
-
-    return (
-        stage(1, "raw", docs)
-        .unionByName(stage(2, "quality", q))
-        .unionByName(stage(3, "exact_dedup", fdocs))
-        .unionByName(stage(4, "near_dedup", final))
-    )
+    return q, fdocs, final

@@ -698,3 +698,93 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("wt").cast("long").alias("wt"),
         )
     )
+
+
+def _export_oracle() -> str:
+    from .dedup import _funnel_ctes
+
+    targets_sql = _MIX_TARGETS_SQL
+    return f"""
+    WITH RECURSIVE {_funnel_ctes()},
+    targets AS ({targets_sql}),
+    avail AS (
+        SELECT lang, CAST(count(*) AS DOUBLE) AS n_avail
+        FROM final GROUP BY lang
+    ),
+    kk AS (
+        SELECT min(n_avail / target) AS k
+        FROM avail JOIN targets USING (lang)
+    ),
+    rates AS (
+        SELECT lang, least(1.0, kk.k * target / n_avail) AS rate
+        FROM avail JOIN targets USING (lang) CROSS JOIN kk
+    ),
+    kept AS (
+        SELECT f.doc_id, f.n_chars
+        FROM final f JOIN rates r ON f.lang = r.lang
+        WHERE ('0x' || substr(md5(CAST(f.doc_id AS VARCHAR)), 1, 12))::BIGINT
+                  / 281474976710656.0 < r.rate
+    )
+    SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+               % {N_SHARDS} AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM kept
+    GROUP BY 1
+    """
+
+
+@register("q_training_export", oracle=_export_oracle())
+def q_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-data export: curation funnel (quality
+    gates → exact dedup → near-dup removal, q_corpus_funnel's
+    survivor chain) → language-mix rebalance at the largest
+    achievable size (q_mix_rebalance's binding-constraint rates,
+    computed over the SURVIVORS, not the raw corpus) → deterministic
+    shard addressing (q_shard_assign's hash gate) — reported as the
+    per-shard manifest (docs, bytes) a training launcher consumes.
+    One lazy plan, one composed SQL oracle: the whole pipeline a
+    reference user would run before a training job, certified
+    value-for-value.
+
+    Scale: each stage's design is certified separately (funnel
+    cost-ordering, broadcast rates, map-side hash gates); composed,
+    the only additions are one broadcast join (rates) and the final
+    shard aggregate — no new shuffle class. The funnel's pair join
+    dominates, and it runs on the smallest stage input by
+    construction.
+    """
+    from .dedup import funnel_stages
+
+    docs = load_table(spark, sf_dir, "documents")
+    final = funnel_stages(docs)[2]
+    targets = spark.createDataFrame(
+        list(MIX_TARGETS.items()), "lang string, target double"
+    )
+    avail = final.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("n_avail")
+    )
+    k = avail.join(targets, "lang").agg(
+        F.min(F.col("n_avail") / F.col("target")).alias("k")
+    )
+    rates = (
+        avail.join(targets, "lang")
+        .crossJoin(F.broadcast(k))
+        .select(
+            "lang",
+            F.least(
+                F.lit(1.0), F.col("k") * F.col("target") / F.col("n_avail")
+            ).alias("rate"),
+        )
+    )
+    u = F.expr(_HASH48).cast("bigint") / F.lit(281474976710656.0)
+    kept = (
+        final.join(F.broadcast(rates), "lang")
+        .where(u < F.col("rate"))
+        .select("doc_id", "n_chars")
+    )
+    shard = F.pmod(F.expr(_HASH48).cast("bigint"), F.lit(N_SHARDS))
+    return kept.groupBy(shard.alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )

