@@ -117,6 +117,7 @@ HEADLINE = [
     "q_sample_weighted",         # integer-exact priority sampling
     "q_agg_countmin_eval",       # CMS sketch, measured error
     "q_training_export",         # curate -> rebalance -> shard capstone
+    "q_multimodal_phash",        # banded aHash near-dup pairs
 ]
 
 

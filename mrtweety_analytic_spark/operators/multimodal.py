@@ -461,3 +461,96 @@ def q_multimodal_offload(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.octet_length("payload").alias("n_bytes"),
         )
     )
+
+
+@register("q_multimodal_phash")  # rows-only: stubbed decode, no SQL twin
+def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection for image payloads:
+    every payload decodes (stub) to pixels, resamples to 8×8 with the
+    REAL nearest-neighbor kernel, and thresholds against its own mean
+    to a 64-bit average-hash — the classic aHash, the real algorithm
+    end-to-end except the env-blocked bytes→pixels step
+    (raw_decode_stub). Near-dups are pairs with Hamming distance
+    ≤ 3, found WITHOUT an all-pairs scan: the Manku banding trick
+    from q_dedup_simhash_pairs — 4 disjoint 16-bit bands; any pair
+    within Hamming 3 must agree exactly on ≥ 1 band (pigeonhole), so
+    candidates come from 4 equi-joins on (band, value) and only they
+    pay the popcount verify.
+
+    Scale: the hash is one Arrow-batched pass over the payloads
+    (payload bytes never shuffle — only the 8-byte hash + id move);
+    banding keys are O(n), candidates O(collisions), the verify is
+    bit_count on a long. Identical-payload => identical-hash and the
+    band-recall guarantee are pytest-pinned.
+    """
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload_df = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    def phash_batches(it):
+        import numpy as np
+
+        for pdf in it:
+            hashes = []
+            for p in pdf["payload"]:
+                img = resize_nearest(raw_decode_stub(bytes(p)), 8, 8)
+                if img.size == 0:
+                    hashes.append(0)
+                    continue
+                bits = (img.astype(np.float64) >= img.mean()).flatten()
+                h = 0
+                for b in bits:
+                    h = (h << 1) | int(b)
+                # two's-complement into int64 for the LongType column
+                hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "phash": hashes}
+            )
+
+    hashed = payload_df.mapInPandas(
+        phash_batches, schema="doc_id long, phash long"
+    )
+    bands = hashed.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("phash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "phash", "b.band", "b.val")
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("phash").alias("ph_a"),
+        "band",
+        "val",
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("phash").alias("ph_b"),
+        "band",
+        "val",
+    )
+    cand = (
+        left.join(right, ["band", "val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ph_a", "ph_b")
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("ph_a").bitwiseXOR(F.col("ph_b"))
+    ).alias("hamming")
+    return cand.select("doc_a", "doc_b", hamming).where(
+        F.col("hamming") <= 3
+    )

@@ -523,3 +523,59 @@ def test_training_export_books_balance(spark, sf_dir):
     n_final = final.count()
     assert 0 < n_exported <= n_final
     assert sum(r.sum_chars for r in rows) > 0
+
+
+def test_phash_duplicates_and_band_recall(spark, tmp_path):
+    """aHash near-dup: identical payloads hash identically (reported
+    at Hamming 0), and the banded candidate generation equals the
+    brute-force Hamming<=3 pair set (pigeonhole recall guarantee) on
+    a corpus with planted exact and near duplicates."""
+    import pandas as pd
+
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    near = base[:-9] + "lazy cat "  # tail perturbation
+    far = "completely different content with other bytes entirely " * 6
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [base, base, near, far],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [len(base)] * 2 + [len(near), len(far)],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in QUERIES["q_multimodal_phash"](spark, str(tmp_path)).collect()
+    }
+    assert got[(1, 2)] == 0  # exact duplicate payloads
+
+    # brute-force parity over the same stub pipeline
+    import numpy as np
+
+    from mrtweety_analytic_spark.operators.multimodal import (
+        raw_decode_stub,
+        resize_nearest,
+    )
+
+    def ahash(text: str) -> int:
+        img = resize_nearest(raw_decode_stub(text.encode()), 8, 8)
+        bits = (img.astype(np.float64) >= img.mean()).flatten()
+        h = 0
+        for b in bits:
+            h = (h << 1) | int(b)
+        return h
+
+    hs = {i: ahash(t) for i, t in zip(docs.doc_id, docs.text)}
+    want = {}
+    ids = sorted(hs)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                d = bin(hs[i] ^ hs[j]).count("1")
+                if d <= 3:
+                    want[(i, j)] = d
+    assert got == want
