@@ -118,6 +118,7 @@ HEADLINE = [
     "q_agg_countmin_eval",       # CMS sketch, measured error
     "q_training_export",         # curate -> rebalance -> shard capstone
     "q_multimodal_phash",        # banded aHash near-dup pairs
+    "q_sink_text_roundtrip",     # text source/sink round-trip
 ]
 
 

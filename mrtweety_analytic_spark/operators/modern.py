@@ -295,3 +295,34 @@ def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(got["n_rows"], got["n_discounted"], got["total_price"])],
         "n_rows long, n_discounted long, total_price double",
     )
+
+
+@register(
+    "q_sql_identifier",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def q_sql_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTIFIER() parameter binding for NAMES (Spark 3.4+): the
+    table, grouping column, and measure column all arrive as bound
+    string parameters but are resolved as identifiers — the
+    injection-safe way to write a generic "metrics by dimension"
+    query service endpoint (templating names with f-strings is the
+    classic SQL-injection hole; IDENTIFIER() validates the name
+    grammar at parse time). Completes the parameterized-SQL pair:
+    q_sql_named_params binds VALUES, this binds IDENTIFIERS.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("ident_events")
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:dim) AS event_type, count(*) AS n,
+               round(sum(IDENTIFIER(:measure)), 4) AS total
+        FROM IDENTIFIER(:tbl)
+        GROUP BY IDENTIFIER(:dim)
+        """,
+        args={"tbl": "ident_events", "dim": "event_type",
+              "measure": "value"},
+    )

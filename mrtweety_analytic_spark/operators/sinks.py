@@ -550,3 +550,39 @@ def q_maintenance_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 6).alias("last_value"),
         F.col("ts").alias("last_ts"),
     )
+
+
+@register(
+    "q_sink_text_roundtrip",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+           min(md5(text)) AS min_digest
+    FROM documents
+    """,
+)
+def q_sink_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text write→read round-trip — the last first-class Spark
+    file format in the matrix (parquet / csv / orc / json / binary /
+    custom-pyds / text): one string column per line out, one line per
+    row back. The corpus's texts are single-line by construction
+    (FIXTURES.md), so line framing is lossless; the read-back
+    aggregate (count, char mass, min content digest) is certified
+    against the source table, covering the whole writer/reader path
+    including charset round-tripping.
+
+    Scale: text is the format training tokenizers stream — the write
+    is partition-parallel with no encoder CPU beyond UTF-8, and the
+    read is splittable by line. (Avro is the one absent format: its
+    datasource module jar is not in this container — env-blocked,
+    like Kafka's broker.)
+    """
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    out = _scratch("sink_text", sf_dir)
+    docs.write.mode("overwrite").text(out)
+    back = spark.read.text(out)
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.length("value")).cast("long").alias("sum_chars"),
+        F.min(F.md5("value")).alias("min_digest"),
+    )
