@@ -51,6 +51,35 @@ BNLJ_OK = {
 # docstring carries the scale caveat.
 PYEVAL_OK = {"q_udtf_expand_json"}
 
+# Global-window whitelist: queries where an un-partitioned window is
+# the DOCUMENTED design because its input is an already-reduced,
+# bounded aggregate (the window moves O(groups) rows, not the fact
+# table). Anything else planning a global window is a scale bug —
+# the whole input would serialize through one partition.
+GLOBAL_WINDOW_OK: set[str] = {
+    "q_events_growth_accounting",  # final lag over the O(days) series
+    "q_events_pareto",  # ntile over the per-user aggregate; decile-
+    # summary contract admits a boundary-join rewrite (docstring)
+    "q_events_rfm",  # three ntiles over O(users); swap documented
+    "q_text_vocab_coverage",  # rank over O(vocab) term counts
+    "q_text_zipf_fit",  # rank over the same collapsed vocab table
+    "q_win_ntile_dist",  # the ntile/cume_dist SURFACE op itself
+}
+
+
+def _global_windows(plan: str) -> int:
+    """Count windowspecdefinitions with an EMPTY partition spec. The
+    spec's argument list is [partition cols..., order cols...,
+    frame]; partition columns are bare references while order columns
+    carry ASC/DESC — so a spec whose every pre-frame argument has an
+    ASC/DESC marker (or that has none at all) is a global window."""
+    n = 0
+    for m in re.finditer(r"windowspecdefinition\((.*?)specifiedwindowframe", plan):
+        args = [a for a in m.group(1).split(", ") if a]
+        if all(" ASC" in a or " DESC" in a for a in args):
+            n += 1
+    return n
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
@@ -90,6 +119,9 @@ def main() -> int:
                 problems.append(
                     f"{n_bnlj} BNLJ with only {n_agg} aggregates"
                 )
+        n_gw = _global_windows(plan)
+        if n_gw and name not in GLOBAL_WINDOW_OK:
+            problems.append(f"{n_gw} global (un-partitioned) window(s)")
         if problems:
             n_fail += 1
             print(f"{name:34s} FAIL  {'; '.join(problems)}")
