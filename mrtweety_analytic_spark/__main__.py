@@ -84,6 +84,14 @@ def main(argv: list[str] | None = None) -> int:
         help="count survivors after each stage (one job per stage)",
     )
 
+    ex = sub.add_parser(
+        "export",
+        parents=[common],
+        help="run the full curate->rebalance->shard training export "
+        "and write the sharded corpus + manifest",
+    )
+    ex.add_argument("--out", default="training_export")
+
     sq = sub.add_parser(
         "sql",
         parents=[common],
@@ -207,6 +215,31 @@ def main(argv: list[str] | None = None) -> int:
             df = compile_pipeline(spark, args.sf_dir, spec)
         df.write.mode("overwrite").parquet(args.out)
         print(f"wrote {args.out}: {spark.read.parquet(args.out).count()} docs")
+        return 0
+
+    if args.cmd == "export":
+        import json as _json
+
+        from .operators.lifecycle import training_export_frame
+
+        kept = training_export_frame(spark, args.sf_dir)
+        data_dir = os.path.join(args.out, "data")
+        kept.write.mode("overwrite").partitionBy("shard").parquet(data_dir)
+        manifest = [
+            {"shard": r.shard, "n_docs": r.n_docs, "sum_chars": r.sum_chars}
+            for r in sorted(
+                QUERIES["q_training_export"](spark, args.sf_dir).collect(),
+                key=lambda r: r.shard,
+            )
+        ]
+        mpath = os.path.join(args.out, "manifest.json")
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump({"shards": manifest}, fh, indent=2)
+        os.replace(tmp, mpath)
+        total = sum(m["n_docs"] for m in manifest)
+        print(f"wrote {data_dir}: {total} docs in {len(manifest)} shards")
+        print(f"wrote {mpath}")
         return 0
 
     if args.cmd == "sql":

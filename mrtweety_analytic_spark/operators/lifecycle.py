@@ -754,6 +754,18 @@ def q_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominates, and it runs on the smallest stage input by
     construction.
     """
+    kept = training_export_frame(spark, sf_dir)
+    return kept.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+def training_export_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exportable curated corpus: funnel survivors, mix-rebalanced
+    and shard-addressed — all columns plus `shard`. q_training_export
+    aggregates this into the per-shard manifest; the CLI `export`
+    command writes it shard-partitioned to disk."""
     from .dedup import funnel_stages
 
     docs = load_table(spark, sf_dir, "documents")
@@ -778,13 +790,10 @@ def q_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     u = F.expr(_HASH48).cast("bigint") / F.lit(281474976710656.0)
-    kept = (
+    shard = F.pmod(F.expr(_HASH48).cast("bigint"), F.lit(N_SHARDS))
+    return (
         final.join(F.broadcast(rates), "lang")
         .where(u < F.col("rate"))
-        .select("doc_id", "n_chars")
-    )
-    shard = F.pmod(F.expr(_HASH48).cast("bigint"), F.lit(N_SHARDS))
-    return kept.groupBy(shard.alias("shard")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("n_chars").cast("long").alias("sum_chars"),
+        .drop("rate")
+        .withColumn("shard", shard)
     )

@@ -212,3 +212,33 @@ def test_pipeline_semantic_stage_drops_pair_larger_id(spark):
     kept = {r.doc_id for r in out.select("doc_id").collect()}
     assert kept.isdisjoint(dropped_expect)
     assert len(kept) == 500 - len(dropped_expect)
+
+
+def test_cli_export_subcommand(spark, tmp_path):
+    """`export` writes the shard-partitioned curated corpus plus a
+    manifest whose per-shard counts reconcile with the written
+    parquet and with q_training_export's certified aggregate."""
+    import json
+
+    from mrtweety_analytic_spark.__main__ import main as cli_main
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    out = str(tmp_path / "texport")
+    rc = cli_main(
+        ["export", "--sf-dir", "/root/testdata/sf0.001", "--out", out]
+    )
+    assert rc == 0
+    manifest = json.load(open(f"{out}/manifest.json"))["shards"]
+    want = {
+        r.shard: (r.n_docs, r.sum_chars)
+        for r in QUERIES["q_training_export"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert {m["shard"]: (m["n_docs"], m["sum_chars"]) for m in manifest} == want
+    data = spark.read.parquet(f"{out}/data")
+    per_shard = {
+        r.shard: r.n for r in data.groupBy("shard").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert per_shard == {m["shard"]: m["n_docs"] for m in manifest}
