@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import given, settings, strategies as st
 
 words = st.lists(
@@ -713,3 +714,91 @@ def test_basket_cap_is_sound_subset(spark, rows, cap):
         assert (r.p1, r.p2) in exact or len(exact) == 20, (r.p1, r.p2)
         if (r.p1, r.p2) in exact:
             assert r.pair_cnt <= exact[(r.p1, r.p2)]
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.dictionaries(
+        st.sampled_from(["en", "de", "fr", "es", "zh"]),
+        st.integers(min_value=1, max_value=60),
+        min_size=2,
+        max_size=5,
+    )
+)
+def test_mix_rebalance_rates_hit_targets_exactly(spark, tmp_path_factory, counts):
+    """q_mix_rebalance on ARBITRARY availability: for every
+    non-clamped language, rate*avail/target is the SAME constant k
+    (the kept corpus hits the target ratios exactly in expectation),
+    k is the binding constraint (min avail/target over sampled
+    languages), and clamped languages are exactly those with
+    avail <= k*target."""
+    import pandas as pd
+
+    from mrtweety_analytic_spark.operators.lifecycle import MIX_TARGETS
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    tmp = tmp_path_factory.mktemp("mix")
+    rows = []
+    i = 0
+    for lang, n in counts.items():
+        for _ in range(n):
+            rows.append((i, f"text {i}", lang, "s", 10))
+            i += 1
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp / "documents.parquet")
+    got = {r.lang: r for r in QUERIES["q_mix_rebalance"](spark, str(tmp)).collect()}
+    assert set(got) == set(counts)
+    k = min(counts[lg] / MIX_TARGETS[lg] for lg in counts)
+    for lg, r in got.items():
+        want_rate = min(1.0, k * MIX_TARGETS[lg] / counts[lg])
+        assert r.rate == pytest.approx(want_rate, abs=1e-6), lg
+        assert r.n_avail == counts[lg]
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=30),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_holt_kernel_matches_reference_on_random_series(
+    spark, tmp_path_factory, series
+):
+    """q_ts_holt on ARBITRARY daily-count series: the Arrow kernel
+    equals the plain-Python recurrence (same init, same op order)."""
+    from datetime import datetime, timedelta
+
+    from mrtweety_analytic_spark.operators.mining import (
+        HOLT_ALPHA,
+        HOLT_BETA,
+    )
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    tmp = tmp_path_factory.mktemp("holt")
+    rows = []
+    eid = 0
+    for d, n in enumerate(series):
+        for i in range(n):
+            rows.append(
+                (eid, 1, datetime(2024, 2, 1) + timedelta(days=d, seconds=i),
+                 "t", 1.0)
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double",
+    ).write.mode("overwrite").parquet(str(tmp / "events.parquet"))
+    got = QUERIES["q_ts_holt"](spark, str(tmp)).collect()[0]
+
+    v = [float(x) for x in series]
+    l, b = v[0], v[1] - v[0]
+    for t in range(1, len(v)):
+        l_new = HOLT_ALPHA * v[t] + (1 - HOLT_ALPHA) * (l + b)
+        b = HOLT_BETA * (l_new - l) + (1 - HOLT_BETA) * b
+        l = l_new
+    assert got.level == pytest.approx(round(l, 6))
+    assert got.trend == pytest.approx(round(b, 6))
