@@ -119,6 +119,7 @@ HEADLINE = [
     "q_training_export",         # curate -> rebalance -> shard capstone
     "q_multimodal_phash",        # banded aHash near-dup pairs
     "q_sink_text_roundtrip",     # text source/sink round-trip
+    "q_dq_skew",                 # join-key skew diagnostic
 ]
 
 

@@ -576,3 +576,64 @@ def drift_psi(counts: DataFrame) -> DataFrame:
             F.max("tl").cast("long").alias("n_late"),
         )
     )
+
+
+@register(
+    "q_dq_skew",
+    oracle="""
+    WITH keys AS (
+        SELECT l_suppkey AS k, count(*) AS n
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(n) AS BIGINT) AS n_rows,
+               CAST(max(n) AS BIGINT) AS max_key_rows,
+               quantile_cont(n, 0.5) AS p50,
+               quantile_cont(n, 0.99) AS p99
+        FROM keys
+    )
+    SELECT n_keys, n_rows, max_key_rows,
+           round(CAST(max_key_rows AS DOUBLE) / n_rows, 6)
+               AS top_key_share,
+           round(CAST(p99 AS DOUBLE) / p50, 4) AS p99_over_p50
+    FROM stats
+    """,
+)
+def q_dq_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic — the number you read BEFORE choosing
+    between a plain hash join, AQE skew splitting, and ahead-of-time
+    salting (q_join_salted): per-key row counts of the fact's join
+    key reduced to (top-key share, p99/p50 ratio). A top-key share
+    near 1/reducers means one task drags the stage; p99/p50 >> 1
+    means salting pays. Interpolated quantiles (Spark `percentile`
+    = DuckDB quantile_cont) run over the KEY-COUNT table — O(keys)
+    rows, so the percentile buffer holds key counts, never fact rows
+    (the O(group)-memory caveat that bans the aggregate form on raw
+    data does not apply here).
+
+    Scale: one partial-aggregable key count (O(keys) rows out), then
+    a scalar aggregate over it — the diagnostic never touches the
+    fact twice. The same two-pass shape works on any key column; the
+    operator is the template.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = li.groupBy(F.col("l_suppkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stats = keys.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_key_rows"),
+        F.expr("percentile(n, 0.5)").alias("p50_c"),
+        F.expr("percentile(n, 0.99)").alias("p99_c"),
+    )
+    return stats.select(
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("max_key_rows").cast("long").alias("max_key_rows"),
+        F.round(
+            F.col("max_key_rows").cast("double") / F.col("n_rows"), 6
+        ).alias("top_key_share"),
+        F.round(F.col("p99_c") / F.col("p50_c"), 4).alias("p99_over_p50"),
+    )

@@ -1074,17 +1074,49 @@ class UpsertKeyedSink:
             return {int(k): v for k, v in json.load(f).items()}
 
     def _commit(self, manifest: dict[int, int]) -> None:
+        # Archive this commit's manifest as an immutable snapshot
+        # (time travel: table(as_of=snapshot)), then swing _CURRENT.
+        snap = os.path.join(
+            self.base, f"_manifest_v{self._version:06d}.json"
+        )
+        payload = json.dumps({str(k): v for k, v in manifest.items()})
+        with open(snap + ".tmp", "w") as f:
+            f.write(payload)
+        os.replace(snap + ".tmp", snap)
         tmp = os.path.join(self.base, "_CURRENT.tmp")
         with open(tmp, "w") as f:
-            json.dump({str(k): v for k, v in manifest.items()}, f)
+            f.write(payload)
         os.replace(tmp, os.path.join(self.base, "_CURRENT"))
-        # GC versions no longer referenced by any bucket
+        # GC: a version dir is live while ANY retained manifest
+        # snapshot references it (older snapshots keep their data
+        # readable until vacuum(retain_last=...) drops them).
         import shutil
 
-        live = {f"v{v:06d}" for v in manifest.values()}
+        live = self._live_versions()
         for d in os.listdir(self.base):
             if d.startswith("v") and d not in live:
                 shutil.rmtree(os.path.join(self.base, d), ignore_errors=True)
+
+    def snapshots(self) -> list[int]:
+        """Committed snapshot ids, oldest first."""
+        return sorted(
+            int(d[len("_manifest_v"):-len(".json")])
+            for d in os.listdir(self.base)
+            if d.startswith("_manifest_v") and d.endswith(".json")
+        )
+
+    def _read_snapshot(self, snap_id: int) -> dict[int, int]:
+        path = os.path.join(self.base, f"_manifest_v{snap_id:06d}.json")
+        with open(path) as f:
+            return {int(k): v for k, v in json.load(f).items()}
+
+    def _live_versions(self) -> set[str]:
+        live: set[str] = set()
+        for sid in self.snapshots():
+            live.update(
+                f"v{v:06d}" for v in self._read_snapshot(sid).values()
+            )
+        return live
 
     def _bucket_paths(self, manifest: dict[int, int], buckets) -> list[str]:
         return [
@@ -1141,18 +1173,27 @@ class UpsertKeyedSink:
             manifest[b] = self._version
         self._commit(manifest)
 
-    def vacuum(self) -> dict[str, int]:
-        """Remove crash leftovers the commit-time GC can never see:
-        version directories written but never referenced by the
-        committed manifest (a writer died between data-write and
-        pointer-swap) and stale `_CURRENT.tmp` pointers. Safe by the
-        commit protocol — readers only follow `_CURRENT`, so deleting
-        unreferenced paths cannot change any committed read. Returns
-        {n_live_versions, n_orphans_removed, n_tmp_removed}."""
+    def vacuum(self, retain_last: int | None = None) -> dict[str, int]:
+        """Remove garbage the commit-time GC can never see: version
+        directories referenced by NO retained manifest snapshot (a
+        writer died between data-write and pointer-swap) and stale
+        `.tmp` pointers. With retain_last=N, first expire all but the
+        newest N manifest snapshots (bounding time-travel history —
+        the Delta VACUUM retention semantics in miniature). Safe by
+        the commit protocol: readers resolve only through `_CURRENT`
+        or a retained snapshot, so deletions cannot change any
+        readable state. Returns {n_live_versions, n_orphans_removed,
+        n_tmp_removed, n_snapshots_expired}."""
         import shutil
 
-        manifest = self._manifest()
-        live = {f"v{v:06d}" for v in manifest.values()}
+        n_expired = 0
+        if retain_last is not None:
+            for sid in self.snapshots()[:-retain_last or None]:
+                os.remove(
+                    os.path.join(self.base, f"_manifest_v{sid:06d}.json")
+                )
+                n_expired += 1
+        live = self._live_versions()
         n_orphans = n_tmp = 0
         for d in os.listdir(self.base):
             path = os.path.join(self.base, d)
@@ -1166,13 +1207,19 @@ class UpsertKeyedSink:
             "n_live_versions": len(live),
             "n_orphans_removed": n_orphans,
             "n_tmp_removed": n_tmp,
+            "n_snapshots_expired": n_expired,
         }
 
-    def table(self) -> DataFrame:
-        """The current committed keyed table (one row per user_id)."""
+    def table(self, as_of: int | None = None) -> DataFrame:
+        """The committed keyed table (one row per user_id) — current
+        state, or the state AS OF an earlier snapshot id (time
+        travel; ids from snapshots(), readable until vacuum's
+        retention expires them)."""
         if self._spark is None:
             raise RuntimeError("no batch applied yet")
-        manifest = self._manifest()
+        manifest = (
+            self._manifest() if as_of is None else self._read_snapshot(as_of)
+        )
         paths = self._bucket_paths(manifest, sorted(manifest))
         if not paths:  # nothing committed yet (e.g. empty stream)
             return self._spark.createDataFrame([], self._SCHEMA)

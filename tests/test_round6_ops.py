@@ -579,3 +579,41 @@ def test_phash_duplicates_and_band_recall(spark, tmp_path):
                 if d <= 3:
                     want[(i, j)] = d
     assert got == want
+
+
+def test_keyed_table_time_travel_and_retention(spark, tmp_path):
+    """Snapshot reads: table(as_of=sid) reproduces the state after
+    each batch; vacuum(retain_last=1) expires older snapshots and
+    their now-unreferenced version dirs while the current read is
+    unchanged."""
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from mrtweety_analytic_spark.streaming.queries import UpsertKeyedSink
+
+    schema = (
+        "user_id long, ts timestamp, event_id long, "
+        "event_type string, value double"
+    )
+    sink = UpsertKeyedSink(base_dir=str(tmp_path / "tt"))
+    b1 = [(1, datetime(2024, 1, 1, 0, 0, 10), 100, "a", 1.0)]
+    b2 = [(1, datetime(2024, 1, 1, 0, 0, 50), 101, "b", 2.0),
+          (2, datetime(2024, 1, 1, 0, 0, 20), 102, "c", 3.0)]
+    sink(spark.createDataFrame(b1, schema), 0)
+    sink(spark.createDataFrame(b2, schema), 1)
+    s1, s2 = sink.snapshots()
+
+    def state(df):
+        return {r.user_id: (r.event_id, r.event_type) for r in df.collect()}
+
+    assert state(sink.table(as_of=s1)) == {1: (100, "a")}
+    assert state(sink.table(as_of=s2)) == {1: (101, "b"), 2: (102, "c")}
+    assert state(sink.table()) == state(sink.table(as_of=s2))
+
+    stats = sink.vacuum(retain_last=1)
+    assert stats["n_snapshots_expired"] == 1
+    assert sink.snapshots() == [s2]
+    assert state(sink.table()) == {1: (101, "b"), 2: (102, "c")}
+    with _pytest.raises(FileNotFoundError):
+        sink.table(as_of=s1)
