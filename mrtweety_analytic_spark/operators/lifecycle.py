@@ -30,6 +30,7 @@ from ..util import LastHandle
 # (repeated bench/verify calls keep one generation in the block
 # manager, same pattern as mining._LAST_ITEMS).
 _LAST_RATES = LastHandle(lambda dfs: [df.unpersist() for df in dfs])
+_LAST_EXPORT = LastHandle(lambda dfs: [df.unpersist() for df in dfs])
 
 
 @register(
@@ -769,7 +770,11 @@ def training_export_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import funnel_stages
 
     docs = load_table(spark, sf_dir, "documents")
-    final = funnel_stages(docs)[2]
+    # `final` feeds two consumers (the availability aggregate and the
+    # keep join) — persist the survivor set so the funnel's pair join
+    # runs once, not twice (the engine's multi-consumer rule).
+    final = funnel_stages(docs)[2].persist()
+    _LAST_EXPORT.replace([final])
     targets = spark.createDataFrame(
         list(MIX_TARGETS.items()), "lang string, target double"
     )
