@@ -120,6 +120,9 @@ HEADLINE = [
     "q_multimodal_phash",        # banded aHash near-dup pairs
     "q_sink_text_roundtrip",     # text source/sink round-trip
     "q_dq_skew",                 # join-key skew diagnostic
+    "q_ts_seasonal",             # moving-average decomposition
+    "q_ts_outlier_mad",          # robust MAD anomaly days
+    "q_join_asof_nearest",       # tolerance-bounded nearest-in-time
 ]
 
 

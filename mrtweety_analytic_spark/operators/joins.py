@@ -578,3 +578,95 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("i_start", "n_errors").agg(
         F.count(F.lit(1)).cast("long").alias("n_sessions")
     )
+
+
+@register(
+    "q_join_asof_nearest",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase'
+    ),
+    v AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'view'
+    ),
+    cand AS (
+        SELECT p.event_id,
+               v.event_id AS v_event_id,
+               abs(epoch_us(v.ts - p.ts)) AS abs_us,
+               epoch_us(v.ts - p.ts) AS signed_us
+        FROM p JOIN v
+          ON v.user_id = p.user_id
+         AND v.ts >= p.ts - INTERVAL '10 minutes'
+         AND v.ts <= p.ts + INTERVAL '10 minutes'
+    )
+    SELECT event_id, v_event_id AS nearest_view_id,
+           round(signed_us / 1000000.0, 6) AS lag_sec
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_id
+                                     ORDER BY abs_us, v_event_id) AS rn
+        FROM cand
+    ) WHERE rn = 1
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-neighbor-in-time join: each purchase pairs with the
+    closest same-user view within ±10 minutes (signed lag reported)
+    — the both-directions sibling of q_join_asof (backward-only) and
+    the sensor-alignment primitive (pair each reading with the
+    closest reference sample, tolerance-bounded).
+
+    Scale: candidates come from a 10-min bucket equi-join (each
+    purchase probes its bucket ±1 — bounded fan-out, the
+    range_bucketed pattern), the tolerance predicate is the residual
+    filter, and the argmin is `min(struct(abs_us, id, ...))` — a
+    partial-aggregable order statistic resolving map-side, no
+    per-group sort. Integer-microsecond arithmetic (unix_micros)
+    keeps ties exact; tiebreak is the smaller view id, mirrored in
+    the oracle's ORDER BY.
+    """
+    events = load_table(spark, sf_dir, "events")
+    bucket = lambda c: F.floor(F.unix_timestamp(c) / 600)  # noqa: E731
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+        .withColumn(
+            "jb",
+            F.explode(
+                F.array(
+                    bucket("ts") - 1, bucket("ts"), bucket("ts") + 1
+                )
+            ),
+        )
+    )
+    v = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_event_id"),
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("v_ts"),
+        bucket("ts").alias("v_b"),
+    )
+    signed_us = F.unix_micros("v_ts") - F.unix_micros("ts")
+    cand = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("jb") == F.col("v_b")),
+    ).where(F.abs(signed_us) <= 600 * 1_000_000)
+    best = F.min(
+        F.struct(
+            F.abs(signed_us).alias("abs_us"),
+            F.col("v_event_id").alias("vid"),
+            signed_us.alias("signed_us"),
+        )
+    ).alias("best")
+    return (
+        cand.groupBy("event_id")
+        .agg(best)
+        .select(
+            "event_id",
+            F.col("best.vid").alias("nearest_view_id"),
+            F.round(F.col("best.signed_us") / 1000000.0, 6).alias(
+                "lag_sec"
+            ),
+        )
+    )

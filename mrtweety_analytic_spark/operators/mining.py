@@ -1801,3 +1801,158 @@ def q_text_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("llr"), "bigram")
         .limit(20)
     )
+
+
+@register(
+    "q_ts_seasonal",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    trend AS (
+        SELECT event_type, day, v,
+               CASE WHEN count(*) OVER w7 = 7
+                    THEN avg(v) OVER w7 END AS trend
+        FROM daily
+        WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    season AS (
+        SELECT event_type, dayofweek(day) AS dow,
+               avg(v - trend) AS seasonal
+        FROM trend WHERE trend IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT t.event_type, t.day, t.v,
+           round(t.trend, 6) AS trend,
+           round(s.seasonal, 6) AS seasonal,
+           round(t.v - t.trend - s.seasonal, 6) AS residual
+    FROM trend t JOIN season s
+      ON s.event_type = t.event_type AND s.dow = dayofweek(t.day)
+    WHERE t.trend IS NOT NULL
+    """,
+)
+def q_ts_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of the per-type daily series
+    (the moving-average STL ancestor): trend = centered 7-day moving
+    average (full windows only), seasonal = mean detrended value per
+    day-of-week, residual = v − trend − seasonal. The residual is
+    what anomaly detection should consume — q_events_anomaly_zscore
+    on raw counts alarms on every weekend; on residuals it alarms on
+    actual anomalies.
+
+    Scale: the raw log reduces to O(types × days) first; the moving
+    average rides the event_type partition, the seasonal profile is
+    a 7-rows-per-type broadcast join back. Nothing touches raw
+    events after the first reduce.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = _daily_counts(ev)
+    w7 = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    trend = daily.select(
+        "event_type",
+        "day",
+        "v",
+        F.when(
+            F.count(F.lit(1)).over(w7) == 7, F.avg("v").over(w7)
+        ).alias("trend"),
+    )
+    season = (
+        trend.where(F.col("trend").isNotNull())
+        .groupBy("event_type", F.dayofweek("day").alias("dow"))
+        .agg(F.avg(F.col("v") - F.col("trend")).alias("seasonal"))
+    )
+    season_r = season.select(
+        F.col("event_type").alias("s_et"),
+        "dow",
+        "seasonal",
+    )
+    return (
+        trend.where(F.col("trend").isNotNull())
+        .join(
+            F.broadcast(season_r),
+            (F.col("event_type") == F.col("s_et"))
+            & (F.dayofweek("day") == F.col("dow")),
+        )
+        .select(
+            "event_type",
+            "day",
+            "v",
+            F.round("trend", 6).alias("trend"),
+            F.round("seasonal", 6).alias("seasonal"),
+            F.round(
+                F.col("v") - F.col("trend") - F.col("seasonal"), 6
+            ).alias("residual"),
+        )
+    )
+
+
+@register(
+    "q_ts_outlier_mad",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    med AS (
+        SELECT event_type, quantile_cont(v, 0.5) AS med
+        FROM daily GROUP BY event_type
+    ),
+    mad AS (
+        SELECT d.event_type, m.med,
+               quantile_cont(abs(d.v - m.med), 0.5) AS mad
+        FROM daily d JOIN med m ON d.event_type = m.event_type
+        GROUP BY d.event_type, m.med
+    )
+    SELECT d.event_type, d.day, d.v,
+           round((d.v - m.med) / (1.4826 * m.mad), 4) AS robust_z,
+           CASE WHEN abs((d.v - m.med) / (1.4826 * m.mad)) > 3
+                THEN 1 ELSE 0 END AS is_outlier
+    FROM daily d JOIN mad m ON d.event_type = m.event_type
+    WHERE m.mad > 0
+    """,
+)
+def q_ts_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier days via median absolute deviation: robust_z =
+    (v − median) / (1.4826·MAD), is_outlier = |z| > 3 — the estimator
+    that,
+    unlike q_events_anomaly_zscore's mean/stddev, is not dragged by
+    the very outliers it hunts (one 100× spike inflates σ and masks
+    itself; the median barely moves). Interpolated medians
+    (quantile_cont ≡ Spark percentile), constant 1.4826 = 1/Φ⁻¹(3/4)
+    makes robust_z σ-comparable on normal data.
+
+    Scale: both medians run over the O(types × days) daily table
+    (never raw events — the percentile-buffer caveat does not apply
+    to a calendar-bounded series), and the flagging join broadcasts
+    the per-type (median, MAD) pairs.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = _daily_counts(ev)
+    med = daily.groupBy("event_type").agg(
+        F.expr("percentile(v, 0.5)").alias("med")
+    )
+    mad = (
+        daily.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.expr("percentile(abs(v - med), 0.5)").alias("mad"))
+    )
+    z = (F.col("v") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    return (
+        daily.join(F.broadcast(mad), "event_type")
+        .where(F.col("mad") > 0)
+        .select(
+            "event_type",
+            "day",
+            "v",
+            F.round(z, 4).alias("robust_z"),
+            F.when(F.abs(z) > 3, 1).otherwise(0).alias("is_outlier"),
+        )
+    )

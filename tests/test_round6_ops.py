@@ -617,3 +617,96 @@ def test_keyed_table_time_travel_and_retention(spark, tmp_path):
     assert state(sink.table()) == {1: (101, "b"), 2: (102, "c")}
     with _pytest.raises(FileNotFoundError):
         sink.table(as_of=s1)
+
+
+def test_ts_seasonal_recovers_planted_weekly_pattern(spark, tmp_path):
+    """Series = 20 + dow-dependent bump, constant over weeks: the
+    7-day centered trend is flat (=20 + mean bump), the seasonal
+    profile matches the planted bumps (centered), residuals ~ 0."""
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    bump = {0: 0, 1: 7, 2: 0, 3: 0, 4: 0, 5: 0, 6: 7}  # Mon,Sat +7
+    rows, eid = [], 0
+    for d in range(28):
+        n = 20 + bump[d % 7]
+        for i in range(n):
+            rows.append(
+                (eid, 1,
+                 datetime(2024, 4, 1) + timedelta(days=d, seconds=i),
+                 "w", 1.0)
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = QUERIES["q_ts_seasonal"](spark, str(tmp_path)).collect()
+    assert len(out) == 28 - 6  # full 7-day windows only
+    for r in out:
+        assert abs(r.residual) < 1e-6, r
+        assert r.trend == pytest.approx(22.0)  # 20 + mean bump 2
+
+
+def test_mad_outlier_resists_masking(spark, tmp_path):
+    """One 40x spike day: the MAD robust-z flags it (a mean/stddev
+    z-score would be dragged toward the spike); all normal days stay
+    unflagged."""
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    rows, eid = [], 0
+    for d in range(30):
+        n = 400 if d == 12 else 10 + (d % 3)
+        for i in range(n):
+            rows.append(
+                (eid, 1,
+                 datetime(2024, 6, 1) + timedelta(days=d, seconds=i),
+                 "m", 1.0)
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = {r.day: r for r in QUERIES["q_ts_outlier_mad"](spark, str(tmp_path)).collect()}
+    spike_day = (datetime(2024, 6, 1) + timedelta(days=12)).date()
+    assert out[spike_day].is_outlier == 1
+    assert sum(r.is_outlier for r in out.values()) == 1
+
+
+def test_asof_nearest_boundary_tie_and_tolerance(spark, tmp_path):
+    """Nearest view resolves across the 10-min bucket boundary, ties
+    break to the smaller view id, and views outside +-10 min never
+    match."""
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    base = datetime(2024, 8, 1, 12, 0, 0)
+
+    def ev(eid, uid, dt_s, typ):
+        return (eid, uid, base + timedelta(seconds=dt_s), typ, 1.0)
+
+    rows = [
+        # user 1: purchase at t=0 (bucket edge); nearest view 9 min
+        # EARLIER (previous bucket); a farther view 9.5 min later
+        ev(10, 1, 0, "purchase"),
+        ev(11, 1, -540, "view"),
+        ev(12, 1, 570, "view"),
+        # user 2: two views exactly +-60 s -> tie, smaller id wins
+        ev(20, 2, 0, "purchase"),
+        ev(22, 2, 60, "view"),
+        ev(21, 2, -60, "view"),
+        # user 3: only view is 11 min away -> no match
+        ev(30, 3, 0, "purchase"),
+        ev(31, 3, 660, "view"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.event_id: (r.nearest_view_id, r.lag_sec)
+        for r in QUERIES["q_join_asof_nearest"](spark, str(tmp_path)).collect()
+    }
+    assert got == {10: (11, -540.0), 20: (21, -60.0)}
