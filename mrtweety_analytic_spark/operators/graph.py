@@ -136,6 +136,8 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).persist()
     _LAST_GRAPH_CKPT.replace([edges, deg])
     n = deg.count()
+    if n == 0:  # empty graph: no nodes, no ranks (restart robustness)
+        return spark.createDataFrame([], "node string, rank_scaled double")
     ranks = deg.select(
         F.col("src").alias("node"), F.lit(1.0 / n).alias("r")
     )

@@ -110,7 +110,10 @@ def partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         events.write.mode("overwrite").partitionBy("event_type").parquet(out)
-    return spark.read.parquet(out)
+    # explicit schema: an empty source writes zero partition dirs and
+    # schema inference would fail; declared-on-read is also the
+    # production posture (audit_empty robustness)
+    return spark.read.schema(events.schema).parquet(out)
 
 
 @register(

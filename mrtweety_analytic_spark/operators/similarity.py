@@ -318,6 +318,10 @@ def q_sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("v")
     )
+    if not emb.take(1):  # MLlib fit() raises on an empty dataset
+        return spark.createDataFrame(
+            [], "vec_a long, vec_b long, l2_dist double"
+        )
     lsh = BucketedRandomProjectionLSH(
         inputCol="v", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
     )

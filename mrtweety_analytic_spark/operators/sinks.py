@@ -98,7 +98,9 @@ def q_sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _scratch("sink_roundtrip", sf_dir)
     write_partitioned_parquet(agg, out, "lang")
-    back = spark.read.parquet(out)
+    back = spark.read.schema(
+        "source string, n_docs long, sum_chars long, lang string"
+    ).parquet(out)
     # Partition column comes back typed as read-schema string; restore
     # column order and types to match the oracle.
     return back.select(
@@ -484,7 +486,10 @@ def q_sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         fix.write.mode("overwrite").partitionBy("month").parquet(out)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    back = spark.read.parquet(out)
+    back = spark.read.schema(
+        "o_orderpriority string, n_orders long, revenue double,"
+        " month string"
+    ).parquet(out)
     return back.select(
         F.col("month").cast("string"),
         "o_orderpriority",

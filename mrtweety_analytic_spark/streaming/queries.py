@@ -336,6 +336,10 @@ def s_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_memory(spark, joined, "append")
     mx = load_table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+    if mx is None:  # empty replay: no rows, no margin to compute
+        return out.groupBy(
+            F.col("p_event_id").alias("event_id")
+        ).agg(F.count("f_event_id").alias("n_follow"))
     safe = out.filter(
         F.col("f_event_id").isNotNull()
         | (
@@ -816,6 +820,10 @@ def s_topk_update_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise TimeoutError("s_topk_update_sink exceeded 600s")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    if not os.path.exists(path):  # empty replay: sink never fired
+        return spark.createDataFrame(
+            [], "rank int, hashtag string, n long"
+        )
     with open(path) as f:
         doc = json.load(f)
     os.unlink(path)
@@ -871,6 +879,10 @@ def s_decayed_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmax = (
         load_table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
     )
+    if tmax is None:  # empty log: nothing to score (restart path)
+        return spark.createDataFrame(
+            [], "event_type string, decayed_score double, n_events long"
+        )
     anchor = pd.Timestamp(tmax).normalize()
 
     events = load_events_stream(spark, sf_dir).select(
