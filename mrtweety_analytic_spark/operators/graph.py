@@ -57,8 +57,32 @@ def _release_ckpts(dfs) -> None:
 _LAST_GRAPH_CKPT = LastHandle(_release_ckpts)
 
 
+# Edge-list memo: one materialized generation, keyed by corpus
+# identity (path + lineitem file size/mtime) and session — the four
+# graph operators share the orders⋈lineitem build instead of each
+# paying it (~2 s at sf 0.1 per op). Superseding a different corpus
+# releases the previous generation's blocks.
+_EDGE_CACHE: dict = {}
+_LAST_EDGES = LastHandle(_release_ckpts)
+
+
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Undirected (both-direction) prefixed edge list, materialized."""
+    """Undirected (both-direction) prefixed edge list, materialized
+    once per corpus generation and shared by all graph operators."""
+    import os
+
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    st = os.stat(src)
+    key = (sf_dir, st.st_size, int(st.st_mtime), id(spark))
+    if _EDGE_CACHE.get("key") == key:
+        return _EDGE_CACHE["df"]
+    df = _build_edges(spark, sf_dir)
+    _EDGE_CACHE["key"], _EDGE_CACHE["df"] = key, df
+    _LAST_EDGES.replace([df])
+    return df
+
+
+def _build_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey"
     )
@@ -134,7 +158,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     edges = _edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).persist()
-    _LAST_GRAPH_CKPT.replace([edges, deg])
+    _LAST_GRAPH_CKPT.replace([deg])
     n = deg.count()
     if n == 0:  # empty graph: no nodes, no ranks (restart robustness)
         return spark.createDataFrame([], "node string, rank_scaled double")
@@ -185,7 +209,6 @@ def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram predicts shuffle skew in the PageRank contribution
     join; a heavy-tail head is what you'd salt)."""
     edges = _edges(spark, sf_dir)
-    _LAST_GRAPH_CKPT.replace([edges])
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     return deg.groupBy(F.col("d").alias("degree")).agg(
         F.count(F.lit(1)).alias("n_nodes")
@@ -337,7 +360,7 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's UNION recursion.
     """
     edges = _edges(spark, sf_dir)
-    ckpts = [edges]
+    ckpts = []
     seeds = (
         edges.select("src")
         .where(F.col("src").startswith("c"))
@@ -346,21 +369,30 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(3)
         .select(F.col("src").alias("node"), F.lit(0).alias("lvl"))
     )
-    visited = seeds.localCheckpoint(eager=True)
-    ckpts.append(visited)
-    frontier = visited
+    # One eager checkpoint PER LEVEL (the frontier); the visited set
+    # is a union of those already-materialized leaves, so it needs no
+    # checkpoint of its own — half the jobs of checkpointing both,
+    # with the lineage still flat (every union input is an RDD leaf).
+    frontier = seeds.localCheckpoint(eager=True)
+    ckpts.append(frontier)
+    levels = [frontier]
     for lvl in range(1, BFS_MAX_LVL + 1):
+        visited_nodes = levels[0].select("node")
+        for lv in levels[1:]:
+            visited_nodes = visited_nodes.unionByName(lv.select("node"))
         nxt = (
             frontier.join(edges, frontier.node == edges.src)
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+            .join(visited_nodes, "node", "left_anti")
             .select("node", F.lit(lvl).alias("lvl"))
             .localCheckpoint(eager=True)
         )
         ckpts.append(nxt)
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
-        ckpts.append(visited)
+        levels.append(nxt)
         frontier = nxt
     _LAST_GRAPH_CKPT.replace(ckpts)
-    return visited.select("node", F.col("lvl").cast("long").alias("lvl"))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.select("node", F.col("lvl").cast("long").alias("lvl"))
