@@ -33,15 +33,15 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # and green under tools/verify_vanilla.py (the driver-style vanilla
 # session differential).
 #
-# After this window, 79 registered names remain never-driver-sampled:
-# the 22 round-6-new operators (q_shard_assign q_mix_rebalance
+# After this window, 80 registered names remain never-driver-sampled:
+# the 23 round-6-new operators (q_shard_assign q_mix_rebalance
 # q_ts_changepoint q_ts_holt q_dq_drift q_join_interval_overlap
 # q_text_bpe_pairs q_events_pareto q_graph_bfs q_text_llr s_dq_drift
 # q_maintenance_vacuum q_sample_weighted q_agg_countmin_eval
 # q_training_export q_multimodal_phash q_sql_identifier
 # q_sink_text_roundtrip q_dq_skew q_ts_seasonal q_ts_outlier_mad
-# q_join_asof_nearest — these LEAD round 7's window) plus the 57
-# below; round 8 the tail:
+# q_join_asof_nearest q_tpch_q1like — these LEAD round 7's window)
+# plus the 57 below; round 8 the tail:
 # q_agg_salted_twophase q_anomaly_zscore q_cdc_apply q_date_spine
 # q_dedup_containment q_dedup_lsh_eval q_dq_expectations q_dq_profile
 # q_events_anomaly_zscore q_events_funnel q_events_retention

@@ -123,6 +123,7 @@ HEADLINE = [
     "q_ts_seasonal",             # moving-average decomposition
     "q_ts_outlier_mad",          # robust MAD anomaly days
     "q_join_asof_nearest",       # tolerance-bounded nearest-in-time
+    "q_tpch_q1like",             # full-fidelity pricing summary
 ]
 
 
