@@ -124,6 +124,9 @@ HEADLINE = [
     "q_ts_outlier_mad",          # robust MAD anomaly days
     "q_join_asof_nearest",       # tolerance-bounded nearest-in-time
     "q_tpch_q1like",             # full-fidelity pricing summary
+    "q_dedup_incremental",       # batch-vs-corpus digest anti-join
+    "q_sim_gram",                # one-pass X^T X partial-agg kernel
+    "q_sim_pca_power",           # Gram -> power iter -> PC1 projection
 ]
 
 

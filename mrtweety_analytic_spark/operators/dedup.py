@@ -1096,3 +1096,54 @@ def funnel_stages(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     )
     final = fdocs.join(near_dropped, "doc_id", "left_anti")
     return q, fdocs, final
+
+
+@register(
+    "q_dedup_incremental",
+    oracle="""
+    WITH corpus AS (
+        SELECT DISTINCT md5(text) AS fp
+        FROM documents WHERE doc_id % 10 <> 0
+    ),
+    batch AS (
+        SELECT doc_id, md5(text) AS fp, n_chars
+        FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT min(b.doc_id) AS doc_id, b.fp,
+           count(*) AS n_batch_copies,
+           min(b.n_chars) AS n_chars
+    FROM batch b
+    WHERE b.fp NOT IN (SELECT fp FROM corpus)
+    GROUP BY b.fp
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup — the production shape at 100 TB: a
+    new batch (doc_id % 10 == 0 stands in for today's crawl) is
+    deduped against the EXISTING corpus digest table without ever
+    re-scanning or re-shuffling corpus text. Two steps, both on
+    128-bit digests only: (1) anti-join the batch's fingerprints
+    against the corpus fingerprint set (digest column is all that
+    ships — at scale the corpus side is a pre-materialized digest
+    table, and a Bloom filter on it turns the anti-join into a
+    map-side pre-filter); (2) collapse in-batch duplicates with the
+    deterministic min(doc_id) representative. Corpus cost is
+    O(|corpus digests|) per batch, not O(|corpus text|) — re-running
+    q_dedup_exact over corpus+batch daily would re-shuffle 100 TB;
+    this shuffles one day's digests.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("text")).alias("fp"), "n_chars"
+    )
+    corpus_fps = docs.filter(F.col("doc_id") % 10 != 0).select("fp")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    return (
+        batch.join(corpus_fps, "fp", "left_anti")
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_batch_copies"),
+            F.min("n_chars").alias("n_chars"),
+        )
+        .select("doc_id", "fp", "n_batch_copies", "n_chars")
+    )

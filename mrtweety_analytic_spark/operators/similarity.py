@@ -1146,3 +1146,137 @@ def q_sim_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_k"
         ),
     )
+
+
+@register(
+    "q_sim_gram",
+    oracle="""
+    WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    p AS (
+        SELECT gi.i AS i, gj.j AS j, emb[gi.i] * emb[gj.j] AS prod
+        FROM e,
+             (SELECT unnest(generate_series(1, 64)) AS i) gi,
+             (SELECT unnest(generate_series(1, 64)) AS j) gj
+        WHERE gi.i <= gj.j
+    )
+    SELECT i, j, round(sum(prod), 4) + 0.0 AS gram
+    FROM p GROUP BY i, j
+    """,
+)
+def q_sim_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix G = X^T X over the embedding corpus —
+    the one-pass kernel under PCA / linear probes / whitening. Each
+    Arrow batch contributes a d x d partial via a single BLAS
+    `X.T @ X` (mapInPandas, upper triangle only), so what crosses the
+    shuffle is O(batches x d(d+1)/2) tiny partials, NEVER the n x d
+    data: at 100 TB this is a pure map-side-combine scan whose
+    reduce input is a few thousand doubles per task. Output long-form
+    (i, j, gram), 1-based to match the oracle's array subscripts;
+    rounded at 4 per the cross-engine float policy (reorder error
+    ~1e-10 against a 1e-4 grid).
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("e")
+    )
+    dim = 64
+    iu = np.triu_indices(dim)
+
+    def partial_gram(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(pdf["e"].tolist(), dtype=np.float64)
+            g = x.T @ x
+            yield pd.DataFrame(
+                {
+                    "i": iu[0] + 1,
+                    "j": iu[1] + 1,
+                    "part": g[iu],
+                }
+            )
+
+    parts = emb.mapInPandas(
+        partial_gram, schema="i int, j int, part double"
+    )
+    return parts.groupBy("i", "j").agg(
+        F.round(F.sum("part"), 4).alias("gram")
+    )
+
+
+def _top_eigvec_power(gram, dim: int, iters: int = 100):
+    """Deterministic power iteration on a dense d x d Gram matrix
+    (driver-side — d is 64, the matrix is 32 KiB; the DISTRIBUTED
+    work is building the Gram, see q_sim_gram). Fixed start vector,
+    fixed iteration count, sign normalized so the largest-|.|
+    component is positive (ties -> lowest index): every run yields
+    the same vector regardless of partial-sum order upstream."""
+    import numpy as np
+
+    g = np.zeros((dim, dim), dtype=np.float64)
+    for i, j, v in gram:
+        g[i - 1, j - 1] = v
+        g[j - 1, i - 1] = v
+    v = np.full(dim, 1.0 / np.sqrt(dim))
+    for _ in range(iters):
+        w = g @ v
+        n = np.linalg.norm(w)
+        if n == 0.0:
+            break
+        v = w / n
+    k = int(np.argmax(np.abs(v)))
+    if v[k] < 0:
+        v = -v
+    return v
+
+
+@register("q_sim_pca_power")  # rows-only: eigen solve not SQL-expressible
+def q_sim_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PC1 projection of every embedding: distributed one-pass Gram
+    (q_sim_gram's mapInPandas partial-sum kernel, unrounded), a
+    driver-side power iteration on the 64 x 64 result (bounded by
+    construction — 2080 doubles cross to the driver, never rows),
+    then a shuffle-free broadcast dot product per row. This is the
+    scale shape for PCA over 100 TB: one scan builds X^T X, the eigen
+    solve is O(d^3) on the driver, and the projection pass is
+    map-only. Pinned against numpy.linalg.eigh by pytest (no SQL
+    oracle — iterative eigen solve)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    dim = 64
+    iu = np.triu_indices(dim)
+
+    def partial_gram(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(pdf["e"].tolist(), dtype=np.float64)
+            g = x.T @ x
+            yield pd.DataFrame(
+                {"i": iu[0] + 1, "j": iu[1] + 1, "part": g[iu]}
+            )
+
+    gram = (
+        emb.select("e")
+        .mapInPandas(partial_gram, schema="i int, j int, part double")
+        .groupBy("i", "j")
+        .agg(F.sum("part").alias("g"))
+        .collect()
+    )
+    v1 = _top_eigvec_power([(r["i"], r["j"], r["g"]) for r in gram], dim)
+    vlit = F.array(*[F.lit(float(c)) for c in v1])
+    proj = F.aggregate(
+        F.zip_with(F.col("e"), vlit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(
+        "vec_id", F.round(proj, 4).alias("pc1")
+    )
