@@ -127,6 +127,9 @@ HEADLINE = [
     "q_dedup_incremental",       # batch-vs-corpus digest anti-join
     "q_sim_gram",                # one-pass X^T X partial-agg kernel
     "q_sim_pca_power",           # Gram -> power iter -> PC1 projection
+    "q_mix_temperature",         # alpha=0.7 source-mix flattening
+    "q_win_moving_regression",   # rolling OLS slope, O(1) window state
+    "q_text_bpe_train",          # vocab-reduced k-merge BPE loop
 ]
 
 

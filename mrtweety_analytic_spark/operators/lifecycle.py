@@ -802,3 +802,66 @@ def training_export_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rate")
         .withColumn("shard", shard)
     )
+
+
+@register(
+    "q_mix_temperature",
+    oracle="""
+    WITH avail AS (
+        SELECT source, CAST(count(*) AS DOUBLE) AS n_avail
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(n_avail) AS n FROM avail),
+    p AS (
+        SELECT source, n_avail, n_avail / tot.n AS p,
+               pow(n_avail / tot.n, 0.7) AS q_raw
+        FROM avail CROSS JOIN tot
+    ),
+    z AS (SELECT sum(q_raw) AS z FROM p)
+    SELECT source, CAST(n_avail AS BIGINT) AS n_avail,
+           round(p, 6) AS p_nat,
+           round(q_raw / z.z, 6) AS p_temp,
+           round((q_raw / z.z) / p, 6) AS weight_mult
+    FROM p CROSS JOIN z
+    """,
+)
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mix (alpha = 0.7, the multilingual /
+    multi-domain sampling rule from the XLM-R / LLaMA lineage):
+    natural share p_i = n_i/N is flattened to q_i = p_i^a / sum p^a,
+    up-weighting scarce sources and down-weighting dominant ones
+    without the hard targets q_mix_rebalance needs. `weight_mult` =
+    q_i/p_i is the per-document sampling multiplier a loader applies.
+
+    Scale: one per-source count aggregate (map-side combinable), two
+    scalar reductions over the source-sized frame, zero shuffles of
+    document rows — the whole op is O(sources) after one corpus
+    scan's pre-aggregated counts. Composes with q_mix_rebalance's
+    md5-gate filter when materializing the sampled corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    avail = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n_avail")
+    )
+    tot = avail.agg(F.sum("n_avail").alias("n"))
+    p = (
+        avail.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_avail",
+            (F.col("n_avail") / F.col("n")).alias("p"),
+            F.pow(F.col("n_avail") / F.col("n"), F.lit(0.7)).alias(
+                "q_raw"
+            ),
+        )
+    )
+    z = p.agg(F.sum("q_raw").alias("z"))
+    return p.crossJoin(F.broadcast(z)).select(
+        "source",
+        F.col("n_avail").cast("bigint").alias("n_avail"),
+        F.round("p", 6).alias("p_nat"),
+        F.round(F.col("q_raw") / F.col("z"), 6).alias("p_temp"),
+        F.round((F.col("q_raw") / F.col("z")) / F.col("p"), 6).alias(
+            "weight_mult"
+        ),
+    )

@@ -1349,3 +1349,73 @@ def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pairs.orderBy(F.desc("wsum"), "pair").limit(20)
+
+
+def _bpe_merge_loop(word_counts, k: int):
+    """Deterministic BPE merge loop (Sennrich et al.) over a
+    vocabulary-sized {word: count} dict: each round counts adjacent
+    symbol pairs weighted by word frequency, merges the (max-count,
+    then lexicographically-smallest) pair, and rewrites the symbol
+    sequences. Pure Python on purpose — by this point the data is
+    the word VOCABULARY (bounded upstream), not the corpus."""
+    syms = {w: tuple(w) for w in word_counts}
+    merges = []
+    for step in range(1, k + 1):
+        pair_w = {}
+        for w, s in syms.items():
+            wn = word_counts[w]
+            for a, b in zip(s, s[1:]):
+                pair_w[(a, b)] = pair_w.get((a, b), 0) + wn
+        if not pair_w:
+            break
+        best = min(pair_w.items(), key=lambda kv: (-kv[1], kv[0]))
+        (left, right), wsum = best
+        merged = left + right
+        merges.append((step, left, right, merged, wsum))
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = tuple(out)
+    return merges
+
+
+@register("q_text_bpe_train")  # rows-only: iterative merge loop
+def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, k = 10 merges — the full iterative
+    loop behind q_text_bpe_pairs' one-round statistic. The corpus
+    pass is the same distributed word-frequency reduction every
+    production trainer (HF tokenizers, SentencePiece) starts with:
+    one partial-aggregable groupBy that collapses 100 TB of text to
+    its word vocabulary. The merge loop then runs driver-side over
+    that vocabulary — bounded by construction to the top 65536 words
+    by (count desc, word asc), collected as (word, count) pairs only.
+    That split IS the scale design: corpus work distributed once,
+    the O(k · vocab) loop on data that fits in L2 cache. Output is
+    the ordered merge table (step, left, right, merged, wsum).
+    Rows-only: the argmax-per-iteration recursion is not
+    SQL-expressible; pinned by pytest against the classic
+    low/lower/newest/widest worked example and a pure-Python
+    reference on the real corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+        )
+        .filter(F.col("w").rlike("^[a-z]{2,}$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wn"))
+        .orderBy(F.col("wn").desc(), "w")
+        .limit(65536)
+        .collect()
+    )
+    merges = _bpe_merge_loop({r["w"]: r["wn"] for r in words}, 10)
+    return spark.createDataFrame(
+        merges,
+        "step int, left string, right string, merged string, wsum long",
+    )

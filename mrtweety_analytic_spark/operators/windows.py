@@ -300,3 +300,89 @@ def q_win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").cast("long").alias("longest_streak"),
         F.count(F.lit(1)).cast("long").alias("n_streaks"),
     )
+
+
+@register(
+    "q_win_moving_regression",
+    oracle="""
+    WITH pts AS (
+        SELECT user_id, event_id, ts,
+               (epoch_us(ts) - 1704067200000000)
+                   / 86400000000.0 AS x,
+               value AS y
+        FROM events WHERE event_type = 'purchase'
+    ),
+    sums AS (
+        SELECT user_id, event_id, ts,
+               count(*)   OVER w AS n_w,
+               sum(x)     OVER w AS sx,
+               sum(y)     OVER w AS sy,
+               sum(x * y) OVER w AS sxy,
+               sum(x * x) OVER w AS sxx
+        FROM pts
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, ts, CAST(n_w AS BIGINT) AS n_w,
+           round((n_w * sxy - sx * sy)
+                 / nullif(n_w * sxx - sx * sx, 0.0), 6) AS slope_per_day
+    FROM sums
+    WHERE n_w >= 3
+    """,
+)
+def q_win_moving_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling OLS trend: per user, the least-squares slope of
+    purchase value against time over the trailing 5 events, from
+    nothing but four running window sums (n, Sx, Sy, Sxy, Sxx) —
+    slope = (n·Sxy − Sx·Sy) / (n·Sxx − Sx²). O(1) state per row, no
+    self-join, no UDF: the closed-form moving regression every
+    monitoring stack wants, in pure window algebra.
+
+    Numerical design: x is DAYS since a fixed epoch (~1e2-1e3
+    magnitude), not epoch seconds (~1.7e9) — the normal-equation
+    cancellation n·Sxx − Sx² is benign at day scale but loses ~10
+    significant digits at second scale, which would make the
+    round-6 grid engine-dependent. Zero-variance windows (all five
+    events in the same instant) yield NULL via nullif in both
+    engines.
+
+    Scale: one shuffle on user_id; frames are 5-row bounded so the
+    window state is constant-size regardless of user activity skew.
+    """
+    # Integer microseconds minus a fixed epoch, ONE division into
+    # days — x is computed bit-identically in both engines (the
+    # unix_micros <-> epoch_us pairing certified in analytics.py).
+    base_us = F.lit(1704067200000000)  # 2024-01-01T00:00:00Z
+    pts = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            ((F.unix_micros("ts") - base_us) / 86400000000.0).alias("x"),
+            F.col("value").alias("y"),
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, W.currentRow)
+    )
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum("x").over(w)
+    sy = F.sum("y").over(w)
+    sxy = F.sum(F.col("x") * F.col("y")).over(w)
+    sxx = F.sum(F.col("x") * F.col("x")).over(w)
+    num = n * sxy - sx * sy
+    den = F.nullif(n * sxx - sx * sx, F.lit(0.0))
+    return (
+        pts.select(
+            "user_id",
+            "event_id",
+            "ts",
+            n.cast("bigint").alias("n_w"),
+            F.round(num / den, 6).alias("slope_per_day"),
+        )
+        .filter(F.col("n_w") >= 3)
+    )

@@ -74,3 +74,88 @@ def test_pca_power_matches_eigh(spark):
     assert set(got) == set(expected)
     for vid, p in got.items():
         assert p == pytest.approx(expected[vid], abs=1e-3)
+
+
+def test_mix_temperature_flattens(spark):
+    """Temperature sampling must up-weight scarce sources
+    (weight_mult > 1) and down-weight dominant ones, and p_temp must
+    sum to ~1."""
+    rows = QUERIES["q_mix_temperature"](spark, SF).collect()
+    assert abs(sum(r.p_temp for r in rows) - 1.0) < 1e-3
+    lo = min(rows, key=lambda r: r.n_avail)
+    hi = max(rows, key=lambda r: r.n_avail)
+    if lo.p_nat < hi.p_nat:  # non-degenerate mix
+        assert lo.weight_mult > 1.0 > hi.weight_mult
+
+
+def test_moving_regression_known_slope(spark, tmp_path):
+    """Five equally spaced points with value = 2*day -> slope 2."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 10)
+    rows = [
+        (i, 1, base + timedelta(days=i), "purchase", 2.0 * i)
+        for i in range(5)
+    ]
+    # zero-variance user: all events in the same instant -> NULL
+    rows += [(10 + i, 2, base, "purchase", 1.0) for i in range(3)]
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = QUERIES["q_win_moving_regression"](spark, str(tmp_path)).collect()
+    u1 = {r.event_id: r.slope_per_day for r in got if r.user_id == 1}
+    assert u1 == {2: 2.0, 3: 2.0, 4: 2.0}
+    u2 = [r.slope_per_day for r in got if r.user_id == 2]
+    assert u2 == [None]
+
+
+def test_bpe_train_classic_example(spark, tmp_path):
+    """Sennrich worked example: low x5, lower x2, newest x6,
+    widest x3 -> first merges es, est, lo, low."""
+    corpus = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    spark.createDataFrame(
+        [(i, w, "en", "web", len(w)) for i, w in enumerate(corpus)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = [
+        (r.step, r.left, r.right, r.merged, r.wsum)
+        for r in QUERIES["q_text_bpe_train"](spark, str(tmp_path))
+        .orderBy("step")
+        .collect()
+    ]
+    assert got[:4] == [
+        (1, "e", "s", "es", 9),
+        (2, "es", "t", "est", 9),
+        (3, "l", "o", "lo", 7),
+        (4, "lo", "w", "low", 7),
+    ]
+
+
+def test_bpe_train_matches_reference_on_corpus(spark):
+    """The distributed word-count + driver loop must equal a pure
+    in-memory reference over the same corpus."""
+    from mrtweety_analytic_spark.operators.textops import _bpe_merge_loop
+    import re
+    from collections import Counter
+
+    texts = [
+        r.text
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    ]
+    wc = Counter(
+        w
+        for t in texts
+        for w in re.split(r"\s+", t.lower())
+        if re.fullmatch(r"[a-z]{2,}", w)
+    )
+    expected = _bpe_merge_loop(dict(wc), 10)
+    got = [
+        (r.step, r.left, r.right, r.merged, r.wsum)
+        for r in QUERIES["q_text_bpe_train"](spark, SF)
+        .orderBy("step")
+        .collect()
+    ]
+    assert got == expected
