@@ -130,6 +130,8 @@ HEADLINE = [
     "q_mix_temperature",         # alpha=0.7 source-mix flattening
     "q_win_moving_regression",   # rolling OLS slope, O(1) window state
     "q_text_bpe_train",          # vocab-reduced k-merge BPE loop
+    "q_agg_regression",          # regr_* one-pass per-group OLS
+    "q_events_feature_window",   # point-in-time leakage-safe features
 ]
 
 

@@ -554,3 +554,46 @@ def q_agg_countmin_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(rel), 4).alias("max_rel_err"),
         F.round(F.avg(rel), 4).alias("avg_rel_err"),
     )
+
+
+@register(
+    "q_agg_regression",
+    oracle="""
+    SELECT event_type,
+           CAST(regr_count(value, x) AS BIGINT) AS n,
+           round(regr_slope(value, x), 6) AS slope_per_day,
+           round(regr_intercept(value, x), 6) AS intercept,
+           round(regr_r2(value, x), 6) AS r2
+    FROM (
+        SELECT event_type, value,
+               (epoch_us(ts) - 1704067200000000) / 86400000000.0 AS x
+        FROM events
+    )
+    GROUP BY event_type
+    """,
+)
+def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group linear regression with the SQL-standard `regr_*`
+    aggregates: slope/intercept/R² of event value against time, one
+    hash-agg, entirely JVM-side. These are one-pass partial-
+    aggregable statistics (co-moment accumulators merge
+    associatively), so at 100 TB each mapper emits a constant-size
+    state per group — the textbook map-side-combine shape, with none
+    of the window machinery q_win_moving_regression needs for its
+    per-row trailing variant. x is integer-microsecond exact divided
+    once into days (the engine's cross-engine timestamp rule).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        (
+            (F.unix_micros("ts") - F.lit(1704067200000000))
+            / 86400000000.0
+        ).alias("x"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.regr_count("value", "x").cast("bigint").alias("n"),
+        F.round(F.regr_slope("value", "x"), 6).alias("slope_per_day"),
+        F.round(F.regr_intercept("value", "x"), 6).alias("intercept"),
+        F.round(F.regr_r2("value", "x"), 6).alias("r2"),
+    )

@@ -1406,3 +1406,76 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy(seg.alias("segment")).agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+@register(
+    "q_events_feature_window",
+    oracle="""
+    WITH t AS (
+        SELECT event_id, user_id, ts, event_type, value,
+               epoch_us(ts) AS us
+        FROM events
+    ),
+    feat AS (
+        SELECT event_id, user_id, ts, event_type,
+               count(*) FILTER (WHERE event_type = 'view') OVER w
+                   AS n_views_7d,
+               count(*) FILTER (WHERE event_type = 'purchase') OVER w
+                   AS n_purchases_7d,
+               round(coalesce(sum(value)
+                   FILTER (WHERE event_type = 'purchase') OVER w,
+                   0.0), 4) AS spend_7d
+        FROM t
+        WINDOW w AS (PARTITION BY user_id ORDER BY us
+                     RANGE BETWEEN 604800000000 PRECEDING
+                               AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, ts, CAST(n_views_7d AS BIGINT)
+               AS n_views_7d,
+           CAST(n_purchases_7d AS BIGINT) AS n_purchases_7d,
+           spend_7d
+    FROM feat WHERE event_type = 'purchase'
+    """,
+)
+def q_events_feature_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature extraction — the feature-store
+    contract for training data: for every purchase (the label row),
+    the user's trailing-7-day view count, purchase count, and spend
+    computed over STRICTLY EARLIER events (RANGE frame ending at
+    1 microsecond preceding), so a label can never see itself or any
+    simultaneous event — the train-serve-skew / leakage bug this
+    operator exists to prevent. One RANGE window over
+    integer-microsecond event time; conditional aggregates fold all
+    three features into a single frame pass.
+
+    Scale: one shuffle on user_id. The frame is time-bounded, so
+    window state is O(events-per-user-per-week), independent of
+    history length; features for all labels materialize in one scan
+    instead of a per-label as-of join fan-out.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros("ts")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-604800000000, -1)
+    )
+    is_view = F.col("event_type") == "view"
+    is_pur = F.col("event_type") == "purchase"
+    feat = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.count(F.when(is_view, 1)).over(w).alias("n_views_7d"),
+        F.count(F.when(is_pur, 1)).over(w).alias("n_purchases_7d"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(is_pur, F.col("value"))).over(w),
+                F.lit(0.0),
+            ),
+            4,
+        ).alias("spend_7d"),
+    )
+    return feat.filter(is_pur).drop("event_type")

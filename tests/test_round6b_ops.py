@@ -159,3 +159,61 @@ def test_bpe_train_matches_reference_on_corpus(spark):
         .collect()
     ]
     assert got == expected
+
+
+def test_feature_window_excludes_self_and_simultaneous(spark, tmp_path):
+    """The label row must never see itself, a simultaneous event, or
+    anything outside the trailing 7 days."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 2, 1)
+    rows = [
+        # user 1: view 8 days before label -> OUTSIDE window
+        (1, 1, base - timedelta(days=8), "view", 1.0),
+        # view 3 days before -> counts
+        (2, 1, base - timedelta(days=3), "view", 1.0),
+        # purchase 1 day before -> counts (n_purchases, spend)
+        (3, 1, base - timedelta(days=1), "purchase", 10.0),
+        # SIMULTANEOUS view at the label instant -> must NOT count
+        (4, 1, base, "view", 1.0),
+        # the label itself -> must not see its own value
+        (5, 1, base, "purchase", 99.0),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.event_id: (r.n_views_7d, r.n_purchases_7d, r.spend_7d)
+        for r in QUERIES["q_events_feature_window"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # label 3 (purchase at base-1d): its frame is [base-8d,
+    # base-1d-1us] — the base-8d view sits EXACTLY 7 days back
+    # (inclusive lower bound) and the base-3d view is inside; no
+    # prior purchases.
+    assert got[3] == (2, 0, 0.0)
+    # label 5 (purchase at base): frame [base-7d, base-1us] — the
+    # base-8d view has aged out, view@-3d and purchase@-1d count,
+    # the simultaneous view 4 and the label itself are excluded.
+    assert got[5] == (1, 1, 10.0)
+
+
+def test_agg_regression_recovers_known_line(spark, tmp_path):
+    """value = 3*day + 2 exactly -> slope 3, intercept 2, r2 1."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)  # x = 0 at the fixed epoch
+    rows = [
+        (i, 1, base + timedelta(days=i), "signup", 3.0 * i + 2.0)
+        for i in range(10)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    r = QUERIES["q_agg_regression"](spark, str(tmp_path)).collect()[0]
+    assert (r.n, r.slope_per_day, r.intercept, r.r2) == (10, 3.0, 2.0, 1.0)
