@@ -132,6 +132,8 @@ HEADLINE = [
     "q_text_bpe_train",          # vocab-reduced k-merge BPE loop
     "q_agg_regression",          # regr_* one-pass per-group OLS
     "q_events_feature_window",   # point-in-time leakage-safe features
+    "q_sim_pq_adc",              # PQ asymmetric-distance top-k
+    "q_sim_pq_adc_recall",       # measured ADC quality certificate
 ]
 
 

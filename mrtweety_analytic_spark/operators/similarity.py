@@ -1280,3 +1280,247 @@ def q_sim_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id", F.round(proj, 4).alias("pc1")
     )
+
+
+_PQ_ADC_ORACLE_CORE = """
+    e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+          FROM embeddings),
+    mm AS (SELECT unnest(range(1, 9)) AS m),
+    lng AS (SELECT label, unnest(emb) AS v,
+                   generate_subscripts(emb, 1) AS dim
+            FROM e),
+    cl AS (SELECT label, dim, avg(v) AS c FROM lng GROUP BY 1, 2),
+    cent AS (SELECT label AS c_label, list(c ORDER BY dim) AS ce
+             FROM cl GROUP BY 1),
+    codebook AS (SELECT m, c_label, ce[(m-1)*8+1 : m*8] AS sub_ce
+                 FROM cent CROSS JOIN mm),
+    subs AS (SELECT vec_id, m, emb[(m-1)*8+1 : m*8] AS sub
+             FROM e CROSS JOIN mm),
+    codes AS (
+        SELECT vec_id, m, c_label AS code
+        FROM (SELECT s.vec_id, s.m, cb.c_label,
+                     row_number() OVER (
+                         PARTITION BY s.vec_id, s.m
+                         ORDER BY round(list_distance(s.sub, cb.sub_ce),
+                                        6), cb.c_label) AS rn
+              FROM subs s JOIN codebook cb USING (m))
+        WHERE rn = 1
+    ),
+    probes AS (SELECT vec_id AS probe_id, emb FROM e
+               WHERE vec_id % 50 = 0),
+    psubs AS (SELECT probe_id, m, emb[(m-1)*8+1 : m*8] AS psub
+              FROM probes CROSS JOIN mm),
+    lut AS (SELECT p.probe_id, p.m, cb.c_label,
+                   list_distance(p.psub, cb.sub_ce)
+                       * list_distance(p.psub, cb.sub_ce) AS d2
+            FROM psubs p JOIN codebook cb USING (m)),
+    adc AS (SELECT l.probe_id, c.vec_id,
+                   round(sqrt(sum(l.d2)), 6) AS approx_l2
+            FROM codes c
+            JOIN lut l ON l.m = c.m AND l.c_label = c.code
+            WHERE c.vec_id <> l.probe_id
+            GROUP BY 1, 2),
+    topk AS (
+        SELECT probe_id, vec_id, approx_l2,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY approx_l2, vec_id) AS rn
+        FROM adc
+    )
+"""
+
+
+@register(
+    "q_sim_pq_adc",
+    oracle=f"""
+    WITH {_PQ_ADC_ORACLE_CORE}
+    SELECT probe_id, vec_id, approx_l2 FROM topk WHERE rn <= 10
+    """,
+)
+def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric distance computation over PQ codes — the scoring
+    half of a FAISS-style IVF-PQ index: the corpus exists only as
+    8-byte codes (q_sim_pq_assign's encoding), and each probe scores
+    a candidate by table lookup — approx L2 = sqrt(Σ_m
+    d²(probe_sub_m, codeword[code_m])) — touching 8 precomputed
+    cells instead of 64 floats.
+
+    Scale shape: the per-probe lookup table (probes × M × K rows —
+    KiB-sized) is BROADCAST; scoring is an equi-join of corpus codes
+    against it on (m, code) followed by a partial-aggregable 8-row
+    sum per (probe, candidate) — no window over the corpus, and the
+    full vectors never ship (codes are 32× smaller; that compression
+    is the point of PQ at 100 TB). Composes with IVF routing
+    (q_sim_ivf_kmeans's cell filter) to cut the candidate set before
+    scoring; kept flat here so the oracle certifies the ADC math
+    itself. Final top-10 is a window over the already-aggregated
+    candidate scores.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    lng = emb.select("label", F.posexplode("emb").alias("i0", "v"))
+    cent = (
+        lng.groupBy("label", (F.col("i0") + 1).alias("dim"))
+        .agg(F.avg("v").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda s: s["c"],
+            ).alias("ce")
+        )
+    )
+    split_m = lambda col: F.posexplode(  # noqa: E731
+        F.transform(
+            F.sequence(F.lit(1), F.lit(PQ_M)),
+            lambda m: F.slice(col, (m - 1) * PQ_S + 1, PQ_S),
+        )
+    )
+    codebook = cent.select(
+        F.col("label").alias("c_label"), split_m(F.col("ce")).alias("m0", "sub_ce")
+    ).select((F.col("m0") + 1).alias("m"), "c_label", "sub_ce")
+    subs = emb.select(
+        "vec_id", split_m(F.col("emb")).alias("m0", "sub")
+    ).select("vec_id", (F.col("m0") + 1).alias("m"), "sub")
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("sub"), F.col("sub_ce"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # Encode: nearest sub-centroid per (vec, m) — partial-aggregable
+    # min(struct(rounded_dist, code)), no window over the corpus.
+    codes = (
+        subs.join(F.broadcast(codebook), "m")
+        .groupBy("vec_id", "m")
+        .agg(
+            F.min(
+                F.struct(
+                    F.round(F.sqrt(d2), 6).alias("d"),
+                    F.col("c_label").alias("code"),
+                )
+            ).alias("best")
+        )
+        .select("vec_id", "m", F.col("best.code").alias("code"))
+    )
+    psubs = (
+        emb.filter(F.col("vec_id") % PROBE_MOD == 0)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            split_m(F.col("emb")).alias("m0", "psub"),
+        )
+        .select("probe_id", (F.col("m0") + 1).alias("m"), "psub")
+    )
+    lut = psubs.join(F.broadcast(codebook), "m").select(
+        "probe_id",
+        "m",
+        "c_label",
+        F.aggregate(
+            F.zip_with(
+                F.col("psub"),
+                F.col("sub_ce"),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("d2"),
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (codes["m"] == lut["m"]) & (codes["code"] == lut["c_label"]),
+        )
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .groupBy("probe_id", "vec_id")
+        .agg(F.round(F.sqrt(F.sum("d2")), 6).alias("approx_l2"))
+    )
+    w = W.partitionBy("probe_id").orderBy("approx_l2", "vec_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("probe_id", "vec_id", "approx_l2")
+    )
+
+
+@register(
+    "q_sim_pq_adc_recall",
+    oracle=f"""
+    WITH {_PQ_ADC_ORACLE_CORE},
+    exact AS (
+        SELECT probe_id, vec_id,
+               row_number() OVER (
+                   PARTITION BY probe_id
+                   ORDER BY round(list_distance(c.emb, p.emb), 6),
+                            vec_id) AS rn
+        FROM e c JOIN probes p ON c.vec_id <> p.probe_id
+    )
+    SELECT count(DISTINCT x.probe_id) AS n_probes,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(t.vec_id) AS BIGINT) AS n_hit,
+           round(CAST(count(t.vec_id) AS DOUBLE) / count(*), 4)
+               AS recall_at_10
+    FROM exact x
+    LEFT JOIN (SELECT probe_id, vec_id FROM topk WHERE rn <= 10) t
+        ON t.probe_id = x.probe_id AND t.vec_id = x.vec_id
+    WHERE x.rn <= 10
+    """,
+)
+def q_sim_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured quality certificate for the PQ-ADC tier: recall@10 of
+    the code-based approximate top-10 against the exact-L2 top-10,
+    per the family's measure-don't-guess rule (the LSH/IVF tiers
+    carry the same certificate). Measured 0.16 at sf 0.01 with the
+    UNTRAINED label-cell codebook (~8× the 0.02 random floor) — the
+    same finding as q_sim_ivf_recall_eval's 0.21: label cells are
+    not metric-coherent, and the production fix is the one
+    q_sim_ivf_kmeans made for routing (a Lloyd-trained codebook,
+    here over residuals, drops in as the identical broadcast table).
+    The number quantifies exactly what the 32× compression costs —
+    the trade a 100 TB index makes on purpose — and the oracle hash
+    pins it cross-engine.
+    """
+    adc = q_sim_pq_adc(spark, sf_dir).select(
+        F.col("probe_id").alias("a_probe"), F.col("vec_id").alias("a_vec")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    probes = emb.filter(F.col("vec_id") % PROBE_MOD == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("emb").alias("pe")
+    )
+    l2 = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("emb"), F.col("pe"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(
+        F.round(l2, 6).asc(), F.col("vec_id").asc()
+    )
+    exact = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("probe_id", "vec_id")
+    )
+    j = exact.join(
+        adc,
+        (F.col("probe_id") == F.col("a_probe"))
+        & (F.col("vec_id") == F.col("a_vec")),
+        "left",
+    )
+    return j.agg(
+        F.countDistinct("probe_id").alias("n_probes"),
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("a_vec").alias("n_hit"),
+        F.round(F.count("a_vec") / F.count(F.lit(1)), 4).alias(
+            "recall_at_10"
+        ),
+    )

@@ -217,3 +217,20 @@ def test_agg_regression_recovers_known_line(spark, tmp_path):
     ).write.parquet(str(tmp_path / "events.parquet"))
     r = QUERIES["q_agg_regression"](spark, str(tmp_path)).collect()[0]
     assert (r.n, r.slope_per_day, r.intercept, r.r2) == (10, 3.0, 2.0, 1.0)
+
+
+def test_pq_adc_beats_random_and_is_self_consistent(spark):
+    """ADC top-10 must (a) rank by the rounded approx distance with
+    vec_id tiebreak, (b) recall well above the 10/(n-1) random
+    floor."""
+    adc = QUERIES["q_sim_pq_adc"](spark, SF).collect()
+    by_probe = {}
+    for r in adc:
+        by_probe.setdefault(r.probe_id, []).append((r.approx_l2, r.vec_id))
+    for probe, rows in by_probe.items():
+        assert len(rows) == 10
+        assert rows == sorted(rows)
+    rec = QUERIES["q_sim_pq_adc_recall"](spark, SF).collect()[0]
+    n = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    random_floor = 10.0 / (n - 1)
+    assert rec.recall_at_10 > 3 * random_floor
