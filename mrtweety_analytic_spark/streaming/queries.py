@@ -1362,3 +1362,93 @@ def s_dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("cnt"))
     sink = _run_to_memory(spark, counts, "complete")
     return drift_psi(sink)
+
+
+ALERT_SPEND_THRESHOLD = 500.0
+
+
+@register(
+    "s_threshold_alert",
+    oracle=f"""
+    WITH p AS (
+        SELECT user_id, ts, event_id,
+               sum(value) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS cum
+        FROM events WHERE event_type = 'purchase'
+    ),
+    crossing AS (
+        SELECT user_id, ts, cum,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM p WHERE cum >= {ALERT_SPEND_THRESHOLD}
+    )
+    SELECT user_id, ts AS alert_ts, round(cum, 4) AS cum_spend
+    FROM crossing WHERE rn = 1
+    """,
+)
+def s_threshold_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming ALERTING: fire exactly ONE alert per user
+    the first time their running purchase spend crosses
+    ALERT_SPEND_THRESHOLD, then suppress forever — the
+    alert-storm-suppression contract every monitoring pipeline needs
+    (emit-on-transition, not emit-while-true). State per user is two
+    scalars (cum_spend, alerted); the crossing event's own timestamp
+    and the cumulative value AT the crossing are emitted, so the
+    alert is attributable. Batch-replay equality with the SQL
+    first-crossing query is the oracle.
+
+    Scale: state is O(active users) × 17 bytes, independent of event
+    volume; alerts are append-mode (each fires once), so downstream
+    consumers get an insert-only stream. Within a micro-batch the
+    kernel sorts by (ts, event_id) — the deterministic order the
+    oracle uses; across batches the file-source replay preserves
+    file order (event time here), as all replay twins in this module
+    assume.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = load_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "event_id", "ts", "value")
+
+    def alert_fn(key, pdf_iter, state):
+        cum, alerted = (
+            (state.get[0], bool(state.get[1]))
+            if state.exists
+            else (0.0, False)
+        )
+        out = []
+        for pdf in pdf_iter:
+            if alerted or not len(pdf):
+                cum += float(pdf["value"].sum()) if len(pdf) else 0.0
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            run = pdf["value"].cumsum() + cum
+            hit = run[run >= ALERT_SPEND_THRESHOLD]
+            cum = float(run.iloc[-1])
+            if len(hit):
+                i = hit.index[0]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "user_id": [key[0]],
+                            "alert_ts": [pdf.loc[i, "ts"]],
+                            "cum_spend": [round(float(hit.iloc[0]), 4)],
+                        }
+                    )
+                )
+                alerted = True
+        state.update((cum, int(alerted)))
+        yield from out
+
+    alerts = ev.groupBy("user_id").applyInPandasWithState(
+        alert_fn,
+        outputStructType="user_id long, alert_ts timestamp,"
+        " cum_spend double",
+        stateStructType="cum double, alerted int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(spark, alerts, "append")

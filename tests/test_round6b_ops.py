@@ -234,3 +234,41 @@ def test_pq_adc_beats_random_and_is_self_consistent(spark):
     n = spark.read.parquet(f"{SF}/embeddings.parquet").count()
     random_floor = 10.0 / (n - 1)
     assert rec.recall_at_10 > 3 * random_floor
+
+
+def test_threshold_alert_fires_once_at_crossing(spark, tmp_path):
+    """One alert per user, at the exact crossing event, suppressed
+    afterwards; under-threshold users never alert."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 3, 1)
+    rows = [
+        # user 1: 200 + 200 (under) then +200 -> crosses at event 3,
+        # then keeps buying -> no second alert
+        (1, 1, base, "purchase", 200.0),
+        (2, 1, base + timedelta(hours=1), "purchase", 200.0),
+        (3, 1, base + timedelta(hours=2), "purchase", 200.0),
+        (4, 1, base + timedelta(hours=3), "purchase", 999.0),
+        # user 2: stays under
+        (5, 2, base, "purchase", 100.0),
+        # user 3: single giant purchase crosses immediately
+        (6, 3, base, "purchase", 600.0),
+        # views never count
+        (7, 2, base, "view", 1e9),
+    ]
+    # load_events_stream probes the parquet footer at
+    # <dir>/events.parquet, so the fixture must be a single FILE
+    # (the testdata layout), not a Spark output directory.
+    import pandas as pd
+
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    ).to_parquet(str(tmp_path / "events.parquet"), index=False)
+    got = {
+        r.user_id: (r.alert_ts, r.cum_spend)
+        for r in QUERIES["s_threshold_alert"](spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {1, 3}
+    assert got[1] == (base + timedelta(hours=2), 600.0)
+    assert got[3] == (base, 600.0)
