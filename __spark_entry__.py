@@ -33,11 +33,12 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # and green under tools/verify_vanilla.py (the driver-style vanilla
 # session differential).
 #
-# After this window, 91 registered names remain never-driver-sampled:
-# the 34 round-6-new operators (q_dedup_incremental q_sim_gram
+# After this window, 93 registered names remain never-driver-sampled:
+# the 36 round-6-new operators (q_dedup_incremental q_sim_gram
 # q_sim_pca_power q_mix_temperature q_win_moving_regression
 # q_text_bpe_train q_agg_regression q_events_feature_window
 # q_sim_pq_adc q_sim_pq_adc_recall s_threshold_alert
+# q_sim_pq_trained q_sim_pq_trained_recall
 # q_shard_assign q_mix_rebalance
 # q_ts_changepoint q_ts_holt q_dq_drift q_join_interval_overlap
 # q_text_bpe_pairs q_events_pareto q_graph_bfs q_text_llr s_dq_drift

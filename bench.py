@@ -134,6 +134,7 @@ HEADLINE = [
     "q_events_feature_window",   # point-in-time leakage-safe features
     "q_sim_pq_adc",              # PQ asymmetric-distance top-k
     "q_sim_pq_adc_recall",       # measured ADC quality certificate
+    "q_sim_pq_trained",          # Lloyd-trained codebook ADC (0.16->0.29)
 ]
 
 

@@ -272,3 +272,12 @@ def test_threshold_alert_fires_once_at_crossing(spark, tmp_path):
     assert set(got) == {1, 3}
     assert got[1] == (base + timedelta(hours=2), 600.0)
     assert got[3] == (base, 600.0)
+
+
+def test_pq_training_improves_recall(spark):
+    """The Lloyd-trained codebook must strictly beat the untrained
+    label-mean codebook on the same corpus and probe set."""
+    base = QUERIES["q_sim_pq_adc_recall"](spark, SF).collect()[0]
+    trained = QUERIES["q_sim_pq_trained_recall"](spark, SF).collect()[0]
+    assert trained.n_exact == base.n_exact
+    assert trained.recall_at_10 > base.recall_at_10
