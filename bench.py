@@ -135,6 +135,7 @@ HEADLINE = [
     "q_sim_pq_adc",              # PQ asymmetric-distance top-k
     "q_sim_pq_adc_recall",       # measured ADC quality certificate
     "q_sim_pq_trained",          # Lloyd-trained codebook ADC (0.16->0.29)
+    "q_sample_time_split",       # embargoed temporal train/test split
 ]
 
 

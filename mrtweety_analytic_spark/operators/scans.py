@@ -306,3 +306,67 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("total"),
         )
     )
+
+
+@register(
+    "q_sample_time_split",
+    oracle="""
+    WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+               FROM events),
+    cut AS (SELECT mn + CAST(floor(0.8 * (mx - mn)) AS BIGINT) AS t1
+            FROM b),
+    lab AS (
+        SELECT e.user_id, e.ts,
+               CASE WHEN epoch_us(e.ts) < c.t1 THEN 'train'
+                    WHEN epoch_us(e.ts) >= c.t1 + 86400000000
+                        THEN 'test'
+                    ELSE 'embargo' END AS split
+        FROM events e CROSS JOIN cut c
+    )
+    SELECT split, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           min(ts) AS min_ts, max(ts) AS max_ts
+    FROM lab GROUP BY split
+    """,
+)
+def q_sample_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based train/test split with a 1-day EMBARGO gap — the
+    backtesting contract for temporal models: train ends at the 80%
+    point of the event timeline, test starts a full day later, and
+    everything between is quarantined so trailing-window features
+    computed at train time (e.g. q_events_feature_window's 7-day
+    sums) cannot straddle the boundary and leak test-period signal.
+    Complements q_split_leakage_safe (which guards CONTENT leakage
+    via near-dup clusters) on the temporal axis.
+
+    Scale: the timeline bounds are one tiny aggregate broadcast back
+    onto a stateless per-row CASE — the split is a map-only pass that
+    composes with partition pruning (a date-partitioned 100 TB layout
+    prunes each split to its partition range). Integer-microsecond
+    cutoff arithmetic, one double multiply, floor — engine-exact.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", F.unix_micros("ts").alias("us")
+    )
+    b = ev.agg(
+        F.min("us").alias("mn"), F.max("us").alias("mx")
+    ).select(
+        (
+            F.col("mn")
+            + F.floor(0.8 * (F.col("mx") - F.col("mn"))).cast("bigint")
+        ).alias("t1")
+    )
+    lab = ev.crossJoin(F.broadcast(b)).select(
+        "user_id",
+        "ts",
+        F.when(F.col("us") < F.col("t1"), "train")
+        .when(F.col("us") >= F.col("t1") + 86400000000, "test")
+        .otherwise("embargo")
+        .alias("split"),
+    )
+    return lab.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )

@@ -281,3 +281,16 @@ def test_pq_training_improves_recall(spark):
     trained = QUERIES["q_sim_pq_trained_recall"](spark, SF).collect()[0]
     assert trained.n_exact == base.n_exact
     assert trained.recall_at_10 > base.recall_at_10
+
+
+def test_time_split_embargo_gap_holds(spark):
+    """max(train) + 1 day <= min(test); all three splits non-empty
+    on the real corpus; counts partition the table."""
+    from datetime import timedelta
+
+    rows = {r.split: r for r in QUERIES["q_sample_time_split"](spark, SF).collect()}
+    assert set(rows) == {"train", "embargo", "test"}
+    assert rows["train"].max_ts + timedelta(days=1) <= rows["test"].min_ts
+    total = sum(r.n_events for r in rows.values())
+    n = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert total == n
