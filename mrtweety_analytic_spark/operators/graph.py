@@ -396,3 +396,95 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lv in levels[1:]:
         out = out.unionByName(lv)
     return out.select("node", F.col("lvl").cast("long").alias("lvl"))
+
+
+
+@register(
+    "q_graph_common_neighbors",
+    oracle="""
+    WITH e AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    cs AS (SELECT DISTINCT c FROM e),
+    probes AS (
+        SELECT a.c AS cust_a, b.c AS cust_b
+        FROM cs a JOIN cs b ON b.c = a.c + 1
+        ORDER BY a.c LIMIT 20
+    ),
+    scored AS (
+        SELECT p.cust_a, p.cust_b, count(*) AS n_common
+        FROM probes p
+        JOIN e ea ON ea.c = p.cust_a
+        JOIN e eb ON eb.c = p.cust_b AND eb.s = ea.s
+        GROUP BY 1, 2
+    )
+    SELECT p.cust_a, p.cust_b,
+           CAST(coalesce(s.n_common, 0) AS BIGINT) AS n_common
+    FROM probes p
+    LEFT JOIN scored s
+        ON s.cust_a = p.cust_a AND s.cust_b = p.cust_b
+    """,
+)
+def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction SCORING by common neighbors on the
+    customer-supplier bipartite graph: |N(a) ∩ N(b)| for a bounded
+    CANDIDATE pair list (here the 20 smallest consecutive-custkey
+    pairs, generated window-free by a c = c+1 self-join + TakeOrdered
+    — a deterministic stand-in for pairs a blocking stage proposes).
+    Scoring-not-enumeration is the deliberate scale shape: this
+    synthetic graph is DENSE (every supplier reaches ~half the
+    customers — measured min degree 518 of 2k customers at sf 0.1),
+    so all-pairs wedge enumeration is 172 M pairs at sf 0.1 and
+    quadratic at 100 TB, while scoring k given pairs is two
+    broadcast-filtered edge scans and one partial-aggregable count —
+    O(k x avg-degree) total. Candidate generation belongs to a
+    blocking tier (LSH/banding, as the dedup family does); scoring
+    composes behind it.
+
+    Zero-overlap candidates survive via the left join (a score of 0
+    is information to a ranker, not an absent row).
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    e = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .distinct()
+    )
+    cs = e.select("c").distinct()
+    probes = (
+        cs.alias("a")
+        .join(cs.alias("b"), F.col("b.c") == F.col("a.c") + 1)
+        .select(
+            F.col("a.c").alias("cust_a"), F.col("b.c").alias("cust_b")
+        )
+        .orderBy("cust_a")
+        .limit(20)
+    )
+    ea = e.join(
+        F.broadcast(probes.select("cust_a", "cust_b")),
+        e.c == F.col("cust_a"),
+    ).select("cust_a", "cust_b", "s")
+    scored = (
+        ea.join(
+            e.select(F.col("c").alias("cb"), F.col("s").alias("sb")),
+            (F.col("cb") == F.col("cust_b")) & (F.col("sb") == F.col("s")),
+        )
+        .groupBy("cust_a", "cust_b")
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    return (
+        probes.join(scored, ["cust_a", "cust_b"], "left")
+        .select(
+            "cust_a",
+            "cust_b",
+            F.coalesce("nc", F.lit(0)).cast("bigint").alias("n_common"),
+        )
+    )

@@ -294,3 +294,33 @@ def test_time_split_embargo_gap_holds(spark):
     total = sum(r.n_events for r in rows.values())
     n = spark.read.parquet(f"{SF}/events.parquet").count()
     assert total == n
+
+
+def test_common_neighbors_scores_candidates(spark):
+    """Every candidate pair appears exactly once (zero scores kept),
+    and each score equals the true neighbor-set intersection size."""
+    from pyspark.sql import functions as F
+
+    got = QUERIES["q_graph_common_neighbors"](spark, SF).collect()
+    assert len(got) == 20
+    o = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    l = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    e = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .collect()
+    )
+    nbrs = {}
+    for r in e:
+        nbrs.setdefault(r.o_custkey, set()).add(r.l_suppkey)
+    for r in got:
+        expected = len(
+            nbrs.get(r.cust_a, set()) & nbrs.get(r.cust_b, set())
+        )
+        assert r.n_common == expected
+        assert r.cust_b == r.cust_a + 1
