@@ -1628,36 +1628,34 @@ def _pq_trained_codebook(emb: DataFrame) -> DataFrame:
     cb = subs.filter(F.col("vec_id") < PQT_K).select(
         "m", F.col("vec_id").alias("code"), F.col("sub").alias("cw")
     )
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("sub"), F.col("cw"), lambda x, y: (x - y) * (x - y)
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
 
     def assign(codebook: DataFrame) -> DataFrame:
-        # struct order (dist, code, sub): (dist, code) is unique per
-        # group, so sub never participates in the comparison — it
-        # rides along to feed the mean.
-        return (
-            subs.join(F.broadcast(codebook), "m")
-            .groupBy("vec_id", "m")
-            .agg(
-                F.min(
-                    F.struct(
-                        F.round(F.sqrt(d2), 6).alias("d"),
-                        F.col("code").alias("code"),
-                        F.col("sub").alias("sub"),
-                    )
-                ).alias("best")
+        # Shuffle-free argmin (the q_sim_kmeans_assign /
+        # q_sim_ivf_kmeans shape): the codebook collapses to ONE
+        # 8-row broadcast (per-m codeword list) and each (vec, m) row
+        # takes array_min over struct(round(dist, 6), code) — a
+        # map-only broadcast join, no groupBy of the n×8 sub rows.
+        packed = codebook.groupBy("m").agg(
+            F.collect_list(F.struct("code", "cw")).alias("cws")
+        )
+        sub_d2 = lambda cw: F.aggregate(  # noqa: E731
+            F.zip_with(
+                F.col("sub"), cw, lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        best = F.array_min(
+            F.transform(
+                F.col("cws"),
+                lambda s: F.struct(
+                    F.round(F.sqrt(sub_d2(s["cw"])), 6).alias("d"),
+                    s["code"].alias("code"),
+                ),
             )
-            .select(
-                "vec_id",
-                "m",
-                F.col("best.code").alias("code"),
-                F.col("best.sub").alias("sub"),
-            )
+        )
+        return subs.join(F.broadcast(packed), "m").select(
+            "vec_id", "m", best["code"].alias("code"), "sub"
         )
 
     for _ in range(PQT_ITERS):
