@@ -137,6 +137,7 @@ HEADLINE = [
     "q_sim_pq_trained",          # Lloyd-trained codebook ADC (0.16->0.29)
     "q_sample_time_split",       # embargoed temporal train/test split
     "q_graph_common_neighbors",  # bounded-candidate link-pred scoring
+    "q_agg_weighted_median",     # O(1)-state weighted percentile
 ]
 
 

@@ -597,3 +597,62 @@ def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept("value", "x"), 6).alias("intercept"),
         F.round(F.regr_r2("value", "x"), 6).alias("r2"),
     )
+
+
+@register(
+    "q_agg_weighted_median",
+    oracle="""
+    WITH agg AS (
+        SELECT l_returnflag AS rf, l_extendedprice AS p,
+               sum(l_quantity) AS q
+        FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT rf, p, q,
+               sum(q) OVER (PARTITION BY rf ORDER BY p) AS cum,
+               sum(q) OVER (PARTITION BY rf) AS tot
+        FROM agg
+    )
+    SELECT rf AS l_returnflag,
+           round(min(CASE WHEN cum >= tot / 2 THEN p END), 2)
+               AS w_median_price,
+           round(sum(q), 2) AS total_qty
+    FROM c GROUP BY rf
+    """,
+)
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median: the smallest price whose cumulative quantity
+    weight reaches half the group's total — the inventory-valuation
+    statistic `percentile(col)` can't express (every unit of
+    quantity votes, not every row). Computed with O(1) window state:
+    pre-aggregate to distinct (group, price) so the cumulative sum's
+    order is total and engine-deterministic, one cumulative + one
+    total window over the SAME partition ordering (single sort), and
+    a conditional min — no per-group value buffering, unlike Spark's
+    exact percentile aggregate (the engine's rank-interpolation rule,
+    weighted form).
+
+    Scale: the pre-aggregate collapses 100 TB of line items to
+    |group × distinct price| rows before any window runs; the window
+    partitions by group, so state is one running double per group.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_extendedprice").alias("p"),
+        "l_quantity",
+    )
+    agg = li.groupBy("rf", "p").agg(F.sum("l_quantity").alias("q"))
+    wc = W.partitionBy("rf").orderBy("p")
+    c = agg.select(
+        "rf",
+        "p",
+        "q",
+        F.sum("q").over(wc).alias("cum"),
+        F.sum("q").over(W.partitionBy("rf")).alias("tot"),
+    )
+    return c.groupBy(F.col("rf").alias("l_returnflag")).agg(
+        F.round(
+            F.min(F.when(F.col("cum") >= F.col("tot") / 2, F.col("p"))), 2
+        ).alias("w_median_price"),
+        F.round(F.sum("q"), 2).alias("total_qty"),
+    )

@@ -324,3 +324,27 @@ def test_common_neighbors_scores_candidates(spark):
         )
         assert r.n_common == expected
         assert r.cust_b == r.cust_a + 1
+
+
+def test_weighted_median_votes_by_quantity(spark, tmp_path):
+    """Weights decide: prices 1,2,3 with quantities 1,1,10 -> the
+    unweighted median is 2 but the weighted median is 3."""
+    rows = [
+        ("A", 1.0, 1.0),
+        ("A", 2.0, 1.0),
+        ("A", 3.0, 10.0),
+        # group B: equal weights -> cum>=tot/2 picks the lower middle
+        ("B", 10.0, 1.0),
+        ("B", 20.0, 1.0),
+    ]
+    spark.createDataFrame(
+        rows, "l_returnflag string, l_extendedprice double,"
+        " l_quantity double"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    got = {
+        r.l_returnflag: (r.w_median_price, r.total_qty)
+        for r in QUERIES["q_agg_weighted_median"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {"A": (3.0, 12.0), "B": (10.0, 2.0)}
