@@ -138,6 +138,8 @@ HEADLINE = [
     "q_sample_time_split",       # embargoed temporal train/test split
     "q_graph_common_neighbors",  # bounded-candidate link-pred scoring
     "q_agg_weighted_median",     # O(1)-state weighted percentile
+    "q_text_bigram_logprob",     # add-one bigram-LM fluency score
+    "q_dedup_threshold_sweep",   # semantic-dedup cutoff calibration
 ]
 
 

@@ -1147,3 +1147,54 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "fp", "n_batch_copies", "n_chars")
     )
+
+
+@register(
+    "q_dedup_threshold_sweep",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[]))
+              >= 0.5
+    ),
+    th AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold)
+    SELECT th.threshold,
+           CAST(count(p.vec_a) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT p.vec_b) AS BIGINT) AS n_docs_dropped
+    FROM th LEFT JOIN pairs p ON p.cos_sim >= th.threshold
+    GROUP BY 1
+    """,
+)
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup threshold CALIBRATION: how many near-dup pairs
+    and dropped documents each cosine cutoff implies, in one pass over
+    the exact blocked pair join (q_dedup_embedding's output, its 0.5
+    gate bounding the sweep below). This is the measurement a pipeline
+    owner reads before committing a threshold — the difference between
+    0.7 and 0.9 is corpus volume, and guessing it is how over- and
+    under-deduped training sets happen. The measure-don't-guess rule,
+    applied to the knob itself.
+
+    Scale: the expensive part (blocked exact pairs) runs ONCE; the
+    sweep is a 5-row broadcast theta-join over the already-thresholded
+    pair list plus a partial-aggregable conditional count. Zero-pair
+    thresholds survive via the left join (a zero row is the answer,
+    not an absence).
+    """
+    pairs = q_dedup_embedding(spark, sf_dir)
+    th = spark.createDataFrame(
+        [(t,) for t in (0.5, 0.6, 0.7, 0.8, 0.9)], "threshold double"
+    )
+    j = th.join(
+        pairs, F.col("cos_sim") >= F.col("threshold"), "left"
+    )
+    return j.groupBy("threshold").agg(
+        F.count("vec_a").alias("n_pairs"),
+        F.countDistinct("vec_b").alias("n_docs_dropped"),
+    )

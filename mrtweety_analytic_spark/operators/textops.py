@@ -1419,3 +1419,84 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges,
         "step int, left string, right string, merged string, wsum long",
     )
+
+
+@register(
+    "q_text_bigram_logprob",
+    oracle="""
+    WITH a AS (SELECT doc_id, string_split(text, ' ') AS w
+               FROM documents),
+    bg AS (
+        SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        FROM a, unnest(range(1, len(w))) AS t(i)
+        WHERE w[i] <> '' AND w[i + 1] <> ''
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS n12 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(sum(n12) AS DOUBLE) AS n1
+           FROM c12 GROUP BY 1),
+    v AS (SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS v FROM bg)
+    SELECT bg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln((c12.n12 + 1) / (c1.n1 + v.v))), 4)
+               AS bigram_logprob
+    FROM bg
+    JOIN c12 ON bg.w1 = c12.w1 AND bg.w2 = c12.w2
+    JOIN c1 ON bg.w1 = c1.w1
+    CROSS JOIN v
+    GROUP BY bg.doc_id
+    """,
+)
+def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency score with add-one smoothing: each document's
+    mean ln P(w2|w1) where P = (c(w1,w2)+1) / (c(w1)+V) — the
+    next-step-up perplexity proxy after q_text_unigram_logprob
+    (CCNet-style quality ranking orders docs by exactly this family
+    of scores before any neural scorer runs). Low scores flag
+    boilerplate-free but incoherent token soup that unigram
+    frequency alone cannot see.
+
+    Scale: bigrams via arrays_zip over two shifted slices (the
+    engine's codegen shingling rule, map-side); the bigram LM table
+    is O(distinct bigrams) and the conditional-count table O(vocab)
+    — both broadcast back onto the bigram stream, so scoring is a
+    map-side join and only (doc_id, partial sums) shuffle. Rounded
+    at 4 (mean of libm ln values, same policy as the unigram op).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.split("text", " ")
+    zipped = F.arrays_zip(
+        F.slice(arr, 1, F.size(arr) - 1), F.slice(arr, 2, F.size(arr) - 1)
+    )
+    bg = (
+        docs.select("doc_id", F.explode(zipped).alias("pr"))
+        .select(
+            "doc_id",
+            F.col("pr.0").alias("w1"),
+            F.col("pr.1").alias("w2"),
+        )
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = c12.groupBy("w1").agg(
+        F.sum("n12").cast("double").alias("n1")
+    )
+    v = bg.agg(F.countDistinct("w2").cast("double").alias("v"))
+    lm = (
+        c12.join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "w1",
+            "w2",
+            F.log((F.col("n12") + 1) / (F.col("n1") + F.col("v"))).alias(
+                "logp"
+            ),
+        )
+    )
+    return (
+        bg.join(F.broadcast(lm), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("logp"), 4).alias("bigram_logprob"),
+        )
+    )

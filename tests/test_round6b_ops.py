@@ -348,3 +348,44 @@ def test_weighted_median_votes_by_quantity(spark, tmp_path):
         ).collect()
     }
     assert got == {"A": (3.0, 12.0), "B": (10.0, 2.0)}
+
+
+def test_bigram_logprob_ranks_coherence(spark, tmp_path):
+    """A doc of corpus-frequent bigrams must outscore a doc whose
+    bigrams never co-occur elsewhere (same unigrams!)."""
+    rows = [
+        # 'a b' appears 3x across docs 1-3 -> frequent bigram
+        (1, "a b", "en", "web", 3),
+        (2, "a b", "en", "web", 3),
+        (3, "a b c d", "en", "web", 7),
+        # doc 4 uses the SAME unigrams in unseen order
+        (4, "b a d c", "en", "web", 7),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: r.bigram_logprob
+        for r in QUERIES["q_text_bigram_logprob"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got[1] > got[4]
+    assert got[3] > got[4]
+
+
+def test_threshold_sweep_is_monotone(spark):
+    """Raising the cutoff can only shrink pairs and drops; the 0.5
+    row equals the exact tier's totals."""
+    rows = {
+        r.threshold: (r.n_pairs, r.n_docs_dropped)
+        for r in QUERIES["q_dedup_threshold_sweep"](spark, SF).collect()
+    }
+    ths = sorted(rows)
+    for lo, hi in zip(ths, ths[1:]):
+        assert rows[lo][0] >= rows[hi][0]
+        assert rows[lo][1] >= rows[hi][1]
+    exact = QUERIES["q_dedup_embedding"](spark, SF)
+    assert rows[0.5][0] == exact.count()
