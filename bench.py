@@ -140,6 +140,8 @@ HEADLINE = [
     "q_agg_weighted_median",     # O(1)-state weighted percentile
     "q_text_bigram_logprob",     # add-one bigram-LM fluency score
     "q_dedup_threshold_sweep",   # semantic-dedup cutoff calibration
+    "q_sql_execute_immediate",   # dynamic SQL, bound parameters
+    "q_sql_union_by_name",       # schema-drift union, null-filled
 ]
 
 

@@ -326,3 +326,72 @@ def q_sql_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         args={"tbl": "ident_events", "dim": "event_type",
               "measure": "value"},
     )
+
+
+@register(
+    "q_sql_execute_immediate",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           round(avg(o_totalprice), 4) AS avg_price
+    FROM orders
+    WHERE o_totalprice > 100000
+    GROUP BY o_orderstatus
+    """,
+)
+def q_sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic SQL via Spark 4 EXECUTE IMMEDIATE with positional
+    `USING` binding — the query text arrives as a runtime VALUE (how
+    query services, schedulers, and stored routines dispatch SQL they
+    composed elsewhere) while the parameter still binds outside the
+    string, preserving q_sql_named_params' injection-safe calling
+    convention. The oracle inlines the bound literal, certifying the
+    indirection changes nothing semantically.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "ei_orders"
+    )
+    stmt = (
+        "SELECT o_orderstatus, count(*) AS n, "
+        "round(avg(o_totalprice), 4) AS avg_price "
+        "FROM ei_orders WHERE o_totalprice > ? "
+        "GROUP BY o_orderstatus"
+    )
+    return spark.sql(f"EXECUTE IMMEDIATE '{stmt}' USING 100000")
+
+
+@register(
+    "q_sql_union_by_name",
+    oracle="""
+    WITH gen1 AS (
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE doc_id % 2 = 0
+    ),
+    gen2 AS (
+        SELECT doc_id, source, n_chars FROM documents
+        WHERE doc_id % 2 = 1
+    )
+    SELECT * FROM gen1 UNION ALL BY NAME SELECT * FROM gen2
+    """,
+)
+def q_sql_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift union: two corpus generations project DIFFERENT
+    column sets (gen1 kept `lang`, gen2 replaced it with `source`)
+    and still union into one frame — columns align BY NAME, absent
+    ones null-fill (`unionByName(allowMissingColumns=True)`; the
+    oracle is DuckDB's UNION ALL BY NAME). Positional UNION would
+    silently zip lang against source — the classic
+    drifted-generation corruption this operator exists to rule out;
+    q_scan_schema_merge solves the same drift at the SCAN layer,
+    this solves it at plan-composition time.
+
+    Scale: a union is plan metadata — no shuffle, no extra scan cost
+    beyond the two inputs; null-fill is a projection.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    gen1 = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "lang", "n_chars"
+    )
+    gen2 = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "source", "n_chars"
+    )
+    return gen1.unionByName(gen2, allowMissingColumns=True)
