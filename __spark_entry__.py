@@ -33,12 +33,12 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # and green under tools/verify_vanilla.py (the driver-style vanilla
 # session differential).
 #
-# After this window, 100 registered names remain never-driver-sampled:
-# the 43 round-6-new operators (q_sample_time_split
+# After this window, 101 registered names remain never-driver-sampled:
+# the 44 round-6-new operators (q_sample_time_split
 # q_graph_common_neighbors q_agg_weighted_median
 # q_text_bigram_logprob q_dedup_threshold_sweep
 # q_sql_execute_immediate q_sql_union_by_name
-# q_dedup_incremental q_sim_gram
+# q_dedup_minhash_md5 q_dedup_incremental q_sim_gram
 # q_sim_pca_power q_mix_temperature q_win_moving_regression
 # q_text_bpe_train q_agg_regression q_events_feature_window
 # q_sim_pq_adc q_sim_pq_adc_recall s_threshold_alert

@@ -142,6 +142,7 @@ HEADLINE = [
     "q_dedup_threshold_sweep",   # semantic-dedup cutoff calibration
     "q_sql_execute_immediate",   # dynamic SQL, bound parameters
     "q_sql_union_by_name",       # schema-drift union, null-filled
+    "q_dedup_minhash_md5",       # oracle-certified banded MinHash-LSH
 ]
 
 

@@ -1198,3 +1198,163 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("vec_a").alias("n_pairs"),
         F.countDistinct("vec_b").alias("n_docs_dropped"),
     )
+
+
+MHC_HASHES = 16  # md5-derived hash functions
+MHC_BANDS = 4    # 4 bands x 4 rows; s-curve knee ~ (1/4)^(1/4) ~ 0.71
+MHC_JACCARD = 0.5
+
+
+@register(
+    "q_dedup_minhash_md5",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '),
+                           x -> x <> '') AS ws
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS s
+        FROM w, unnest(range(1, len(ws) - 1)) AS t(i)
+    ),
+    mh AS (
+        SELECT doc_id, i,
+               min(md5(CAST(i AS VARCHAR) || ':' || s)) AS h
+        FROM sh, unnest(range(0, {MHC_HASHES})) AS t(i)
+        GROUP BY doc_id, i
+    ),
+    sig AS (
+        SELECT doc_id, i // {MHC_HASHES // MHC_BANDS} AS band,
+               string_agg(h, '' ORDER BY i) AS sg
+        FROM mh GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b
+          ON a.band = b.band AND a.sg = b.sg AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS ni
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni), 6)
+               AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= {MHC_JACCARD}
+    """,
+)
+def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH with ENGINE-PORTABLE hash functions: h_i(s) =
+    md5(i || ':' || s) (the md5-family trick behind the 48-bit gate
+    and priority sampling), 16 minhashes banded 4×4, candidate pairs
+    from band-bucket equality, then EXACT Jaccard verification of
+    candidates only. Unlike q_dedup_minhash_lsh (pyspark.ml seeded
+    xxhash — rows-only by necessity), every stage here is
+    reproducible in any engine, so the full banded pipeline sits
+    under the oracle hash: candidate generation, the s-curve cut,
+    and the verified pairs all certified cross-engine.
+
+    Scale: shingling is map-side arrays_zip; the minhash aggregate
+    is partial-aggregable min over (doc, i) — O(docs × 16) state;
+    banding groups O(docs × 4) signature rows; pairs form only
+    inside equal buckets (never all-pairs); exact verification
+    touches candidates only. The LSH contract at 100 TB, now with a
+    differential-testable spine.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.lower("text"), " "), lambda x: x != ""
+    )
+    n3 = F.greatest(F.lit(0), F.size(ws) - 2)
+    zipped = F.arrays_zip(
+        F.slice(ws, 1, n3), F.slice(ws, 2, n3), F.slice(ws, 3, n3)
+    )
+    sh = (
+        docs.select("doc_id", F.explode(zipped).alias("g"))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.col("g.0"), F.col("g.1"), F.col("g.2")
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    rows_per_band = MHC_HASHES // MHC_BANDS
+    mh = (
+        sh.select(
+            "doc_id",
+            "s",
+            F.explode(F.sequence(F.lit(0), F.lit(MHC_HASHES - 1))).alias(
+                "i"
+            ),
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.md5(
+                F.concat(F.col("i").cast("string"), F.lit(":"), F.col("s"))
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min("h").alias("h"))
+    )
+    sig = (
+        mh.groupBy(
+            "doc_id", (F.col("i") / rows_per_band).cast("int").alias("band")
+        )
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "h"))),
+                    lambda s: s["h"],
+                ),
+                "",
+            ).alias("sg")
+        )
+    )
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"), "band", F.col("sg").alias("sga")
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"), "band", F.col("sg").alias("sgb")
+    )
+    cand = (
+        a.join(b, (a.band == b.band) & (F.col("sga") == F.col("sgb")))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    inter = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a"
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "s"),
+            ["doc_b", "s"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    jac = F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni"))
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .filter(jac >= MHC_JACCARD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

@@ -389,3 +389,33 @@ def test_threshold_sweep_is_monotone(spark):
         assert rows[lo][1] >= rows[hi][1]
     exact = QUERIES["q_dedup_embedding"](spark, SF)
     assert rows[0.5][0] == exact.count()
+
+
+def test_minhash_md5_candidates_agree_with_exact_tier(spark):
+    """Every verified md5-minhash pair must truly have jaccard >= 0.5
+    (checked against a brute-force python jaccard), and the banded
+    candidate stage must recover all such pairs on this corpus (the
+    lsh_eval finding: 0 FN at sf0.001/0.01)."""
+    import itertools
+
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in QUERIES["q_dedup_minhash_md5"](spark, SF).collect()
+    }
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    sh = {}
+    for d in docs:
+        ws = [w for w in d.text.lower().split(" ") if w]
+        sh[d.doc_id] = {
+            " ".join(ws[i : i + 3]) for i in range(len(ws) - 2)
+        }
+    exact = {}
+    for a, b in itertools.combinations(sorted(sh), 2):
+        inter = len(sh[a] & sh[b])
+        if inter:
+            j = inter / (len(sh[a]) + len(sh[b]) - inter)
+            if j >= 0.5:
+                exact[(a, b)] = j
+    assert set(got) == set(exact)
+    for k, j in got.items():
+        assert abs(j - exact[k]) < 1e-5
