@@ -802,3 +802,96 @@ def test_holt_kernel_matches_reference_on_random_series(
         l = l_new
     assert got.level == pytest.approx(round(l, 6))
     assert got.trend == pytest.approx(round(b, 6))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.dictionaries(
+        st.text(alphabet="abcde", min_size=1, max_size=6),
+        st.integers(min_value=1, max_value=20),
+        min_size=0,
+        max_size=8,
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+def test_bpe_merge_loop_invariants(word_counts, k):
+    """The pure BPE trainer core: every recorded merge's wsum equals
+    a recount of that pair at its own step (replayed independently),
+    merges are deterministic, and symbols only ever concatenate."""
+    from mrtweety_analytic_spark.operators.textops import _bpe_merge_loop
+
+    merges = _bpe_merge_loop(dict(word_counts), k)
+    assert merges == _bpe_merge_loop(dict(word_counts), k)  # pure
+    # replay: apply merges one at a time, recount the pair just
+    # before its merge step — must equal the recorded wsum
+    syms = {w: tuple(w) for w in word_counts}
+    for step, left, right, merged, wsum in merges:
+        assert merged == left + right
+        cnt = 0
+        for w, s in syms.items():
+            cnt += sum(
+                word_counts[w]
+                for a, b in zip(s, s[1:])
+                if (a, b) == (left, right)
+            )
+        assert cnt == wsum and wsum >= 1
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = tuple(out)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B"]),
+            st.floats(min_value=1.0, max_value=100.0, allow_nan=False),
+            st.floats(min_value=0.5, max_value=10.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_weighted_median_matches_expansion(spark, rows):
+    """q_agg_weighted_median on random data == the plain median rule
+    applied to each row repeated per its (integerized) weight."""
+    import tempfile, os, shutil
+
+    rows = [(g, round(p, 2), float(int(q))) for g, p, q in rows]
+    rows = [(g, p, q) for g, p, q in rows if q >= 1.0]
+    if not rows:
+        return
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    d = tempfile.mkdtemp()
+    try:
+        spark.createDataFrame(
+            rows,
+            "l_returnflag string, l_extendedprice double, l_quantity double",
+        ).write.parquet(os.path.join(d, "lineitem.parquet"))
+        got = {
+            r.l_returnflag: r.w_median_price
+            for r in QUERIES["q_agg_weighted_median"](spark, d).collect()
+        }
+        for g in {r[0] for r in rows}:
+            expanded = sorted(
+                p for gg, p, q in rows for _ in range(int(q)) if gg == g
+            )
+            tot = len(expanded)
+            # smallest value whose cumulative count reaches half
+            cum, pick = 0, None
+            for p in expanded:
+                cum += 1
+                if cum >= tot / 2:
+                    pick = p
+                    break
+            assert got[g] == pytest.approx(pick, abs=1e-6)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
