@@ -143,6 +143,8 @@ HEADLINE = [
     "q_sql_execute_immediate",   # dynamic SQL, bound parameters
     "q_sql_union_by_name",       # schema-drift union, null-filled
     "q_dedup_minhash_md5",       # oracle-certified banded MinHash-LSH
+    "q_text_pii_stats",          # per-source PII exposure report
+    "q_events_bot_detect",       # timing-regularity bot flagging
 ]
 
 

@@ -1479,3 +1479,72 @@ def q_events_feature_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("spend_7d"),
     )
     return feat.filter(is_pur).drop("event_type")
+
+
+@register(
+    "q_events_bot_detect",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               (epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)))
+                   / 1000000.0 AS gap_s
+        FROM events
+    ),
+    stats AS (
+        SELECT user_id,
+               count(gap_s) AS n_gaps,
+               avg(gap_s) AS mean_gap,
+               stddev_samp(gap_s) AS sd_gap
+        FROM gaps WHERE gap_s IS NOT NULL
+        GROUP BY user_id
+    )
+    SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+           round(mean_gap, 4) AS mean_gap_s,
+           round(sd_gap / nullif(mean_gap, 0.0), 4) AS gap_cv,
+           CASE WHEN n_gaps >= 20
+                     AND sd_gap / nullif(mean_gap, 0.0) < 0.1
+                THEN 1 ELSE 0 END AS is_bot
+    FROM stats
+    """,
+)
+def q_events_bot_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/automation flagging by TIMING REGULARITY: humans are
+    bursty, schedulers are metronomes — a user whose inter-event
+    gaps have coefficient of variation < 0.1 over >= 20 gaps is
+    firing on a timer. The curation use is upstream of every
+    engagement metric here (DAU, funnels, LTV) and of training-data
+    quality: machine-generated event streams poison both. One
+    lag window for the gaps (integer-microsecond exact), then a
+    per-user moment aggregate; the flag thresholds are explicit
+    columns so the report shows WHY a user was flagged, not just
+    that it was.
+
+    Scale: one shuffle on user_id; gap state is one row lookback;
+    the moment aggregate is partial-aggregable (count/mean/stddev
+    co-moments). Flags for 100 TB of events cost one pass.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+            / 1000000.0
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    stats = gaps.groupBy("user_id").agg(
+        F.count("gap_s").alias("n_gaps"),
+        F.avg("gap_s").alias("mean_gap"),
+        F.stddev_samp("gap_s").alias("sd_gap"),
+    )
+    cv = F.col("sd_gap") / F.nullif(F.col("mean_gap"), F.lit(0.0))
+    return stats.select(
+        "user_id",
+        F.col("n_gaps").cast("bigint").alias("n_gaps"),
+        F.round("mean_gap", 4).alias("mean_gap_s"),
+        F.round(cv, 4).alias("gap_cv"),
+        F.when((F.col("n_gaps") >= 20) & (cv < 0.1), 1)
+        .otherwise(0)
+        .alias("is_bot"),
+    )

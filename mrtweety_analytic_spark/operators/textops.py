@@ -1500,3 +1500,48 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("logp"), 4).alias("bigram_logprob"),
         )
     )
+
+
+@register(
+    "q_text_pii_stats",
+    oracle=r"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(regexp_extract_all(text,
+               '[a-z0-9._]+@[a-z0-9.]+'))) AS BIGINT) AS n_emails,
+           CAST(sum(len(regexp_extract_all(text,
+               '\b\d{3}[- ]\d{4}\b'))) AS BIGINT) AS n_phones,
+           CAST(sum(CASE WHEN regexp_matches(text,
+               '[a-z0-9._]+@[a-z0-9.]+') THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_with_email
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_text_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII EXPOSURE REPORT per source — the compliance artifact that
+    decides where q_text_redact must run and which sources need a
+    human look before a training run: total email/phone hits and the
+    share of documents carrying any, using the exact same patterns
+    the redactor applies (stats and scrub can never disagree). Same
+    role for privacy that q_dq_profile plays for schema quality.
+
+    Scale: one JVM-side regexp pass fused into a per-source
+    partial-aggregable count — no shuffle of text, only (source,
+    4 longs). Extend by adding patterns as columns, not passes.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    emails = F.size(
+        F.regexp_extract_all("text", F.lit(r"[a-z0-9._]+@[a-z0-9.]+"), 0)
+    )
+    phones = F.size(
+        F.regexp_extract_all("text", F.lit(r"\b\d{3}[- ]\d{4}\b"), 0)
+    )
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(emails).cast("bigint").alias("n_emails"),
+        F.sum(phones).cast("bigint").alias("n_phones"),
+        F.sum(F.when(emails > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_docs_with_email"),
+    )

@@ -419,3 +419,41 @@ def test_minhash_md5_candidates_agree_with_exact_tier(spark):
     assert set(got) == set(exact)
     for k, j in got.items():
         assert abs(j - exact[k]) < 1e-5
+
+
+def test_bot_detect_flags_metronome_not_human(spark, tmp_path):
+    """A perfectly periodic 25-event user is flagged; a bursty user
+    with the same event count is not; a 3-event user never is."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 4, 1)
+    rows = []
+    # user 1: exact 60s metronome, 25 events -> 24 gaps, cv = 0
+    rows += [
+        (i, 1, base + timedelta(seconds=60 * i), "view", 1.0)
+        for i in range(25)
+    ]
+    # user 2: bursty (1s, 1s, 3600s repeating), 25 events
+    t = base
+    gaps = [1, 1, 3600] * 8
+    rows.append((100, 2, t, "view", 1.0))
+    for j, g in enumerate(gaps[:24]):
+        t = t + timedelta(seconds=g)
+        rows.append((101 + j, 2, t, "view", 1.0))
+    # user 3: metronomic but only 3 events -> below n_gaps floor
+    rows += [
+        (200 + i, 3, base + timedelta(seconds=60 * i), "view", 1.0)
+        for i in range(3)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.user_id: (r.is_bot, r.n_gaps)
+        for r in QUERIES["q_events_bot_detect"](spark, str(tmp_path)).collect()
+    }
+    assert got[1] == (1, 24)
+    assert got[2][0] == 0
+    assert got[3] == (0, 2)
