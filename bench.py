@@ -145,6 +145,8 @@ HEADLINE = [
     "q_dedup_minhash_md5",       # oracle-certified banded MinHash-LSH
     "q_text_pii_stats",          # per-source PII exposure report
     "q_events_bot_detect",       # timing-regularity bot flagging
+    "q_ts_crosscorr",            # lead/lag cross-correlation grid
+    "q_win_cumulative_distinct", # running distinct via first-flag sum
 ]
 
 

@@ -1956,3 +1956,67 @@ def q_ts_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.abs(z) > 3, 1).otherwise(0).alias("is_outlier"),
         )
     )
+
+
+@register(
+    "q_ts_crosscorr",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(count(*) FILTER (WHERE event_type = 'click')
+                    AS DOUBLE) AS c,
+               CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                    AS DOUBLE) AS p
+        FROM events GROUP BY 1
+    ),
+    lags AS (SELECT unnest(range(-3, 4)) AS lag_days),
+    paired AS (
+        SELECT l.lag_days, a.c, b.p
+        FROM lags l
+        JOIN daily a ON true
+        JOIN daily b ON b.d = a.d + to_days(CAST(l.lag_days AS INTEGER))
+    )
+    SELECT lag_days, CAST(count(*) AS BIGINT) AS n_days,
+           round(corr(c, p), 6) + 0.0 AS xcorr
+    FROM paired GROUP BY lag_days
+    """,
+)
+def q_ts_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead/lag CROSS-correlation between two event series: corr of
+    daily click volume against purchase volume shifted -3..+3 days —
+    the 'does marketing lead conversion, and by how many days?'
+    diagnostic (the argmax lag is the empirical conversion delay;
+    q_ts_autocorr answers the same question within one series).
+
+    Scale: the corpus collapses to one row per day FIRST (conditional
+    counts, partial-aggregable), so the 7-lag pairing is a self-join
+    of a days-sized frame — broadcast, trivially — and corr is a
+    mergeable co-moment. The NaN guard (zero-variance series ->
+    NULL, matching DuckDB) follows the q_ts_autocorr fix.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.when(F.col("event_type") == "click", 1))
+        .cast("double")
+        .alias("c"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("double")
+        .alias("p"),
+    )
+    lags = spark.createDataFrame(
+        [(i,) for i in range(-3, 4)], "lag_days int"
+    )
+    a = daily.select("d", "c")
+    b = daily.select(F.col("d").alias("d2"), "p")
+    paired = (
+        lags.crossJoin(a)
+        .join(
+            F.broadcast(b),
+            F.col("d2") == F.date_add(F.col("d"), F.col("lag_days")),
+        )
+    )
+    c = F.corr("c", "p")
+    return paired.groupBy("lag_days").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.when(~F.isnan(c), c), 6).alias("xcorr"),
+    )

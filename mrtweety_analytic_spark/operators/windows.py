@@ -386,3 +386,64 @@ def q_win_moving_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_w") >= 3)
     )
+
+
+@register(
+    "q_win_cumulative_distinct",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN row_number() OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id) = 1
+                    THEN 1 ELSE 0 END AS is_first
+        FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(sum(is_first) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n_distinct_types_so_far
+    FROM flagged
+    """,
+)
+def q_win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count over a window — the breadth-of-
+    engagement curve (how many distinct event types has this user
+    touched as of each event), which `count(distinct) OVER` cannot
+    express in either engine. The standard rewrite: flag each
+    (user, type)'s FIRST occurrence with one row_number window, then
+    a running sum of flags — two windows, both O(1) state, no
+    set materialization anywhere (a collect_set-based form would
+    carry the whole set per row).
+
+    Scale: both windows shuffle on user_id (the second reuses the
+    first's partitioning — one Exchange); state per row is a single
+    long. The same rewrite handles distinct-items-per-session,
+    distinct-SKUs-per-customer, vocabulary growth curves.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w_first = W.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.row_number().over(w_first) == 1, 1)
+        .otherwise(0)
+        .alias("is_first"),
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("is_first")
+        .over(w_run)
+        .cast("bigint")
+        .alias("n_distinct_types_so_far"),
+    )

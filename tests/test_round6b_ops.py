@@ -457,3 +457,37 @@ def test_bot_detect_flags_metronome_not_human(spark, tmp_path):
     assert got[1] == (1, 24)
     assert got[2][0] == 0
     assert got[3] == (0, 2)
+
+
+def test_cumulative_distinct_counts_breadth(spark, tmp_path):
+    """The running distinct-type count steps up exactly at first
+    occurrences and never decreases."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 5, 1)
+    seq = ["view", "view", "click", "view", "purchase", "click"]
+    rows = [
+        (i, 1, base + timedelta(minutes=i), t, 1.0)
+        for i, t in enumerate(seq)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = [
+        r.n_distinct_types_so_far
+        for r in QUERIES["q_win_cumulative_distinct"](spark, str(tmp_path))
+        .orderBy("event_id")
+        .collect()
+    ]
+    assert got == [1, 1, 2, 2, 3, 3]
+
+
+def test_crosscorr_full_lag_grid(spark):
+    """All 7 lags present; lag 0 pairs every day with itself so
+    n_days is the full spine; symmetric lags pair equally many days."""
+    rows = {r.lag_days: r.n_days for r in QUERIES["q_ts_crosscorr"](spark, SF).collect()}
+    assert set(rows) == set(range(-3, 4))
+    assert rows[1] == rows[-1] and rows[3] == rows[-3]
+    assert rows[0] == max(rows.values())
