@@ -147,6 +147,7 @@ HEADLINE = [
     "q_events_bot_detect",       # timing-regularity bot flagging
     "q_ts_crosscorr",            # lead/lag cross-correlation grid
     "q_win_cumulative_distinct", # running distinct via first-flag sum
+    "q_join_scd2_pit",           # point-in-time SCD2 dimension join
 ]
 
 

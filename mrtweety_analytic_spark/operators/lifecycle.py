@@ -865,3 +865,70 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weight_mult"
         ),
     )
+
+
+@register(
+    "q_join_scd2_pit",
+    oracle="""
+    WITH dim AS (
+        SELECT user_id, round(value, 4) AS ver_value, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS valid_to
+        FROM events WHERE event_type = 'purchase'
+    ),
+    facts AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'click'
+    )
+    SELECT f.event_id, f.user_id, f.ts,
+           d.ver_value, d.valid_from
+    FROM facts f
+    JOIN dim d
+      ON d.user_id = f.user_id
+     AND d.valid_from <= f.ts
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    """,
+)
+def q_join_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time fact-to-dimension join against SCD2 validity
+    intervals: every click is enriched with the purchase-version that
+    was CURRENT at the click's timestamp (half-open [valid_from,
+    valid_to) intervals, NULL valid_to = still current) — the
+    temporal-join half of the q_cdc_scd2 history build, and the
+    warehouse query every Kimball dimension exists to serve. Matches
+    are naturally unique: intervals per user partition time, so no
+    dedup or argmax is needed after the interval predicate.
+
+    Scale: equi-join on user_id carries the interval predicates as
+    residual filters, so fan-out per fact row is bounded by that
+    user's version count (small by construction), never a range-join
+    blow-up; both sides shuffle once on the key. A date-bucketed
+    variant (q_join_interval_overlap's shape) drops in when versions
+    per key grow unbounded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.round("value", 4).alias("ver_value"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+    )
+    facts = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    return facts.join(
+        dim,
+        (facts["user_id"] == dim["user_id"])
+        & (dim["valid_from"] <= facts["ts"])
+        & (dim["valid_to"].isNull() | (facts["ts"] < dim["valid_to"])),
+    ).select(
+        "event_id",
+        facts["user_id"].alias("user_id"),
+        "ts",
+        "ver_value",
+        "valid_from",
+    )

@@ -491,3 +491,33 @@ def test_crosscorr_full_lag_grid(spark):
     assert set(rows) == set(range(-3, 4))
     assert rows[1] == rows[-1] and rows[3] == rows[-3]
     assert rows[0] == max(rows.values())
+
+
+def test_scd2_pit_selects_the_version_valid_at_fact_time(spark, tmp_path):
+    """Clicks land on the correct version: before any purchase -> no
+    row; between versions -> the earlier one; at a boundary -> the
+    NEW version (half-open intervals); after the last -> the open
+    current version."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 6, 1)
+    rows = [
+        # two purchase versions for user 1
+        (1, 1, base, "purchase", 10.0),
+        (2, 1, base + timedelta(days=2), "purchase", 20.0),
+        # clicks probing each regime
+        (10, 1, base - timedelta(hours=1), "click", 0.0),   # before all
+        (11, 1, base + timedelta(days=1), "click", 0.0),    # version 1
+        (12, 1, base + timedelta(days=2), "click", 0.0),    # boundary -> v2
+        (13, 1, base + timedelta(days=9), "click", 0.0),    # open v2
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.event_id: r.ver_value
+        for r in QUERIES["q_join_scd2_pit"](spark, str(tmp_path)).collect()
+    }
+    assert got == {11: 10.0, 12: 20.0, 13: 20.0}
