@@ -148,6 +148,7 @@ HEADLINE = [
     "q_ts_crosscorr",            # lead/lag cross-correlation grid
     "q_win_cumulative_distinct", # running distinct via first-flag sum
     "q_join_scd2_pit",           # point-in-time SCD2 dimension join
+    "q_sim_semantic_clusters",   # paraphrase families via shared CC core
 ]
 
 

@@ -379,6 +379,19 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (localCheckpoint truncates the whole jaccard lineage) and
     # re-truncate labels every round — otherwise each iteration
     # re-executes all previous iterations' joins.
+    return min_label_propagate(pairs).select(
+        F.col("doc").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def min_label_propagate(pairs: DataFrame) -> DataFrame:
+    """Connected components by iterative min-label propagation over
+    an (doc_a, doc_b) pair list — the shared core behind
+    q_dedup_clusters (shingle-jaccard edges) and
+    q_sim_semantic_clusters (embedding-cosine edges). Each round is
+    one distributed join+aggregate; labels re-checkpoint every round
+    so iteration k never re-executes 1..k-1; only the convergence
+    count crosses to the driver."""
     edges = pairs.unionByName(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
@@ -415,9 +428,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(
-        F.col("doc").alias("doc_id"), F.col("label").alias("cluster_id")
-    )
+    return labels
 
 
 @register(

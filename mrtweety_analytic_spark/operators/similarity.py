@@ -1815,3 +1815,53 @@ def q_sim_pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_10"
         ),
     )
+
+
+@register(
+    "q_sim_semantic_clusters",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[]))
+              >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc, other) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT r.doc, e.b FROM reach r JOIN edges e ON e.a = r.other
+    )
+    SELECT doc AS vec_id, min(other) AS cluster_id
+    FROM reach GROUP BY doc
+    """,
+)
+def q_sim_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC near-dup clusters: connected components over the
+    embedding-cosine pair graph (cos >= 0.5, the exact blocked join)
+    — paraphrase families, where q_dedup_clusters finds
+    shingle-overlap families. The cluster id is what diversity-aware
+    sampling keys on (keep one per family) and what
+    q_split_leakage_safe needs to stop paraphrases straddling
+    train/val. Reuses the iterative min-label propagation core
+    (dedup.min_label_propagate — per round one join+aggregate,
+    re-checkpointed labels, convergence count only to the driver);
+    the oracle is DuckDB's recursive CTE over the same edge set.
+    """
+    from .dedup import min_label_propagate, q_dedup_embedding
+
+    pairs = q_dedup_embedding(spark, sf_dir).select("vec_a", "vec_b")
+    labels = min_label_propagate(
+        pairs.select(
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+        )
+    )
+    return labels.select(
+        F.col("doc").alias("vec_id"), F.col("label").alias("cluster_id")
+    )

@@ -521,3 +521,27 @@ def test_scd2_pit_selects_the_version_valid_at_fact_time(spark, tmp_path):
         for r in QUERIES["q_join_scd2_pit"](spark, str(tmp_path)).collect()
     }
     assert got == {11: 10.0, 12: 20.0, 13: 20.0}
+
+
+def test_semantic_clusters_group_paraphrase_families(spark, tmp_path):
+    """Two cosine families on orthogonal axes cluster separately
+    under the min-label id; edge-less vectors emit no row (no
+    near-dup partner => nothing for diversity sampling to collapse)."""
+    vecs = [
+        (1, [1.0, 0.0]),      # family A (x-axis)
+        (2, [0.9, 0.1]),      # family A
+        (4, [0.95, 0.05]),    # family A
+        (3, [0.0, 1.0]),      # family B (y-axis)
+        (6, [0.1, 0.99]),     # family B
+        (5, [-1.0, 0.0]),     # anti-aligned with A: no edge at cos>=0.5
+    ]
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    got = {
+        r.vec_id: r.cluster_id
+        for r in QUERIES["q_sim_semantic_clusters"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 4: 1, 3: 3, 6: 3}
