@@ -149,6 +149,10 @@ HEADLINE = [
     "q_win_cumulative_distinct", # running distinct via first-flag sum
     "q_join_scd2_pit",           # point-in-time SCD2 dimension join
     "q_sim_semantic_clusters",   # paraphrase families via shared CC core
+    "q_dedup_keep_best",         # quality-argmax canonical per cluster
+    "q_sample_diversity",        # <=2 reps per paraphrase family
+    "q_agg_largest_remainder",   # Hamilton quota allocation
+    "q_dq_benford",              # first-digit drift check
 ]
 
 

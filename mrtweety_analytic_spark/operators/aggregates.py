@@ -656,3 +656,94 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("w_median_price"),
         F.round(F.sum("q"), 2).alias("total_qty"),
     )
+
+
+@register(
+    "q_agg_largest_remainder",
+    oracle="""
+    WITH counts AS (
+        SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ),
+    shares AS (
+        SELECT source, n_docs,
+               CAST(1000 AS DOUBLE) * n_docs
+                   / (SELECT sum(n_docs) FROM counts) AS q
+        FROM counts
+    ),
+    based AS (
+        SELECT source, n_docs,
+               CAST(floor(q) AS BIGINT) AS base,
+               q - floor(q) AS rem
+        FROM shares
+    ),
+    ranked AS (
+        SELECT s.source,
+               any_value(s.n_docs) AS n_docs,
+               any_value(s.base) AS base,
+               count(o.source) AS n_ahead
+        FROM based s LEFT JOIN based o
+          ON o.rem > s.rem OR (o.rem = s.rem AND o.source < s.source)
+        GROUP BY s.source
+    )
+    SELECT source, n_docs,
+           base + CASE WHEN n_ahead <
+                       1000 - (SELECT sum(base) FROM based)
+                  THEN 1 ELSE 0 END AS alloc
+    FROM ranked
+    """,
+)
+def q_agg_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional quota allocation with largest-remainder rounding
+    (Hamilton's method): split a fixed budget of 1000 sample slots
+    across document sources proportionally to their doc counts, with
+    floor allocations first and the leftover slots going to the
+    largest fractional remainders (ties broken by source name). The
+    allocations always sum exactly to the budget — what naive
+    per-group round() cannot guarantee — which is the property a
+    corpus-mixing planner needs before drawing the per-source
+    samples (q_sample_stratified consumes quotas like these).
+
+    Scale shape: ONE map-side-combinable count over the corpus; all
+    remaining steps run on the |sources|-row aggregate, where the
+    remainder ranking is a window-free O(S^2) self-join on the tiny
+    aggregate and the two scalar totals are 1-row broadcast
+    subtrees. Nothing global touches full-corpus rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").alias("t"))
+    based = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("q", F.lit(1000).cast("double") * F.col("n_docs") / F.col("t"))
+        .select(
+            "source",
+            "n_docs",
+            F.floor("q").cast("bigint").alias("base"),
+            (F.col("q") - F.floor("q")).alias("rem"),
+        )
+    )
+    leftover = based.agg((F.lit(1000) - F.sum("base")).alias("leftover"))
+    s, o = based.alias("s"), based.alias("o")
+    ranked = (
+        s.join(
+            o,
+            (F.col("o.rem") > F.col("s.rem"))
+            | ((F.col("o.rem") == F.col("s.rem"))
+               & (F.col("o.source") < F.col("s.source"))),
+            "left",
+        )
+        .groupBy(F.col("s.source").alias("source"))
+        .agg(
+            F.any_value(F.col("s.n_docs")).alias("n_docs"),
+            F.any_value(F.col("s.base")).alias("base"),
+            F.count(F.col("o.source")).alias("n_ahead"),
+        )
+    )
+    return ranked.crossJoin(F.broadcast(leftover)).select(
+        "source",
+        "n_docs",
+        (
+            F.col("base")
+            + F.when(F.col("n_ahead") < F.col("leftover"), 1).otherwise(0)
+        ).alias("alloc"),
+    )

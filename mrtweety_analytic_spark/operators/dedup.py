@@ -1369,3 +1369,82 @@ def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= MHC_JACCARD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@register(
+    "q_dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_EDGES_SQL},
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc, other) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT r.doc, e.b FROM reach r JOIN edges e ON e.a = r.other
+    ),
+    clusters AS (
+        SELECT doc AS doc_id, min(other) AS cluster_id
+        FROM reach GROUP BY doc
+    ),
+    members AS (
+        SELECT coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+               d.doc_id, d.n_chars
+        FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+    ),
+    best AS (
+        SELECT cluster_id, max(n_chars) AS keep_n_chars,
+               count(*) AS n_members
+        FROM members GROUP BY cluster_id
+    )
+    SELECT m.cluster_id,
+           min(m.doc_id) AS keep_doc_id,
+           b.keep_n_chars,
+           b.n_members
+    FROM members m
+    JOIN best b ON m.cluster_id = b.cluster_id
+              AND m.n_chars = b.keep_n_chars
+    GROUP BY m.cluster_id, b.keep_n_chars, b.n_members
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: within each near-dup
+    cluster keep the HIGHEST-quality member (longest n_chars,
+    min doc_id on ties) instead of the blind min-id that
+    q_dedup_pipeline uses — the curation rule real corpus pipelines
+    want, since the longest copy of a boilerplate family is usually
+    the least-truncated one. Singletons are their own cluster.
+
+    Window-free argmax so it scales: per-cluster max(n_chars) is a
+    map-side-combinable aggregate, the winner is recovered by an
+    equi-join on (cluster_id, n_chars) and a min(doc_id) re-group —
+    two bounded shuffles on cluster_id, no per-cluster sort, no
+    global window. Cluster labels come from the bounded-iteration
+    label propagation (q_dedup_clusters).
+    """
+    from ..registry import QUERIES
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    clusters = QUERIES["q_dedup_clusters"](spark, sf_dir)
+    members = docs.join(clusters, "doc_id", "left").select(
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        "doc_id",
+        "n_chars",
+    )
+    best = members.groupBy("cluster_id").agg(
+        F.max("n_chars").alias("keep_n_chars"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return (
+        members.withColumnRenamed("cluster_id", "m_cluster")
+        .join(
+            best,
+            (F.col("m_cluster") == best.cluster_id)
+            & (F.col("n_chars") == best.keep_n_chars),
+        )
+        .groupBy("cluster_id", "keep_n_chars", "n_members")
+        .agg(F.min("doc_id").alias("keep_doc_id"))
+        .select("cluster_id", "keep_doc_id", "keep_n_chars", "n_members")
+    )

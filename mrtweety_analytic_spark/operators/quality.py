@@ -637,3 +637,63 @@ def q_dq_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("top_key_share"),
         F.round(F.col("p99_c") / F.col("p50_c"), 4).alias("p99_over_p50"),
     )
+
+
+@register(
+    "q_dq_benford",
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+                                  AS BIGINT) AS VARCHAR), 1, 1)
+                    AS INTEGER) AS digit
+        FROM orders WHERE o_totalprice > 0
+    ),
+    obs AS (SELECT digit, count(*) AS n FROM digits GROUP BY digit)
+    SELECT digit, n,
+           round(CAST(n AS DOUBLE) / (SELECT sum(n) FROM obs), 6)
+               AS obs_share,
+           round(log10(1 + CAST(1 AS DOUBLE) / digit), 6) AS exp_share,
+           round(CAST(n AS DOUBLE) / (SELECT sum(n) FROM obs)
+                 - log10(1 + CAST(1 AS DOUBLE) / digit), 6) AS deviation
+    FROM obs
+    """,
+)
+def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance check on order totals: distribution
+    of the first significant digit vs the expected log10(1 + 1/d)
+    curve — the classic fabricated-/corrupted-amounts detector for a
+    monetary column (synthetic uniform-ish prices will deviate, real
+    multiplicative totals won't; either way the per-digit deviation
+    is the drift signal a DQ monitor alerts on).
+
+    The leading digit is extracted from the INTEGER cent value's
+    decimal string (leading digit is invariant under the *100
+    shift), never from floor(log10(x)) — integer-to-string is
+    bit-identical across engines while log10 near a power of ten is
+    not. One map-side-combinable 9-group aggregate over the fact
+    table; the total is a 1-row broadcast.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    digits = orders.filter(F.col("o_totalprice") > 0).select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").alias("t"))
+    exp_share = F.log10(F.lit(1) + F.lit(1).cast("double") / F.col("digit"))
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("t"), 6).alias("obs_share"),
+        F.round(exp_share, 6).alias("exp_share"),
+        F.round(
+            F.col("n").cast("double") / F.col("t") - exp_share, 6
+        ).alias("deviation"),
+    )

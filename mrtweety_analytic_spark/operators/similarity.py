@@ -1865,3 +1865,76 @@ def q_sim_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("doc").alias("vec_id"), F.col("label").alias("cluster_id")
     )
+
+
+@register(
+    "q_sample_diversity",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[]))
+              >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc, other) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT r.doc, e.b FROM reach r JOIN edges e ON e.a = r.other
+    ),
+    clusters AS (
+        SELECT doc AS vec_id, min(other) AS cluster_id
+        FROM reach GROUP BY doc
+    ),
+    members AS (
+        SELECT e.vec_id,
+               coalesce(c.cluster_id, e.vec_id) AS cluster_id,
+               md5(CAST(e.vec_id AS VARCHAR)) AS priority
+        FROM embeddings e LEFT JOIN clusters c ON e.vec_id = c.vec_id
+    ),
+    ranked AS (
+        SELECT vec_id, cluster_id,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY priority, vec_id) AS pick_rank
+        FROM members
+    )
+    SELECT vec_id, cluster_id, pick_rank
+    FROM ranked WHERE pick_rank <= 2
+    """,
+)
+def q_sample_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware corpus sampling: keep at most TWO
+    representatives per semantic near-dup family (paraphrase cluster
+    from q_sim_semantic_clusters) and every singleton — the sampling
+    rule that collapses redundant paraphrases while preserving
+    corpus breadth, the complement of q_dedup_keep_best's
+    one-winner rule.
+
+    The pick priority is md5(vec_id) — seed-free, uniform, and
+    bit-identical across engines (the cross-engine md5 gate pattern)
+    — so reruns and the DuckDB oracle select the same rows. The
+    row_number window is PARTITIONED by cluster_id (cluster sizes
+    are near-dup family sizes, naturally small), never global, so
+    the plan holds at corpus scale.
+    """
+    from ..registry import QUERIES
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    clusters = QUERIES["q_sim_semantic_clusters"](spark, sf_dir)
+    members = emb.join(clusters, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce("cluster_id", "vec_id").alias("cluster_id"),
+        F.md5(F.col("vec_id").cast("string")).alias("priority"),
+    )
+    win = W.partitionBy("cluster_id").orderBy("priority", "vec_id")
+    return (
+        members.withColumn("pick_rank", F.row_number().over(win))
+        .filter(F.col("pick_rank") <= 2)
+        .select("vec_id", "cluster_id", "pick_rank")
+    )
