@@ -153,6 +153,9 @@ HEADLINE = [
     "q_sample_diversity",        # <=2 reps per paraphrase family
     "q_agg_largest_remainder",   # Hamilton quota allocation
     "q_dq_benford",              # first-digit drift check
+    "q_ts_theil_sen",            # robust median-of-slopes trend
+    "q_ts_periodogram",          # DFT seasonality detector
+    "q_sample_negative_pairs",   # contrastive negatives via md5 argmin
 ]
 
 

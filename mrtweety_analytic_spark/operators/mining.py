@@ -2020,3 +2020,145 @@ def q_ts_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_days"),
         F.round(F.when(~F.isnan(c), c), 6).alias("xcorr"),
     )
+
+
+@register(
+    "q_ts_theil_sen",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    slopes AS (
+        SELECT a.event_type,
+               (b.v - a.v) / CAST(b.day - a.day AS DOUBLE) AS slope
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.day < b.day
+    )
+    SELECT event_type,
+           round(quantile_cont(slope, 0.5), 6) AS ts_slope,
+           count(*) AS n_pairs
+    FROM slopes GROUP BY event_type
+    """,
+)
+def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per event type: the MEDIAN of all
+    pairwise day-to-day slopes of the daily count series. Unlike the
+    least-squares slope (q_win_moving_regression, q_agg_regression)
+    it has a 29% breakdown point, so one bot-traffic spike day
+    cannot flip a reported growth trend — the estimator monitoring
+    dashboards should prefer for noisy ingest volumes.
+
+    Scale: the raw log first reduces to the O(types × days) daily
+    series (map-side combinable); the pairwise self-join fans out
+    O(D²) rows PER TYPE where D is bounded by the calendar window
+    (≈730 for two years → ≤267k tiny rows per type), independent of
+    corpus row count, and rides the event_type hash partition. Slope
+    arithmetic stays (double diff)/(integer day diff) so both
+    engines evaluate the identical IEEE expression; the median over
+    the bounded per-type slope set matches DuckDB's quantile_cont.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = _daily_counts(ev)
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.day") < F.col("b.day")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.v") - F.col("a.v"))
+            / F.datediff(F.col("b.day"), F.col("a.day")).cast("double")
+        ).alias("slope"),
+    )
+    return slopes.groupBy("event_type").agg(
+        F.round(F.expr("percentile(slope, 0.5)"), 6).alias("ts_slope"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+
+
+@register(
+    "q_ts_periodogram",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type, min(day) AS d0, avg(v) AS mu
+        FROM daily GROUP BY 1
+    ),
+    centered AS (
+        SELECT d.event_type, CAST(d.day - s.d0 AS DOUBLE) AS t,
+               d.v - s.mu AS vc
+        FROM daily d JOIN stats s USING (event_type)
+    ),
+    grid AS (
+        SELECT unnest([2,3,4,5,6,7,8,9,10,11,12,13,14]) AS period
+    ),
+    terms AS (
+        SELECT event_type, period,
+               sum(vc * cos(2 * pi() * t / period)) AS sc,
+               sum(vc * sin(2 * pi() * t / period)) AS ss,
+               sum(vc * vc) AS ssq
+        FROM centered CROSS JOIN grid
+        GROUP BY 1, 2
+    )
+    SELECT event_type, period,
+           round((sc * sc + ss * ss) / ssq, 6) AS power_frac
+    FROM terms WHERE ssq > 0
+    """,
+)
+def q_ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodogram over the per-type daily count series: DFT power
+    at each candidate period 2..14 days, normalized by total
+    variance — the direct seasonality detector (a weekly cycle shows
+    as the period-7 spike) that picks the season length
+    q_ts_seasonal then decomposes with, instead of assuming 7.
+
+    Scale: the log reduces to O(types × days) once; the 13-row
+    period grid is a broadcast cross join fanning the series ×13,
+    and each (type, period) power is a map-side-combinable sum of
+    cos/sin products — no windows, no sequential pass, no state
+    beyond two doubles per group. Mean-centering kills the DC term
+    so power_frac is comparable across types. Trig arithmetic is
+    written in the identical evaluation order in both engines
+    ((2·π·t)/p) so the doubles agree to final-rounding precision.
+    """
+    import math
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = _daily_counts(ev)
+    stats = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.avg("v").alias("mu")
+    )
+    centered = daily.join(stats, "event_type").select(
+        "event_type",
+        F.datediff("day", "d0").cast("double").alias("t"),
+        (F.col("v") - F.col("mu")).alias("vc"),
+    )
+    grid = spark.createDataFrame(
+        [(p,) for p in range(2, 15)], "period int"
+    )
+    angle = F.lit(2.0) * F.lit(math.pi) * F.col("t") / F.col("period")
+    terms = (
+        centered.crossJoin(F.broadcast(grid))
+        .groupBy("event_type", "period")
+        .agg(
+            F.sum(F.col("vc") * F.cos(angle)).alias("sc"),
+            F.sum(F.col("vc") * F.sin(angle)).alias("ss"),
+            F.sum(F.col("vc") * F.col("vc")).alias("ssq"),
+        )
+    )
+    return terms.filter(F.col("ssq") > 0).select(
+        "event_type",
+        "period",
+        F.round(
+            (F.col("sc") * F.col("sc") + F.col("ss") * F.col("ss"))
+            / F.col("ssq"),
+            6,
+        ).alias("power_frac"),
+    )

@@ -1938,3 +1938,105 @@ def q_sample_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pick_rank") <= 2)
         .select("vec_id", "cluster_id", "pick_rank")
     )
+
+
+@register(
+    "q_sample_negative_pairs",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[]))
+              >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc, other) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT r.doc, e.b FROM reach r JOIN edges e ON e.a = r.other
+    ),
+    clusters AS (
+        SELECT doc AS vec_id, min(other) AS cluster_id
+        FROM reach GROUP BY doc
+    ),
+    pool AS (
+        SELECT e.vec_id, coalesce(c.cluster_id, e.vec_id) AS cluster_id
+        FROM embeddings e LEFT JOIN clusters c ON e.vec_id = c.vec_id
+        ORDER BY md5(CAST(e.vec_id AS VARCHAR)), e.vec_id
+        LIMIT 8
+    ),
+    picks AS (
+        SELECT m.vec_id, m.cluster_id,
+               min(md5(CAST(m.vec_id AS VARCHAR) || ':'
+                       || CAST(p.vec_id AS VARCHAR))
+                   || '|' || CAST(p.vec_id AS VARCHAR)) AS pick
+        FROM clusters m JOIN pool p ON p.cluster_id <> m.cluster_id
+        GROUP BY m.vec_id, m.cluster_id
+    )
+    SELECT vec_id, cluster_id,
+           CAST(split_part(pick, '|', 2) AS BIGINT) AS neg_vec_id
+    FROM picks
+    """,
+)
+def q_sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training negative sampling: every member of a
+    semantic near-dup family (its cluster_id IS the positive-pair
+    key) gets ONE deterministic negative drawn from a small global
+    candidate pool, restricted to candidates outside its own
+    cluster. (anchor, same-cluster member, neg_vec_id) is then the
+    (a, p, n) triplet an embedding trainer consumes.
+
+    Scale shape: the pool is a TakeOrdered top-8 by md5 priority
+    (seed-free uniform sample, never a full sort) broadcast to every
+    anchor — the non-equi cluster check is a BNLJ against 8 rows,
+    bounded fan-out 8 per anchor. The per-anchor pick is a window-
+    free string-min argmin on md5(anchor:candidate) — fixed-width
+    hex, so the '|'-suffixed candidate id never perturbs the
+    ordering — bit-identical across engines.
+    """
+    from ..registry import QUERIES
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    clusters = QUERIES["q_sim_semantic_clusters"](spark, sf_dir)
+    pool = (
+        emb.join(clusters, "vec_id", "left")
+        .select(
+            F.col("vec_id").alias("p_vec"),
+            F.coalesce("cluster_id", "vec_id").alias("p_cluster"),
+            F.md5(F.col("vec_id").cast("string")).alias("prio"),
+        )
+        .orderBy("prio", "p_vec")
+        .limit(8)
+        .drop("prio")
+    )
+    pick_key = F.concat(
+        F.md5(
+            F.concat(
+                F.col("vec_id").cast("string"),
+                F.lit(":"),
+                F.col("p_vec").cast("string"),
+            )
+        ),
+        F.lit("|"),
+        F.col("p_vec").cast("string"),
+    )
+    return (
+        clusters.join(
+            F.broadcast(pool), F.col("p_cluster") != F.col("cluster_id")
+        )
+        .groupBy("vec_id", "cluster_id")
+        .agg(F.min(pick_key).alias("pick"))
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.substring_index("pick", "|", -1).cast("bigint").alias(
+                "neg_vec_id"
+            ),
+        )
+    )

@@ -80,3 +80,107 @@ def test_benford_first_digit_extraction(spark, tmp_path):
         for r in QUERIES["q_dq_benford"](spark, str(tmp_path)).collect()
     }
     assert got == {1: 1, 9: 1, 5: 1}
+
+
+def test_theil_sen_ignores_spike_day(spark, tmp_path):
+    """Median-of-slopes equals the Python-side definition and stays
+    near the true trend despite one 100x spike day (least squares
+    would not)."""
+    import statistics
+
+    counts = [1, 2, 3, 4, 5, 6, 100]
+    rows = []
+    eid = 0
+    for d, c in enumerate(counts):
+        for _ in range(c):
+            rows.append(
+                (eid, datetime(2024, 3, 1 + d), 1, "view", 1.0, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    expected = statistics.median(
+        (counts[j] - counts[i]) / (j - i)
+        for i in range(len(counts))
+        for j in range(i + 1, len(counts))
+    )
+    [r] = QUERIES["q_ts_theil_sen"](spark, str(tmp_path)).collect()
+    assert r.event_type == "view"
+    assert r.n_pairs == 21
+    assert abs(r.ts_slope - expected) < 1e-6
+    assert r.ts_slope < 5  # least-squares slope would be ~7.6
+
+
+def test_periodogram_peaks_at_weekly_cycle(spark, tmp_path):
+    """A clean 7-day cosine in daily counts puts the max normalized
+    power at period 7."""
+    import math
+
+    rows = []
+    eid = 0
+    for d in range(28):
+        c = round(10 + 5 * math.cos(2 * math.pi * d / 7))
+        for _ in range(c):
+            rows.append(
+                (
+                    eid,
+                    datetime(2024, 3, 1) + __import__("datetime").timedelta(days=d),
+                    1,
+                    "view",
+                    1.0,
+                    "{}",
+                )
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.period: r.power_frac
+        for r in QUERIES["q_ts_periodogram"](spark, str(tmp_path)).collect()
+    }
+    assert max(got, key=got.get) == 7
+    assert got[7] > 0.9  # nearly all variance is the weekly tone
+
+
+def test_negative_pairs_avoid_own_cluster_and_match_md5_argmin(
+    spark, tmp_path
+):
+    """Every clustered anchor draws its negative from outside its
+    own family, and the draw is exactly the md5(anchor:cand) argmin
+    over the out-of-cluster pool."""
+    import hashlib
+
+    vecs = [
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.0, 1.0]),
+        (6, [0.1, 0.99]),
+        (5, [-1.0, 0.0]),
+    ]
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    cluster_of = {1: 1, 2: 1, 3: 3, 6: 3, 5: 5}
+    got = {
+        r.vec_id: (r.cluster_id, r.neg_vec_id)
+        for r in QUERIES["q_sample_negative_pairs"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3, 6}  # singleton 5 is not an anchor
+    for anchor, (cl, neg) in got.items():
+        assert cluster_of[neg] != cl
+        pool = [v for v in cluster_of if cluster_of[v] != cl]
+        expected = min(
+            pool,
+            key=lambda c: hashlib.md5(
+                f"{anchor}:{c}".encode()
+            ).hexdigest(),
+        )
+        assert neg == expected
