@@ -156,6 +156,9 @@ HEADLINE = [
     "q_ts_theil_sen",            # robust median-of-slopes trend
     "q_ts_periodogram",          # DFT seasonality detector
     "q_sample_negative_pairs",   # contrastive negatives via md5 argmin
+    "q_graph_assortativity",     # degree-degree correlation
+    "q_events_audience_overlap", # pairwise audience Jaccard
+    "q_multimodal_validate",     # payload-vs-metadata integrity gate
 ]
 
 

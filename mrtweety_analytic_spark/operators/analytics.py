@@ -1548,3 +1548,65 @@ def q_events_bot_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_bot"),
     )
+
+
+@register(
+    "q_events_audience_overlap",
+    oracle="""
+    WITH au AS (SELECT DISTINCT event_type, user_id FROM events),
+    sizes AS (
+        SELECT event_type, count(*) AS n FROM au GROUP BY event_type
+    ),
+    inter AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS n_common
+        FROM au a JOIN au b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_common,
+           round(CAST(n_common AS DOUBLE)
+                 / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.event_type = type_a
+    JOIN sizes sb ON sb.event_type = type_b
+    """,
+)
+def q_events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: Jaccard similarity between the
+    distinct-user sets of every event-type pair — which behaviors
+    share an audience (feeds segmentation and the funnel ordering
+    q_events_window_funnel assumes). Same inverted-index shape as
+    q_dedup_ngram_jaccard: the pair fan-out happens PER USER, and a
+    user contributes at most T(T−1)/2 pairs where T ≤ |event types|
+    (single digits), so the join never approaches |users|² — the
+    user_id hash partition carries it. Set sizes join back on the
+    tiny per-type aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    au = ev.select("event_type", "user_id").distinct()
+    sizes = au.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = au.select(F.col("event_type").alias("type_a"), "user_id")
+    b = au.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

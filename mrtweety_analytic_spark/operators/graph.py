@@ -488,3 +488,54 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("nc", F.lit(0)).cast("bigint").alias("n_common"),
         )
     )
+
+
+@register(
+    "q_graph_assortativity",
+    oracle="""
+    WITH e0 AS (
+        SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    edges AS (SELECT src, dst FROM e0
+              UNION ALL SELECT dst AS src, src AS dst FROM e0),
+    deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d
+            FROM edges GROUP BY src)
+    SELECT round(corr(ds.d, dd.d), 6) AS assortativity,
+           CAST(count(*) AS BIGINT) AS n_edges
+    FROM edges e
+    JOIN deg ds ON ds.src = e.src
+    JOIN deg dd ON dd.src = e.dst
+    """,
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the customer–supplier graph: Pearson
+    correlation of endpoint degrees over the (both-direction) edge
+    list — negative means hubs attach to leaves (typical bipartite
+    commerce graphs), positive means hub-to-hub. With q_graph_degree
+    it is the structural audit run before graph algorithms: strong
+    disassortativity predicts the hub-key shuffle skew PageRank's
+    contribution join will hit, i.e. which keys to salt.
+
+    Scale: degrees are one map-side-combinable count; the two
+    deg-lookup joins hash-partition on node id, and corr is a
+    mergeable second-moment aggregate, so the whole thing is two
+    bounded shuffles over the edge list. Spark's corr yields NaN on
+    a zero-variance (regular) graph where DuckDB yields NULL —
+    normalized NaN→NULL like q_ts_autocorr.
+    """
+    edges = _edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("double").alias("d")
+    )
+    ds = deg.select(F.col("src").alias("e_src"), F.col("d").alias("d_src"))
+    dd = deg.select(F.col("src").alias("e_dst"), F.col("d").alias("d_dst"))
+    joined = (
+        edges.join(ds, edges.src == ds.e_src)
+        .join(dd, edges.dst == dd.e_dst)
+    )
+    c = F.corr("d_src", "d_dst")
+    return joined.agg(
+        F.round(F.when(~F.isnan(c), c), 6).alias("assortativity"),
+        F.count(F.lit(1)).alias("n_edges"),
+    )

@@ -554,3 +554,44 @@ def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select("doc_a", "doc_b", hamming).where(
         F.col("hamming") <= 3
     )
+
+
+@register(
+    "q_multimodal_validate",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN octet_length(encode(text)) = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+           CAST(sum(CASE WHEN octet_length(encode(text)) <> n_chars
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_len_mismatch,
+           max(octet_length(encode(text))) AS max_bytes
+    FROM documents GROUP BY source
+    """,
+)
+def q_multimodal_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload-integrity gate for the opaque-binary modality: per
+    source, how many payloads are empty and how many contradict
+    their DECLARED size metadata (n_chars vs actual UTF-8 byte
+    length — the text stand-in for a media file whose header-claimed
+    dimensions disagree with its byte stream). Corrupt-metadata
+    rows are what q_multimodal_offload must quarantine before
+    content-addressing, so this check runs first in the multimodal
+    ingest pipeline.
+
+    All byte-level: octet_length over the encoded payload, never a
+    decode, so the scan reads each payload once and reduces straight
+    into a per-source map-side-combinable aggregate — the same
+    payloads-never-shuffle rule as q_multimodal_dedup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    nb = F.octet_length(F.encode(F.col("text"), "UTF-8"))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(nb == 0, 1).otherwise(0)).alias("n_empty"),
+        F.sum(F.when(nb != F.col("n_chars"), 1).otherwise(0)).alias(
+            "n_len_mismatch"
+        ),
+        F.max(nb).alias("max_bytes"),
+    )

@@ -184,3 +184,66 @@ def test_negative_pairs_avoid_own_cluster_and_match_md5_argmin(
             ).hexdigest(),
         )
         assert neg == expected
+
+
+def test_assortativity_is_minus_one_on_a_star(spark, tmp_path):
+    """A star graph (one customer, four suppliers) is perfectly
+    disassortative: every edge pairs degree 4 with degree 1."""
+    spark.createDataFrame(
+        [(1, 1)], "o_orderkey long, o_custkey long"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(1, s) for s in range(1, 5)],
+        "l_orderkey long, l_suppkey long",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    [r] = QUERIES["q_graph_assortativity"](spark, str(tmp_path)).collect()
+    assert r.n_edges == 8
+    assert abs(r.assortativity - (-1.0)) < 1e-9
+
+
+def test_audience_overlap_jaccard(spark, tmp_path):
+    """Pairwise distinct-user Jaccard: shared users counted once
+    per pair, empty intersections absent."""
+    base = datetime(2024, 5, 1)
+    rows = [
+        (1, base, 1, "view", 1.0, "{}"),
+        (2, base, 1, "click", 1.0, "{}"),
+        (3, base, 1, "view", 1.0, "{}"),  # dup (user,type) ignored
+        (4, base, 2, "view", 1.0, "{}"),
+        (5, base, 3, "click", 1.0, "{}"),
+        (6, base, 3, "buy", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        (r.type_a, r.type_b): (r.n_common, r.jaccard)
+        for r in QUERIES["q_events_audience_overlap"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {
+        ("click", "view"): (1, round(1 / 3, 6)),
+        ("buy", "click"): (1, 0.5),
+    }
+
+
+def test_multimodal_validate_flags_empty_and_multibyte(spark, tmp_path):
+    """An empty payload counts as empty; a multi-byte UTF-8 payload
+    whose declared n_chars is the CHARACTER count mismatches the
+    byte length; clean ASCII rows pass."""
+    rows = [
+        (1, "hello", "en", "web", 5),     # clean: 5 bytes == 5
+        (2, "", "en", "web", 0),          # empty, no mismatch
+        (3, "héllo", "fr", "web", 5),  # 6 bytes != 5 chars
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    [r] = QUERIES["q_multimodal_validate"](spark, str(tmp_path)).collect()
+    assert (r.source, r.n_docs, r.n_empty, r.n_len_mismatch, r.max_bytes) \
+        == ("web", 3, 1, 1, 6)
