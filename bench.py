@@ -159,6 +159,9 @@ HEADLINE = [
     "q_graph_assortativity",     # degree-degree correlation
     "q_events_audience_overlap", # pairwise audience Jaccard
     "q_multimodal_validate",     # payload-vs-metadata integrity gate
+    "q_agg_hhi",                 # market-concentration index
+    "q_dq_duplicate_charges",    # double-billing pair detector
+    "q_events_time_to_convert",  # funnel-latency histogram
 ]
 
 

@@ -747,3 +747,66 @@ def q_agg_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("n_ahead") < F.col("leftover"), 1).otherwise(0)
         ).alias("alloc"),
     )
+
+
+@register(
+    "q_agg_hhi",
+    oracle="""
+    WITH rev AS (
+        SELECT s.s_nationkey AS nationkey, l.l_suppkey,
+               sum(l.l_extendedprice * (1 - l.l_discount)) AS r
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT nationkey, sum(r) AS t FROM rev GROUP BY 1)
+    SELECT n.n_name AS nation,
+           round(sum((rev.r / tot.t) * (rev.r / tot.t)), 6) AS hhi,
+           count(*) AS n_suppliers
+    FROM rev JOIN tot ON tot.nationkey = rev.nationkey
+    JOIN nation n ON n.n_nationkey = rev.nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index per nation: the sum
+    of squared supplier revenue shares — 1/n for perfectly even
+    markets, →1 when one supplier dominates. The single-number
+    concentration summary that complements q_dq_skew's distribution
+    profile and q_events_pareto's decile view, and the same math a
+    corpus planner uses for domain-concentration checks.
+
+    Scale: the fact table reduces to O(nations × suppliers) in one
+    map-side-combinable pass; nation totals are a second tiny
+    aggregate joined back on nationkey (broadcastable), and the
+    share-square sum is again partial-aggregable. No windows, no
+    driver math.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    rev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("nationkey"), "l_suppkey"
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+            ).alias("r")
+        )
+    )
+    tot = rev.groupBy("nationkey").agg(F.sum("r").alias("t"))
+    share = F.col("r") / F.col("t")
+    return (
+        rev.join(F.broadcast(tot), "nationkey")
+        .join(F.broadcast(nat), F.col("nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(share * share), 6).alias("hhi"),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+    )

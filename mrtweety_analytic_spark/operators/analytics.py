@@ -1610,3 +1610,58 @@ def q_events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "q_events_time_to_convert",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS c,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+        FROM events GROUP BY user_id
+    )
+    SELECT least(CAST(CAST(p AS DATE) - CAST(c AS DATE) AS BIGINT),
+                 7) AS days_bucket,
+           count(*) AS n_users
+    FROM per_user
+    WHERE c IS NOT NULL AND p IS NOT NULL AND p >= c
+    GROUP BY 1
+    """,
+)
+def q_events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for users whose first purchase
+    follows their first click, the day gap between the two, bucketed
+    0..6 with a 7+ tail — the funnel-latency histogram behind
+    q_events_funnel's single conversion rate.
+
+    Scale: ONE conditional-min pass over the log (no self-join),
+    then a ≤8-group bucket count. Deliberately a bounded histogram,
+    not a percentile over O(users) raw gaps: the exact-percentile
+    buffer over an unbounded user set is the memory trap, the
+    histogram is two map-side-combinable aggregates.
+    """
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "click", F.col("ts"))
+        ).alias("c"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("p"),
+    )
+    return (
+        per_user.filter(
+            F.col("c").isNotNull()
+            & F.col("p").isNotNull()
+            & (F.col("p") >= F.col("c"))
+        )
+        .select(
+            F.least(
+                F.datediff(F.to_date("p"), F.to_date("c")).cast("bigint"),
+                F.lit(7).cast("bigint"),
+            ).alias("days_bucket")
+        )
+        .groupBy("days_bucket")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -697,3 +697,56 @@ def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.col("t") - exp_share, 6
         ).alias("deviation"),
     )
+
+
+@register(
+    "q_dq_duplicate_charges",
+    oracle="""
+    SELECT a.o_custkey AS custkey,
+           a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+           a.o_totalprice AS amount,
+           CAST(CAST(b.o_orderdate AS DATE)
+                - CAST(a.o_orderdate AS DATE) AS BIGINT) AS gap_days
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_totalprice = b.o_totalprice
+     AND a.o_orderkey < b.o_orderkey
+    WHERE abs(CAST(CAST(b.o_orderdate AS DATE)
+                   - CAST(a.o_orderdate AS DATE) AS BIGINT)) <= 7
+    """,
+)
+def q_dq_duplicate_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Potential duplicate-charge pairs: same customer, identical
+    order total, order dates within 7 days — the double-billing /
+    double-ingest detector every billing DQ suite runs. The join is
+    EQUI on (custkey, totalprice) — the candidate set is only orders
+    sharing an exact (customer, amount) key, so fan-out is bounded
+    by per-key duplicate multiplicity, never |orders|² — with the
+    ±7-day band as a residual filter after the hash join. Amount
+    equality is exact double equality: both sides are the same
+    stored parquet value, so no epsilon is needed (and an epsilon
+    would break the equi-key partitioning).
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.to_date("o_orderdate").alias("day"),
+    )
+    a = orders.alias("a")
+    b = orders.alias("b")
+    gap = F.datediff(F.col("b.day"), F.col("a.day"))
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_totalprice") == F.col("b.o_totalprice"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        )
+        .filter(F.abs(gap) <= 7)
+        .select(
+            F.col("a.o_custkey").alias("custkey"),
+            F.col("a.o_orderkey").alias("order_a"),
+            F.col("b.o_orderkey").alias("order_b"),
+            F.col("a.o_totalprice").alias("amount"),
+            gap.cast("bigint").alias("gap_days"),
+        )
+    )

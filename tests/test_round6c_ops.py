@@ -247,3 +247,92 @@ def test_multimodal_validate_flags_empty_and_multibyte(spark, tmp_path):
     [r] = QUERIES["q_multimodal_validate"](spark, str(tmp_path)).collect()
     assert (r.source, r.n_docs, r.n_empty, r.n_len_mismatch, r.max_bytes) \
         == ("web", 3, 1, 1, 6)
+
+
+def test_hhi_even_duopoly_vs_monopoly(spark, tmp_path):
+    """Two equal suppliers give HHI 0.5; a single supplier gives
+    1.0."""
+    spark.createDataFrame(
+        [(0, "DUOPOLY", 0), (1, "MONOPOLY", 0)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    ).write.parquet(str(tmp_path / "nation.parquet"))
+    spark.createDataFrame(
+        [(1, "s1", 0, 0.0), (2, "s2", 0, 0.0), (3, "s3", 1, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey long,"
+        " s_acctbal double",
+    ).write.parquet(str(tmp_path / "supplier.parquet"))
+    li = [
+        (1, 1, 1, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", datetime(2024, 1, 1)),
+        (2, 1, 2, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", datetime(2024, 1, 1)),
+        (3, 1, 3, 1, 1.0, 50.0, 0.0, 0.0, "N", "O", datetime(2024, 1, 1)),
+    ]
+    spark.createDataFrame(
+        li,
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber long, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    got = {
+        r.nation: (r.hhi, r.n_suppliers)
+        for r in QUERIES["q_agg_hhi"](spark, str(tmp_path)).collect()
+    }
+    assert got == {"DUOPOLY": (0.5, 2), "MONOPOLY": (1.0, 1)}
+
+
+def test_duplicate_charges_window_and_amount(spark, tmp_path):
+    """Same customer + same amount within 7 days flags; beyond the
+    window or a different amount does not."""
+    rows = [
+        (1, 1, "O", 99.99, datetime(2024, 1, 1), "x"),
+        (2, 1, "O", 99.99, datetime(2024, 1, 4), "x"),   # flag, gap 3
+        (3, 1, "O", 99.99, datetime(2024, 1, 20), "x"),  # >7d from both
+        (4, 1, "O", 50.00, datetime(2024, 1, 2), "x"),   # diff amount
+        (5, 2, "O", 99.99, datetime(2024, 1, 2), "x"),   # diff customer
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    got = [
+        (r.order_a, r.order_b, r.gap_days)
+        for r in QUERIES["q_dq_duplicate_charges"](
+            spark, str(tmp_path)
+        ).collect()
+    ]
+    assert got == [(1, 2, 3)]
+
+
+def test_time_to_convert_buckets_and_exclusions(spark, tmp_path):
+    """Gaps 0 and 3 land in their buckets, a 9-day gap folds into
+    the 7+ tail, purchase-before-click users are excluded."""
+    rows = [
+        # user 1: click day 1, purchase day 1 -> bucket 0
+        (1, datetime(2024, 1, 1, 9), 1, "click", 1.0, "{}"),
+        (2, datetime(2024, 1, 1, 17), 1, "purchase", 1.0, "{}"),
+        # user 2: gap 3 -> bucket 3
+        (3, datetime(2024, 1, 1), 2, "click", 1.0, "{}"),
+        (4, datetime(2024, 1, 4), 2, "purchase", 1.0, "{}"),
+        # user 3: gap 9 -> tail bucket 7
+        (5, datetime(2024, 1, 1), 3, "click", 1.0, "{}"),
+        (6, datetime(2024, 1, 10), 3, "purchase", 1.0, "{}"),
+        # user 4: purchase precedes click -> excluded
+        (7, datetime(2024, 1, 5), 4, "click", 1.0, "{}"),
+        (8, datetime(2024, 1, 2), 4, "purchase", 1.0, "{}"),
+        # user 5: click only -> excluded
+        (9, datetime(2024, 1, 1), 5, "click", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.days_bucket: r.n_users
+        for r in QUERIES["q_events_time_to_convert"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {0: 1, 3: 1, 7: 1}
