@@ -162,6 +162,8 @@ HEADLINE = [
     "q_agg_hhi",                 # market-concentration index
     "q_dq_duplicate_charges",    # double-billing pair detector
     "q_events_time_to_convert",  # funnel-latency histogram
+    "q_events_stickiness",       # exact rolling DAU/MAU
+    "q_text_source_divergence",  # per-source unigram KL drift
 ]
 
 

@@ -1665,3 +1665,70 @@ def q_events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("days_bucket")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "q_events_stickiness",
+    oracle="""
+    WITH au AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM au),
+    fan AS (
+        SELECT a.day + CAST(o.off AS INTEGER) AS wday, a.user_id
+        FROM au a CROSS JOIN (SELECT unnest(range(28)) AS off) o
+    ),
+    mau AS (
+        SELECT f.wday AS day, count(DISTINCT f.user_id) AS mau
+        FROM fan f JOIN days d ON d.day = f.wday
+        GROUP BY f.wday
+    ),
+    dau AS (SELECT day, count(*) AS dau FROM au GROUP BY day)
+    SELECT dau.day, dau.dau, mau.mau,
+           round(CAST(dau.dau AS DOUBLE) / mau.mau, 6) AS stickiness
+    FROM dau JOIN mau ON mau.day = dau.day
+    """,
+)
+def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day: distinct daily actives over
+    distinct trailing-28-day actives — the engagement ratio product
+    dashboards track (≈1 means users come back every day).
+
+    The rolling distinct is EXACT and still equi-join-only: each
+    (day, user) active fans out to the ≤28 window-end days it
+    belongs to (explode of a 28-literal offset array — bounded
+    fan-out, same trick as q_join_range_bucketed), then a distinct
+    count per window-end day; a semi join against the observed-day
+    spine drops phantom window ends past the calendar. No range
+    join, no BNLJ, no per-day rescan of the log — the log is reduced
+    to distinct (day, user) ONCE and everything downstream is
+    O(actives × 28).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    au = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    days = au.select("day").distinct()
+    fan = au.select(
+        F.explode(
+            F.sequence(F.lit(0), F.lit(27))
+        ).alias("off"),
+        "day",
+        "user_id",
+    ).select(F.date_add("day", F.col("off")).alias("wday"), "user_id")
+    mau = (
+        fan.join(
+            F.broadcast(days), fan.wday == days.day, "left_semi"
+        )
+        .groupBy(F.col("wday").alias("day"))
+        .agg(F.count_distinct("user_id").alias("mau"))
+    )
+    dau = au.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    return dau.join(mau, "day").select(
+        "day",
+        "dau",
+        "mau",
+        F.round(
+            F.col("dau").cast("double") / F.col("mau"), 6
+        ).alias("stickiness"),
+    )

@@ -1545,3 +1545,67 @@ def q_text_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_docs_with_email"),
     )
+
+
+@register(
+    "q_text_source_divergence",
+    oracle="""
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    sc AS (
+        SELECT source, term, count(*) AS c
+        FROM toks WHERE term <> '' GROUP BY source, term
+    ),
+    stot AS (SELECT source, sum(c) AS st FROM sc GROUP BY source),
+    ct AS (SELECT term, sum(c) AS cc FROM sc GROUP BY term),
+    ctot AS (SELECT sum(c) AS tt FROM sc)
+    SELECT sc.source,
+           round(sum((CAST(sc.c AS DOUBLE) / stot.st)
+                     * ln((CAST(sc.c AS DOUBLE) / stot.st)
+                          / (CAST(ct.cc AS DOUBLE) / ctot.tt))),
+                 6) AS kl_divergence,
+           count(*) AS n_terms
+    FROM sc
+    JOIN stot ON stot.source = sc.source
+    JOIN ct ON ct.term = sc.term
+    CROSS JOIN ctot
+    GROUP BY sc.source
+    """,
+)
+def q_text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language drift: KL divergence of each source's
+    unigram distribution from the whole-corpus distribution — the
+    signal a corpus curator reads next to q_text_domain_mix's raw
+    proportions (a high-KL source writes in a different register and
+    will shift the trained model's distribution more than its row
+    share suggests). KL is well-defined without smoothing because
+    the corpus distribution strictly contains every source term.
+
+    Scale: everything reduces to the (source, term) count matrix in
+    one pass; source totals and the corpus marginal are two further
+    map-side-combinable rollups of that matrix, joined back on their
+    grouping keys; the corpus total is a 1-row broadcast. The token
+    stream itself is never shuffled twice.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    sc = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    stot = sc.groupBy("source").agg(F.sum("c").alias("st"))
+    ct = sc.groupBy("term").agg(F.sum("c").alias("cc"))
+    ctot = sc.agg(F.sum("c").alias("tt"))
+    p = F.col("c").cast("double") / F.col("st")
+    q = F.col("cc").cast("double") / F.col("tt")
+    return (
+        sc.join(F.broadcast(stot), "source")
+        .join(ct, "term")
+        .crossJoin(F.broadcast(ctot))
+        .groupBy("source")
+        .agg(
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_divergence"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+    )

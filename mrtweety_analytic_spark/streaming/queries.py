@@ -1452,3 +1452,99 @@ def s_threshold_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_to_memory(spark, alerts, "append")
+
+
+@register(
+    "s_prior_zscore",
+    oracle="""
+    WITH seq AS (
+        SELECT event_id, event_type, value,
+               count(*) OVER w AS n,
+               sum(value) OVER w AS s,
+               sum(value * value) OVER w AS ss
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING)
+    )
+    SELECT event_id, event_type, value,
+           round((value - s / n)
+                 / sqrt((ss - s * s / n) / (n - 1)), 6) AS z
+    FROM seq
+    WHERE n >= 2 AND (ss - s * s / n) / (n - 1) > 0
+      AND abs((value - s / n)
+              / sqrt((ss - s * s / n) / (n - 1))) > 3
+    """,
+)
+def s_prior_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming anomaly detection with PRIOR-ONLY statistics: each
+    event's value is z-scored against the running (n, Σx, Σx²) of
+    the events seen BEFORE it on the same event_type key, and
+    emitted when |z| > 3 — the leakage-free form of
+    q_events_anomaly_zscore (whose batch stats include the anomaly
+    itself) and the alerting kernel a real monitor runs: state is
+    three doubles per key, emissions happen the moment the event is
+    processed.
+
+    applyInPandasWithState keeps (n, s, ss); the kernel replays each
+    micro-batch's rows for a key in (ts, event_id) order and updates
+    the sums ONE VALUE AT A TIME, so the float partial sums are the
+    exact sequence the oracle's prefix window computes — sequential
+    arithmetic is the contract here, which is why this kernel is
+    per-key sequential-in-Python by design (the per-key stream IS
+    sequential; keys run in parallel across state partitions).
+    """
+    import math as _math
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    events = load_events_stream(spark, sf_dir).select(
+        "event_id", "ts", "event_type", "value"
+    )
+
+    def flag_anomalies(key, pdf_iter, state):
+        n, s, ss = state.get if state.exists else (0, 0.0, 0.0)
+        out_id, out_val, out_z = [], [], []
+        pdfs = [pdf for pdf in pdf_iter]
+        rows = (
+            pd.concat(pdfs).sort_values(["ts", "event_id"])
+            if pdfs
+            else pd.DataFrame(columns=["event_id", "value"])
+        )
+        for eid, x in zip(rows["event_id"], rows["value"]):
+            x = float(x)
+            if n >= 2:
+                mean = s / n
+                var = (ss - s * s / n) / (n - 1)
+                if var > 0:
+                    z = (x - mean) / _math.sqrt(var)
+                    if abs(z) > 3:
+                        out_id.append(int(eid))
+                        out_val.append(x)
+                        out_z.append(round(z, 6))
+            n += 1
+            s += x
+            ss += x * x
+        state.update((n, s, ss))
+        yield pd.DataFrame(
+            {
+                "event_id": pd.Series(out_id, dtype="int64"),
+                "event_type": key[0],
+                "value": pd.Series(out_val, dtype="float64"),
+                "z": pd.Series(out_z, dtype="float64"),
+            }
+        )
+
+    flagged = events.groupBy("event_type").applyInPandasWithState(
+        flag_anomalies,
+        outputStructType=(
+            "event_id long, event_type string, value double, z double"
+        ),
+        stateStructType="n long, s double, ss double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_memory(spark, flagged, "update")
+    return out.select("event_id", "event_type", "value", "z")

@@ -336,3 +336,83 @@ def test_time_to_convert_buckets_and_exclusions(spark, tmp_path):
         ).collect()
     }
     assert got == {0: 1, 3: 1, 7: 1}
+
+
+def test_prior_zscore_flags_only_with_leakage_free_stats(
+    spark, tmp_path
+):
+    """The spike is scored against PRIOR events only (batch z-score
+    would dilute it with itself); warm-up events with zero prior
+    variance are never flagged."""
+    import math
+
+    import pandas as pd
+
+    vals = [10.0, 11.0, 10.0, 11.0, 100.0]
+    pd.DataFrame(
+        {
+            "event_id": range(1, 6),
+            "ts": pd.to_datetime(
+                [f"2024-01-01 00:0{i}:00" for i in range(5)]
+            ),
+            "user_id": [1] * 5,
+            "event_type": ["view"] * 5,
+            "value": vals,
+            "props": ["{}"] * 5,
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    got = QUERIES["s_prior_zscore"](spark, str(tmp_path)).collect()
+    assert [r.event_id for r in got] == [5]
+    n, s, ss = 4, sum(vals[:4]), sum(v * v for v in vals[:4])
+    var = (ss - s * s / n) / (n - 1)
+    expected = round((100.0 - s / n) / math.sqrt(var), 6)
+    assert abs(got[0].z - expected) < 1e-9
+
+
+def test_stickiness_rolling_mau(spark, tmp_path):
+    """Day 2's MAU window reaches back to day 1, so its stickiness
+    is DAU/MAU = 1/2."""
+    rows = [
+        (1, datetime(2024, 1, 1), 1, "view", 1.0, "{}"),
+        (2, datetime(2024, 1, 1), 2, "view", 1.0, "{}"),
+        (3, datetime(2024, 1, 2), 1, "view", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        str(r.day): (r.dau, r.mau, r.stickiness)
+        for r in QUERIES["q_events_stickiness"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {
+        "2024-01-01": (2, 2, 1.0),
+        "2024-01-02": (1, 2, 0.5),
+    }
+
+
+def test_source_divergence_symmetric_construction(spark, tmp_path):
+    """Two sources each halving with the corpus on one term: both
+    get KL = 0.5*ln(2), and n_terms counts source vocab."""
+    import math
+
+    rows = [
+        (1, "x y", "en", "A", 3),
+        (2, "x z", "en", "B", 3),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.source: (r.kl_divergence, r.n_terms)
+        for r in QUERIES["q_text_source_divergence"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    expected = round(0.5 * math.log(2.0), 6)
+    assert got == {"A": (expected, 2), "B": (expected, 2)}
