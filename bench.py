@@ -164,6 +164,9 @@ HEADLINE = [
     "q_events_time_to_convert",  # funnel-latency histogram
     "q_events_stickiness",       # exact rolling DAU/MAU
     "q_text_source_divergence",  # per-source unigram KL drift
+    "q_ts_drawdown",             # running-peak collapse metric
+    "q_events_anomaly_deseasonalized",  # residual z-score alarms
+    "q_agg_winsorized",          # percentile-clipped robust mean
 ]
 
 

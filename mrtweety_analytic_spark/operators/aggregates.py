@@ -810,3 +810,72 @@ def q_agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_suppliers"),
         )
     )
+
+
+@register(
+    "q_agg_winsorized",
+    oracle="""
+    WITH pct AS (
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.05) AS p05,
+               quantile_cont(l_quantity, 0.95) AS p95
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_returnflag,
+           round(avg(greatest(least(l.l_quantity, p.p95), p.p05)), 4)
+               AS winsorized_mean,
+           round(avg(l.l_quantity), 4) AS raw_mean,
+           count(*) AS n
+    FROM lineitem l JOIN pct p ON p.l_returnflag = l.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_agg_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per return flag: clip values at the group's
+    5th/95th percentile before averaging — the outlier-robust
+    center estimate (next to q_agg_weighted_median and
+    q_ts_theil_sen in the robust-statistics family) that a metrics
+    layer reports when a handful of fat-finger values would drag the
+    raw mean.
+
+    The percentiles use the SAME rank-interpolation pattern as
+    q_agg_percentile (row_number + count per partition, lerp between
+    the floor/ceil ranks) — O(1) aggregation state, never the exact
+    `percentile` aggregate whose buffer holds every group value —
+    and come back as one row per flag, broadcast-joined to the fact
+    rows for the clip+avg pass.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ws = W.partitionBy("l_returnflag").orderBy("l_quantity")
+    wn = W.partitionBy("l_returnflag")
+    ranked = li.where(F.col("l_quantity").isNotNull()).select(
+        "l_returnflag",
+        F.col("l_quantity").alias("v"),
+        F.row_number().over(ws).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def lerp(p: float, nm: str):
+        h = 1 + (F.col("n") - 1) * F.lit(p)
+        lo = F.floor(h)
+        vlo = F.max(F.when(F.col("rn") == lo, F.col("v")))
+        vhi = F.max(F.when(F.col("rn") == lo + 1, F.col("v")))
+        hh = 1 + (F.max("n") - 1) * F.lit(p)
+        frac = hh - F.floor(hh)
+        return (vlo + frac * (F.coalesce(vhi, vlo) - vlo)).alias(nm)
+
+    pct = ranked.groupBy("l_returnflag").agg(
+        lerp(0.05, "p05"), lerp(0.95, "p95")
+    )
+    clipped = F.greatest(
+        F.least(F.col("l_quantity"), F.col("p95")), F.col("p05")
+    )
+    return (
+        li.join(F.broadcast(pct), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.avg(clipped), 4).alias("winsorized_mean"),
+            F.round(F.avg("l_quantity"), 4).alias("raw_mean"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -2162,3 +2162,132 @@ def q_ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("power_frac"),
     )
+
+
+@register(
+    "q_ts_drawdown",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    run AS (
+        SELECT event_type, day, v,
+               max(v) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS peak
+        FROM daily
+    )
+    SELECT event_type,
+           round(max(peak - v), 2) AS max_drawdown,
+           round(max((peak - v) / peak), 6) AS max_drawdown_frac,
+           count(*) AS n_days
+    FROM run GROUP BY event_type
+    """,
+)
+def q_ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the per-type daily volume series: the
+    deepest drop from a running peak, absolute and as a fraction of
+    that peak — the single-number "how bad did ingest collapse"
+    metric that pairs with q_ts_changepoint (which finds WHEN) for
+    pipeline-health review.
+
+    Scale: the log reduces to the O(types × days) series first; the
+    running peak rides the event_type partition ordered by day, and
+    the final max is a map-side-combinable aggregate. peak ≥ v > 0
+    always (the day exists ⇒ count ≥ 1), so the fraction never
+    divides by zero.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = _daily_counts(ev)
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    run = daily.select(
+        "event_type", "v", F.max("v").over(w).alias("peak")
+    )
+    return run.groupBy("event_type").agg(
+        F.round(F.max(F.col("peak") - F.col("v")), 2).alias(
+            "max_drawdown"
+        ),
+        F.round(
+            F.max((F.col("peak") - F.col("v")) / F.col("peak")), 6
+        ).alias("max_drawdown_frac"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+
+
+@register(
+    "q_events_anomaly_deseasonalized",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    trend AS (
+        SELECT event_type, day, v,
+               CASE WHEN count(*) OVER w7 = 7
+                    THEN avg(v) OVER w7 END AS trend
+        FROM daily
+        WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    season AS (
+        SELECT event_type, dayofweek(day) AS dow,
+               avg(v - trend) AS seasonal
+        FROM trend WHERE trend IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    res AS (
+        SELECT t.event_type, t.day, t.v,
+               round(t.v - t.trend - s.seasonal, 6) AS residual
+        FROM trend t JOIN season s
+          ON s.event_type = t.event_type AND s.dow = dayofweek(t.day)
+        WHERE t.trend IS NOT NULL
+    ),
+    st AS (
+        SELECT event_type, avg(residual) AS mu,
+               stddev_samp(residual) AS sd
+        FROM res GROUP BY event_type
+    )
+    SELECT r.event_type, r.day, r.v, r.residual,
+           round((r.residual - st.mu) / st.sd, 6) AS z
+    FROM res r JOIN st ON st.event_type = r.event_type
+    WHERE st.sd > 0
+      AND abs((r.residual - st.mu) / st.sd) >= 2
+    """,
+)
+def q_events_anomaly_deseasonalized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Anomalous (type, day) cells scored on SEASONAL RESIDUALS —
+    the composition q_ts_seasonal's docstring promises: raw-count
+    z-scores (q_events_anomaly_zscore) alarm on every weekend, so
+    this op z-scores the residual AFTER removing the 7-day moving
+    trend and the day-of-week profile, flagging |z| ≥ 2. Reuses the
+    registered q_ts_seasonal frame unchanged; the z layer is one
+    per-type mean/stddev aggregate joined back — both mergeable, so
+    the composition adds a single tiny shuffle to the decomposition.
+    """
+    from ..registry import QUERIES
+
+    res = QUERIES["q_ts_seasonal"](spark, sf_dir).select(
+        "event_type", "day", "v", "residual"
+    )
+    st = res.groupBy("event_type").agg(
+        F.avg("residual").alias("mu"),
+        F.stddev_samp("residual").alias("sd"),
+    )
+    z = (F.col("residual") - F.col("mu")) / F.col("sd")
+    return (
+        res.join(st, "event_type")
+        .filter((F.col("sd") > 0) & (F.abs(z) >= 2))
+        .select(
+            "event_type", "day", "v", "residual",
+            F.round(z, 6).alias("z"),
+        )
+    )

@@ -416,3 +416,95 @@ def test_source_divergence_symmetric_construction(spark, tmp_path):
     }
     expected = round(0.5 * math.log(2.0), 6)
     assert got == {"A": (expected, 2), "B": (expected, 2)}
+
+
+def test_drawdown_peak_to_trough(spark, tmp_path):
+    """Daily counts 5,2,4: deepest drop from the running peak is 3
+    (fraction 0.6); the later partial recovery doesn't reduce it."""
+    from datetime import timedelta
+
+    counts = [5, 2, 4]
+    rows = []
+    eid = 0
+    for d, c in enumerate(counts):
+        for _ in range(c):
+            rows.append(
+                (
+                    eid,
+                    datetime(2024, 1, 1) + timedelta(days=d),
+                    1,
+                    "view",
+                    1.0,
+                    "{}",
+                )
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    [r] = QUERIES["q_ts_drawdown"](spark, str(tmp_path)).collect()
+    assert (r.max_drawdown, r.max_drawdown_frac, r.n_days) == (
+        3.0,
+        0.6,
+        3,
+    )
+
+
+def test_deseasonalized_flat_series_never_alarms(spark, tmp_path):
+    """A perfectly flat series has zero residual variance; the sd>0
+    guard must yield no alarms (not a divide-by-zero)."""
+    from datetime import timedelta
+
+    rows = []
+    eid = 0
+    for d in range(21):
+        for _ in range(5):
+            rows.append(
+                (
+                    eid,
+                    datetime(2024, 1, 1) + timedelta(days=d),
+                    1,
+                    "view",
+                    1.0,
+                    "{}",
+                )
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    assert (
+        QUERIES["q_events_anomaly_deseasonalized"](
+            spark, str(tmp_path)
+        ).count()
+        == 0
+    )
+
+
+def test_winsorized_mean_clips_the_outlier(spark, tmp_path):
+    """The winsorized mean equals numpy's linear-interpolation
+    percentile clip; the raw mean stays dragged by the outlier."""
+    import numpy as np
+
+    vals = [float(v) for v in range(1, 20)] + [1000.0]
+    li = [
+        (i, 1, 1, 1, v, 10.0, 0.0, 0.0, "N", "O", datetime(2024, 1, 1))
+        for i, v in enumerate(vals)
+    ]
+    spark.createDataFrame(
+        li,
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber long, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    p05, p95 = np.percentile(np.array(vals), [5, 95])
+    expected = round(float(np.clip(np.array(vals), p05, p95).mean()), 4)
+    [r] = QUERIES["q_agg_winsorized"](spark, str(tmp_path)).collect()
+    assert r.winsorized_mean == expected
+    assert r.raw_mean == round(sum(vals) / len(vals), 4)
+    assert r.winsorized_mean < r.raw_mean / 2
