@@ -167,6 +167,9 @@ HEADLINE = [
     "q_ts_drawdown",             # running-peak collapse metric
     "q_events_anomaly_deseasonalized",  # residual z-score alarms
     "q_agg_winsorized",          # percentile-clipped robust mean
+    "q_sim_cluster_cohesion",    # direct-edge fraction certificate
+    "q_text_templates",          # structural-shape boilerplate miner
+    "q_events_behavior_entropy", # per-user type-mix entropy histogram
 ]
 
 

@@ -1732,3 +1732,58 @@ def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dau").cast("double") / F.col("mau"), 6
         ).alias("stickiness"),
     )
+
+
+@register(
+    "q_events_behavior_entropy",
+    oracle="""
+    WITH ut AS (
+        SELECT user_id, event_type, count(*) AS c
+        FROM events GROUP BY user_id, event_type
+    ),
+    tot AS (SELECT user_id, sum(c) AS t FROM ut GROUP BY user_id),
+    ent AS (
+        SELECT ut.user_id,
+               sum(-(CAST(ut.c AS DOUBLE) / tot.t)
+                   * ln(CAST(ut.c AS DOUBLE) / tot.t)) AS h
+        FROM ut JOIN tot ON tot.user_id = ut.user_id
+        GROUP BY ut.user_id
+    )
+    SELECT CAST(floor(h * 10) AS BIGINT) AS entropy_decibucket,
+           count(*) AS n_users
+    FROM ent GROUP BY 1
+    """,
+)
+def q_events_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-diversity histogram: Shannon entropy of each
+    user's event-type distribution (0 = single-behavior bots and
+    lurkers, ln(5) ≈ 1.6 = uniformly mixed usage), bucketed to 0.1
+    nats — the population-level segmentation signal complementing
+    q_events_bot_detect's per-user timing test (metronome timing AND
+    zero behavioral entropy is the strongest bot evidence).
+
+    Scale: two map-side-combinable aggregates (user×type, then per
+    user) and a ≤17-bucket histogram — per-user state never exceeds
+    the type cardinality, and no raw-event self-join. Entropy terms
+    are -(c/t)·ln(c/t) evaluated in identical order in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = ut.groupBy("user_id").agg(F.sum("c").alias("t"))
+    p = F.col("c").cast("double") / F.col("t")
+    ent = (
+        ut.join(tot, "user_id")
+        .groupBy("user_id")
+        .agg(F.sum(-p * F.log(p)).alias("h"))
+    )
+    return (
+        ent.select(
+            F.floor(F.col("h") * 10).cast("bigint").alias(
+                "entropy_decibucket"
+            )
+        )
+        .groupBy("entropy_decibucket")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -704,28 +704,31 @@ def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT a.o_custkey AS custkey,
            a.o_orderkey AS order_a, b.o_orderkey AS order_b,
-           a.o_totalprice AS amount,
+           a.o_totalprice AS amount_a, b.o_totalprice AS amount_b,
            CAST(CAST(b.o_orderdate AS DATE)
                 - CAST(a.o_orderdate AS DATE) AS BIGINT) AS gap_days
     FROM orders a JOIN orders b
       ON a.o_custkey = b.o_custkey
-     AND a.o_totalprice = b.o_totalprice
      AND a.o_orderkey < b.o_orderkey
     WHERE abs(CAST(CAST(b.o_orderdate AS DATE)
                    - CAST(a.o_orderdate AS DATE) AS BIGINT)) <= 7
+      AND abs(a.o_totalprice - b.o_totalprice)
+          <= 0.02 * least(a.o_totalprice, b.o_totalprice)
     """,
 )
 def q_dq_duplicate_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Potential duplicate-charge pairs: same customer, identical
-    order total, order dates within 7 days — the double-billing /
-    double-ingest detector every billing DQ suite runs. The join is
-    EQUI on (custkey, totalprice) — the candidate set is only orders
-    sharing an exact (customer, amount) key, so fan-out is bounded
-    by per-key duplicate multiplicity, never |orders|² — with the
-    ±7-day band as a residual filter after the hash join. Amount
-    equality is exact double equality: both sides are the same
-    stored parquet value, so no epsilon is needed (and an epsilon
-    would break the equi-key partitioning).
+    """Suspected duplicate-charge pairs: same customer, order totals
+    within 2% of each other, order dates within 7 days — the
+    double-billing / double-ingest detector every billing DQ suite
+    runs (the 2% band catches retried charges with added fees or FX
+    drift, which exact-amount equality misses entirely).
+
+    Scale: the join is EQUI on custkey — candidate fan-out is the
+    per-customer order count within the window (single digits for
+    commerce data), never |orders|² — and the amount band plus
+    ±7-day window are residual filters after the hash join. Both
+    band comparisons are the identical IEEE expression in both
+    engines, so no epsilon mismatch is possible.
     """
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice",
@@ -734,19 +737,24 @@ def q_dq_duplicate_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = orders.alias("a")
     b = orders.alias("b")
     gap = F.datediff(F.col("b.day"), F.col("a.day"))
+    band = F.abs(
+        F.col("a.o_totalprice") - F.col("b.o_totalprice")
+    ) <= F.lit(0.02) * F.least(
+        F.col("a.o_totalprice"), F.col("b.o_totalprice")
+    )
     return (
         a.join(
             b,
             (F.col("a.o_custkey") == F.col("b.o_custkey"))
-            & (F.col("a.o_totalprice") == F.col("b.o_totalprice"))
             & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
         )
-        .filter(F.abs(gap) <= 7)
+        .filter((F.abs(gap) <= 7) & band)
         .select(
             F.col("a.o_custkey").alias("custkey"),
             F.col("a.o_orderkey").alias("order_a"),
             F.col("b.o_orderkey").alias("order_b"),
-            F.col("a.o_totalprice").alias("amount"),
+            F.col("a.o_totalprice").alias("amount_a"),
+            F.col("b.o_totalprice").alias("amount_b"),
             gap.cast("bigint").alias("gap_days"),
         )
     )

@@ -2040,3 +2040,96 @@ def q_sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_sim_cluster_cohesion",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[]))
+              >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc, other) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT r.doc, e.b FROM reach r JOIN edges e ON e.a = r.other
+    ),
+    clusters AS (
+        SELECT doc AS vec_id, min(other) AS cluster_id
+        FROM reach GROUP BY doc
+    ),
+    mates AS (
+        SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
+        FROM clusters x JOIN clusters y
+          ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+    )
+    SELECT CAST((SELECT count(*) FROM (
+                 SELECT DISTINCT cluster_id FROM clusters))
+                AS BIGINT) AS n_clusters,
+           CAST(count(*) AS BIGINT) AS n_mate_pairs,
+           CAST(sum(CASE WHEN p.doc_a IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_direct,
+           round(CAST(sum(CASE WHEN p.doc_a IS NOT NULL
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS direct_frac
+    FROM mates m
+    LEFT JOIN pairs p
+      ON p.doc_a = m.doc_a AND p.doc_b = m.doc_b
+    """,
+)
+def q_sim_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohesion certificate for the semantic clusters: of all
+    same-cluster pairs, what fraction is a DIRECT cos≥0.5 edge? The
+    transitive closure can chain A–B–C where A–C is dissimilar;
+    direct_frac ≈ 1 means tight paraphrase families, a low value
+    warns that chaining has merged unrelated docs and the threshold
+    (q_dedup_threshold_sweep) needs raising. Measure-don't-guess for
+    q_sim_semantic_clusters, like q_dedup_lsh_eval is for MinHash.
+
+    Scale: mate pairs are generated per cluster (fan-out bounded by
+    near-dup family size², small by construction), the direct-edge
+    probe is an equi left join on the pair key, and the verdict is
+    one global aggregate row.
+    """
+    from ..registry import QUERIES
+    from .dedup import q_dedup_embedding
+
+    clusters = QUERIES["q_sim_semantic_clusters"](spark, sf_dir)
+    x = clusters.select(
+        F.col("vec_id").alias("doc_a"), F.col("cluster_id").alias("ca")
+    )
+    y = clusters.select(
+        F.col("vec_id").alias("doc_b"), F.col("cluster_id").alias("cb")
+    )
+    mates = x.join(
+        y,
+        (F.col("ca") == F.col("cb")) & (F.col("doc_a") < F.col("doc_b")),
+    ).select("doc_a", "doc_b")
+    direct = q_dedup_embedding(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"),
+        F.col("vec_b").alias("doc_b"),
+        F.lit(1).alias("hit"),
+    )
+    probed = mates.join(direct, ["doc_a", "doc_b"], "left")
+    n_clusters = clusters.select("cluster_id").distinct().count()
+    return probed.agg(
+        F.lit(n_clusters).cast("bigint").alias("n_clusters"),
+        F.count(F.lit(1)).alias("n_mate_pairs"),
+        F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias(
+            "n_direct"
+        ),
+        F.round(
+            F.sum(F.coalesce("hit", F.lit(0))).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("direct_frac"),
+    )

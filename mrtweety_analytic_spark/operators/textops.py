@@ -1609,3 +1609,55 @@ def q_text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_terms"),
         )
     )
+
+
+@register(
+    "q_text_templates",
+    oracle="""
+    WITH shaped AS (
+        SELECT doc_id, source,
+               regexp_replace(
+                   regexp_replace(lower(text), '[0-9]+', '#', 'g'),
+                   '[a-z]+', 'w', 'g') AS shape
+        FROM documents
+    )
+    SELECT shape,
+           count(*) AS n_docs,
+           min(doc_id) AS example_doc_id,
+           count(DISTINCT source) AS n_sources
+    FROM shaped
+    GROUP BY shape
+    HAVING count(*) >= 2
+    """,
+)
+def q_text_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template mining: collapse every document to its structural
+    shape (digit runs → '#', word runs → 'w', punctuation/spacing
+    kept verbatim) and surface shapes shared by ≥2 docs — the
+    machine-generated/boilerplate detector that catches "Order #123
+    shipped to X" families exact dedup misses (different numbers)
+    and shingle dedup underweights (short docs). A template that
+    spans many sources is syndicated boilerplate; one source means a
+    generator.
+
+    Scale: one map pass of two regexes (JVM codegen, no Python),
+    then a groupBy on the md5-sized shape string — shuffle rows are
+    shapes, not documents. The character classes are shared
+    RE2/Java-regex syntax, so both engines produce identical shapes.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shape = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), "[0-9]+", "#"),
+        "[a-z]+",
+        "w",
+    )
+    return (
+        docs.select(shape.alias("shape"), "doc_id", "source")
+        .groupBy("shape")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("example_doc_id"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

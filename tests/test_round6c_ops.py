@@ -280,15 +280,17 @@ def test_hhi_even_duopoly_vs_monopoly(spark, tmp_path):
     assert got == {"DUOPOLY": (0.5, 2), "MONOPOLY": (1.0, 1)}
 
 
-def test_duplicate_charges_window_and_amount(spark, tmp_path):
-    """Same customer + same amount within 7 days flags; beyond the
-    window or a different amount does not."""
+def test_duplicate_charges_window_and_amount_band(spark, tmp_path):
+    """Same customer + amounts within 2% inside 7 days flags (exact
+    repeat AND a 1.5% drifted retry); beyond the window, outside the
+    band, or across customers does not."""
     rows = [
         (1, 1, "O", 99.99, datetime(2024, 1, 1), "x"),
-        (2, 1, "O", 99.99, datetime(2024, 1, 4), "x"),   # flag, gap 3
-        (3, 1, "O", 99.99, datetime(2024, 1, 20), "x"),  # >7d from both
-        (4, 1, "O", 50.00, datetime(2024, 1, 2), "x"),   # diff amount
-        (5, 2, "O", 99.99, datetime(2024, 1, 2), "x"),   # diff customer
+        (2, 1, "O", 99.99, datetime(2024, 1, 4), "x"),    # flag, gap 3
+        (3, 1, "O", 99.99, datetime(2024, 1, 20), "x"),   # >7d from both
+        (4, 1, "O", 50.00, datetime(2024, 1, 2), "x"),    # outside band
+        (5, 2, "O", 99.99, datetime(2024, 1, 2), "x"),    # diff customer
+        (6, 1, "O", 101.49, datetime(2024, 1, 3), "x"),   # 1.5% drift
     ]
     spark.createDataFrame(
         rows,
@@ -296,13 +298,13 @@ def test_duplicate_charges_window_and_amount(spark, tmp_path):
         " o_totalprice double, o_orderdate timestamp,"
         " o_orderpriority string",
     ).write.parquet(str(tmp_path / "orders.parquet"))
-    got = [
+    got = sorted(
         (r.order_a, r.order_b, r.gap_days)
         for r in QUERIES["q_dq_duplicate_charges"](
             spark, str(tmp_path)
         ).collect()
-    ]
-    assert got == [(1, 2, 3)]
+    )
+    assert got == [(1, 2, 3), (1, 6, 2), (2, 6, -1)]
 
 
 def test_time_to_convert_buckets_and_exclusions(spark, tmp_path):
@@ -508,3 +510,67 @@ def test_winsorized_mean_clips_the_outlier(spark, tmp_path):
     assert r.winsorized_mean == expected
     assert r.raw_mean == round(sum(vals) / len(vals), 4)
     assert r.winsorized_mean < r.raw_mean / 2
+
+
+def test_cluster_cohesion_detects_transitive_chain(spark, tmp_path):
+    """A chain A-B-C where A-C is NOT a direct edge gives 3 mate
+    pairs but only 2 direct ones -> direct_frac 2/3."""
+    import math
+
+    t = math.radians(40)  # cos(40 deg) ~ 0.766 >= 0.5; cos(80) < 0.5
+    vecs = [
+        (1, [1.0, 0.0]),
+        (2, [math.cos(t), math.sin(t)]),
+        (3, [math.cos(2 * t), math.sin(2 * t)]),
+    ]
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    [r] = QUERIES["q_sim_cluster_cohesion"](spark, str(tmp_path)).collect()
+    assert (r.n_clusters, r.n_mate_pairs, r.n_direct) == (1, 3, 2)
+    assert abs(r.direct_frac - round(2 / 3, 6)) < 1e-9
+
+
+def test_templates_group_by_shape_across_numbers(spark, tmp_path):
+    """Docs differing only in digits share a template; a unique
+    shape is not reported."""
+    rows = [
+        (1, "order 123 shipped", "en", "shop", 17),
+        (2, "order 99 shipped", "en", "mail", 16),
+        (3, "completely different words here", "en", "web", 31),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = QUERIES["q_text_templates"](spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    [r] = got
+    assert (r.shape, r.n_docs, r.example_doc_id, r.n_sources) == (
+        "w # w", 2, 1, 2,
+    )
+
+
+def test_behavior_entropy_buckets(spark, tmp_path):
+    """A single-type user lands in bucket 0; a 50/50 user lands in
+    the ln(2)=0.693 -> bucket 6."""
+    base = datetime(2024, 1, 1)
+    rows = [
+        (1, base, 1, "view", 1.0, "{}"),
+        (2, base, 1, "view", 1.0, "{}"),
+        (3, base, 2, "view", 1.0, "{}"),
+        (4, base, 2, "click", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.entropy_decibucket: r.n_users
+        for r in QUERIES["q_events_behavior_entropy"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {0: 1, 6: 1}
