@@ -170,6 +170,9 @@ HEADLINE = [
     "q_sim_cluster_cohesion",    # direct-edge fraction certificate
     "q_text_templates",          # structural-shape boilerplate miner
     "q_events_behavior_entropy", # per-user type-mix entropy histogram
+    "q_text_readability",        # Flesch score, regex-only map pass
+    "q_dq_freshness",            # per-stream staleness vs corpus max
+    "s_rate_limit",              # integer token-bucket admission
 ]
 
 

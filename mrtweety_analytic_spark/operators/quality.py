@@ -758,3 +758,48 @@ def q_dq_duplicate_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
             gap.cast("bigint").alias("gap_days"),
         )
     )
+
+
+@register(
+    "q_dq_freshness",
+    oracle="""
+    WITH per_type AS (
+        SELECT event_type, max(epoch_us(ts)) AS last_us,
+               count(*) AS n_events
+        FROM events GROUP BY event_type
+    ),
+    global_max AS (SELECT max(last_us) AS g FROM per_type)
+    SELECT event_type, n_events,
+           CAST(floor((g - last_us) / 3600000000) AS BIGINT)
+               AS staleness_hours
+    FROM per_type CROSS JOIN global_max
+    """,
+)
+def q_dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream freshness: how many whole hours each event type's
+    latest event lags behind the newest event in the corpus — the
+    stalled-producer detector (a type whose staleness grows batch
+    over batch has a dead upstream, the exact condition
+    s_threshold_alert monitors live). Deliberately measured against
+    the corpus max, not wall-clock now(), so the metric is
+    deterministic and replayable.
+
+    Timestamp arithmetic stays in integer microseconds end to end
+    (unix_micros ↔ epoch_us, the only certified cross-engine ts
+    pairing) with ONE integer division to hours. One
+    map-side-combinable max/count per type; the global max is a
+    1-row broadcast.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.max(F.unix_micros("ts")).alias("last_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    g = per_type.agg(F.max("last_us").alias("g"))
+    return per_type.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "n_events",
+        F.floor(
+            (F.col("g") - F.col("last_us")) / F.lit(3600000000)
+        ).cast("bigint").alias("staleness_hours"),
+    )

@@ -1661,3 +1661,69 @@ def q_text_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+@register(
+    "q_text_readability",
+    oracle="""
+    WITH feats AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                    AS DOUBLE) AS n_words,
+               CAST(greatest(
+                    len(regexp_extract_all(text, '[.!?]+')), 1)
+                    AS DOUBLE) AS n_sents,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                    AS DOUBLE) AS n_syll
+        FROM documents
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sents AS BIGINT) AS n_sents,
+           round(206.835 - 1.015 * (n_words / n_sents)
+                 - 84.6 * (n_syll / n_words), 4) AS flesch
+    FROM feats WHERE n_words > 0
+    """,
+)
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document, with vowel-group runs as
+    the syllable proxy (the standard dictionary-free approximation)
+    and [.!?]+ runs as sentence boundaries (min 1 so fragments don't
+    divide by zero) — the readability axis of corpus quality that
+    q_text_quality's length/stopword ratios don't capture: a wall of
+    legalese and a children's story can have identical token stats.
+
+    One map-only pass: three regexp_extract_all counts per row (JVM
+    regex, no Python), no shuffle at all — the cheapest possible
+    quality column at 100 TB. The character classes are shared
+    Java-regex/RE2 syntax so both engines count identical runs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(
+        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    ).cast("double")
+    n_sents = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+    ).cast("double")
+    n_syll = F.size(
+        F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+    ).cast("double")
+    return (
+        docs.select(
+            "doc_id",
+            n_words.alias("w"),
+            n_sents.alias("s"),
+            n_syll.alias("y"),
+        )
+        .filter(F.col("w") > 0)
+        .select(
+            "doc_id",
+            F.col("w").cast("bigint").alias("n_words"),
+            F.col("s").cast("bigint").alias("n_sents"),
+            F.round(
+                F.lit(206.835)
+                - F.lit(1.015) * (F.col("w") / F.col("s"))
+                - F.lit(84.6) * (F.col("y") / F.col("w")),
+                4,
+            ).alias("flesch"),
+        )
+    )

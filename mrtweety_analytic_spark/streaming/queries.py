@@ -1548,3 +1548,109 @@ def s_prior_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_memory(spark, flagged, "update")
     return out.select("event_id", "event_type", "value", "z")
+
+
+@register(
+    "s_rate_limit",
+    oracle="""
+    WITH RECURSIVE ev AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    rt(user_id, rn, event_id, t, tokens, allowed) AS (
+        SELECT user_id, rn, event_id, t,
+               180000000 - 60000000,
+               TRUE
+        FROM ev WHERE rn = 1
+        UNION ALL
+        SELECT e.user_id, e.rn, e.event_id, e.t,
+               CASE WHEN least(180000000, r.tokens + (e.t - r.t))
+                         >= 60000000
+                    THEN least(180000000, r.tokens + (e.t - r.t))
+                         - 60000000
+                    ELSE least(180000000, r.tokens + (e.t - r.t))
+               END,
+               least(180000000, r.tokens + (e.t - r.t)) >= 60000000
+        FROM ev e JOIN rt r
+          ON e.user_id = r.user_id AND e.rn = r.rn + 1
+    )
+    SELECT event_id, user_id, allowed, tokens AS tokens_after
+    FROM rt
+    """,
+)
+def s_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-user token-bucket rate limiter: capacity 3
+    requests, refill one request per 60 s of EVENT time, cost one
+    per event — every event is emitted with its allow/deny verdict
+    and the remaining bucket, which is the admission-control
+    primitive in front of any ingest API (and the event-time twin of
+    q_events_bot_detect: a user who is ever denied is bursting
+    faster than 1/min).
+
+    All bucket arithmetic is INTEGER microseconds (one token =
+    60 000 000 µs-units, capacity 180 000 000) — no floats anywhere,
+    so the applyInPandasWithState kernel and the DuckDB recursive
+    CTE agree bit-for-bit on every verdict, the strongest possible
+    cross-engine certificate for a sequential stateful operator.
+    State per key is two longs; batch rows replay in (ts, event_id)
+    order inside the kernel.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    CAP = 180_000_000
+    COST = 60_000_000
+
+    events = load_events_stream(spark, sf_dir).select(
+        "event_id", "ts", "user_id"
+    ).withColumn("t_us", F.unix_micros("ts"))
+
+    def limit(key, pdf_iter, state):
+        if state.exists:
+            tokens, last = state.get
+            started = True
+        else:
+            tokens, last, started = CAP, 0, False
+        out_id, out_allowed, out_tokens = [], [], []
+        pdfs = [pdf for pdf in pdf_iter]
+        rows = (
+            pd.concat(pdfs).sort_values(["ts", "event_id"])
+            if pdfs
+            else pd.DataFrame(columns=["event_id", "t_us"])
+        )
+        for eid, t in zip(rows["event_id"], rows["t_us"]):
+            t = int(t)
+            if started:
+                tokens = min(CAP, tokens + (t - last))
+            allowed = tokens >= COST
+            if allowed:
+                tokens -= COST
+            last, started = t, True
+            out_id.append(int(eid))
+            out_allowed.append(allowed)
+            out_tokens.append(tokens)
+        state.update((tokens, last))
+        yield pd.DataFrame(
+            {
+                "event_id": pd.Series(out_id, dtype="int64"),
+                "user_id": key[0],
+                "allowed": pd.Series(out_allowed, dtype="bool"),
+                "tokens_after": pd.Series(out_tokens, dtype="int64"),
+            }
+        )
+
+    limited = events.groupBy("user_id").applyInPandasWithState(
+        limit,
+        outputStructType=(
+            "event_id long, user_id long, allowed boolean,"
+            " tokens_after long"
+        ),
+        stateStructType="tokens long, last long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_memory(spark, limited, "update")
+    return out.select("event_id", "user_id", "allowed", "tokens_after")

@@ -574,3 +574,73 @@ def test_behavior_entropy_buckets(spark, tmp_path):
         ).collect()
     }
     assert got == {0: 1, 6: 1}
+
+
+def test_readability_formula_on_known_text(spark, tmp_path):
+    """5 words / 2 sentence runs / 5 vowel groups gives the exact
+    Flesch value; an empty text row is excluded."""
+    rows = [
+        (1, "the cat sat. it ran!", "en", "web", 20),
+        (2, "...", "en", "web", 3),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = QUERIES["q_text_readability"](spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    [r] = got
+    assert (r.n_words, r.n_sents) == (5, 2)
+    assert r.flesch == round(206.835 - 1.015 * (5 / 2) - 84.6 * 1.0, 4)
+
+
+def test_freshness_lag_behind_corpus_max(spark, tmp_path):
+    """Staleness is whole hours behind the newest event anywhere:
+    2.5h truncates to 2, the freshest stream reads 0."""
+    rows = [
+        (1, datetime(2024, 1, 1, 12, 0), 1, "view", 1.0, "{}"),
+        (2, datetime(2024, 1, 1, 9, 30), 1, "click", 1.0, "{}"),
+        (3, datetime(2024, 1, 1, 11, 0), 1, "purchase", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.event_type: r.staleness_hours
+        for r in QUERIES["q_dq_freshness"](spark, str(tmp_path)).collect()
+    }
+    assert got == {"view": 0, "click": 2, "purchase": 1}
+
+
+def test_rate_limit_burst_denied_exact_integer_bucket(spark, tmp_path):
+    """Capacity 3 / refill 1-per-60s: a 5-event 1s-apart burst gets
+    3 allows then 2 denies, with the exact integer bucket values."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "event_id": range(1, 6),
+            "ts": pd.to_datetime(
+                [f"2024-01-01 00:00:0{i}" for i in range(5)]
+            ),
+            "user_id": [7] * 5,
+            "event_type": ["view"] * 5,
+            "value": [1.0] * 5,
+            "props": ["{}"] * 5,
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    got = {
+        r.event_id: (r.allowed, r.tokens_after)
+        for r in QUERIES["s_rate_limit"](spark, str(tmp_path)).collect()
+    }
+    m = 1_000_000
+    assert got == {
+        1: (True, 120 * m),
+        2: (True, 61 * m),
+        3: (True, 2 * m),
+        4: (False, 3 * m),
+        5: (False, 4 * m),
+    }
