@@ -173,6 +173,9 @@ HEADLINE = [
     "q_text_readability",        # Flesch score, regex-only map pass
     "q_dq_freshness",            # per-stream staleness vs corpus max
     "s_rate_limit",              # integer token-bucket admission
+    "q_sim_dim_stats",           # per-dimension embedding QC
+    "q_events_seq_trigrams",     # order-2 behavior sequences
+    "q_graph_kcore",             # 2-core fringe peel
 ]
 
 

@@ -1787,3 +1787,48 @@ def q_events_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("entropy_decibucket")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "q_events_seq_trigrams",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type, 1) OVER w AS t2,
+               lead(event_type, 2) OVER w AS t3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type AS t1, t2, t3, count(*) AS n
+    FROM seq
+    WHERE t3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    HAVING count(*) >= 5
+    """,
+)
+def q_events_seq_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent behavior trigrams: counts of three-consecutive-event
+    type sequences per user (threshold ≥5) — the order-2 extension
+    of q_events_transitions' Markov bigrams, which is what exposes
+    patterns like view→view→purchase vs view→error→view that a
+    first-order chain cannot distinguish (and the next-event
+    training dataset for a tiny behavioral LM).
+
+    Scale: the lead windows ride the user_id partition (bounded by
+    per-user history), the trigram rollup is a ≤|types|³-group
+    map-side-combinable count — no self-joins of the log, same plan
+    family as the certified transitions op.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    return (
+        seq.filter(F.col("t3").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+    )

@@ -2133,3 +2133,52 @@ def q_sim_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("direct_frac"),
     )
+
+
+@register(
+    "q_sim_dim_stats",
+    oracle="""
+    WITH flat AS (
+        SELECT generate_subscripts(embedding, 1) AS dim,
+               unnest(CAST(embedding AS DOUBLE[])) AS v
+        FROM embeddings
+    )
+    SELECT dim,
+           round(avg(v), 6) AS mean_v,
+           round(var_samp(v), 6) AS var_v,
+           CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero,
+           count(*) AS n
+    FROM flat GROUP BY dim
+    """,
+)
+def q_sim_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding QC profile: mean, variance, and
+    exact-zero count for every embedding coordinate — the
+    dead/collapsed-dimension detector run before any ANN index
+    build (a near-zero-variance dimension carries no signal but
+    still costs distance FLOPs, and a dimension whose mean drifts
+    between corpus versions signals an encoder change that
+    invalidates stored centroids/codebooks — q_sim_ivf_kmeans,
+    q_sim_pq_trained).
+
+    Scale: posexplode fans each vector into (dim, value) rows —
+    dim× growth, but the rows are 12 bytes and reduce immediately
+    into a |dims|-group mergeable aggregate (avg/var_samp are
+    second-moment merges), so the shuffle carries |dims| partial
+    states per task, not the fan-out.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("e")
+    )
+    flat = emb.select(
+        F.posexplode("e").alias("pos", "v")
+    ).select((F.col("pos") + 1).alias("dim"), "v")
+    return flat.groupBy("dim").agg(
+        F.round(F.avg("v"), 6).alias("mean_v"),
+        F.round(F.var_samp("v"), 6).alias("var_v"),
+        F.sum(F.when(F.col("v") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -644,3 +644,72 @@ def test_rate_limit_burst_denied_exact_integer_bucket(spark, tmp_path):
         4: (False, 3 * m),
         5: (False, 4 * m),
     }
+
+
+def test_dim_stats_flags_dead_dimension(spark, tmp_path):
+    """A constant-zero dimension shows var 0 and full zero count;
+    dims are 1-indexed."""
+    vecs = [
+        (1, [1.0, 0.0, 2.0]),
+        (2, [3.0, 0.0, 2.0]),
+    ]
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    got = {
+        r.dim: (r.mean_v, r.var_v, r.n_zero, r.n)
+        for r in QUERIES["q_sim_dim_stats"](spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        1: (2.0, 2.0, 0, 2),
+        2: (0.0, 0.0, 2, 2),
+        3: (2.0, 0.0, 0, 2),
+    }
+
+
+def test_kcore_keeps_cycle_peels_pendant(spark, tmp_path):
+    """A 4-cycle survives the 2-core peel with degree 2 everywhere;
+    the pendant customer is removed and the hub's core degree
+    excludes it."""
+    spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "o_orderkey long, o_custkey long"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    li = [(1, 1), (1, 2), (2, 1), (2, 2), (3, 1)]
+    spark.createDataFrame(
+        li, "l_orderkey long, l_suppkey long"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    got = {
+        r.node: r.core_degree
+        for r in QUERIES["q_graph_kcore"](spark, str(tmp_path)).collect()
+    }
+    assert got == {"c1": 2, "c2": 2, "s1": 2, "s2": 2}
+
+
+def test_seq_trigrams_order_and_threshold(spark, tmp_path):
+    """Trigrams respect (ts, event_id) order within a user and the
+    >=5 support threshold."""
+    rows = []
+    eid = 0
+    # five users each doing view->view->purchase
+    for u in range(1, 6):
+        for i, t in enumerate(["view", "view", "purchase"]):
+            rows.append(
+                (eid, datetime(2024, 1, 1, 0, i), u, t, 1.0, "{}")
+            )
+            eid += 1
+    # one user with a unique pattern (below threshold)
+    for i, t in enumerate(["click", "error", "click"]):
+        rows.append((eid, datetime(2024, 1, 1, 0, i), 99, t, 1.0, "{}"))
+        eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        (r.t1, r.t2, r.t3): r.n
+        for r in QUERIES["q_events_seq_trigrams"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {("view", "view", "purchase"): 5}
