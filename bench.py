@@ -176,6 +176,9 @@ HEADLINE = [
     "q_sim_dim_stats",           # per-dimension embedding QC
     "q_events_seq_trigrams",     # order-2 behavior sequences
     "q_graph_kcore",             # 2-core fringe peel
+    "q_dedup_size_histogram",    # duplication profile buckets
+    "q_agg_anova",               # one-way F-test across groups
+    "q_orders_ship_sla",         # order-to-ship latency by priority
 ]
 
 

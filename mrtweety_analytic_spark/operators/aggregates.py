@@ -879,3 +879,84 @@ def q_agg_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@register(
+    "q_agg_anova",
+    oracle="""
+    WITH g AS (
+        SELECT o_orderpriority, count(*) AS n, avg(o_totalprice) AS m
+        FROM orders GROUP BY o_orderpriority
+    ),
+    tot AS (
+        SELECT avg(o_totalprice) AS gm, count(*) AS nt FROM orders
+    ),
+    ssb AS (
+        SELECT sum(n * (m - tot.gm) * (m - tot.gm)) AS v,
+               count(*) AS k
+        FROM g CROSS JOIN tot
+    ),
+    ssw AS (
+        SELECT sum((o.o_totalprice - g.m) * (o.o_totalprice - g.m))
+            AS v
+        FROM orders o JOIN g ON g.o_orderpriority = o.o_orderpriority
+    )
+    SELECT CAST(ssb.k AS BIGINT) AS n_groups,
+           round(ssb.v / 1e6, 4) AS ss_between_m,
+           round(ssw.v / 1e6, 4) AS ss_within_m,
+           round((ssb.v / (ssb.k - 1))
+                 / (ssw.v / (tot.nt - ssb.k)), 6) AS f_stat
+    FROM ssb CROSS JOIN ssw CROSS JOIN tot
+    """,
+)
+def q_agg_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of order totals across priorities: between- vs
+    within-group sum of squares and the F statistic — the "does this
+    dimension actually explain the metric" test that belongs next to
+    q_events_ab_test's two-group z-test when there are k groups
+    (F ≈ 1 here tells the analyst priority does NOT drive spend on
+    this corpus, which is itself the finding).
+
+    Scale: group means are one map-side-combinable pass; SSW is a
+    second pass joining each row to its (broadcast, k-row) group
+    mean; SSB and the F assembly run on k-row aggregates with 1-row
+    broadcast totals. Two fact scans total, no windows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    g = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("o_totalprice").alias("m")
+    )
+    tot = orders.agg(
+        F.avg("o_totalprice").alias("gm"), F.count(F.lit(1)).alias("nt")
+    )
+    ssb = (
+        g.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.col("n")
+                * (F.col("m") - F.col("gm"))
+                * (F.col("m") - F.col("gm"))
+            ).alias("bv"),
+            F.count(F.lit(1)).alias("k"),
+            F.any_value("nt").alias("nt"),
+        )
+    )
+    ssw = (
+        orders.join(F.broadcast(g), "o_orderpriority")
+        .agg(
+            F.sum(
+                (F.col("o_totalprice") - F.col("m"))
+                * (F.col("o_totalprice") - F.col("m"))
+            ).alias("wv")
+        )
+    )
+    return ssb.crossJoin(F.broadcast(ssw)).select(
+        F.col("k").cast("bigint").alias("n_groups"),
+        F.round(F.col("bv") / F.lit(1e6), 4).alias("ss_between_m"),
+        F.round(F.col("wv") / F.lit(1e6), 4).alias("ss_within_m"),
+        F.round(
+            (F.col("bv") / (F.col("k") - 1))
+            / (F.col("wv") / (F.col("nt") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+    )

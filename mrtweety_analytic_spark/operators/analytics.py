@@ -1832,3 +1832,60 @@ def q_events_seq_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 5)
     )
+
+
+@register(
+    "q_orders_ship_sla",
+    oracle="""
+    WITH lags AS (
+        SELECT o.o_orderpriority,
+               CAST(CAST(l.l_shipdate AS DATE)
+                    - CAST(o.o_orderdate AS DATE) AS BIGINT) AS lag_days
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_lines,
+           round(quantile_cont(lag_days, 0.5), 4) AS p50_lag_days,
+           round(CAST(sum(CASE WHEN lag_days <= 7 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS pct_within_7d
+    FROM lags GROUP BY o_orderpriority
+    """,
+)
+def q_orders_ship_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping SLA by priority: median order-to-ship lag and the
+    fraction of line items shipped within 7 days — the operational
+    metric that validates whether the priority field means anything
+    downstream (a 1-URGENT class whose p50 matches 5-LOW is a broken
+    SLA), complementing q_agg_anova's "does priority explain spend"
+    test with "does priority explain speed".
+
+    Scale: the fact join is the standard orders⋈lineitem equi-join
+    (orders side prunable to two columns), lag arithmetic is integer
+    days, and the per-priority rollup is 5 groups — the median over
+    a bounded per-group day-lag domain matches quantile_cont via the
+    exact percentile on integer inputs.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.to_date("o_orderdate").alias("oday"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("sday")
+    )
+    lags = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff("sday", "oday").cast("bigint").alias("lag_days"),
+    )
+    return lags.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.expr("percentile(lag_days, 0.5)"), 4).alias(
+            "p50_lag_days"
+        ),
+        F.round(
+            F.sum(F.when(F.col("lag_days") <= 7, 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("pct_within_7d"),
+    )

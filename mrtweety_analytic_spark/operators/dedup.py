@@ -1448,3 +1448,65 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("keep_doc_id"))
         .select("cluster_id", "keep_doc_id", "keep_n_chars", "n_members")
     )
+
+
+@register(
+    "q_dedup_size_histogram",
+    oracle=f"""
+    WITH RECURSIVE {_EDGES_SQL},
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc, other) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT r.doc, e.b FROM reach r JOIN edges e ON e.a = r.other
+    ),
+    clusters AS (
+        SELECT doc AS doc_id, min(other) AS cluster_id
+        FROM reach GROUP BY doc
+    ),
+    withsingles AS (
+        SELECT coalesce(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+    ),
+    fam_sizes AS (
+        SELECT cluster_id, count(*) AS sz
+        FROM withsingles GROUP BY cluster_id
+    )
+    SELECT least(sz, 10) AS family_size, count(*) AS n_families,
+           CAST(sum(sz) AS BIGINT) AS n_docs
+    FROM fam_sizes GROUP BY 1
+    """,
+)
+def q_dedup_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication profile of the corpus: histogram of near-dup
+    family sizes (singletons included, 10+ folded into one tail
+    bucket) with the doc count each bucket holds — the one-look
+    "how duplicated is this corpus" summary a curator reads before
+    choosing dedup aggressiveness, and the denominator behind
+    q_dedup_pipeline's retention report (n_docs at family_size 1 is
+    what survives maximal dedup unscathed).
+
+    Scale: cluster labels come from the bounded-iteration label
+    propagation; everything after is two map-side-combinable
+    aggregates over O(docs) thin rows and a ≤10-bucket rollup.
+    """
+    from ..registry import QUERIES
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    clusters = QUERIES["q_dedup_clusters"](spark, sf_dir)
+    sizes = (
+        docs.join(clusters, "doc_id", "left")
+        .select(F.coalesce("cluster_id", "doc_id").alias("cluster_id"))
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    return sizes.groupBy(
+        F.least(F.col("sz"), F.lit(10)).alias("family_size")
+    ).agg(
+        F.count(F.lit(1)).alias("n_families"),
+        F.sum("sz").cast("bigint").alias("n_docs"),
+    )

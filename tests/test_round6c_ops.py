@@ -713,3 +713,79 @@ def test_seq_trigrams_order_and_threshold(spark, tmp_path):
         ).collect()
     }
     assert got == {("view", "view", "purchase"): 5}
+
+
+def test_size_histogram_buckets_and_tail(spark, tmp_path):
+    """Two singletons and one 3-doc family: bucket 1 holds 2
+    families/2 docs, bucket 3 holds 1 family/3 docs."""
+    fam = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, fam, "en", "web", 10),
+        (2, fam, "en", "web", 10),
+        (3, fam, "en", "web", 10),
+        (8, "one unique doc with entirely distinct words", "en", "web", 9),
+        (9, "another piece of wholly unrelated writing here", "en", "web", 9),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.family_size: (r.n_families, r.n_docs)
+        for r in QUERIES["q_dedup_size_histogram"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {1: (2, 2), 3: (1, 3)}
+
+
+def test_anova_f_large_when_groups_differ(spark, tmp_path):
+    """Two well-separated groups give SSB >> SSW and the exact F
+    computed from the classic formulas."""
+    rows = []
+    ok = 0
+    for pri, vals in [("1-URGENT", [10.0, 11.0, 12.0]),
+                      ("5-LOW", [100.0, 101.0, 102.0])]:
+        for v in vals:
+            rows.append((ok, 1, "O", v, datetime(2024, 1, 1), pri))
+            ok += 1
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    [r] = QUERIES["q_agg_anova"](spark, str(tmp_path)).collect()
+    # means 11 and 101, grand 56: SSB = 3*45^2*2 = 12150, SSW = 4
+    assert r.n_groups == 2
+    # Spark rounds HALF_UP (0.01215 -> 0.0122) where Python's
+    # round() is banker's; compare at the rounding grid instead.
+    assert abs(r.ss_between_m - 12150 / 1e6) < 1e-4
+    assert abs(r.ss_within_m - 4 / 1e6) < 1e-4
+    assert abs(r.f_stat - round(12150 / 1 / (4 / 4), 6)) < 1e-6
+
+
+def test_ship_sla_median_and_within_window(spark, tmp_path):
+    """Lags 1,5,9 give median 5 and 2/3 within seven days."""
+    spark.createDataFrame(
+        [(1, 1, "O", 10.0, datetime(2024, 1, 1), "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    li = [
+        (1, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", datetime(2024, 1, 2)),
+        (1, 2, 1, 2, 1.0, 10.0, 0.0, 0.0, "N", "O", datetime(2024, 1, 6)),
+        (1, 3, 1, 3, 1.0, 10.0, 0.0, 0.0, "N", "O", datetime(2024, 1, 10)),
+    ]
+    spark.createDataFrame(
+        li,
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber long, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    [r] = QUERIES["q_orders_ship_sla"](spark, str(tmp_path)).collect()
+    assert (r.n_lines, r.p50_lag_days) == (3, 5.0)
+    assert abs(r.pct_within_7d - round(2 / 3, 6)) < 1e-9
