@@ -179,6 +179,9 @@ HEADLINE = [
     "q_dedup_size_histogram",    # duplication profile buckets
     "q_agg_anova",               # one-way F-test across groups
     "q_orders_ship_sla",         # order-to-ship latency by priority
+    "q_text_lang_confusion",     # langid evaluation matrix
+    "q_events_ab_srm",           # sample-ratio-mismatch guard
+    "q_sim_random_projection",   # JL norm-preservation certificate
 ]
 
 

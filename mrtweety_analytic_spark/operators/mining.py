@@ -2291,3 +2291,80 @@ def q_events_anomaly_deseasonalized(
             F.round(z, 6).alias("z"),
         )
     )
+
+
+@register(
+    "q_events_ab_srm",
+    oracle="""
+    WITH assign AS (
+        SELECT DISTINCT user_id,
+               (strpos('0123456789abcdef',
+                       substr(md5(CAST(user_id AS VARCHAR)), 1, 1))
+                - 1) % 2 AS variant
+        FROM events
+    ),
+    counts AS (
+        SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS na,
+               CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS nb
+        FROM assign
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round((na - (na + nb) / 2) * (na - (na + nb) / 2)
+                 / ((na + nb) / 2)
+                 + (nb - (na + nb) / 2) * (nb - (na + nb) / 2)
+                 / ((na + nb) / 2), 6) AS chi2,
+           ((na - (na + nb) / 2) * (na - (na + nb) / 2)
+                 / ((na + nb) / 2)
+                 + (nb - (na + nb) / 2) * (nb - (na + nb) / 2)
+                 / ((na + nb) / 2)) > 3.841 AS srm_detected
+    FROM counts
+    """,
+)
+def q_events_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guard for the experiment in
+    q_events_ab_test: chi-square of the observed variant split
+    against the designed 50/50 (threshold 3.841 = χ²₁ at 95%). SRM
+    is the first thing a trustworthy experimentation system checks —
+    a significant mismatch means the ASSIGNMENT is broken (bot
+    filtering, logging loss) and every downstream p-value is
+    invalid, so this runs before the z-test, not after.
+
+    Scale: distinct users reduce in one pass, the variant split is a
+    2-value conditional count, and the χ² assembly runs on one row.
+    Assignment arithmetic is the identical md5-hex-parity expression
+    certified in q_events_ab_test.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hexes = "0123456789abcdef"
+    variant = (
+        (
+            F.expr(
+                f"locate(substring(md5(CAST(user_id AS STRING)), 1, 1),"
+                f" '{hexes}')"
+            )
+            - 1
+        )
+        % 2
+    ).alias("variant")
+    assign = ev.select("user_id").distinct().select("user_id", variant)
+    counts = assign.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("double")
+        .alias("na"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("double")
+        .alias("nb"),
+    )
+    e = (F.col("na") + F.col("nb")) / 2
+    chi2 = (
+        (F.col("na") - e) * (F.col("na") - e) / e
+        + (F.col("nb") - e) * (F.col("nb") - e) / e
+    )
+    return counts.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > 3.841).alias("srm_detected"),
+    )

@@ -2182,3 +2182,91 @@ def q_sim_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_zero"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "q_sim_random_projection",
+    oracle="""
+    WITH flat AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               unnest(CAST(embedding AS DOUBLE[])) AS v
+        FROM embeddings
+    ),
+    norms AS (SELECT vec_id, sum(v * v) AS n2 FROM flat GROUP BY vec_id),
+    grid AS (SELECT unnest(range(16)) AS j),
+    proj AS (
+        SELECT f.vec_id, g.j,
+               sum(f.v * CASE WHEN substr(md5(f.i || ':' || g.j), 1, 1)
+                              IN ('0','1','2','3','4','5','6','7')
+                         THEN 1 ELSE -1 END) AS p
+        FROM flat f CROSS JOIN grid g
+        GROUP BY f.vec_id, g.j
+    ),
+    pn AS (SELECT vec_id, sum(p * p) / 16 AS pn2 FROM proj
+           GROUP BY vec_id)
+    SELECT count(*) AS n_vecs,
+           round(avg(pn.pn2 / norms.n2), 6) AS mean_ratio,
+           round(min(pn.pn2 / norms.n2), 6) AS min_ratio,
+           round(max(pn.pn2 / norms.n2), 6) AS max_ratio
+    FROM pn JOIN norms ON norms.vec_id = pn.vec_id
+    WHERE norms.n2 > 0
+    """,
+)
+def q_sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss sanity certificate: project every
+    embedding to 16 dims with a seed-free ±1 matrix (sign = first
+    md5 hex digit of 'i:j' — reproducible in any engine, no RNG
+    state to ship) and report the norm-preservation ratio
+    ‖Px‖²/‖x‖² across the corpus. Mean ≈ 1 with bounded spread is
+    the license to run the cheap 16-dim distance tier before the
+    exact rerank (q_sim_ivf_rerank's pattern at a quarter of the
+    FLOPs); a wide spread says 16 dims is too aggressive for this
+    corpus.
+
+    Scale: the fan-out is rows × dims × 16 but each term reduces
+    immediately into (vec, j) partial sums — map-side combinable,
+    thin rows, no vector ever shuffles whole. The sign matrix is
+    VIRTUAL (computed from md5 inline), so there is no codebook to
+    broadcast at all.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    flat = emb.select(
+        "vec_id", F.posexplode("e").alias("pos", "v")
+    ).select("vec_id", (F.col("pos") + 1).alias("i"), "v")
+    norms = flat.groupBy("vec_id").agg(F.sum(F.col("v") * F.col("v")).alias("n2"))
+    grid = spark.createDataFrame([(j,) for j in range(16)], "j long")
+    sign = F.when(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("i").cast("string"),
+                    F.lit(":"),
+                    F.col("j").cast("string"),
+                )
+            ),
+            1,
+            1,
+        ).isin(*"01234567"),
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    proj = (
+        flat.crossJoin(F.broadcast(grid))
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("v") * sign).alias("p"))
+    )
+    pn = proj.groupBy("vec_id").agg(
+        (F.sum(F.col("p") * F.col("p")) / 16).alias("pn2")
+    )
+    ratio = F.col("pn2") / F.col("n2")
+    return (
+        pn.join(norms, "vec_id")
+        .filter(F.col("n2") > 0)
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg(ratio), 6).alias("mean_ratio"),
+            F.round(F.min(ratio), 6).alias("min_ratio"),
+            F.round(F.max(ratio), 6).alias("max_ratio"),
+        )
+    )

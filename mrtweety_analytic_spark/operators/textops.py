@@ -1727,3 +1727,38 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("flesch"),
         )
     )
+
+
+@register(
+    "q_text_lang_confusion",
+    oracle=f"""
+    WITH guesses AS ({_lang_case_sql()})
+    SELECT d.lang, g.lang_guess, count(*) AS n
+    FROM documents d JOIN guesses g ON g.doc_id = d.doc_id
+    GROUP BY d.lang, g.lang_guess
+    """,
+)
+def q_text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix for the marker-word language-ID heuristic
+    against the corpus's labeled lang column — the evaluation
+    certificate for q_text_langid (same measure-don't-guess pattern
+    as q_dedup_lsh_eval / q_sim_ivf_kmeans_recall): the diagonal
+    mass is the accuracy, and the off-diagonal cells say WHICH
+    languages the marker lexicons confuse, i.e. where to grow them.
+
+    Scale: the guess side is the registered langid aggregate
+    (single tokenize + conditional-count pass); the join is equi on
+    doc_id against a two-column projection of documents, and the
+    matrix rollup is ≤|langs|² groups.
+    """
+    from ..registry import QUERIES
+
+    guesses = QUERIES["q_text_langid"](spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang"
+    )
+    return (
+        docs.join(guesses, "doc_id")
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -789,3 +789,63 @@ def test_ship_sla_median_and_within_window(spark, tmp_path):
     [r] = QUERIES["q_orders_ship_sla"](spark, str(tmp_path)).collect()
     assert (r.n_lines, r.p50_lag_days) == (3, 5.0)
     assert abs(r.pct_within_7d - round(2 / 3, 6)) < 1e-9
+
+
+def test_lang_confusion_diagonal_on_marker_text(spark, tmp_path):
+    """Docs written in pure marker words land on the diagonal; a
+    no-marker doc shows as (lang, 'und')."""
+    rows = [
+        (1, "the and is of", "en", "web", 14),
+        (2, "der und ist das", "de", "web", 15),
+        (3, "xyzzy qwerty", "en", "web", 12),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r.lang, r.lang_guess): r.n
+        for r in QUERIES["q_text_lang_confusion"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {("en", "en"): 1, ("de", "de"): 1, ("en", "und"): 1}
+
+
+def test_ab_srm_balanced_and_broken(spark, tmp_path):
+    """The md5-parity split of sequential users is near-50/50 (no
+    SRM); counts match a Python replay of the assignment."""
+    import hashlib
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, base, i, "view", 1.0, "{}") for i in range(1, 201)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    exp_a = sum(
+        1
+        for u in range(1, 201)
+        if int(hashlib.md5(str(u).encode()).hexdigest()[0], 16) % 2 == 0
+    )
+    [r] = QUERIES["q_events_ab_srm"](spark, str(tmp_path)).collect()
+    assert (r.n_a, r.n_b) == (exp_a, 200 - exp_a)
+    assert r.srm_detected is False
+
+
+def test_random_projection_preserves_norms_on_average(spark, tmp_path):
+    """For standard basis vectors the projected norm ratio is
+    EXACTLY 1 per vector (each row of the +-1 matrix has unit-scaled
+    norm), so mean/min/max all read 1."""
+    vecs = [(i, [1.0 if j == i else 0.0 for j in range(8)])
+            for i in range(8)]
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    [r] = QUERIES["q_sim_random_projection"](spark, str(tmp_path)).collect()
+    assert r.n_vecs == 8
+    assert (r.mean_ratio, r.min_ratio, r.max_ratio) == (1.0, 1.0, 1.0)
