@@ -182,6 +182,8 @@ HEADLINE = [
     "q_text_lang_confusion",     # langid evaluation matrix
     "q_events_ab_srm",           # sample-ratio-mismatch guard
     "q_sim_random_projection",   # JL norm-preservation certificate
+    "q_events_bounce_rate",      # single-event session share
+    "q_multimodal_size_histogram",  # power-of-two payload buckets
 ]
 
 

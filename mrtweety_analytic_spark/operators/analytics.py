@@ -1889,3 +1889,69 @@ def q_orders_ship_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pct_within_7d"),
     )
+
+
+@register(
+    "q_events_bounce_rate",
+    oracle="""
+    WITH sessions AS (
+        SELECT user_id, session_id,
+               count(*) AS n_events,
+               min(ts) AS session_start
+        FROM (
+            SELECT user_id, ts,
+                   sum(CASE WHEN is_new THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_id
+            FROM (
+                SELECT user_id, ts, event_id,
+                       coalesce(
+                           ts > lag(ts) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id)
+                                + INTERVAL 30 MINUTE,
+                           TRUE) AS is_new
+                FROM events
+            )
+        )
+        GROUP BY user_id, session_id
+    )
+    SELECT CAST(session_start AS DATE) AS day,
+           count(*) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bounces,
+           round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS bounce_rate
+    FROM sessions GROUP BY 1
+    """,
+)
+def q_events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: share of 30-min-gap sessions containing
+    exactly ONE event, keyed by the session's start day — the
+    engagement-quality headline that sits on top of
+    q_sessionize_gaps (whose session definition this reuses
+    verbatim, so the two can never drift apart).
+
+    Scale: sessionization is the certified two-window single
+    exchange per user; the bounce rollup adds one O(sessions)
+    map-side-combinable aggregate and a ≤|days| histogram.
+    """
+    events = load_table(spark, sf_dir, "events")
+    sessions = (
+        sessionize(events)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+        )
+    )
+    bounce = F.when(F.col("n_events") == 1, 1).otherwise(0)
+    return sessions.groupBy(
+        F.to_date("session_start").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(bounce).cast("bigint").alias("n_bounces"),
+        F.round(
+            F.sum(bounce).cast("double") / F.count(F.lit(1)), 6
+        ).alias("bounce_rate"),
+    )

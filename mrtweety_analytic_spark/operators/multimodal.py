@@ -595,3 +595,43 @@ def q_multimodal_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max(nb).alias("max_bytes"),
     )
+
+
+@register(
+    "q_multimodal_size_histogram",
+    oracle="""
+    SELECT source,
+           CAST(length(bin(octet_length(encode(text)))) AS BIGINT)
+               AS size_bits,
+           count(*) AS n_docs,
+           CAST(sum(octet_length(encode(text))) AS BIGINT)
+               AS total_bytes
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def q_multimodal_size_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Payload size distribution per source in power-of-two buckets
+    (bucket = bit-length of the byte count, i.e. ⌊log2⌋+1) — the
+    storage profiler that sizes multimodal ingest: which sources
+    ship kilobyte thumbnails vs megabyte originals, what
+    q_multimodal_offload's content-addressed store will hold, and
+    where row-group sizing needs tuning. The bit-length comes from
+    the INTEGER's binary-string length, never floor(log2(x)) —
+    exact at every power-of-two boundary where float log2 is not.
+
+    One byte-level map pass (octet_length, no decode) into a
+    per-(source, bucket) map-side-combinable aggregate; payloads
+    never shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    nb = F.octet_length(F.encode(F.col("text"), "UTF-8"))
+    return docs.groupBy(
+        "source",
+        F.length(F.bin(nb)).cast("bigint").alias("size_bits"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(nb).cast("bigint").alias("total_bytes"),
+    )

@@ -849,3 +849,46 @@ def test_random_projection_preserves_norms_on_average(spark, tmp_path):
     [r] = QUERIES["q_sim_random_projection"](spark, str(tmp_path)).collect()
     assert r.n_vecs == 8
     assert (r.mean_ratio, r.min_ratio, r.max_ratio) == (1.0, 1.0, 1.0)
+
+
+def test_bounce_rate_single_event_sessions(spark, tmp_path):
+    """User 1 bounces (one lone event); user 2's two events within
+    30 min form one non-bounce session; user 2's later event is a
+    second session (bounce) on the same day."""
+    rows = [
+        (1, datetime(2024, 1, 1, 9, 0), 1, "view", 1.0, "{}"),
+        (2, datetime(2024, 1, 1, 10, 0), 2, "view", 1.0, "{}"),
+        (3, datetime(2024, 1, 1, 10, 10), 2, "click", 1.0, "{}"),
+        (4, datetime(2024, 1, 1, 15, 0), 2, "view", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    [r] = QUERIES["q_events_bounce_rate"](spark, str(tmp_path)).collect()
+    assert (str(r.day), r.n_sessions, r.n_bounces) == ("2024-01-01", 3, 2)
+    assert abs(r.bounce_rate - round(2 / 3, 6)) < 1e-9
+
+
+def test_size_histogram_power_of_two_buckets(spark, tmp_path):
+    """Byte counts 3 (2 bits), 4 (3 bits), and 255/256 straddling
+    the 8/9-bit boundary land in exact integer buckets."""
+    rows = [
+        (1, "abc", "en", "web", 3),
+        (2, "abcd", "en", "web", 4),
+        (3, "x" * 255, "en", "web", 255),
+        (4, "x" * 256, "en", "web", 256),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.size_bits: (r.n_docs, r.total_bytes)
+        for r in QUERIES["q_multimodal_size_histogram"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {2: (1, 3), 3: (1, 4), 8: (1, 255), 9: (1, 256)}
