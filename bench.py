@@ -184,6 +184,9 @@ HEADLINE = [
     "q_sim_random_projection",   # JL norm-preservation certificate
     "q_events_bounce_rate",      # single-event session share
     "q_multimodal_size_histogram",  # power-of-two payload buckets
+    "q_dedup_cross_source",      # syndication matrix
+    "q_fn_struct",               # struct build/access/compare/json
+    "q_ts_volatility",           # rolling stddev of daily deltas
 ]
 
 

@@ -1510,3 +1510,53 @@ def q_dedup_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_families"),
         F.sum("sz").cast("bigint").alias("n_docs"),
     )
+
+
+@register(
+    "q_dedup_cross_source",
+    oracle=f"""
+    WITH RECURSIVE {_EDGES_SQL}
+    SELECT da.source AS source_a, db.source AS source_b,
+           count(*) AS n_pairs
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    WHERE da.source <> db.source
+    GROUP BY 1, 2
+    """,
+)
+def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syndication detector: near-dup pairs whose two docs come from
+    DIFFERENT sources, rolled up per (source_a, source_b) — the
+    matrix that shows which feeds republish which (high cross-source
+    counts mean paying twice for the same content and double-weighting
+    it in training). Within-source duplication is q_dedup_size_histogram's
+    story; this is the cross-feed slice of the same pair graph.
+
+    Scale: reuses the registered jaccard pair generator (bounded
+    inverted-index join); the source lookup is two thin equi-joins
+    on doc_id against a two-column projection, and the matrix is
+    ≤|sources|² groups. (The WITH RECURSIVE prefix in the oracle is
+    inherited from the shared edge-CTE text; no recursion happens.)
+    """
+    from ..registry import QUERIES
+
+    pairs = QUERIES["q_dedup_ngram_jaccard"](spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    da = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("source_a")
+    )
+    db = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b")
+    )
+    return (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .filter(F.col("source_a") != F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

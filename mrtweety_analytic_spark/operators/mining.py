@@ -2368,3 +2368,67 @@ def q_events_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 6).alias("chi2"),
         (chi2 > 3.841).alias("srm_detected"),
     )
+
+
+@register(
+    "q_ts_volatility",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    deltas AS (
+        SELECT event_type, day,
+               v - lag(v) OVER w AS dv
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type, day,
+           round(stddev_samp(dv) OVER w7, 6) AS volatility_7d
+    FROM deltas
+    WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    QUALIFY count(dv) OVER w7 = 7
+    """,
+)
+def q_ts_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day volatility of the daily volume series: the
+    standard deviation of day-over-day CHANGES in a trailing window
+    (differencing first removes the trend, so a smoothly growing
+    stream reads low-volatility while a jittery flat one reads high
+    — the opposite of what raw-count stddev says). The ingest
+    turbulence gauge next to q_ts_drawdown's worst-case depth;
+    full windows only, so early days emit nothing rather than a
+    misleading short-window number.
+
+    Scale: O(types × days) after the first reduce; both the lag and
+    the rolling stddev ride the same event_type partitioning (one
+    exchange, Catalyst reuses it), and stddev is the mergeable
+    second-moment aggregate certified across engines elsewhere.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = _daily_counts(ev)
+    w = W.partitionBy("event_type").orderBy("day")
+    w7 = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, 0)
+    )
+    deltas = daily.select(
+        "event_type",
+        "day",
+        (F.col("v") - F.lag("v").over(w)).alias("dv"),
+    )
+    return (
+        deltas.select(
+            "event_type",
+            "day",
+            F.round(F.stddev_samp("dv").over(w7), 6).alias(
+                "volatility_7d"
+            ),
+            F.count("dv").over(w7).alias("nfull"),
+        )
+        .filter(F.col("nfull") == 7)
+        .drop("nfull")
+    )

@@ -452,3 +452,50 @@ def q_fn_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         # dayofweek() is Sunday=1; ISO wants Monday=1
         F.expr("(dayofweek(ts) + 5) % 7 + 1").alias("iso_dow"),
     )
+
+
+@register(
+    "q_fn_struct",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderkey,
+               {'status': o_orderstatus,
+                'cust': o_custkey} AS os,
+               {'status': 'O', 'cust': o_custkey} AS probe
+        FROM orders WHERE o_orderkey % 97 = 0
+    )
+    SELECT o_orderkey,
+           os.status AS status_field,
+           os.cust AS cust_field,
+           os = probe AS struct_eq,
+           to_json(os) AS as_json
+    FROM s
+    """,
+)
+def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCT scalar surface: build a named struct, read fields
+    back, compare whole structs for equality, and serialize to JSON
+    — the nested-type round trip every semi-structured pipeline
+    leans on (q_fn_map and q_fn_json cover the other two nested
+    kinds). Field types are int/string only so the JSON rendering
+    is byte-identical across engines (doubles would format
+    differently). Results flatten to atomic columns per the schema
+    contract; pure map pass, no shuffle.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 97 == 0
+    )
+    os_ = F.struct(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_custkey").alias("cust"),
+    )
+    probe = F.struct(
+        F.lit("O").alias("status"), F.col("o_custkey").alias("cust")
+    )
+    return orders.select(
+        "o_orderkey",
+        os_.getField("status").alias("status_field"),
+        os_.getField("cust").alias("cust_field"),
+        (os_ == probe).alias("struct_eq"),
+        F.to_json(os_).alias("as_json"),
+    )

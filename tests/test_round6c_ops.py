@@ -892,3 +892,85 @@ def test_size_histogram_power_of_two_buckets(spark, tmp_path):
         ).collect()
     }
     assert got == {2: (1, 3), 3: (1, 4), 8: (1, 255), 9: (1, 256)}
+
+
+def test_cross_source_pairs_only_across_feeds(spark, tmp_path):
+    """A near-dup pair across two sources is reported under the
+    ordered source pair; a within-source duplicate family is not."""
+    fam1 = "alpha beta gamma delta epsilon zeta"
+    fam2 = "one two three four five six seven"
+    rows = [
+        (1, fam1, "en", "feedA", 10),
+        (2, fam1, "en", "feedB", 10),   # cross-source pair with 1
+        (3, fam2, "en", "feedC", 10),
+        (4, fam2, "en", "feedC", 10),   # within-source: excluded
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r.source_a, r.source_b): r.n_pairs
+        for r in QUERIES["q_dedup_cross_source"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {("feedA", "feedB"): 1}
+
+
+def test_fn_struct_roundtrip_and_equality(spark, tmp_path):
+    """Field access reads back the inputs, struct equality matches
+    per-field equality, and the JSON rendering is canonical."""
+    rows = [
+        (97, 5, "O", 10.0, datetime(2024, 1, 1), "x"),
+        (194, 6, "F", 10.0, datetime(2024, 1, 1), "x"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    got = {
+        r.o_orderkey: (r.status_field, r.cust_field, r.struct_eq, r.as_json)
+        for r in QUERIES["q_fn_struct"](spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        97: ("O", 5, True, '{"status":"O","cust":5}'),
+        194: ("F", 6, False, '{"status":"F","cust":6}'),
+    }
+
+
+def test_volatility_flat_vs_jittery(spark, tmp_path):
+    """A smoothly growing series has zero volatility (constant
+    deltas); an alternating series has high volatility — and only
+    full 7-delta windows emit."""
+    from datetime import timedelta
+
+    rows = []
+    eid = 0
+    for d in range(9):
+        for _ in range(10 + d):  # smooth: delta always +1
+            rows.append(
+                (eid, datetime(2024, 1, 1) + timedelta(days=d), 1,
+                 "view", 1.0, "{}")
+            )
+            eid += 1
+        for _ in range(10 if d % 2 == 0 else 20):  # jitter +-10
+            rows.append(
+                (eid, datetime(2024, 1, 1) + timedelta(days=d), 1,
+                 "click", 1.0, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {}
+    for r in QUERIES["q_ts_volatility"](spark, str(tmp_path)).collect():
+        got.setdefault(r.event_type, []).append(r.volatility_7d)
+    # 9 days -> 8 deltas -> 2 full 7-delta windows per type
+    assert len(got["view"]) == 2 and all(v == 0.0 for v in got["view"])
+    assert len(got["click"]) == 2 and all(v > 10 for v in got["click"])
