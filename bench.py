@@ -187,6 +187,9 @@ HEADLINE = [
     "q_dedup_cross_source",      # syndication matrix
     "q_fn_struct",               # struct build/access/compare/json
     "q_ts_volatility",           # rolling stddev of daily deltas
+    "q_text_code_detect",        # code-vs-prose router
+    "q_orders_reorder_gaps",     # purchase-cadence histogram
+    "q_mix_effective_counts",    # dedup-aware mixture denominators
 ]
 
 

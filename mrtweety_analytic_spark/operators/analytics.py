@@ -1955,3 +1955,55 @@ def q_events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(bounce).cast("double") / F.count(F.lit(1)), 6
         ).alias("bounce_rate"),
     )
+
+
+@register(
+    "q_orders_reorder_gaps",
+    oracle="""
+    WITH gaps AS (
+        SELECT o_custkey,
+               CAST(CAST(o_orderdate AS DATE)
+                    - CAST(lag(o_orderdate) OVER w AS DATE)
+                    AS BIGINT) AS gap_days
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT least(CAST(floor(gap_days / 7) AS BIGINT), 8)
+               AS gap_weeks_bucket,
+           count(*) AS n_gaps
+    FROM gaps WHERE gap_days IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q_orders_reorder_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reorder-interval distribution: day gaps between a customer's
+    consecutive orders, bucketed by week with an 8+ tail — the
+    purchase-cadence histogram behind replenishment reminders and
+    the churn definition q_events_growth_accounting needs a
+    threshold for (pick the week bucket where the tail flattens).
+
+    Scale: the lag rides the o_custkey partition (bounded per-
+    customer history, one exchange), gap arithmetic is integer days
+    with an explicit floor (the cross-engine double→bigint cast
+    rounds differently), and the rollup is a ≤9-bucket histogram.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        F.datediff(
+            F.to_date("o_orderdate"),
+            F.to_date(F.lag("o_orderdate").over(w)),
+        )
+        .cast("bigint")
+        .alias("gap_days")
+    )
+    return (
+        gaps.filter(F.col("gap_days").isNotNull())
+        .groupBy(
+            F.least(
+                F.floor(F.col("gap_days") / 7).cast("bigint"), F.lit(8)
+            ).alias("gap_weeks_bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n_gaps"))
+    )

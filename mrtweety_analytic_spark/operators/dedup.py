@@ -1560,3 +1560,39 @@ def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@register(
+    "q_mix_effective_counts",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+           round(CAST(count(DISTINCT md5(text)) AS DOUBLE)
+                 / count(*), 6) AS unique_frac
+    FROM documents GROUP BY source
+    """,
+)
+def q_mix_effective_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware mixture inputs: per source, raw doc count vs
+    EFFECTIVE (exact-unique) count — the denominator a mixture
+    planner must use instead of raw counts, because weighting a
+    source by rows it mostly repeats over-samples its unique
+    content (q_agg_largest_remainder / q_mix_temperature should
+    consume n_unique, not n_docs; unique_frac is the discount).
+
+    Scale: distinct is taken on the md5 DIGEST so the exact-distinct
+    hash state holds 16-byte keys, never document text, grouped
+    under the same source partitioning as the raw count — one scan,
+    one shuffle of thin digests.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.md5("text")).cast("bigint").alias("n_unique"),
+        F.round(
+            F.count_distinct(F.md5("text")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("unique_frac"),
+    )

@@ -1762,3 +1762,95 @@ def q_text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "lang_guess")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+CODE_KEYWORDS = (
+    "def", "return", "import", "class", "void", "int",
+    "function", "var", "const",
+)
+
+
+@register(
+    "q_text_code_detect",
+    oracle=f"""
+    WITH sym AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_extract_all(text, '[{{}}();=<>|&]'))
+                    AS DOUBLE)
+                   / greatest(length(text), 1) AS symbol_ratio
+        FROM documents
+    ),
+    kw AS (
+        SELECT doc_id,
+               count(*) FILTER (WHERE term IN
+                   ({', '.join(repr(w) for w in CODE_KEYWORDS)}))
+                   AS n_keywords
+        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+              FROM documents)
+        GROUP BY doc_id
+    )
+    SELECT sym.source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN sym.symbol_ratio > 0.02
+                         OR kw.n_keywords >= 2
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_code_like,
+           round(CAST(sum(CASE WHEN sym.symbol_ratio > 0.02
+                               OR kw.n_keywords >= 2
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS code_frac
+    FROM sym JOIN kw ON kw.doc_id = sym.doc_id
+    GROUP BY sym.source
+    """,
+)
+def q_text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose split per source: a doc is code-like when its
+    programming-symbol density exceeds 2% of characters or it
+    contains ≥2 code keyword tokens — the router every LLM corpus
+    needs before mixing (code and prose want different dedup
+    thresholds, quality gates, and sampling temperatures;
+    q_mix_temperature consumes splits like this). The symbol class
+    deliberately avoids regex-escaped characters so both engines
+    compile the identical pattern, and keywords are counted on the
+    whitespace token stream (the _LANG_MARKERS pattern), not with
+    word-boundary regex that the two engines escape differently.
+
+    Scale: one map regex pass + one token conditional count, joined
+    thin on doc_id, rolled up per source — text never shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sym = docs.select(
+        "doc_id",
+        "source",
+        (
+            F.size(
+                F.expr("regexp_extract_all(text, '[{}();=<>|&]', 0)")
+            ).cast("double")
+            / F.greatest(F.length("text"), F.lit(1))
+        ).alias("symbol_ratio"),
+    )
+    kw = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), " ")).alias("term"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("term").isin(*CODE_KEYWORDS), 1).otherwise(0)
+            ).alias("n_keywords")
+        )
+    )
+    code_like = F.when(
+        (F.col("symbol_ratio") > 0.02) | (F.col("n_keywords") >= 2), 1
+    ).otherwise(0)
+    return (
+        sym.join(kw, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(code_like).cast("bigint").alias("n_code_like"),
+            F.round(
+                F.sum(code_like).cast("double") / F.count(F.lit(1)), 6
+            ).alias("code_frac"),
+        )
+    )

@@ -974,3 +974,73 @@ def test_volatility_flat_vs_jittery(spark, tmp_path):
     # 9 days -> 8 deltas -> 2 full 7-delta windows per type
     assert len(got["view"]) == 2 and all(v == 0.0 for v in got["view"])
     assert len(got["click"]) == 2 and all(v > 10 for v in got["click"])
+
+
+def test_code_detect_symbols_and_keywords(spark, tmp_path):
+    """A symbol-dense doc and a two-keyword doc are code-like;
+    plain prose is not."""
+    rows = [
+        (1, "x = f(y); z = g(w);", "en", "repo", 19),
+        (2, "def foo and return bar", "en", "repo", 22),
+        (3, "plain prose about nothing much at all", "en", "blog", 37),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.source: (r.n_docs, r.n_code_like)
+        for r in QUERIES["q_text_code_detect"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {"repo": (2, 2), "blog": (1, 0)}
+
+
+def test_reorder_gaps_week_buckets(spark, tmp_path):
+    """Gaps of 3, 10, and 70 days bucket to weeks 0, 1, and the 8+
+    tail; the first order produces no gap."""
+    rows = [
+        (1, 1, "O", 10.0, datetime(2024, 1, 1), "x"),
+        (2, 1, "O", 10.0, datetime(2024, 1, 4), "x"),    # gap 3
+        (3, 1, "O", 10.0, datetime(2024, 1, 14), "x"),   # gap 10
+        (4, 1, "O", 10.0, datetime(2024, 3, 24), "x"),   # gap 70
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    got = {
+        r.gap_weeks_bucket: r.n_gaps
+        for r in QUERIES["q_orders_reorder_gaps"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {0: 1, 1: 1, 8: 1}
+
+
+def test_effective_counts_discount_duplicates(spark, tmp_path):
+    """Three copies of one text count once; the planner discount is
+    the unique fraction."""
+    rows = [
+        (1, "same text", "en", "spam", 9),
+        (2, "same text", "en", "spam", 9),
+        (3, "same text", "en", "spam", 9),
+        (4, "other text", "en", "spam", 10),
+        (5, "fresh text", "en", "clean", 10),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.source: (r.n_docs, r.n_unique, r.unique_frac)
+        for r in QUERIES["q_mix_effective_counts"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {"spam": (4, 2, 0.5), "clean": (1, 1, 1.0)}
