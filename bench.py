@@ -190,6 +190,9 @@ HEADLINE = [
     "q_text_code_detect",        # code-vs-prose router
     "q_orders_reorder_gaps",     # purchase-cadence histogram
     "q_mix_effective_counts",    # dedup-aware mixture denominators
+    "q_join_asof_tolerance",     # staleness-bounded as-of join
+    "q_events_calendar_heatmap", # dow x hour traffic matrix
+    "s_priority_sample",         # order-independent stream sampler
 ]
 
 

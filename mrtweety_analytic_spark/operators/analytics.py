@@ -2007,3 +2007,30 @@ def q_orders_reorder_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_gaps"))
     )
+
+
+@register(
+    "q_events_calendar_heatmap",
+    oracle="""
+    SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hour,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_calendar_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity matrix (ISO weekday 1=Mon..7=Sun)
+    — the standard traffic heatmap behind capacity planning and the
+    visual sanity check on q_ts_seasonal's day-of-week profile.
+    ISO weekday numbers, not locale weekday NAMES, because name
+    formatting is locale-dependent across engines while isodow /
+    DAYOFWEEK_ISO are exact integers.
+
+    One map pass into a ≤168-group map-side-combinable count — the
+    cheapest possible full-log rollup.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.expr("extract(DAYOFWEEK_ISO FROM ts)").cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n"))

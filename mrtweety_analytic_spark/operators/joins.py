@@ -670,3 +670,61 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_join_asof_tolerance",
+    oracle="""
+    SELECT p.event_id,
+           max(struct_pack(ts := v.ts, eid := v.event_id,
+                           val := v.value)).val AS last_view_value
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT user_id, ts, event_id, value FROM events
+               WHERE event_type = 'view') v
+      ON v.user_id = p.user_id
+     AND v.ts <= p.ts
+     AND v.ts >= p.ts - INTERVAL 1 HOUR
+    GROUP BY p.event_id
+    """,
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a STALENESS TOLERANCE: each purchase picks
+    the latest view at-or-before it, but only within the last hour —
+    older context is rejected as stale and the purchase attributes
+    to nothing (NULL), the pandas merge_asof(tolerance=...) /
+    kdb wj-window semantic that plain q_join_asof lacks. For
+    feature generation this is the correctness knob: a
+    point-in-time feature older than its freshness SLA is a silent
+    training-serving skew bug, not a match.
+
+    Same scale shape as q_join_asof: equi-join on user_id with the
+    [ts−1h, ts] band as residual filter, and the per-purchase
+    'latest' resolved by a partial-aggregable max(struct) — no
+    per-group sort, no window over the fact table.
+    """
+    events = load_table(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    v = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("v_event_id"),
+        F.col("value").alias("v_value"),
+    )
+    joined = p.join(
+        v,
+        (p.user_id == v.v_user_id)
+        & (v.v_ts <= p.ts)
+        & (v.v_ts >= p.ts - F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    best = F.max(F.struct("v_ts", "v_event_id", "v_value")).alias("best")
+    return (
+        joined.groupBy("event_id")
+        .agg(best)
+        .select(
+            "event_id", F.col("best.v_value").alias("last_view_value")
+        )
+    )

@@ -1654,3 +1654,93 @@ def s_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_memory(spark, limited, "update")
     return out.select("event_id", "user_id", "allowed", "tokens_after")
+
+
+@register(
+    "s_priority_sample",
+    oracle="""
+    SELECT event_type, event_id, rnk
+    FROM (
+        SELECT event_type, event_id,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+               ) AS rnk
+        FROM events
+    )
+    WHERE rnk <= 3
+    """,
+)
+def s_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming uniform sample WITHOUT randomness state: keep the 3
+    events with the smallest md5(event_id) priority per event_type.
+    min-k-by-hash priority sampling is ORDER-INDEPENDENT — the
+    maintained set depends only on membership, not arrival order or
+    batch splits — which is exactly why the streaming result equals
+    the batch top-3 and a DuckDB oracle can certify a streaming
+    sampler at all (a seeded RNG reservoir could not be). The same
+    md5-priority trick as q_sample_reservoir, lifted into
+    applyInPandasWithState with six scalar state fields (3 priority
+    hexes + 3 ids).
+
+    Update-mode emissions include superseded candidates from early
+    batches; the final min-3 per key recovers the converged state
+    exactly (displaced rows always carry larger priorities).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    events = load_events_stream(spark, sf_dir).select(
+        "event_id", "event_type"
+    ).withColumn(
+        "prio", F.md5(F.col("event_id").cast("string"))
+    )
+
+    def keep3(key, pdf_iter, state):
+        cur = []
+        if state.exists:
+            p1, i1, p2, i2, p3, i3 = state.get
+            cur = [
+                (p, i)
+                for p, i in ((p1, i1), (p2, i2), (p3, i3))
+                if p is not None
+            ]
+        for pdf in pdf_iter:
+            cur.extend(zip(pdf["prio"], pdf["event_id"]))
+            cur = sorted(set((str(p), int(i)) for p, i in cur))[:3]
+        pad = cur + [(None, None)] * (3 - len(cur))
+        state.update(
+            (pad[0][0], pad[0][1], pad[1][0], pad[1][1],
+             pad[2][0], pad[2][1])
+        )
+        yield pd.DataFrame(
+            {
+                "event_type": key[0],
+                "event_id": pd.Series(
+                    [i for _, i in cur], dtype="int64"
+                ),
+            }
+        )
+
+    kept = events.groupBy("event_type").applyInPandasWithState(
+        keep3,
+        outputStructType="event_type string, event_id long",
+        stateStructType=(
+            "p1 string, i1 long, p2 string, i2 long, p3 string, i3 long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    from pyspark.sql import Window as W
+
+    out = _run_to_memory(spark, kept, "update")
+    w = W.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    return (
+        out.distinct()
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("event_type", "event_id", "rnk")
+    )

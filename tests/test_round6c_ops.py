@@ -1044,3 +1044,58 @@ def test_effective_counts_discount_duplicates(spark, tmp_path):
         ).collect()
     }
     assert got == {"spam": (4, 2, 0.5), "clean": (1, 1, 1.0)}
+
+
+def test_asof_tolerance_rejects_stale_context(spark, tmp_path):
+    """A view 30 min before the purchase matches; a view 2 h before
+    is stale -> NULL attribution (plain as-of would match it)."""
+    rows = [
+        (1, datetime(2024, 1, 1, 8, 0), 1, "view", 11.0, "{}"),
+        (2, datetime(2024, 1, 1, 10, 0), 1, "purchase", 1.0, "{}"),
+        (3, datetime(2024, 1, 1, 9, 30), 2, "view", 22.0, "{}"),
+        (4, datetime(2024, 1, 1, 10, 0), 2, "purchase", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.event_id: r.last_view_value
+        for r in QUERIES["q_join_asof_tolerance"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {2: None, 4: 22.0}
+
+
+def test_priority_sample_streaming_equals_batch_minhash(
+    spark, tmp_path
+):
+    """The maintained top-3 equals a Python min-3-by-md5 replay —
+    order independence makes streaming == batch."""
+    import hashlib
+
+    import pandas as pd
+
+    ids = list(range(1, 21))
+    pd.DataFrame(
+        {
+            "event_id": ids,
+            "ts": pd.to_datetime(["2024-01-01"] * len(ids)),
+            "user_id": ids,
+            "event_type": ["view"] * len(ids),
+            "value": [1.0] * len(ids),
+            "props": ["{}"] * len(ids),
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    expected = sorted(
+        ids, key=lambda i: hashlib.md5(str(i).encode()).hexdigest()
+    )[:3]
+    got = {
+        r.rnk: r.event_id
+        for r in QUERIES["s_priority_sample"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert [got[1], got[2], got[3]] == expected
