@@ -193,6 +193,9 @@ HEADLINE = [
     "q_join_asof_tolerance",     # staleness-bounded as-of join
     "q_events_calendar_heatmap", # dow x hour traffic matrix
     "s_priority_sample",         # order-independent stream sampler
+    "q_sim_sparse_cosine",       # inverted-index sparse all-pairs cosine
+    "q_sample_balanced",         # minority-class-balanced downsample
+    "q_graph_modularity",        # community-quality certificate
 ]
 
 

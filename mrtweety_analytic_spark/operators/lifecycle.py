@@ -932,3 +932,56 @@ def q_join_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ver_value",
         "valid_from",
     )
+
+
+@register(
+    "q_sample_balanced",
+    oracle="""
+    WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+    m AS (SELECT min(n) AS mn FROM counts),
+    ranked AS (
+        SELECT lang, doc_id,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT lang, doc_id, rk FROM ranked, m WHERE rk <= m.mn
+    """,
+)
+def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every language is cut to the
+    MINORITY class size, members chosen by md5(doc_id) priority —
+    the classifier-training prep that q_sample_stratified
+    (proportional) deliberately does not do. The md5 order makes the
+    selection a uniform pseudo-random draw that reproduces exactly
+    across engines, partitionings, and reruns (training-set
+    provenance, same rule as q_sample_reservoir); re-running with
+    one new document changes at most which single rank each class
+    tail holds, not the whole sample (priority sampling's stability
+    property).
+
+    Scale: class counts are one map-side-combinable aggregate
+    collapsed to a 1-row broadcast; the per-class rank is one window
+    sort partitioned by lang. The cut rank is data-dependent, so
+    WindowGroupLimit cannot pre-push it — the honest cost is one
+    full sort per class, and the docstring says so rather than
+    pretending otherwise (a fixed-k variant would push down; see
+    q_sample_reservoir).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    mn = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.min("n").alias("mn"))
+    )
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = docs.select(
+        "lang", "doc_id", F.row_number().over(w).alias("rk")
+    )
+    return ranked.crossJoin(F.broadcast(mn)).filter(
+        F.col("rk") <= F.col("mn")
+    ).select("lang", "doc_id", "rk")

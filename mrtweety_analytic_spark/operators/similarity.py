@@ -2270,3 +2270,111 @@ def q_sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(ratio), 6).alias("max_ratio"),
         )
     )
+
+
+_SPARSE_DF_CAP = 100  # posting lists longer than this are stop terms
+
+
+@register(
+    "q_sim_sparse_cosine",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bg AS (SELECT doc_id, w[i.i] || ' ' || w[i.i + 1] AS term
+           FROM t, unnest(generate_series(1, greatest(len(w) - 1, 0)))
+                   AS i(i)),
+    post AS (SELECT doc_id, term, count(*) AS cnt FROM bg GROUP BY 1, 2),
+    kept AS (SELECT term FROM post GROUP BY term
+             HAVING count(*) <= {_SPARSE_DF_CAP}),
+    p AS (SELECT post.* FROM post JOIN kept USING (term)),
+    ss AS (SELECT doc_id, sum(cnt * cnt) AS ss FROM p GROUP BY 1),
+    dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    sum(a.cnt * b.cnt) AS dot
+             FROM p a JOIN p b USING (term) WHERE a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(sa.ss AS DOUBLE))
+                    * sqrt(CAST(sb.ss AS DOUBLE))), 6) AS cos
+    FROM dots JOIN ss sa ON sa.doc_id = dots.doc_a
+              JOIN ss sb ON sb.doc_id = dots.doc_b
+    ORDER BY cos DESC, doc_a, doc_b LIMIT 20
+    """,
+)
+def q_sim_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-vector cosine similarity via an INVERTED-INDEX posting
+    join — the all-pairs similarity path for documents that have no
+    dense embedding (tf vectors over word bigrams). This is the plan
+    shape dense kNN can't give you at corpus scale: candidate pairs
+    come only from co-occurring terms, so the join cost is
+    sum(df(t)^2) over kept terms — bounded by the stop-term cap
+    (df > {0}-doc posting lists dropped, the same
+    inverted-index governor as q_dedup_ngram_jaccard) — never the
+    n^2 of brute force. Everything downstream of the explode is
+    integer arithmetic (tf counts), so the dot products are EXACT
+    across engines; floats appear only in the final
+    dot/sqrt(ss_a)/sqrt(ss_b) scoring, computed with the identical
+    operation order in both engines and rounded to 6.
+
+    Scale: bigrams built with arrays_zip over two shifted slices
+    (codegen, not HOF); postings hash-partition on term so each
+    term's pair fan-out is generated inside one partition; the
+    stop-term table is tiny and broadcast; the top-20 cut is
+    TakeOrderedAndProject. Cosine over the PRUNED vocabulary is the
+    documented semantic (stop terms carry no discriminative mass).
+    """.format(_SPARSE_DF_CAP)
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.split("text", " ")
+    pairs = F.arrays_zip(
+        F.slice(arr, 1, F.size(arr) - 1), F.slice(arr, 2, F.size(arr) - 1)
+    )
+    post = (
+        docs.select("doc_id", F.explode(pairs).alias("pr"))
+        .select(
+            "doc_id", F.concat_ws(" ", "pr.0", "pr.1").alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    kept = (
+        post.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _SPARSE_DF_CAP)
+        .select("term")
+    )
+    p = post.join(F.broadcast(kept), "term")
+    ss = p.groupBy("doc_id").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).alias("ss")
+    )
+    a = p.select(
+        F.col("term").alias("t"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("cnt").alias("cnt_a"),
+    )
+    b = p.select(
+        F.col("term").alias("t"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("cnt").alias("cnt_b"),
+    )
+    dots = (
+        a.join(b, "t")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("dot"))
+    )
+    sa = ss.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ssa"))
+    sb = ss.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ssb"))
+    cos = F.round(
+        F.col("dot").cast("double")
+        / (
+            F.sqrt(F.col("ssa").cast("double"))
+            * F.sqrt(F.col("ssb").cast("double"))
+        ),
+        6,
+    ).alias("cos")
+    return (
+        dots.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", cos)
+        .orderBy(F.desc("cos"), "doc_a", "doc_b")
+        .limit(20)
+    )

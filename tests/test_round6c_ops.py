@@ -1099,3 +1099,75 @@ def test_priority_sample_streaming_equals_batch_minhash(
         ).collect()
     }
     assert [got[1], got[2], got[3]] == expected
+
+
+def test_sparse_cosine_identical_docs_score_one(spark, tmp_path):
+    """Two identical docs -> cos 1.0 top pair; a doc sharing no
+    bigram never pairs with them (inverted index = no candidate)."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "big data spark query",
+                "big data spark query",
+                "tiny fish swims alone",
+            ],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [20] * 3,
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    rows = QUERIES["q_sim_sparse_cosine"](spark, str(tmp_path)).collect()
+    got = {(r.doc_a, r.doc_b): r.cos for r in rows}
+    assert got == {(1, 2): 1.0}
+
+
+def test_sample_balanced_cuts_to_minority_class(spark, tmp_path):
+    """lang 'a' has 3 docs, 'b' has 1 -> each class keeps exactly 1,
+    and 'a' keeps its min-md5 member."""
+    import hashlib
+
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["x"] * 4,
+            "lang": ["a", "a", "a", "b"],
+            "source": ["s"] * 4,
+            "n_chars": [1] * 4,
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    rows = QUERIES["q_sample_balanced"](spark, str(tmp_path)).collect()
+    got = {r.lang: r.doc_id for r in rows}
+    expect_a = min(
+        [1, 2, 3], key=lambda i: hashlib.md5(str(i).encode()).hexdigest()
+    )
+    assert len(rows) == 2 and got == {"a": expect_a, "b": 4}
+
+
+def test_modularity_perfectly_assortative_graph(spark, tmp_path):
+    """Two nations, trade strictly domestic: each contributes
+    1/2 - (2/4)^2 = 0.25, total Q = 0.5 (the 2-community maximum)."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {"n_nationkey": [0, 1], "n_name": ["A", "B"]}
+    ).to_parquet(tmp_path / "nation.parquet")
+    pd.DataFrame(
+        {"c_custkey": [10, 20], "c_nationkey": [0, 1]}
+    ).to_parquet(tmp_path / "customer.parquet")
+    pd.DataFrame(
+        {"s_suppkey": [7, 8], "s_nationkey": [0, 1]}
+    ).to_parquet(tmp_path / "supplier.parquet")
+    pd.DataFrame(
+        {"o_orderkey": [100, 200], "o_custkey": [10, 20]}
+    ).to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame(
+        {"l_orderkey": [100, 200], "l_suppkey": [7, 8]}
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    rows = QUERIES["q_graph_modularity"](spark, str(tmp_path)).collect()
+    got = {r.n_name: (r.e_within, r.deg_sum, r.q_contrib) for r in rows}
+    assert got == {"A": (1, 2, 0.25), "B": (1, 2, 0.25)}
