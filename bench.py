@@ -196,6 +196,9 @@ HEADLINE = [
     "q_sim_sparse_cosine",       # inverted-index sparse all-pairs cosine
     "q_sample_balanced",         # minority-class-balanced downsample
     "q_graph_modularity",        # community-quality certificate
+    "q_sim_knn_filtered",        # pre-filtered vector search
+    "q_events_gini",             # activity-concentration Gini
+    "q_events_survival",         # Kaplan-Meier cohort survival
 ]
 
 

@@ -2034,3 +2034,190 @@ def q_events_calendar_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("extract(DAYOFWEEK_ISO FROM ts)").cast("bigint").alias("dow"),
         F.hour("ts").cast("bigint").alias("hour"),
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "q_events_gini",
+    oracle="""
+    WITH ux AS (SELECT event_type, user_id, count(*) AS x
+                FROM events GROUP BY 1, 2),
+    r AS (SELECT event_type, x,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY x, user_id) AS i
+          FROM ux)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round((2e0 * sum(i * x) - (count(*) + 1) * sum(x))
+                 / (count(*) * CAST(sum(x) AS DOUBLE)), 6) AS gini
+    FROM r GROUP BY event_type
+    """,
+)
+def q_events_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user activity concentration, by event
+    type — the inequality audit behind 'do 1% of users generate 90%
+    of the traffic'. Complements q_agg_hhi (market-share
+    concentration over groups) with the exact rank-based population
+    form: G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx) over ascending-sorted
+    activity counts, ties broken by user_id so the rank sum is
+    deterministic. All sums stay in INTEGER arithmetic (exact across
+    engines); doubles appear only in the final 5-row division.
+
+    Scale: the raw log collapses to O(types × users) counts in one
+    partial-aggregable pass; the rank is a per-type window sort over
+    that reduced frame (distributed, spillable); the closing
+    aggregate is map-side combinable. Nothing touches raw-event
+    cardinality after the first groupBy.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ux = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    w = W.partitionBy("event_type").orderBy("x", "user_id")
+    r = ux.select(
+        "event_type", "x", F.row_number().over(w).alias("i")
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum("x")
+    return r.groupBy("event_type").agg(
+        n.cast("bigint").alias("n_users"),
+        F.round(
+            (F.lit(2.0) * F.sum(F.col("i") * F.col("x")) - (n + 1) * sx)
+            / (n * sx.cast("double")),
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "q_events_survival",
+    oracle="""
+    WITH u AS (SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
+               FROM events GROUP BY 1),
+    g AS (SELECT max(ts) AS mx FROM events),
+    d AS (SELECT CAST(week(first_ts) AS BIGINT) AS cohort,
+                 (epoch_us(last_ts) - epoch_us(first_ts))
+                     // 86400000000 AS dur,
+                 CASE WHEN epoch_us(g.mx) - epoch_us(last_ts)
+                           > 7 * 86400000000
+                      THEN 1 ELSE 0 END AS churned
+          FROM u, g),
+    by_t AS (SELECT cohort, dur, count(*) AS ended,
+                    sum(churned) AS d_t
+             FROM d GROUP BY 1, 2),
+    w AS (SELECT cohort, dur, ended, d_t,
+                 sum(ended) OVER (PARTITION BY cohort ORDER BY dur
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS ended_cum,
+                 sum(ended) OVER (PARTITION BY cohort) AS n_total
+          FROM w0),
+    f AS (SELECT cohort, dur, d_t,
+                 n_total - ended_cum + ended AS n_risk,
+                 1e0 - CAST(d_t AS DOUBLE)
+                     / (n_total - ended_cum + ended) AS factor
+          FROM w),
+    s AS (SELECT cohort, dur, d_t, n_risk,
+                 sum(CASE WHEN factor > 0 THEN ln(factor) ELSE 0 END)
+                     OVER pw AS lnsum,
+                 max(CASE WHEN factor = 0 THEN 1 ELSE 0 END)
+                     OVER pw AS hit_zero
+          FROM f
+          WINDOW pw AS (PARTITION BY cohort ORDER BY dur
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW))
+    SELECT cohort, dur, CAST(d_t AS BIGINT) AS d_t,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CASE WHEN hit_zero = 1 THEN 0e0
+                ELSE round(exp(lnsum), 6) END AS survival
+    FROM s
+    """.replace("FROM w0", "FROM by_t"),
+)
+def q_events_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve of user lifetime (days between
+    first and last event), cohorted by ISO week of first activity,
+    with right-censoring: a user still active within 7 days of the
+    corpus end has not churned — counting them as deaths (the naive
+    churn-rate query) biases lifetime DOWN, which is exactly the
+    mistake KM exists to fix. At each distinct lifetime t:
+    S(t) = Π_{u≤t} (1 − d_u / n_u) with d = churned at u,
+    n = still at risk. The cumulative product is computed as
+    exp(Σ ln(·)) under a cohort-partitioned ordered window, with a
+    zero-factor flag short-circuiting S to exactly 0 in both engines
+    (Spark's ln(0) is NULL, DuckDB's is -inf — neither is allowed to
+    reach the sum).
+
+    Scale: the raw log collapses to one row per user (min/max
+    partial-agg), then to one row per (cohort, lifetime-day); every
+    window is partitioned by cohort and runs over that reduced
+    frame. The corpus-end scalar is a 1-row broadcast.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    g = ev.agg(F.unix_micros(F.max("ts")).alias("mx_us"))
+    day_us = 86400000000
+    d = u.crossJoin(F.broadcast(g)).select(
+        F.weekofyear("first_ts").cast("bigint").alias("cohort"),
+        F.expr(
+            f"(unix_micros(last_ts) - unix_micros(first_ts))"
+            f" DIV {day_us}"
+        ).alias("dur"),
+        F.when(
+            F.col("mx_us") - F.unix_micros("last_ts")
+            > F.lit(7 * day_us),
+            1,
+        )
+        .otherwise(0)
+        .alias("churned"),
+    )
+    by_t = d.groupBy("cohort", "dur").agg(
+        F.count(F.lit(1)).alias("ended"), F.sum("churned").alias("d_t")
+    )
+    cum = (
+        W.partitionBy("cohort")
+        .orderBy("dur")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    whole = W.partitionBy("cohort")
+    w = by_t.select(
+        "cohort",
+        "dur",
+        "ended",
+        "d_t",
+        F.sum("ended").over(cum).alias("ended_cum"),
+        F.sum("ended").over(whole).alias("n_total"),
+    )
+    n_risk = F.col("n_total") - F.col("ended_cum") + F.col("ended")
+    factor = F.lit(1.0) - F.col("d_t").cast("double") / n_risk
+    f = w.select(
+        "cohort",
+        "dur",
+        "d_t",
+        n_risk.alias("n_risk"),
+        factor.alias("factor"),
+    )
+    s = f.select(
+        "cohort",
+        "dur",
+        "d_t",
+        "n_risk",
+        F.sum(
+            F.when(F.col("factor") > 0, F.log("factor")).otherwise(0.0)
+        )
+        .over(cum)
+        .alias("lnsum"),
+        F.max(
+            F.when(F.col("factor") == 0, 1).otherwise(0)
+        )
+        .over(cum)
+        .alias("hit_zero"),
+    )
+    return s.select(
+        "cohort",
+        "dur",
+        F.col("d_t").cast("bigint").alias("d_t"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.when(F.col("hit_zero") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp("lnsum"), 6))
+        .alias("survival"),
+    )

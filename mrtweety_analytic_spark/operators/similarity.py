@@ -2378,3 +2378,61 @@ def q_sim_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos"), "doc_a", "doc_b")
         .limit(20)
     )
+
+
+@register(
+    "q_sim_knn_filtered",
+    oracle=f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        q.qe), 6) AS score
+    FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id, q
+    WHERE e.vec_id <> 0 AND d.lang = 'en' AND d.n_chars >= 150
+    ORDER BY score DESC, e.vec_id
+    LIMIT {KNN_K}
+    """,
+)
+def q_sim_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — top-k cosine restricted to vectors
+    whose document metadata passes a predicate (lang = 'en', length
+    >= 150), the retrieval shape every RAG/curation stack needs. The
+    correctness point is PRE-filtering: the predicate intersects the
+    candidate set BEFORE the top-k cut, so the result is the true
+    top-k of the filtered corpus. Post-filtering a top-k of the
+    whole corpus (the tempting cheap variant) silently returns
+    FEWER than k or misses qualifying vectors entirely — a recall
+    bug, not a tuning choice.
+
+    Scale: the metadata predicate lives on the documents side where
+    parquet pushes it down (PushedFilters), the equi-join on
+    vec_id = doc_id prunes the embedding scan to survivors, and the
+    probe ships as a 1-row broadcast; the k-cut is
+    TakeOrderedAndProject. On an IVF-routed corpus the same
+    pre-filter composes with cell selection (filter the posting
+    lists, then score) — this operator certifies the semantics on
+    the exact path.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    meta = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id"), "lang", "n_chars"
+    )
+    probe = emb.filter(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
+    allowed = meta.filter(
+        (F.col("lang") == "en") & (F.col("n_chars") >= 150)
+    ).select(F.col("doc_id").alias("vec_id"))
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(allowed, "vec_id")
+        .join(F.broadcast(probe))
+        .select(
+            "vec_id",
+            F.round(cosine_expr(F.col("e"), F.col("qe")), 6).alias(
+                "score"
+            ),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(KNN_K)

@@ -1171,3 +1171,97 @@ def test_modularity_perfectly_assortative_graph(spark, tmp_path):
     rows = QUERIES["q_graph_modularity"](spark, str(tmp_path)).collect()
     got = {r.n_name: (r.e_within, r.deg_sum, r.q_contrib) for r in rows}
     assert got == {"A": (1, 2, 0.25), "B": (1, 2, 0.25)}
+
+
+def test_knn_filtered_prefilters_before_topk(spark, tmp_path):
+    """The non-en twin of the best match must NOT appear even though
+    its score would top the unfiltered ranking."""
+    import pandas as pd
+
+    # probe 0 = [1,0]; vec 1 (en) orthogonal, vec 2 (de) identical.
+    pd.DataFrame(
+        {
+            "vec_id": [0, 1, 2],
+            "embedding": [[1.0, 0.0], [0.0, 1.0], [1.0, 0.0]],
+            "label": [0, 0, 0],
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet")
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["x"] * 3,
+            "lang": ["en", "en", "de"],
+            "source": ["s"] * 3,
+            "n_chars": [200, 200, 200],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    rows = QUERIES["q_sim_knn_filtered"](spark, str(tmp_path)).collect()
+    assert [(r.vec_id, r.score) for r in rows] == [(1, 0.0)]
+
+
+def test_gini_extremes(spark, tmp_path):
+    """Equal counts -> G = 0; maximal concentration -> the n=2
+    population form (2*1*1+2*2*9-3*10)/(2*10) = 0.4."""
+    import pandas as pd
+
+    ts = pd.to_datetime("2024-01-01")
+    rows = (
+        [("eq", u) for u in (1, 2) for _ in range(5)]
+        + [("skew", 1)] * 1
+        + [("skew", 2)] * 9
+    )
+    pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [ts] * len(rows),
+            "user_id": [u for _, u in rows],
+            "event_type": [t for t, _ in rows],
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    got = {
+        r.event_type: (r.n_users, r.gini)
+        for r in QUERIES["q_events_gini"](spark, str(tmp_path)).collect()
+    }
+    assert got == {"eq": (2, 0.0), "skew": (2, 0.4)}
+
+
+def test_survival_censoring_and_km_product(spark, tmp_path):
+    """Cohort-1 users: lifetimes 1d (churn), 2d (churn), 4d
+    (censored: last event within 7d of corpus end). S(1)=2/3;
+    S(2)=(2/3)*(1/2)=0.333333; S(4) UNCHANGED at 0.333333 — the
+    censored user leaves the risk set without counting as a death
+    (a naive churn-rate would call it S(4)=0)."""
+    import pandas as pd
+
+    t0 = pd.Timestamp("2024-01-01")
+    day = pd.Timedelta(days=1)
+    rows = [
+        (1, t0), (1, t0 + day),            # churns at dur 1
+        (2, t0), (2, t0 + 2 * day),        # churns at dur 2
+        (3, t0), (3, t0 + 4 * day),        # dur 4, censored (gap 6d)
+        (4, t0 + 10 * day),                # corpus end anchor, week 2
+    ]
+    pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [t for _, t in rows],
+            "user_id": [u for u, _ in rows],
+            "event_type": ["view"] * len(rows),
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    got = {
+        (r.cohort, r.dur): (r.d_t, r.n_risk, r.survival)
+        for r in QUERIES["q_events_survival"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {
+        (1, 1): (1, 3, 0.666667),
+        (1, 2): (1, 2, 0.333333),
+        (1, 4): (0, 1, 0.333333),
+        (2, 0): (0, 1, 1.0),
+    }
