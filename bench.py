@@ -199,6 +199,9 @@ HEADLINE = [
     "q_sim_knn_filtered",        # pre-filtered vector search
     "q_events_gini",             # activity-concentration Gini
     "q_events_survival",         # Kaplan-Meier cohort survival
+    "q_shard_balance",           # snake-order size-balanced shards
+    "q_join_skew_hybrid",        # hot-broadcast/cold-shuffle join
+    "q_ts_hampel",               # rolling robust outlier filter
 ]
 
 

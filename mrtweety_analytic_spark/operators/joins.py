@@ -728,3 +728,63 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id", F.col("best.v_value").alias("last_view_value")
         )
     )
+
+
+_HYBRID_HOT_MIN = 60  # fact rows above which a key counts as hot
+
+
+@register(
+    "q_join_skew_hybrid",
+    oracle=f"""
+    SELECT c_mktsegment,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events JOIN customer ON c_custkey = user_id
+    GROUP BY c_mktsegment
+    """,
+)
+def q_join_skew_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated fact⋈dim join via the HYBRID (differentiated
+    re-plan) strategy: keys whose fact frequency exceeds
+    {_HYBRID_HOT_MIN} rows are routed through a broadcast hash join
+    (the hot dim slice is tiny by definition — at most
+    |fact|/{_HYBRID_HOT_MIN} keys), while the cold long tail takes
+    the normal shuffled join whose partitions are now skew-free.
+    This is the alternative to q_join_salted when the dim side is
+    too large to broadcast whole but the HOT SLICE of it is not —
+    no key fan-out, no salt-factor tuning, and the hot rows never
+    shuffle at all. The result is provably the plain join (the two
+    key classes partition the fact), which is exactly what the
+    oracle certifies.
+
+    Scale: hot-key detection is one map-side-combinable count +
+    filter, broadcast as a set; the fact splits by a broadcast
+    semi/anti probe (no shuffle); only cold rows pay an Exchange.
+    AQE's OptimizeSkewedJoin does this re-plan adaptively for sort-
+    merge joins — this operator is the explicit form that also
+    covers the broadcast-hot case AQE cannot choose (it will not
+    switch join strategy per key group).
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    hot_keys = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > _HYBRID_HOT_MIN)
+        .select("user_id")
+    )
+    hot_fact = ev.join(F.broadcast(hot_keys), "user_id", "left_semi")
+    cold_fact = ev.join(F.broadcast(hot_keys), "user_id", "left_anti")
+    hot_dim = cust.join(F.broadcast(hot_keys), "user_id", "left_semi")
+    hot = hot_fact.join(F.broadcast(hot_dim), "user_id")
+    cold = cold_fact.join(cust, "user_id")
+    return (
+        hot.unionAll(cold)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )

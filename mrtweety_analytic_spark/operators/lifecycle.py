@@ -985,3 +985,64 @@ def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.crossJoin(F.broadcast(mn)).filter(
         F.col("rk") <= F.col("mn")
     ).select("lang", "doc_id", "rk")
+
+
+@register(
+    "q_shard_balance",
+    oracle=f"""
+    WITH r AS (
+        SELECT source, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) - 1
+                   AS rk
+        FROM documents
+    ),
+    a AS (
+        SELECT n_chars,
+               CASE WHEN rk % {2 * N_SHARDS} < {N_SHARDS}
+                    THEN rk % {2 * N_SHARDS}
+                    ELSE {2 * N_SHARDS} - 1 - rk % {2 * N_SHARDS}
+               END AS shard
+        FROM r
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           count(*) AS n_docs,
+           sum(n_chars) AS total_chars
+    FROM a GROUP BY shard
+    """,
+)
+def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIZE-balanced shard assignment — the skew-aware twin of
+    q_shard_assign (which hashes and prays). Hash placement balances
+    COUNTS; when document sizes are heavy-tailed it leaves shards
+    2-3x apart in bytes, and the largest shard sets the training
+    job's wall clock. Here documents are ranked by size descending
+    within each source and dealt to shards in SNAKE order
+    (0..K-1, K-1..0, ...), the greedy longest-processing-time
+    heuristic's streaming-friendly cousin: each 2K-row wave gives
+    every shard one large + one small document, bounding the
+    per-wave byte spread. Output is the per-shard manifest
+    (docs, bytes) — the balance certificate itself.
+
+    Scale: the rank is per-SOURCE (partitioned window, no global
+    sort); snake dealing is pure modular arithmetic on the rank; the
+    closing rollup is map-side combinable over K groups. Balancing
+    within each source also balances the union, without ever
+    ordering the whole corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    pos = (F.row_number().over(w) - 1) % (2 * N_SHARDS)
+    shard = F.when(pos < N_SHARDS, pos).otherwise(
+        2 * N_SHARDS - 1 - pos
+    )
+    return (
+        docs.select("n_chars", shard.alias("shard"))
+        .groupBy(F.col("shard").cast("bigint").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

@@ -2432,3 +2432,121 @@ def q_ts_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nfull") == 7)
         .drop("nfull")
     )
+
+
+@register(
+    "q_ts_hampel",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    fr AS (
+        SELECT event_type, day, x,
+               list_sort(list(x) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS ls
+        FROM daily
+    ),
+    m AS (
+        SELECT event_type, day, x, ls, len(ls) AS n,
+               (ls[(len(ls) + 1) // 2] + ls[(len(ls) + 2) // 2]) / 2e0
+                   AS med
+        FROM fr
+    ),
+    d AS (
+        SELECT event_type, day, x, n, med,
+               list_sort(list_transform(ls, v -> abs(v - med))) AS ds
+        FROM m
+    )
+    SELECT event_type, day, x,
+           round(med, 6) AS med,
+           round((ds[(n + 1) // 2] + ds[(n + 2) // 2]) / 2e0, 6) AS mad,
+           CASE WHEN (ds[(n + 1) // 2] + ds[(n + 2) // 2]) / 2e0 > 0
+                THEN CASE WHEN abs(x - med) > 3e0 * 1.4826e0
+                          * ((ds[(n + 1) // 2] + ds[(n + 2) // 2]) / 2e0)
+                          THEN 1 ELSE 0 END
+                WHEN abs(x - med) > 0 THEN 1 ELSE 0 END AS is_outlier
+    FROM d
+    """,
+)
+def q_ts_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel filter: ROLLING-window robust outlier detection on the
+    per-type daily series — a point is anomalous when it sits more
+    than 3 robust sigmas (1.4826·MAD) from the median of its ±3-day
+    NEIGHBORHOOD. The local frame is what q_ts_outlier_mad's global
+    MAD cannot give: a level shift (new normal) stops flagging after
+    3 days here, while the global form flags the entire regime.
+
+    Degenerate neighborhoods (all 7 values equal → MAD 0) use the
+    standard Hampel fallback: any deviation from the median flags —
+    without it, a spike inside a perfectly flat series (the easiest
+    possible anomaly) would be invisible because its own robust
+    scale collapses to zero.
+
+    The 7-row frame is collected as an array per row and the
+    interpolated median/MAD computed by explicit sort + element_at
+    arithmetic — IDENTICAL index/interpolation rules in both engines
+    (quantile conventions differ across engines; array arithmetic
+    does not). Counts and their halves are dyadic rationals, so med,
+    the deviations, and mad are all EXACT doubles; the only inexact
+    step is the final 1.4826 threshold multiply.
+
+    Scale: the raw log collapses to O(types × days) first; the
+    window holds at most 7 values per row (O(1) state, spillable
+    sort per type). Nothing here touches raw-event cardinality.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    fr = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    ls = F.sort_array(F.collect_list("x").over(fr))
+    n = F.size(ls)
+
+    def interp_mid(sorted_arr: F.Column, nn: F.Column) -> F.Column:
+        lo = F.element_at(sorted_arr, ((nn + 1) / 2).cast("int"))
+        hi = F.element_at(sorted_arr, ((nn + 2) / 2).cast("int"))
+        return (lo + hi) / F.lit(2.0)
+
+    base = daily.select(
+        "event_type", "day", "x", ls.alias("ls"), n.alias("n")
+    )
+    m = base.select(
+        "event_type",
+        "day",
+        "x",
+        "ls",
+        "n",
+        interp_mid(F.col("ls"), F.col("n")).alias("med"),
+    )
+    ds = F.sort_array(
+        F.transform(F.col("ls"), lambda v: F.abs(v - F.col("med")))
+    )
+    d = m.select(
+        "event_type", "day", "x", "n", "med", ds.alias("ds")
+    )
+    mad = interp_mid(F.col("ds"), F.col("n"))
+    return d.select(
+        "event_type",
+        "day",
+        "x",
+        F.round("med", 6).alias("med"),
+        F.round(mad, 6).alias("mad"),
+        F.when(
+            mad > 0,
+            F.when(
+                F.abs(F.col("x") - F.col("med"))
+                > F.lit(3.0) * F.lit(1.4826) * mad,
+                1,
+            ).otherwise(0),
+        )
+        .when(F.abs(F.col("x") - F.col("med")) > 0, 1)
+        .otherwise(0)
+        .alias("is_outlier"),
+    )

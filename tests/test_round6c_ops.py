@@ -1265,3 +1265,94 @@ def test_survival_censoring_and_km_product(spark, tmp_path):
         (1, 4): (0, 1, 0.333333),
         (2, 0): (0, 1, 1.0),
     }
+
+
+def test_shard_balance_snake_beats_hash_on_sorted_sizes(spark, tmp_path):
+    """16 docs with sizes 16..1 in one source: snake dealing gives
+    every shard exactly 17 chars (perfect balance); byte totals and
+    doc counts are equal across all 8 shards."""
+    import pandas as pd
+
+    sizes = list(range(16, 0, -1))
+    pd.DataFrame(
+        {
+            "doc_id": range(16),
+            "text": ["x"] * 16,
+            "lang": ["en"] * 16,
+            "source": ["s"] * 16,
+            "n_chars": sizes,
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    rows = QUERIES["q_shard_balance"](spark, str(tmp_path)).collect()
+    assert len(rows) == 8
+    assert {r.n_docs for r in rows} == {2}
+    assert {r.total_chars for r in rows} == {17}
+
+
+def test_skew_hybrid_equals_plain_join(spark, tmp_path):
+    """One hot user (100 rows) + one cold (2 rows): the hybrid union
+    reproduces the plain join's per-segment totals exactly."""
+    import pandas as pd
+
+    ts = pd.to_datetime("2024-01-01")
+    users = [1] * 100 + [2] * 2
+    pd.DataFrame(
+        {
+            "event_id": range(len(users)),
+            "ts": [ts] * len(users),
+            "user_id": users,
+            "event_type": ["view"] * len(users),
+            "value": [1.0] * len(users),
+            "props": ["{}"] * len(users),
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    pd.DataFrame(
+        {
+            "c_custkey": [1, 2],
+            "c_mktsegment": ["HOT", "COLD"],
+        }
+    ).to_parquet(tmp_path / "customer.parquet")
+    got = {
+        r.c_mktsegment: (r.n_events, r.total_value)
+        for r in QUERIES["q_join_skew_hybrid"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {"HOT": (100, 100.0), "COLD": (2, 2.0)}
+
+
+def test_hampel_flags_local_spike_not_level_shift(spark, tmp_path):
+    """A one-day 50x spike is flagged; a permanent level shift stops
+    being anomalous once the window recenters (interior days of the
+    new regime are clean)."""
+    import pandas as pd
+
+    t0 = pd.Timestamp("2024-01-01")
+    days = []
+    # spike series: 14 days of 5/day with day 7 at 50
+    for i in range(14):
+        n = 50 if i == 7 else 5
+        days += [("spike", t0 + pd.Timedelta(days=i))] * n
+    # shift series: 7 days of 5/day then 7 days of 40/day
+    for i in range(14):
+        n = 5 if i < 7 else 40
+        days += [("shift", t0 + pd.Timedelta(days=i))] * n
+    pd.DataFrame(
+        {
+            "event_id": range(len(days)),
+            "ts": [t for _, t in days],
+            "user_id": [0] * len(days),
+            "event_type": [e for e, _ in days],
+            "value": [1.0] * len(days),
+            "props": ["{}"] * len(days),
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    rows = QUERIES["q_ts_hampel"](spark, str(tmp_path)).collect()
+    flagged = {
+        (r.event_type, r.day.day)
+        for r in rows
+        if r.is_outlier == 1
+    }
+    assert ("spike", 8) in flagged          # the one-day spike
+    # interior of the new regime (day 12: window fully post-shift)
+    assert ("shift", 12) not in flagged
