@@ -202,6 +202,8 @@ HEADLINE = [
     "q_shard_balance",           # snake-order size-balanced shards
     "q_join_skew_hybrid",        # hot-broadcast/cold-shuffle join
     "q_ts_hampel",               # rolling robust outlier filter
+    "s_scd2_stream",             # stateful streaming SCD2 build
+    "q_sql_group_by_all",        # GROUP BY ALL / ORDER BY ALL surface
 ]
 
 

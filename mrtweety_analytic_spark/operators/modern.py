@@ -395,3 +395,44 @@ def q_sql_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "n_chars"
     )
     return gen1.unionByName(gen2, allowMissingColumns=True)
+
+
+@register(
+    "q_sql_group_by_all",
+    oracle="""
+    SELECT source, lang,
+           count(*) AS n_docs,
+           sum(n_chars) AS total_chars,
+           round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars
+    FROM documents
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+)
+def q_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`GROUP BY ALL` + `ORDER BY ALL` — the modern-SQL ergonomics
+    both Spark 4 and DuckDB resolve identically: every non-aggregate
+    select item becomes a grouping key, every output column an order
+    key. Worth certifying cross-engine precisely because resolution
+    is COMPILER inference, not explicit syntax — a divergence here
+    would silently regroup a query that migrates between engines.
+    The Spark side runs the literal same SQL text through
+    spark.sql() over a temp view; Catalyst expands ALL at analysis
+    time, so the physical plan is the ordinary partial-agg +
+    exchange + sort of the explicit form (nothing new to pay at
+    scale).
+    """
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "gba_documents"
+    )
+    return spark.sql(
+        """
+        SELECT source, lang,
+               count(*) AS n_docs,
+               sum(n_chars) AS total_chars,
+               round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars
+        FROM gba_documents
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )

@@ -1744,3 +1744,129 @@ def s_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("event_type", "event_id", "rnk")
     )
+
+
+@register(
+    "s_scd2_stream",
+    oracle="""
+    WITH ch AS (
+        SELECT user_id, event_id, ts, round(value, 4) AS value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, value, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS valid_to,
+           CASE WHEN lead(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM ch
+    """,
+)
+def s_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING slowly-changing-dimension Type 2 — the live twin of
+    q_cdc_scd2: each user's purchase changelog becomes half-open
+    validity intervals maintained incrementally, state per key = the
+    one OPEN version (value, valid_from µs). A new change closes the
+    open version (emitting it with valid_to = the new change's ts)
+    and opens the next; every call also re-emits the key's open
+    snapshot, and the post-pass keeps the CLOSED form of each
+    (user, valid_from) version when one exists — max(struct) with
+    NULL valid_to ordering first does that selection exactly. A
+    version closes at most once, so the recovery is unambiguous.
+
+    Batch-replay equality with the batch lead() window is the
+    oracle, under the same in-order-batches CDC assumption as every
+    replay twin in this module (within a batch the kernel sorts by
+    (ts, event_id); the 3-slice pytest pins cross-batch interval
+    stitching through state).
+
+    Scale: state is O(keys) × 16 bytes; emissions are
+    O(changes + keys-per-batch), never O(history); the recovery
+    groupBy is keyed by (user, valid_from) — partial-aggregable.
+    """
+    ev = load_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "event_id", "ts", "value")
+    out = _run_to_memory(spark, _scd2_versions(ev), "update")
+    return _scd2_recover(out)
+
+
+def _scd2_versions(ev: DataFrame) -> DataFrame:
+    """applyInPandasWithState SCD2 kernel over a (user_id, event_id,
+    ts, value) change stream — split out so tests can drive it with
+    their own multi-batch file source."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def scd2_fn(key, pdf_iter, state):
+        cur_val, cur_vf = (
+            (state.get[0], state.get[1]) if state.exists else (None, None)
+        )
+        frames = []
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            vf_us = (pdf["ts"].astype("int64") // 1000).to_list()
+            vals = [round(float(v), 4) for v in pdf["value"]]
+            closed_v, closed_f, closed_t = [], [], []
+            if cur_val is not None:
+                closed_v.append(cur_val)
+                closed_f.append(cur_vf)
+                closed_t.append(vf_us[0])
+            # within-batch: version i closes at change i+1's ts
+            closed_v += vals[:-1]
+            closed_f += vf_us[:-1]
+            closed_t += vf_us[1:]
+            cur_val, cur_vf = vals[-1], vf_us[-1]
+            frames.append((closed_v, closed_f, closed_t))
+        out_v = [v for f in frames for v in f[0]]
+        out_f = [v for f in frames for v in f[1]]
+        out_t = [v for f in frames for v in f[2]]
+        if cur_val is not None:
+            state.update((cur_val, cur_vf))
+            out_v.append(cur_val)
+            out_f.append(cur_vf)
+            out_t.append(None)
+        yield pd.DataFrame(
+            {
+                "user_id": key[0],
+                "value": pd.Series(out_v, dtype="float64"),
+                "valid_from": pd.to_datetime(
+                    pd.Series(out_f, dtype="int64"), unit="us"
+                ),
+                "valid_to": pd.to_datetime(
+                    pd.Series(out_t, dtype="object"), unit="us"
+                ),
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        scd2_fn,
+        outputStructType="user_id long, value double,"
+        " valid_from timestamp, valid_to timestamp",
+        stateStructType="val double, vf_us long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _scd2_recover(out: DataFrame) -> DataFrame:
+    """Collapse update-mode emissions to final intervals: per
+    (user, valid_from) keep the closed form when one exists (NULL
+    valid_to orders first under struct max)."""
+    best = F.max(F.struct("valid_to", "value")).alias("b")
+    return (
+        out.groupBy("user_id", "valid_from")
+        .agg(best)
+        .select(
+            "user_id",
+            F.col("b.value").alias("value"),
+            "valid_from",
+            F.col("b.valid_to").alias("valid_to"),
+            F.when(F.col("b.valid_to").isNull(), 1)
+            .otherwise(0)
+            .alias("is_current"),
+        )
+    )

@@ -569,3 +569,59 @@ def test_upsert_sink_multibatch_file_stream(spark, tmp_path):
     assert sink.rows[1][1:] == (105, "click", 1.0)   # survived batch 2
     assert sink.rows[2][1:] == (102, "purchase", 4.0)  # event_id tiebreak
     assert sink.rows[3][1:] == (103, "error", 5.0)
+
+
+def test_scd2_stream_multibatch_interval_stitching(spark, tmp_path):
+    """SCD2 over a REAL 3-batch file stream (maxFilesPerTrigger=1):
+    versions opened in one batch must close at the next batch's
+    change ts (state carries the open version across batches), and
+    the final table equals the batch lead() build."""
+    from datetime import datetime
+
+    from mrtweety_analytic_spark.streaming.queries import (
+        _scd2_recover,
+        _scd2_versions,
+    )
+
+    src = str(tmp_path / "scd2_changes")
+    schema = (
+        "user_id long, event_id long, ts timestamp, value double"
+    )
+    batches = [
+        [(1, 100, datetime(2024, 1, 1, 0, 0, 10), 10.0)],
+        [(1, 101, datetime(2024, 1, 1, 0, 0, 20), 20.0),
+         (2, 102, datetime(2024, 1, 1, 0, 0, 20), 5.0)],
+        [(1, 103, datetime(2024, 1, 1, 0, 0, 30), 30.0)],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        _scd2_versions(stream)
+        .writeStream.format("memory")
+        .queryName("scd2_test_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(timeout=300)
+    out = _scd2_recover(spark.table("scd2_test_sink"))
+    got = {
+        (r.user_id, r.valid_from.second): (
+            r.value,
+            r.valid_to.second if r.valid_to else None,
+            r.is_current,
+        )
+        for r in out.collect()
+    }
+    assert got == {
+        (1, 10): (10.0, 20, 0),   # closed across batch 1 -> 2
+        (1, 20): (20.0, 30, 0),   # closed across batch 2 -> 3
+        (1, 30): (30.0, None, 1),
+        (2, 20): (5.0, None, 1),
+    }
