@@ -204,6 +204,8 @@ HEADLINE = [
     "q_ts_hampel",               # rolling robust outlier filter
     "s_scd2_stream",             # stateful streaming SCD2 build
     "q_sql_group_by_all",        # GROUP BY ALL / ORDER BY ALL surface
+    "q_text_rake",               # RAKE keyphrase extraction
+    "q_sim_nprobe_curve",        # IVF recall-vs-nprobe tuning curve
 ]
 
 

@@ -1854,3 +1854,138 @@ def q_text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("code_frac"),
         )
     )
+
+
+_RAKE_STOPWORDS = (
+    "the", "a", "of", "and", "to", "in", "is", "for", "on", "with",
+)
+
+
+def _rake_stop_sql() -> str:
+    return ", ".join(f"'{w}'" for w in _RAKE_STOPWORDS)
+
+
+@register(
+    "q_text_rake",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ),
+    t2 AS (
+        SELECT doc_id, pos, w,
+               CASE WHEN w IN ({{stops}}) THEN 1 ELSE 0 END AS is_stop
+        FROM toks WHERE w <> ''
+    ),
+    isl AS (
+        SELECT doc_id, pos, w, is_stop,
+               sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS grp
+        FROM t2
+    ),
+    words AS (SELECT doc_id, grp, pos, w FROM isl WHERE is_stop = 0),
+    ph AS (SELECT doc_id, grp, count(*) AS plen
+           FROM words GROUP BY 1, 2),
+    wstat AS (
+        SELECT w, count(*) AS freq, sum(plen) AS degree
+        FROM words JOIN ph USING (doc_id, grp) GROUP BY w
+    ),
+    occ AS (
+        SELECT doc_id, grp,
+               array_to_string(list(w ORDER BY pos), ' ') AS phrase
+        FROM words GROUP BY 1, 2
+    ),
+    pcount AS (SELECT phrase, count(*) AS n_occur FROM occ GROUP BY 1),
+    pwords AS (SELECT phrase, unnest(string_split(phrase, ' ')) AS w
+               FROM pcount),
+    pscore AS (
+        SELECT phrase,
+               round(sum(CAST(degree AS DOUBLE) / freq), 6) AS score
+        FROM pwords JOIN wstat USING (w) GROUP BY phrase
+    )
+    SELECT p.phrase, c.n_occur, p.score
+    FROM pscore p JOIN pcount c USING (phrase)
+    ORDER BY p.score DESC, p.phrase LIMIT 20
+    """.replace("{stops}", _rake_stop_sql()),
+)
+def q_text_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate
+    phrases are maximal stopword-free runs (gaps-and-islands over
+    token position — the island id is the running stopword count),
+    word score = degree/freq where degree sums the lengths of every
+    phrase containing the word, phrase score sums its words' scores.
+    Top-20 phrases by score. The unsupervised keyphrase baseline
+    that needs no model artifact — the right first pass over a
+    100 TB crawl before anything learned.
+
+    Scale: tokenization and island labeling are per-document (the
+    window partitions by doc_id); word stats are one vocabulary-
+    sized aggregate; the per-phrase rescore joins the word table
+    against DISTINCT phrases (broadcastable — vocabulary-sized, not
+    corpus-sized); the cut is TakeOrderedAndProject. Scoring floats
+    appear once per distinct phrase, summed from identical per-word
+    doubles in both engines, rounded at 6.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    ).where(F.col("w") != "")
+    t2 = toks.withColumn(
+        "is_stop",
+        F.when(F.col("w").isin(*_RAKE_STOPWORDS), 1).otherwise(0),
+    )
+    wisl = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    words = (
+        t2.withColumn("grp", F.sum("is_stop").over(wisl))
+        .where(F.col("is_stop") == 0)
+        .select("doc_id", "grp", "pos", "w")
+    )
+    ph = words.groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).alias("plen"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "w"))),
+                lambda x: x["w"],
+            ),
+        ).alias("phrase"),
+    )
+    wstat = (
+        words.join(
+            ph.select("doc_id", "grp", "plen"), ["doc_id", "grp"]
+        )
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("plen").alias("degree"),
+        )
+    )
+    pcount = ph.groupBy("phrase").agg(
+        F.count(F.lit(1)).alias("n_occur")
+    )
+    pwords = pcount.select(
+        "phrase", F.explode(F.split("phrase", " ")).alias("w")
+    )
+    pscore = (
+        pwords.join(F.broadcast(wstat), "w")
+        .groupBy("phrase")
+        .agg(
+            F.round(
+                F.sum(F.col("degree").cast("double") / F.col("freq")),
+                6,
+            ).alias("score")
+        )
+    )
+    return (
+        pscore.join(pcount, "phrase")
+        .select("phrase", "n_occur", "score")
+        .orderBy(F.desc("score"), "phrase")
+        .limit(20)
+    )

@@ -1356,3 +1356,45 @@ def test_hampel_flags_local_spike_not_level_shift(spark, tmp_path):
     assert ("spike", 8) in flagged          # the one-day spike
     # interior of the new regime (day 12: window fully post-shift)
     assert ("shift", 12) not in flagged
+
+
+def test_rake_scores_multiword_phrase_highest(spark, tmp_path):
+    """'big data pipelines' (3 co-occurring words) outranks the
+    isolated repeated word, per RAKE's degree/freq law; stopwords
+    never appear inside phrases."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                "big data pipelines in the cloud",
+                "cloud cloud and big data pipelines",
+            ],
+            "lang": ["en"] * 2,
+            "source": ["s"] * 2,
+            "n_chars": [30, 34],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    rows = QUERIES["q_text_rake"](spark, str(tmp_path)).collect()
+    by_phrase = {r.phrase: (r.n_occur, r.score) for r in rows}
+    assert all(
+        w not in p.split() for p in by_phrase for w in ("in", "the", "and")
+    )
+    top = rows[0].phrase
+    assert top == "big data pipelines"
+    assert by_phrase["big data pipelines"][0] == 2
+    # each of the 3 words: freq 2, degree 6 -> word score 3, sum 9
+    assert by_phrase["big data pipelines"][1] == 9.0
+
+
+def test_nprobe_curve_monotone_and_exact_at_full_probe(spark):
+    """On the real sf0.001 corpus: recall is non-decreasing in
+    nprobe and exactly 1.0 when every cell is probed (nprobe = K)."""
+    rows = QUERIES["q_sim_nprobe_curve"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_np = {r.nprobe: r.recall_at_k for r in sorted(rows, key=lambda r: r.nprobe)}
+    vals = [by_np[p] for p in sorted(by_np)]
+    assert vals == sorted(vals)
+    assert by_np[8] == 1.0
