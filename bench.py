@@ -206,6 +206,9 @@ HEADLINE = [
     "q_sql_group_by_all",        # GROUP BY ALL / ORDER BY ALL surface
     "q_text_rake",               # RAKE keyphrase extraction
     "q_sim_nprobe_curve",        # IVF recall-vs-nprobe tuning curve
+    "q_agg_bootstrap_ci",        # one-pass Poisson-bootstrap CI
+    "q_text_winnowing",          # MOSS winnowing fingerprints
+    "q_graph_hits",              # hubs/authorities duality
 ]
 
 

@@ -2221,3 +2221,149 @@ def q_events_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.exp("lnsum"), 6))
         .alias("survival"),
     )
+
+
+_BOOT_B = 20  # resamples
+# Poisson(1) CDF breakpoints — identical double literals in both
+# engines so the inverse-CDF draw is bit-identical.
+_POIS = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238462",
+)
+
+
+@register(
+    "q_agg_bootstrap_ci",
+    oracle=f"""
+    WITH b AS (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b),
+    w AS (
+        SELECT b.b, value,
+               CASE
+                 WHEN u < {_POIS[0]}e0 THEN 0
+                 WHEN u < {_POIS[1]}e0 THEN 1
+                 WHEN u < {_POIS[2]}e0 THEN 2
+                 WHEN u < {_POIS[3]}e0 THEN 3
+                 ELSE 4
+               END AS w
+        FROM (
+            SELECT b.b, value,
+                   ('0x' || substr(md5(CAST(event_id AS VARCHAR)
+                        || ':' || CAST(b.b AS VARCHAR)), 1, 12))::BIGINT
+                       / 281474976710656e0 AS u
+            FROM events, b WHERE event_type = 'purchase'
+        ) t, b WHERE t.b = b.b
+    ),
+    means AS (
+        SELECT b, sum(w * value) / sum(w) AS m
+        FROM w GROUP BY b HAVING sum(w) > 0
+    ),
+    arr AS (SELECT list(m ORDER BY m) AS a, count(*) AS nb FROM means),
+    pt AS (SELECT count(*) AS n_rows, avg(value) AS mu
+           FROM events WHERE event_type = 'purchase')
+    SELECT pt.n_rows,
+           round(pt.mu, 6) AS point_mean,
+           round(a[CAST(floor(1 + (nb - 1) * 0.025e0) AS BIGINT)]
+                 + (1 + (nb - 1) * 0.025e0
+                    - floor(1 + (nb - 1) * 0.025e0))
+                 * (a[CAST(floor(1 + (nb - 1) * 0.025e0) AS BIGINT) + 1]
+                    - a[CAST(floor(1 + (nb - 1) * 0.025e0) AS BIGINT)]),
+                 6) AS ci_lo,
+           round(a[CAST(floor(1 + (nb - 1) * 0.975e0) AS BIGINT)]
+                 + (1 + (nb - 1) * 0.975e0
+                    - floor(1 + (nb - 1) * 0.975e0))
+                 * (a[least(CAST(floor(1 + (nb - 1) * 0.975e0) AS BIGINT)
+                            + 1, nb)]
+                    - a[CAST(floor(1 + (nb - 1) * 0.975e0) AS BIGINT)]),
+                 6) AS ci_hi
+    FROM arr, pt
+    """,
+)
+def q_agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON-bootstrap 95% confidence interval for mean purchase
+    value — the bootstrap that actually runs at 100 TB: classic
+    resampling needs n draws per replicate (B passes over the data);
+    the Poisson approximation gives every row an INDEPENDENT
+    Poisson(1) inclusion weight per replicate, so all B replicates
+    compute in ONE scan as a (B × row) weighted aggregate (the
+    Google large-scale-bootstrap trick). The draw is a deterministic
+    inverse-CDF lookup on the 48-bit md5 of (event_id, replicate) —
+    reproducible across engines, partitionings, and reruns, which is
+    what lets a DuckDB oracle certify a bootstrap at all (a seeded
+    RNG could not).
+
+    Scale: one fan-out of B weights per row (map-side), B partial-
+    aggregable weighted sums, then a {0}-element driver-side
+    quantile interpolation (the same explicit array interpolation as
+    q_ts_hampel, identical in both engines). Nothing resamples,
+    nothing shuffles beyond B group keys.
+    """.format(_BOOT_B)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("event_id", "value")
+    b = F.explode(
+        F.sequence(F.lit(0), F.lit(_BOOT_B - 1))
+    ).alias("b")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("event_id").cast("string"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(281474976710656.0)
+    )
+    p = [F.lit(float(x)) for x in _POIS]
+    w = (
+        F.when(F.col("u") < p[0], 0)
+        .when(F.col("u") < p[1], 1)
+        .when(F.col("u") < p[2], 2)
+        .when(F.col("u") < p[3], 3)
+        .otherwise(4)
+    )
+    weighted = (
+        ev.select("event_id", "value", b)
+        .withColumn("u", u)
+        .select("b", "value", w.alias("w"))
+    )
+    means = (
+        weighted.groupBy("b")
+        .agg(
+            (F.sum(F.col("w") * F.col("value")) / F.sum("w")).alias("m"),
+            F.sum("w").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+    )
+    arr = means.agg(
+        F.sort_array(F.collect_list("m")).alias("a"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    pt = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.avg("value").alias("mu"),
+    )
+
+    def interp(pq: float) -> F.Column:
+        h = 1 + (F.col("nb") - 1) * F.lit(pq)
+        lo = F.floor(h).cast("int")
+        hi = F.least(lo + 1, F.col("nb").cast("int"))
+        return F.element_at(F.col("a"), lo) + (h - F.floor(h)) * (
+            F.element_at(F.col("a"), hi) - F.element_at(F.col("a"), lo)
+        )
+
+    return arr.crossJoin(F.broadcast(pt)).select(
+        "n_rows",
+        F.round("mu", 6).alias("point_mean"),
+        F.round(interp(0.025), 6).alias("ci_lo"),
+        F.round(interp(0.975), 6).alias("ci_hi"),
+    )

@@ -707,3 +707,92 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_contrib"),
         )
     )
+
+
+@register(
+    "q_graph_hits",
+    oracle="""
+    WITH e0 AS (SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+                FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    a1 AS (SELECT sk, CAST(count(*) AS DOUBLE) AS a
+           FROM e0 GROUP BY sk),
+    h1 AS (SELECT ck, sum(a) AS h
+           FROM e0 JOIN a1 USING (sk) GROUP BY ck),
+    a2 AS (SELECT sk, sum(h) AS a
+           FROM e0 JOIN h1 USING (ck) GROUP BY sk),
+    h2 AS (SELECT ck, sum(a) AS h
+           FROM e0 JOIN a2 USING (sk) GROUP BY ck),
+    ma AS (SELECT max(a) AS m FROM a2),
+    mh AS (SELECT max(h) AS m FROM h2)
+    SELECT 's' || CAST(sk AS VARCHAR) AS node, 'authority' AS role,
+           round(a / ma.m, 6) AS score
+    FROM a2, ma
+    UNION ALL
+    SELECT 'c' || CAST(ck AS VARCHAR) AS node, 'hub' AS role,
+           round(h / mh.m, 6) AS score
+    FROM h2, mh
+    """,
+)
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities on the bipartite customer→supplier
+    trade graph (Kleinberg): two unrolled mutual-reinforcement
+    iterations from h₀ = 1 — a supplier is authoritative when
+    well-connected customers buy from it, a customer is a hub when
+    it buys from authoritative suppliers. The complementary
+    centrality to q_graph_pagerank (which ranks by random-walk mass,
+    not by the hub/authority duality); on a crawl graph this is the
+    classic seed-quality signal for corpus source weighting. Scores
+    are max-normalized per role (scale-free, so no L2 norm whose
+    sqrt could drift across engines); h₀ = 1 keeps every iterate an
+    INTEGER-valued double (exact under reordering) until the single
+    normalizing division.
+
+    Scale: each half-iteration is one equi-join of the edge list
+    against an O(nodes) score table + a partial-aggregable sum —
+    the q_graph_pagerank shape, two shuffles per iteration, never
+    O(n²). The max is a 1-row broadcast.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk")
+        )
+        .distinct()
+    )
+    a1 = e0.groupBy("sk").agg(
+        F.count(F.lit(1)).cast("double").alias("a")
+    )
+    h1 = (
+        e0.join(a1, "sk")
+        .groupBy("ck")
+        .agg(F.sum("a").alias("h"))
+    )
+    a2 = (
+        e0.join(h1, "ck")
+        .groupBy("sk")
+        .agg(F.sum("h").alias("a"))
+    )
+    h2 = (
+        e0.join(a2, "sk")
+        .groupBy("ck")
+        .agg(F.sum("a").alias("h"))
+    )
+    ma = a2.agg(F.max("a").alias("m"))
+    mh = h2.agg(F.max("h").alias("m"))
+    auths = a2.crossJoin(F.broadcast(ma)).select(
+        F.concat(F.lit("s"), F.col("sk")).alias("node"),
+        F.lit("authority").alias("role"),
+        F.round(F.col("a") / F.col("m"), 6).alias("score"),
+    )
+    hubs = h2.crossJoin(F.broadcast(mh)).select(
+        F.concat(F.lit("c"), F.col("ck")).alias("node"),
+        F.lit("hub").alias("role"),
+        F.round(F.col("h") / F.col("m"), 6).alias("score"),
+    )
+    return auths.unionAll(hubs)

@@ -1989,3 +1989,134 @@ def q_text_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "phrase")
         .limit(20)
     )
+
+
+_WINNOW_K = 3  # k-gram length
+_WINNOW_W = 4  # winnowing window (hashes per window)
+
+
+@register(
+    "q_text_winnowing",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+               FROM documents),
+    kg AS (
+        SELECT doc_id, i.i AS pos,
+               ('0x' || substr(md5(
+                    array_to_string(w[i.i:i.i + {_WINNOW_K - 1}], ' ')
+                ), 1, 10))::BIGINT AS h
+        FROM t, unnest(generate_series(1,
+                 greatest(len(w) - {_WINNOW_K - 1}, 0))) AS i(i)
+    ),
+    enc AS (
+        SELECT doc_id, pos, h * 65536 + pos AS e,
+               row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS idx
+        FROM kg
+    ),
+    sel AS (
+        SELECT doc_id, idx,
+               min(e) OVER (PARTITION BY doc_id ORDER BY idx
+                   ROWS BETWEEN {_WINNOW_W - 1} PRECEDING
+                   AND CURRENT ROW) AS fp
+        FROM enc
+    ),
+    fps AS (
+        SELECT DISTINCT doc_id, fp FROM sel WHERE idx >= {_WINNOW_W}
+    ),
+    nk AS (SELECT doc_id, count(*) AS n_kgrams FROM kg GROUP BY 1)
+    SELECT nk.doc_id, nk.n_kgrams,
+           CAST(coalesce(f.n_fp, 0) AS BIGINT) AS n_fp,
+           round(CAST(coalesce(f.n_fp, 0) AS DOUBLE) / nk.n_kgrams, 4)
+               AS density
+    FROM nk LEFT JOIN (SELECT doc_id, count(*) AS n_fp
+                       FROM fps GROUP BY 1) f
+        ON f.doc_id = nk.doc_id
+    WHERE nk.n_kgrams >= {_WINNOW_W}
+    """,
+)
+def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINNOWING document fingerprints (Schleimer/Wilkerson/Aiken,
+    the MOSS algorithm): hash every word 3-gram, slide a 4-hash
+    window, keep each window's minimum — with the
+    guarantee the rolling q_text_fingerprint lacks: any shared run
+    of ≥ w+k-1 tokens between two documents shares at least one
+    SELECTED fingerprint, so plagiarism/boilerplate detection can
+    join on the winnowed set (≈ 2/(w+1) of all k-grams) instead of
+    every shingle. Ties inside a window resolve to the LEFTMOST
+    minimal hash by encoding (hash · 2^16 + pos) into one integer
+    before the min — the 40-bit md5 prefix keeps the encoding inside
+    int64 in both engines.
+
+    Output is the per-document fingerprint ledger (count + selection
+    density ≈ 2/(w+1)); the pair-join consumer is the same inverted-
+    index equi-join as q_sim_sparse_cosine.
+
+    Scale: k-grams via arrays_zip slices (codegen); the min-window
+    is a per-document O(w)-state frame; DISTINCT collapses runs of
+    the same winner before the count. All integer arithmetic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.split("text", " ")
+    win_len = F.greatest(F.lit(0), F.size(arr) - (_WINNOW_K - 1))
+    zipped = F.arrays_zip(
+        *[F.slice(arr, i + 1, win_len) for i in range(_WINNOW_K)]
+    )
+    grams = F.transform(
+        zipped,
+        lambda g: F.concat_ws(
+            " ", *[g[str(i)] for i in range(_WINNOW_K)]
+        ),
+    )
+    kg = (
+        docs.select("doc_id", F.posexplode(grams).alias("p0", "gram"))
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).alias("pos"),
+            (
+                F.conv(F.substring(F.md5("gram"), 1, 10), 16, 10)
+                .cast("bigint")
+            ).alias("h"),
+        )
+    )
+    wo = W.partitionBy("doc_id").orderBy("pos")
+    enc = kg.select(
+        "doc_id",
+        "pos",
+        (F.col("h") * 65536 + F.col("pos")).alias("e"),
+        F.row_number().over(wo).alias("idx"),
+    )
+    fr = (
+        W.partitionBy("doc_id")
+        .orderBy("idx")
+        .rowsBetween(-(_WINNOW_W - 1), 0)
+    )
+    sel = enc.select(
+        "doc_id", "idx", F.min("e").over(fr).alias("fp")
+    )
+    fps = (
+        sel.where(F.col("idx") >= _WINNOW_W)
+        .select("doc_id", "fp")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_fp"))
+    )
+    nk = kg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kgrams")
+    )
+    return (
+        nk.join(fps, "doc_id", "left")
+        .where(F.col("n_kgrams") >= _WINNOW_W)
+        .select(
+            "doc_id",
+            "n_kgrams",
+            F.coalesce(F.col("n_fp"), F.lit(0))
+            .cast("bigint")
+            .alias("n_fp"),
+            F.round(
+                F.coalesce(F.col("n_fp"), F.lit(0)).cast("double")
+                / F.col("n_kgrams"),
+                4,
+            ).alias("density"),
+        )
+    )
