@@ -209,6 +209,9 @@ HEADLINE = [
     "q_agg_bootstrap_ci",        # one-pass Poisson-bootstrap CI
     "q_text_winnowing",          # MOSS winnowing fingerprints
     "q_graph_hits",              # hubs/authorities duality
+    "s_enrich_pit",              # stream-static point-in-time enrich
+    "q_ts_strength",             # trend/seasonality strength F-measures
+    "q_text_char_entropy",       # bits-per-char gibberish probe
 ]
 
 

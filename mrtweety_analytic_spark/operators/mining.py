@@ -2550,3 +2550,90 @@ def q_ts_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_outlier"),
     )
+
+
+@register(
+    "q_ts_strength",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    trend AS (
+        SELECT event_type, day, v,
+               CASE WHEN count(*) OVER w7 = 7
+                    THEN avg(v) OVER w7 END AS trend
+        FROM daily
+        WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    season AS (
+        SELECT event_type, dayofweek(day) AS dow,
+               avg(v - trend) AS seasonal
+        FROM trend WHERE trend IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    comp AS (
+        SELECT t.event_type,
+               round(t.trend, 6) AS trend,
+               round(s.seasonal, 6) AS seasonal,
+               round(t.v - t.trend - s.seasonal, 6) AS residual,
+               t.v
+        FROM trend t JOIN season s
+          ON s.event_type = t.event_type AND s.dow = dayofweek(t.day)
+        WHERE t.trend IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(greatest(0e0,
+               1e0 - var_samp(residual)
+                   / var_samp(v - seasonal)), 6) AS f_trend,
+           round(greatest(0e0,
+               1e0 - var_samp(residual)
+                   / var_samp(v - trend)), 6) AS f_season
+    FROM comp GROUP BY event_type
+    """,
+)
+def q_ts_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend/seasonality STRENGTH (Hyndman's F-measures over the
+    classical decomposition): F_T = max(0, 1 − Var(R)/Var(T+R)) and
+    F_S = max(0, 1 − Var(R)/Var(S+R)) per event type — the scalar
+    that turns q_ts_seasonal's component frame into a decision
+    ('is there enough weekly signal to justify seasonal models /
+    seasonal anomaly baselines?'). Consumes the REGISTERED
+    decomposition frame unchanged (rounded components, so both
+    engines variance identical inputs); deseasonalized = v −
+    seasonal, detrended = v − trend.
+
+    Scale: one partial-aggregable variance pass over the
+    O(types × days) component frame — var_samp is a mergeable
+    second-moment aggregate, so this adds a single tiny shuffle to
+    the decomposition.
+    """
+    from ..registry import QUERIES
+
+    comp = QUERIES["q_ts_seasonal"](spark, sf_dir)
+    return (
+        comp.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    F.lit(1.0)
+                    - F.var_samp("residual")
+                    / F.var_samp(F.col("v") - F.col("seasonal")),
+                ),
+                6,
+            ).alias("f_trend"),
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    F.lit(1.0)
+                    - F.var_samp("residual")
+                    / F.var_samp(F.col("v") - F.col("trend")),
+                ),
+                6,
+            ).alias("f_season"),
+        )
+    )

@@ -2120,3 +2120,71 @@ def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("density"),
         )
     )
+
+
+@register(
+    "q_text_char_entropy",
+    oracle="""
+    WITH ch AS (
+        SELECT doc_id, unnest(string_split_regex(text, '')) AS c
+        FROM documents
+    ),
+    cc AS (
+        SELECT doc_id, c, count(*) AS k
+        FROM ch WHERE c <> '' GROUP BY 1, 2
+    ),
+    n AS (SELECT doc_id, sum(k) AS n FROM cc GROUP BY 1)
+    SELECT cc.doc_id,
+           CAST(n.n AS BIGINT) AS n_chars_counted,
+           CAST(count(*) AS BIGINT) AS n_distinct_chars,
+           round(-sum((CAST(k AS DOUBLE) / n.n)
+                      * ln(CAST(k AS DOUBLE) / n.n)) / ln(2e0), 6)
+               + 0.0 AS entropy_bits
+    FROM cc JOIN n ON n.doc_id = cc.doc_id
+    GROUP BY cc.doc_id, n.n
+    """,
+)
+def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document (bits/char) —
+    the gibberish/compressibility probe that completes the
+    q_text_quality panel: natural language sits in a narrow entropy
+    band (~4 bits/char for English), while base64 blobs, minified
+    code, and key-mash spam sit far above it and template/repeated
+    boilerplate far below. It is the cheap statistical stand-in for
+    a compression-ratio filter (zlib-per-doc needs a Python UDF;
+    the entropy bound H ≤ bits/char is pure column algebra).
+
+    Scale: one explode to (doc, char) pairs, two partial-aggregable
+    counts (per doc-char, per doc), one plog p fold — alphabet-sized
+    state per document, no Python in the loop, raw text read once.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cc = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", "")).alias("c")
+        )
+        .where(F.col("c") != "")
+        .groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    n = cc.groupBy("doc_id").agg(F.sum("k").alias("n"))
+    p = F.col("k").cast("double") / F.col("n")
+    return (
+        cc.join(n, "doc_id")
+        .groupBy("doc_id", "n")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_chars"),
+            (
+                F.round(-F.sum(p * F.log(p)) / F.log(F.lit(2.0)), 6)
+                + F.lit(0.0)  # normalize -0.0 (cross-engine hash rule)
+            ).alias("entropy_bits"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").cast("bigint").alias("n_chars_counted"),
+            F.col("n_distinct_chars").cast("bigint").alias(
+                "n_distinct_chars"
+            ),
+            "entropy_bits",
+        )
+    )

@@ -1870,3 +1870,69 @@ def _scd2_recover(out: DataFrame) -> DataFrame:
             .alias("is_current"),
         )
     )
+
+
+@register(
+    "s_enrich_pit",
+    oracle="""
+    WITH dim AS (
+        SELECT user_id, round(value, 4) AS ver_value, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS valid_to
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT f.event_id, d.ver_value
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click') f
+    JOIN dim d
+      ON d.user_id = f.user_id
+     AND d.valid_from <= f.ts
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    """,
+)
+def s_enrich_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING point-in-time enrichment: the click stream joined
+    against the batch-built SCD2 purchase dimension with the
+    half-open interval predicate riding the stream-static equi-join
+    as a residual filter — the feature-serving shape (training
+    features must come from the version current AT event time;
+    joining the latest version is the training/serving-skew bug).
+    Stream-static needs NO state or watermark: the dimension is
+    planned once per micro-batch, so the temporal correctness comes
+    entirely from the interval predicate, not from stream
+    synchronization — which is why PIT enrichment belongs on the
+    static side while the dimension fits batch refresh cadence (the
+    fully-streaming twin is s_scd2_stream + this join downstream).
+
+    Scale: equi-join on user_id with per-user version fan-out
+    bounded by version count; the dim is the only broadcast/shuffled
+    side per batch.
+    """
+    from pyspark.sql import Window
+
+    from ..sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("d_user"),
+            F.round("value", 4).alias("ver_value"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+    )
+    clicks = load_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    ).select("event_id", "user_id", "ts")
+    joined = clicks.join(
+        dim,
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("valid_from") <= F.col("ts"))
+        & (
+            F.col("valid_to").isNull()
+            | (F.col("ts") < F.col("valid_to"))
+        ),
+    ).select("event_id", "ver_value")
+    return _run_to_memory(spark, joined, "append")

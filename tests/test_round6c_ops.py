@@ -1479,3 +1479,88 @@ def test_hits_star_graph_authority_ranking(spark, tmp_path):
     assert score[("authority", "s2")] < 1.0
     assert score[("hub", "c20")] == 1.0
     assert score[("hub", "c10")] < 1.0
+
+
+def test_enrich_pit_picks_version_current_at_click(spark, tmp_path):
+    """Click at t=15 gets the t=10 purchase version, not the t=20
+    one; a click before any version matches nothing."""
+    import pandas as pd
+
+    t = lambda s: pd.Timestamp(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        (1, t(10), 7, "purchase", 100.0),
+        (2, t(20), 7, "purchase", 200.0),
+        (3, t(15), 7, "click", 0.0),
+        (4, t(25), 7, "click", 0.0),
+        (5, t(5), 7, "click", 0.0),
+    ]
+    pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [r[1] for r in rows],
+            "user_id": [r[2] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": [r[4] for r in rows],
+            "props": ["{}"] * len(rows),
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    got = {
+        r.event_id: r.ver_value
+        for r in QUERIES["s_enrich_pit"](spark, str(tmp_path)).collect()
+    }
+    assert got == {3: 100.0, 4: 200.0}
+
+
+def test_char_entropy_extremes(spark, tmp_path):
+    """A single repeated char has entropy 0; a 4-char uniform
+    alphabet has exactly 2 bits/char."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["aaaaaaaa", "abcdabcd"],
+            "lang": ["en"] * 2,
+            "source": ["s"] * 2,
+            "n_chars": [8, 8],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    got = {
+        r.doc_id: (r.n_chars_counted, r.n_distinct_chars, r.entropy_bits)
+        for r in QUERIES["q_text_char_entropy"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {1: (8, 1, 0.0), 2: (8, 4, 2.0)}
+
+
+def test_ts_strength_separates_seasonal_from_flat(spark, tmp_path):
+    """A strong weekly cycle scores high f_season; white-ish flat
+    noise scores near zero on both measures."""
+    import math
+
+    import pandas as pd
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    for d in range(28):
+        n_seas = round(10 + 6 * math.cos(2 * math.pi * d / 7))
+        n_flat = 10 + (d * 7919 % 3) - 1  # deterministic jitter 9..11
+        rows += [("seasonal", t0 + pd.Timedelta(days=d))] * n_seas
+        rows += [("flat", t0 + pd.Timedelta(days=d))] * n_flat
+    pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [t for _, t in rows],
+            "user_id": [0] * len(rows),
+            "event_type": [e for e, _ in rows],
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    got = {
+        r.event_type: (r.f_trend, r.f_season)
+        for r in QUERIES["q_ts_strength"](spark, str(tmp_path)).collect()
+    }
+    assert got["seasonal"][1] > 0.8
+    assert got["flat"][1] < 0.6
