@@ -212,6 +212,8 @@ HEADLINE = [
     "s_enrich_pit",              # stream-static point-in-time enrich
     "q_ts_strength",             # trend/seasonality strength F-measures
     "q_text_char_entropy",       # bits-per-char gibberish probe
+    "q_orders_price_index",      # matched-basket Laspeyres index
+    "q_events_hill_tail",        # power-law tail index (skew alarm)
 ]
 
 

@@ -2637,3 +2637,128 @@ def q_ts_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("f_season"),
         )
     )
+
+
+@register(
+    "q_orders_price_index",
+    oracle="""
+    WITH py AS (
+        SELECT l_partkey AS part, year(l_shipdate) AS yr,
+               sum(l_extendedprice) / sum(l_quantity) AS p,
+               sum(l_quantity) AS q
+        FROM lineitem GROUP BY 1, 2
+    ),
+    base AS (SELECT part, p AS p0, q AS q0 FROM py WHERE yr = 1995)
+    SELECT CAST(py.yr AS BIGINT) AS yr,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(sum(py.p * base.q0) / sum(base.p0 * base.q0), 6)
+               AS laspeyres
+    FROM py JOIN base ON base.part = py.part
+    WHERE py.yr <> 1995
+    GROUP BY py.yr
+    """,
+)
+def q_orders_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres price index by ship year against the 1995 base
+    basket: L_y = Σ p_y·q₀ / Σ p₀·q₀ over parts traded in BOTH the
+    base year and year y (the matched-basket restriction every real
+    price index makes; n_parts reports the basket size so basket
+    shrinkage is visible). Unit price per (part, year) is the
+    quantity-weighted sum(price)/sum(qty) — one pass, no AVG-of-
+    ratios bias. The fixed-base-quantity design is what makes this
+    an inflation measure rather than a revenue-mix artifact: only
+    prices vary across the numerator series.
+
+    Scale: the fact table collapses to O(parts × years) in one
+    partial-aggregable pass; the base-year slice is a broadcastable
+    dim keyed by part; the final rollup has O(years) groups. Floats
+    enter at the per-cell division, summed once per year and
+    rounded at 6.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    py = li.groupBy(
+        F.col("l_partkey").alias("part"),
+        F.year("l_shipdate").alias("yr"),
+    ).agg(
+        (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("p"),
+        F.sum("l_quantity").alias("q"),
+    )
+    base = py.filter(F.col("yr") == 1995).select(
+        "part", F.col("p").alias("p0"), F.col("q").alias("q0")
+    )
+    return (
+        py.filter(F.col("yr") != 1995)
+        .join(F.broadcast(base), "part")
+        .groupBy(F.col("yr").cast("bigint").alias("yr"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(
+                F.sum(F.col("p") * F.col("q0"))
+                / F.sum(F.col("p0") * F.col("q0")),
+                6,
+            ).alias("laspeyres"),
+        )
+    )
+
+
+_HILL_K = 20
+
+
+@register(
+    "q_events_hill_tail",
+    oracle=f"""
+    WITH ux AS (SELECT user_id, count(*) AS x FROM events GROUP BY 1),
+    top AS (SELECT user_id, x FROM ux
+            ORDER BY x DESC, user_id LIMIT {_HILL_K + 1}),
+    th AS (SELECT x AS xk, user_id AS uk FROM top
+           ORDER BY x ASC, user_id DESC LIMIT 1),
+    tail AS (SELECT x FROM top, th WHERE top.user_id <> th.uk)
+    SELECT CAST(count(*) AS BIGINT) AS k,
+           CAST(th.xk AS BIGINT) AS x_threshold,
+           CASE WHEN avg(ln(CAST(x AS DOUBLE)))
+                     - ln(CAST(th.xk AS DOUBLE)) > 0
+                THEN round(1e0 / (avg(ln(CAST(x AS DOUBLE)))
+                                  - ln(CAST(th.xk AS DOUBLE))), 6)
+           END AS hill_alpha
+    FROM tail, th GROUP BY th.xk
+    """,
+)
+def q_events_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the activity distribution's tail index:
+    α̂ = 1 / (mean(ln x₍ᵢ₎) − ln x₍k₊₁₎) over the top-k per-user
+    event counts — the quantitative form of 'how heavy is the power
+    law' that q_events_pareto eyeballs. α ≤ 2 means infinite
+    variance: mean-based capacity planning and uniform partitioning
+    both break, and the skew mitigations (q_agg_salted_twophase /
+    q_join_skew_hybrid) stop being optional. Degenerate tails (all
+    top-k counts equal) yield NULL rather than a division blow-up.
+
+    Scale: the corpus reduces to O(users) counts map-side; the
+    top-(k+1) cut is TakeOrderedAndProject (no global window — the
+    threshold row is separated from the tail sample by a bounded
+    21-row max(struct) instead); everything after runs on ≤ 21 rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ux = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
+    top = ux.orderBy(F.desc("x"), F.asc("user_id")).limit(_HILL_K + 1)
+    th = top.agg(
+        F.max(
+            F.struct(
+                (-F.col("x")).alias("nx"), F.col("user_id").alias("u")
+            )
+        ).alias("t")
+    ).select(
+        (-F.col("t.nx")).alias("xk"), F.col("t.u").alias("uk")
+    )
+    tail = top.crossJoin(F.broadcast(th)).filter(
+        F.col("user_id") != F.col("uk")
+    )
+    denom = F.avg(F.log(F.col("x").cast("double"))) - F.first(
+        F.log(F.col("xk").cast("double"))
+    )
+    return tail.groupBy(F.col("xk").cast("bigint").alias("x_threshold")).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.when(denom > 0, F.round(F.lit(1.0) / denom, 6)).alias(
+            "hill_alpha"
+        ),
+    ).select("k", "x_threshold", "hill_alpha")

@@ -1564,3 +1564,71 @@ def test_ts_strength_separates_seasonal_from_flat(spark, tmp_path):
     }
     assert got["seasonal"][1] > 0.8
     assert got["flat"][1] < 0.6
+
+
+def test_price_index_pure_inflation(spark, tmp_path):
+    """One part, price doubles base->next year at fixed quantity:
+    Laspeyres = 2.0 exactly; a part absent from the base basket is
+    excluded (n_parts counts the matched basket)."""
+    import pandas as pd
+
+    d95, d96 = pd.Timestamp("1995-06-01"), pd.Timestamp("1996-06-01")
+    pd.DataFrame(
+        {
+            "l_orderkey": [1, 2, 3],
+            "l_partkey": [7, 7, 9],
+            "l_suppkey": [1] * 3,
+            "l_linenumber": [1] * 3,
+            "l_quantity": [10.0, 10.0, 5.0],
+            "l_extendedprice": [100.0, 200.0, 50.0],
+            "l_discount": [0.0] * 3,
+            "l_tax": [0.0] * 3,
+            "l_returnflag": ["N"] * 3,
+            "l_linestatus": ["O"] * 3,
+            "l_shipdate": [d95, d96, d96],
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    rows = QUERIES["q_orders_price_index"](spark, str(tmp_path)).collect()
+    assert [(r.yr, r.n_parts, r.laspeyres) for r in rows] == [
+        (1996, 1, 2.0)
+    ]
+
+
+def test_hill_alpha_exact_on_pareto_counts(spark, tmp_path):
+    """Counts x_i = threshold * 2^(i/20) over the top 20 give
+    mean(ln x) - ln(threshold) known in closed form; also pins the
+    NULL guard shape (denominator > 0 here)."""
+    import math
+
+    import pandas as pd
+
+    ts = pd.to_datetime("2024-01-01")
+    rows = []
+    uid = 0
+    counts = [int(round(100 * 2 ** (i / 20.0))) for i in range(1, 21)]
+    counts += [100] * 10  # threshold plateau below the tail sample
+    for c in counts:
+        rows += [(uid, c)]
+        uid += 1
+    data = []
+    eid = 0
+    for u, c in rows:
+        for _ in range(c):
+            data.append((eid, ts, u, "view", 1.0, "{}"))
+            eid += 1
+    pd.DataFrame(
+        {
+            "event_id": [d[0] for d in data],
+            "ts": [d[1] for d in data],
+            "user_id": [d[2] for d in data],
+            "event_type": [d[3] for d in data],
+            "value": [d[4] for d in data],
+            "props": [d[5] for d in data],
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    [r] = QUERIES["q_events_hill_tail"](spark, str(tmp_path)).collect()
+    assert r.k == 20 and r.x_threshold == 100
+    expected = 1.0 / (
+        sum(math.log(c) for c in counts[:20]) / 20 - math.log(100)
+    )
+    assert abs(r.hill_alpha - round(expected, 6)) < 1e-6
