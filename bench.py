@@ -214,6 +214,8 @@ HEADLINE = [
     "q_text_char_entropy",       # bits-per-char gibberish probe
     "q_orders_price_index",      # matched-basket Laspeyres index
     "q_events_hill_tail",        # power-law tail index (skew alarm)
+    "q_win_tumbling",            # batch window() TVF parity
+    "q_dq_reconciliation",       # header-vs-lines money audit
 ]
 
 

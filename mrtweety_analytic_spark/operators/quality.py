@@ -803,3 +803,78 @@ def q_dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("g") - F.col("last_us")) / F.lit(3600000000)
         ).cast("bigint").alias("staleness_hours"),
     )
+
+
+@register(
+    "q_dq_reconciliation",
+    oracle="""
+    WITH li AS (
+        SELECT l_orderkey,
+               round(sum(l_extendedprice), 2) AS line_total,
+               count(*) AS n_lines
+        FROM lineitem GROUP BY 1
+    ),
+    j AS (
+        SELECT o.o_orderkey, o.o_totalprice, li.line_total,
+               li.n_lines,
+               CASE
+                 WHEN li.l_orderkey IS NULL THEN 'no_lines'
+                 WHEN abs(o.o_totalprice - li.line_total)
+                      <= 0.01 * o.o_totalprice THEN 'ok'
+                 ELSE 'mismatch'
+               END AS status
+        FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+    )
+    SELECT status,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_amount,
+           round(sum(coalesce(abs(o_totalprice - line_total), 0)), 2)
+               AS total_abs_gap
+    FROM j GROUP BY status
+    """,
+)
+def q_dq_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-TABLE value reconciliation: does each order's header
+    total agree with the sum of its line amounts (1% tolerance)?
+    This is the financial-close audit that key-level referential
+    checks (q_dq_referential) cannot see — keys can all resolve
+    while the MONEY disagrees, which is how silent partial loads
+    and double-applied CDC batches actually surface. Orders with no
+    lines are their own class (header-only orphans), and the
+    absolute gap is totaled per class so the blast radius is
+    quantified, not just counted.
+
+    Scale: one partial-aggregable rollup per order on the fact
+    side, one key-partitioned join against headers, a 3-group
+    closing aggregate. Both shuffles are keyed by order — no
+    skew beyond natural order size.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("line_total"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    j = orders.join(li, orders.o_orderkey == li.l_orderkey, "left")
+    gap = F.abs(F.col("o_totalprice") - F.col("line_total"))
+    status = (
+        F.when(F.col("l_orderkey").isNull(), "no_lines")
+        .when(gap <= 0.01 * F.col("o_totalprice"), "ok")
+        .otherwise("mismatch")
+    )
+    return (
+        j.select("o_totalprice", gap.alias("gap"), status.alias("status"))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_amount"),
+            F.round(
+                F.sum(F.coalesce(F.col("gap"), F.lit(0.0))), 2
+            ).alias("total_abs_gap"),
+        )
+    )

@@ -447,3 +447,47 @@ def q_win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_distinct_types_so_far"),
     )
+
+
+@register(
+    "q_win_tumbling",
+    oracle="""
+    SELECT make_timestamp(
+               (epoch_us(ts) // 600000000) * 600000000) AS win_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The window() TVF in BATCH mode: 10-minute tumbling buckets
+    over the whole event log — the surface parity check that the
+    same windowing expression Structured Streaming uses (s_tumbling)
+    also runs against history, which is how backfills reproduce what
+    the live pipeline computed (lambda-architecture equivalence).
+    The oracle pins the exact bucket arithmetic: window.start =
+    floor(epoch_µs / 600e6) · 600e6 — integer µs bucketing, no
+    float rounding at the boundary.
+
+    Scale: window() is a PROJECTION (one struct per row), so the
+    whole query is a single partial-aggregable groupBy over
+    O(buckets × types) groups — identical plan to grouping by a
+    derived column.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )

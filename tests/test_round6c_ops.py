@@ -1632,3 +1632,73 @@ def test_hill_alpha_exact_on_pareto_counts(spark, tmp_path):
         sum(math.log(c) for c in counts[:20]) / 20 - math.log(100)
     )
     assert abs(r.hill_alpha - round(expected, 6)) < 1e-6
+
+
+def test_batch_tumbling_bucket_boundaries(spark, tmp_path):
+    """09:59:59.999999 lands in the 09:50 bucket, 10:00:00.000000
+    opens the next one — integer-microsecond boundary semantics."""
+    import pandas as pd
+
+    rows = [
+        pd.Timestamp("2024-01-01 09:59:59.999999"),
+        pd.Timestamp("2024-01-01 10:00:00.000000"),
+    ]
+    pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": rows,
+            "user_id": [0, 0],
+            "event_type": ["view", "view"],
+            "value": [1.0, 1.0],
+            "props": ["{}"] * 2,
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    got = sorted(
+        (r.win_start.minute, r.n)
+        for r in QUERIES["q_win_tumbling"](spark, str(tmp_path)).collect()
+    )
+    assert got == [(0, 1), (50, 1)]
+
+
+def test_reconciliation_classes(spark, tmp_path):
+    """Within-tolerance order -> ok; 50%-off header -> mismatch
+    with the gap totaled; header without lines -> no_lines."""
+    import pandas as pd
+
+    d = pd.Timestamp("1995-01-01")
+    pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3],
+            "o_custkey": [1, 1, 1],
+            "o_orderstatus": ["O"] * 3,
+            "o_totalprice": [100.0, 100.0, 77.0],
+            "o_orderdate": [d] * 3,
+            "o_orderpriority": ["1-URGENT"] * 3,
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame(
+        {
+            "l_orderkey": [1, 2],
+            "l_partkey": [1, 1],
+            "l_suppkey": [1, 1],
+            "l_linenumber": [1, 1],
+            "l_quantity": [1.0, 1.0],
+            "l_extendedprice": [100.5, 50.0],
+            "l_discount": [0.0] * 2,
+            "l_tax": [0.0] * 2,
+            "l_returnflag": ["N"] * 2,
+            "l_linestatus": ["O"] * 2,
+            "l_shipdate": [d] * 2,
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    got = {
+        r.status: (r.n_orders, r.total_abs_gap)
+        for r in QUERIES["q_dq_reconciliation"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {
+        "ok": (1, 0.5),
+        "mismatch": (1, 50.0),
+        "no_lines": (1, 0.0),
+    }
