@@ -216,6 +216,8 @@ HEADLINE = [
     "q_events_hill_tail",        # power-law tail index (skew alarm)
     "q_win_tumbling",            # batch window() TVF parity
     "q_dq_reconciliation",       # header-vs-lines money audit
+    "q_multimodal_webdataset",   # byte-budget shard manifest
+    "q_orders_abc_xyz",          # revenue x volatility classification
 ]
 
 

@@ -2762,3 +2762,117 @@ def q_events_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hill_alpha"
         ),
     ).select("k", "x_threshold", "hill_alpha")
+
+
+@register(
+    "q_orders_abc_xyz",
+    oracle="""
+    WITH pm AS (
+        SELECT l_partkey AS part,
+               year(l_shipdate) * 12 + month(l_shipdate) AS ym,
+               sum(l_quantity) AS q,
+               sum(l_extendedprice) AS rev
+        FROM lineitem GROUP BY 1, 2
+    ),
+    ps AS (
+        SELECT part, sum(rev) AS revenue,
+               CASE WHEN avg(q) > 0 AND count(*) > 1
+                    THEN stddev_samp(q) / avg(q) END AS cv
+        FROM pm GROUP BY part
+    ),
+    tot AS (SELECT sum(revenue) AS t FROM ps),
+    ranked AS (
+        SELECT part, revenue, cv,
+               sum(revenue) OVER (ORDER BY revenue DESC, part
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_rev
+        FROM ps
+    ),
+    cls AS (
+        SELECT CASE WHEN cum_rev - revenue < 0.8 * tot.t THEN 'A'
+                    WHEN cum_rev - revenue < 0.95 * tot.t THEN 'B'
+                    ELSE 'C' END AS abc,
+               CASE WHEN cv IS NULL THEN 'Z'
+                    WHEN cv <= 0.5 THEN 'X'
+                    WHEN cv <= 1.0 THEN 'Y'
+                    ELSE 'Z' END AS xyz,
+               revenue
+        FROM ranked, tot
+    )
+    SELECT abc, xyz, count(*) AS n_parts,
+           round(sum(revenue), 2) AS revenue
+    FROM cls GROUP BY 1, 2
+    """,
+)
+def q_orders_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/XYZ inventory classification matrix: parts classed by
+    cumulative revenue share (A ≤ 80%, B ≤ 95%, C the tail — the
+    Pareto cut q_events_pareto applies to users, here to SKUs) ×
+    demand predictability (coefficient of variation of monthly
+    quantity: X ≤ 0.5 steady, Y ≤ 1.0, Z erratic or single-month).
+    The A×Z cell is the planner's nightmare quadrant (high value,
+    unforecastable) and the reason the two dimensions must be
+    CROSSED, not read separately.
+
+    Scale: the fact table reduces to O(parts × months) then
+    O(parts); the cumulative-revenue rank is ONE ordered window over
+    the part-level aggregate — global, but dim-sized (the
+    q_events_pareto precedent: 20k rows of (part, revenue) in a
+    single sorted partition is the cheap correct plan; the window-
+    free O(P²) self-join alternative is quadratic in the part
+    dimension and loses at exactly the scale where it matters); the
+    output is a ≤9-cell matrix.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pm = li.groupBy(
+        F.col("l_partkey").alias("part"),
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("ym"),
+    ).agg(
+        F.sum("l_quantity").alias("q"),
+        F.sum("l_extendedprice").alias("rev"),
+    )
+    ps = pm.groupBy("part").agg(
+        F.sum("rev").alias("revenue"),
+        F.when(
+            (F.avg("q") > 0) & (F.count(F.lit(1)) > 1),
+            F.stddev_samp("q") / F.avg("q"),
+        ).alias("cv"),
+    )
+    tot = ps.agg(F.sum("revenue").alias("t"))
+    w_cum = W.orderBy(F.desc("revenue"), F.asc("part")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    ranked = ps.select(
+        "part",
+        "revenue",
+        "cv",
+        F.sum("revenue").over(w_cum).alias("cum_rev"),
+    )
+    # class by the cumulative share BEFORE the part: a part is A when
+    # it starts inside the first 80% of revenue — the convention that
+    # keeps a single dominant SKU in class A instead of skipping
+    # straight to C because its own revenue overshoots the cut.
+    abc = (
+        F.when(
+            F.col("cum_rev") - F.col("revenue") < 0.8 * F.col("t"), "A"
+        )
+        .when(
+            F.col("cum_rev") - F.col("revenue") < 0.95 * F.col("t"), "B"
+        )
+        .otherwise("C")
+    )
+    xyz = (
+        F.when(F.col("cv").isNull(), "Z")
+        .when(F.col("cv") <= 0.5, "X")
+        .when(F.col("cv") <= 1.0, "Y")
+        .otherwise("Z")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(abc.alias("abc"), xyz.alias("xyz"), "revenue")
+        .groupBy("abc", "xyz")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("revenue"), 2).alias("revenue"),
+        )
+    )

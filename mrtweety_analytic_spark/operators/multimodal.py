@@ -635,3 +635,82 @@ def q_multimodal_size_histogram(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(nb).cast("bigint").alias("total_bytes"),
     )
+
+
+_WDS_SHARD_BYTES = 4096  # shard byte budget (fixture-scaled)
+
+
+@register(
+    "q_multimodal_webdataset",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id, source, strlen(text) AS n_bytes,
+               md5(CAST(doc_id AS VARCHAR)) AS ord_key
+        FROM documents
+    ),
+    runs AS (
+        SELECT source, doc_id, n_bytes,
+               sum(n_bytes) OVER (PARTITION BY source
+                   ORDER BY ord_key, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+        FROM p
+    ),
+    shards AS (
+        SELECT source, doc_id, n_bytes,
+               (cum - 1) // {_WDS_SHARD_BYTES} AS shard_seq
+        FROM runs
+    )
+    SELECT source, CAST(shard_seq AS BIGINT) AS shard_seq,
+           count(*) AS n_items,
+           sum(n_bytes) AS shard_bytes,
+           min(doc_id) AS first_doc
+    FROM shards GROUP BY 1, 2
+    """,
+)
+def q_multimodal_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard manifest: payloads are packed into
+    sequential tar-like shards of ~4 KiB per SOURCE, in md5(doc_id)
+    order — the sequential-read layout multimodal training loaders
+    want (shard = unit of shuffle + prefetch; random order BAKED IN
+    at packing time via the hash sort, so readers stream
+    sequentially yet see shuffled data). Shard id =
+    (running_bytes − 1) div budget: items stay whole, shards
+    overflow by at most one item rather than splitting a payload —
+    the correct tar semantics (contrast q_multimodal_cdc_chunks,
+    which splits WITHIN payloads for dedup, not packing).
+
+    Scale: one per-source window sort (the same partitioned rank
+    discipline as q_shard_balance), the shard id is pure integer
+    arithmetic on the running sum, the manifest rollup is
+    map-side-combinable. Payload bytes never move — only
+    (id, size) pairs; the actual tar write is the q_sink family's
+    job, driven by this manifest.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    p = docs.select(
+        "doc_id",
+        "source",
+        F.octet_length(F.encode(F.col("text"), "UTF-8")).alias(
+            "n_bytes"
+        ),
+        F.md5(F.col("doc_id").cast("string")).alias("ord_key"),
+    )
+    shards = p.select(
+        "source",
+        "doc_id",
+        "n_bytes",
+        F.expr(
+            f"(sum(n_bytes) OVER (PARTITION BY source"
+            f" ORDER BY ord_key, doc_id"
+            f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)"
+            f" DIV {_WDS_SHARD_BYTES}"
+        ).alias("shard_seq"),
+    )
+    return shards.groupBy(
+        "source", F.col("shard_seq").cast("bigint").alias("shard_seq")
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("n_bytes").alias("shard_bytes"),
+        F.min("doc_id").alias("first_doc"),
+    )

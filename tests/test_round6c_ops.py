@@ -1702,3 +1702,64 @@ def test_reconciliation_classes(spark, tmp_path):
         "mismatch": (1, 50.0),
         "no_lines": (1, 0.0),
     }
+
+
+def test_webdataset_shards_keep_items_whole(spark, tmp_path):
+    """Three 3000-byte docs against a 4096-byte budget: shard 0
+    holds doc A (3000), shard 1 docs B..? — no payload ever splits,
+    every shard's bytes equal the sum of its whole items, and all
+    items land exactly once."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["x" * 3000, "y" * 3000, "z" * 3000],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [3000] * 3,
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    rows = QUERIES["q_multimodal_webdataset"](
+        spark, str(tmp_path)
+    ).collect()
+    assert sum(r.n_items for r in rows) == 3
+    assert sum(r.shard_bytes for r in rows) == 9000
+    # cum bytes 3000/6000/9000 -> shard_seq (cum-1)//4096 = 0,1,2 -> 1 item each
+    assert sorted((r.shard_seq, r.n_items) for r in rows) == [
+        (0, 1), (1, 1), (2, 1),
+    ]
+
+
+def test_abc_xyz_quadrants(spark, tmp_path):
+    """A dominant steady part -> A/X; a tiny erratic part -> C/Z
+    (single-month parts are Z by definition)."""
+    import pandas as pd
+
+    months = [pd.Timestamp(1995, m, 1) for m in (1, 2, 3, 4)]
+    rows = []
+    # part 1: 4 months, equal qty, huge revenue -> A, cv=0 -> X
+    for d in months:
+        rows.append((1, d, 10.0, 10000.0))
+    # part 2: one month only -> Z; tiny revenue -> C
+    rows.append((2, months[0], 1.0, 10.0))
+    pd.DataFrame(
+        {
+            "l_orderkey": range(len(rows)),
+            "l_partkey": [r[0] for r in rows],
+            "l_suppkey": [1] * len(rows),
+            "l_linenumber": [1] * len(rows),
+            "l_quantity": [r[2] for r in rows],
+            "l_extendedprice": [r[3] for r in rows],
+            "l_discount": [0.0] * len(rows),
+            "l_tax": [0.0] * len(rows),
+            "l_returnflag": ["N"] * len(rows),
+            "l_linestatus": ["O"] * len(rows),
+            "l_shipdate": [r[1] for r in rows],
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    got = {
+        (r.abc, r.xyz): (r.n_parts, r.revenue)
+        for r in QUERIES["q_orders_abc_xyz"](spark, str(tmp_path)).collect()
+    }
+    assert got == {("A", "X"): (1, 40000.0), ("C", "Z"): (1, 10.0)}
