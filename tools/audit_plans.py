@@ -39,6 +39,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # or an intentionally single-probe build (documented in PLANS.md).
 BNLJ_OK = {
     "q_sim_knn_cosine",  # single broadcast probe row, by design
+    "q_sim_knn_filtered",  # same single-probe design as knn_cosine;
+    # the metadata predicate prunes via an equi-join BEFORE this
+    # 1-row probe broadcast (docstring + PLANS.md)
     "q_dedup_embedding",  # exact all-pairs BASELINE tier: blocked
     # pair join with capped n_blocks; the certified scale paths are
     # the LSH/IVF tiers (PLANS.md "Known divergences")
@@ -64,6 +67,9 @@ GLOBAL_WINDOW_OK: set[str] = {
     "q_text_vocab_coverage",  # rank over O(vocab) term counts
     "q_text_zipf_fit",  # rank over the same collapsed vocab table
     "q_win_ntile_dist",  # the ntile/cume_dist SURFACE op itself
+    "q_orders_abc_xyz",  # cumulative revenue over the O(parts) dim
+    # aggregate (the q_events_pareto precedent; docstring argues the
+    # O(P²) window-free rewrite loses at scale)
 }
 
 
