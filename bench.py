@@ -218,6 +218,11 @@ HEADLINE = [
     "q_dq_reconciliation",       # header-vs-lines money audit
     "q_multimodal_webdataset",   # byte-budget shard manifest
     "q_orders_abc_xyz",          # revenue x volatility classification
+    "q_agg_hll_md5",             # oracle-certified from-scratch HLL
+    "q_scan_zonemap_skip",       # zone-map skip-safety certificate
+    "q_agg_cms_md5",             # oracle-certified Count-Min sketch
+    "q_scan_bloom_skip",         # bloom point-lookup skip certificate
+    "q_graph_adamic_adar",       # degree-weighted link prediction
 ]
 
 

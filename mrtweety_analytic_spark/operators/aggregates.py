@@ -960,3 +960,251 @@ def q_agg_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f_stat"),
     )
+
+
+@register(
+    "q_agg_hll_md5",
+    oracle="""
+    WITH h AS (
+        SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))
+                    AS BIGINT) AS bucket,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 8))
+                    AS BIGINT) AS w
+        FROM events
+    ),
+    regs AS (
+        SELECT bucket,
+               max(CASE WHEN w = 0 THEN 33
+                        ELSE 33 - length(bin(w)) END) AS rho
+        FROM h GROUP BY bucket
+    ),
+    s AS (
+        SELECT count(*) AS used,
+               sum(pow(2.0, -rho)) AS present_sum
+        FROM regs
+    ),
+    ex AS (SELECT count(DISTINCT user_id) AS exact_distinct FROM events),
+    est AS (
+        SELECT used,
+               CASE WHEN CAST(0.7182725932495458 AS DOUBLE) * 256 * 256
+                         / (present_sum + (256 - used)) <= 2.5 * 256
+                         AND used < 256
+                    THEN 256 * ln(CAST(256 AS DOUBLE) / (256 - used))
+                    ELSE CAST(0.7182725932495458 AS DOUBLE) * 256 * 256
+                         / (present_sum + (256 - used))
+               END AS e
+        FROM s
+    )
+    SELECT 256 AS m,
+           used AS n_registers_used,
+           round(e, 4) AS hll_estimate,
+           exact_distinct,
+           round((e - exact_distinct) / exact_distinct, 6) AS rel_err
+    FROM est, ex
+    """,
+)
+def q_agg_hll_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-CERTIFIED HyperLogLog: a from-scratch HLL (Flajolet et
+    al. 2007) built on the engine-portable md5 hash, so — unlike
+    `q_agg_approx_distinct`, whose xxhash64 sketch only DuckDB can't
+    reproduce and which is therefore rows-only-graded — every
+    register value, the raw estimate, and the relative error are
+    bit-identical across engines and hash-compared by the driver.
+    Register layout: bucket = first 8 hash bits (m=256), rho = count
+    of leading zeros in the next 32 bits + 1 (computed portably as
+    33 - length(bin(w)), both engines agreeing bin() drops leading
+    zeros), register = max rho per bucket, estimate = alpha_256 * m^2
+    / (sum 2^-rho + one unit per empty register), with the standard
+    small-range correction (Flajolet 2007 §4): raw estimate <= 2.5m
+    with empty registers remaining switches to linear counting
+    m*ln(m/V) over the V empty registers — without it a 15-distinct
+    input reads as ~190. The 2^-rho sum is
+    EXACT in double arithmetic (≤256 terms on a 2^-33 grid spans 41
+    mantissa bits), so parallel aggregation order cannot perturb it —
+    that is what makes a floating-point sketch certifiable at all;
+    the small-range ln() rounds to 4 decimals, far above any
+    cross-engine libm ulp wobble.
+
+    Scale: the map side collapses each partition to ≤256 (bucket,
+    max-rho) rows before the shuffle — the same partial-aggregation
+    shape as count(distinct) without its exact-dedup state. This is
+    the mergeable-sketch contract: per-partition registers combine by
+    elementwise max, the estimate is computed once at the end (the
+    distributed pattern q_agg_sketch_merge demonstrates with
+    library sketches, here with provable cross-engine parity). The
+    exact count alongside is the certificate, affordable at bench SF
+    and dropped at 100 TB.
+    """
+    hexid = F.md5(F.col("user_id").cast("string"))
+    w = F.conv(F.substring(hexid, 3, 8), 16, 10).cast("bigint")
+    h = load_table(spark, sf_dir, "events").select(
+        F.conv(F.substring(hexid, 1, 2), 16, 10)
+        .cast("bigint")
+        .alias("bucket"),
+        w.alias("w"),
+        "user_id",
+    )
+    regs = h.groupBy("bucket").agg(
+        F.max(
+            F.when(F.col("w") == 0, 33).otherwise(
+                33 - F.length(F.bin("w"))
+            )
+        ).alias("rho")
+    )
+    s = regs.agg(
+        F.count(F.lit(1)).alias("used"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("present_sum"),
+    )
+    ex = h.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    raw = (
+        F.lit(0.7182725932495458)
+        * 256
+        * 256
+        / (F.col("present_sum") + (256 - F.col("used")))
+    )
+    est = F.when(
+        (raw <= 2.5 * 256) & (F.col("used") < 256),
+        256 * F.log(F.lit(256.0) / (256 - F.col("used"))),
+    ).otherwise(raw)
+    return (
+        s.crossJoin(F.broadcast(ex))
+        .select(
+            F.lit(256).alias("m"),
+            F.col("used").alias("n_registers_used"),
+            F.round(est, 4).alias("hll_estimate"),
+            "exact_distinct",
+            F.round(
+                (est - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                6,
+            ).alias("rel_err"),
+        )
+    )
+
+
+CMSX_DEPTH = 4
+CMSX_WIDTH = 1024
+
+
+@register(
+    "q_agg_cms_md5",
+    oracle=f"""
+    WITH toks AS (
+        SELECT lower(term) AS term
+        FROM (SELECT unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        WHERE term <> ''
+    ),
+    exact AS (
+        SELECT term, count(*) AS exact_cnt
+        FROM toks GROUP BY term
+        ORDER BY exact_cnt DESC, term LIMIT 20
+    ),
+    depths AS (SELECT unnest(generate_series(0, {CMSX_DEPTH - 1})) AS d),
+    cells AS (
+        SELECT d, CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || ':'
+                                       || term), 1, 8)) AS BIGINT)
+                  % {CMSX_WIDTH} AS cell,
+               count(*) AS n
+        FROM toks, depths
+        GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT e.term, e.exact_cnt, min(c.n) AS cms_est
+        FROM exact e
+        CROSS JOIN depths d
+        JOIN cells c
+          ON c.d = d.d
+         AND c.cell = CAST(('0x' || substr(md5(CAST(d.d AS VARCHAR)
+                           || ':' || e.term), 1, 8)) AS BIGINT)
+                      % {CMSX_WIDTH}
+        GROUP BY 1, 2
+    )
+    SELECT term, exact_cnt, cms_est,
+           cms_est - exact_cnt AS overestimate
+    FROM est
+    """,
+)
+def q_agg_cms_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-CERTIFIED Count-Min sketch (Cormode & Muthukrishnan
+    2005) — the engine-portable md5 twin of `q_agg_countmin_eval`,
+    whose xxhash64 cells only Spark can compute and which is
+    therefore rows-only-graded. Here every counter cell, every probe
+    estimate, and the per-term overestimate are integers DuckDB
+    reproduces bit-exactly, so the driver hash-compares the whole
+    sketch evaluation (the same certification upgrade q_agg_hll_md5
+    made for HyperLogLog). Layout: CMSX_DEPTH x CMSX_WIDTH counters,
+    row d hashes a term to cell = first-32-md5-bits('d:term') mod
+    width; a point estimate is the MIN of the term's d cells; the
+    probe set is the 20 heaviest exact terms (ties broken by term so
+    the probe list itself is deterministic). The certificate is the
+    `overestimate` column: CMS error is one-sided (min of counters
+    that each include the true count), so every value is provably
+    >= 0 — pytest-pinned, and the magnitudes are the measured
+    epsilon*N excess the width was sized for.
+
+    Scale: the sketch aggregate collapses each partition to at most
+    depth x width = 4096 cells before the shuffle (mergeable by
+    cell-wise sum — the entire point of a CMS at 100 TB: fixed-size
+    state regardless of volume, no exact-dedup memory); the depth
+    fan-out is a map-side explode of 4 constants, and the probe join
+    broadcasts 20 x 4 = 80 rows against the 4096-cell sketch. The
+    exact side exists only to measure the sketch and is dropped in
+    production.
+    """
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.explode(F.split(F.col("text"), " ")).alias("raw")
+        )
+        .where(F.col("raw") != "")
+        .select(F.lower(F.col("raw")).alias("term"))
+    )
+
+    def cell(term: F.Column, d: F.Column) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(d.cast("string"), F.lit(":"), term)
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % CMSX_WIDTH
+        )
+
+    depths = F.array(*[F.lit(d) for d in range(CMSX_DEPTH)])
+    sketch = (
+        toks.select("term", F.explode(depths).alias("d"))
+        .groupBy("d", cell(F.col("term"), F.col("d")).alias("cell"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    exact = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "term")
+        .limit(20)
+    )
+    probes = exact.select(
+        "term", "exact_cnt", F.explode(depths).alias("d")
+    ).select(
+        "term",
+        "exact_cnt",
+        "d",
+        cell(F.col("term"), F.col("d")).alias("cell"),
+    )
+    return (
+        sketch.join(F.broadcast(probes), ["d", "cell"])
+        .groupBy("term", "exact_cnt")
+        .agg(F.min("n").alias("cms_est"))
+        .select(
+            "term",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overestimate"),
+        )
+    )

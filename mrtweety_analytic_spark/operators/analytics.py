@@ -2357,8 +2357,13 @@ def q_agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         h = 1 + (F.col("nb") - 1) * F.lit(pq)
         lo = F.floor(h).cast("int")
         hi = F.least(lo + 1, F.col("nb").cast("int"))
-        return F.element_at(F.col("a"), lo) + (h - F.floor(h)) * (
-            F.element_at(F.col("a"), hi) - F.element_at(F.col("a"), lo)
+        # nb=0 (empty input) would make lo=0 and element_at raise;
+        # CaseWhen evaluates branches lazily, so gate on nb first.
+        return F.when(
+            F.col("nb") > 0,
+            F.element_at(F.col("a"), lo)
+            + (h - F.floor(h))
+            * (F.element_at(F.col("a"), hi) - F.element_at(F.col("a"), lo)),
         )
 
     return arr.crossJoin(F.broadcast(pt)).select(

@@ -796,3 +796,107 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("h") / F.col("m"), 6).alias("score"),
     )
     return auths.unionAll(hubs)
+
+
+@register(
+    "q_graph_adamic_adar",
+    oracle="""
+    WITH e AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    deg AS (SELECT s, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY s),
+    cs AS (SELECT DISTINCT c FROM e),
+    probes AS (
+        SELECT a.c AS cust_a, b.c AS cust_b
+        FROM cs a JOIN cs b ON b.c = a.c + 1
+        ORDER BY a.c LIMIT 20
+    ),
+    scored AS (
+        SELECT p.cust_a, p.cust_b,
+               count(*) AS n_common,
+               sum(CAST(1 AS DOUBLE) / ln(dg.d)) AS aa
+        FROM probes p
+        JOIN e ea ON ea.c = p.cust_a
+        JOIN e eb ON eb.c = p.cust_b AND eb.s = ea.s
+        JOIN deg dg ON dg.s = ea.s
+        GROUP BY 1, 2
+    )
+    SELECT p.cust_a, p.cust_b,
+           CAST(coalesce(s.n_common, 0) AS BIGINT) AS n_common,
+           round(coalesce(s.aa, CAST(0 AS DOUBLE)), 6) AS adamic_adar
+    FROM probes p
+    LEFT JOIN scored s
+        ON s.cust_a = p.cust_a AND s.cust_b = p.cust_b
+    """,
+)
+def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link-prediction scoring — the degree-weighted
+    upgrade of `q_graph_common_neighbors`: each shared supplier
+    contributes 1/ln(degree) instead of 1, so RARE common neighbors
+    (a supplier serving few customers) carry more signal than hubs
+    that everyone shares — the classic fix for dense graphs like
+    this one, where raw common-neighbor counts saturate (every pair
+    shares most hub suppliers). Same bounded probe list (20
+    consecutive-custkey pairs via the window-free c = c+1 self-join
+    + TakeOrdered); a supplier serving exactly one customer can
+    never BE a common neighbor of two distinct customers, so
+    ln(degree) >= ln(2) and the weight is always finite. Zero-overlap
+    pairs survive via the left join with score 0.
+
+    Scale: degrees are one map-side-combinable count joined into the
+    common-neighbor stream (broadcast — the supplier dim is tiny
+    relative to the edge list); scoring stays O(k x avg-degree) for
+    k given pairs, never all-pairs wedge enumeration.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    e = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .distinct()
+    )
+    deg = e.groupBy("s").agg(
+        F.count(F.lit(1)).cast("double").alias("d")
+    )
+    cs = e.select("c").distinct()
+    probes = (
+        cs.alias("a")
+        .join(cs.alias("b"), F.col("b.c") == F.col("a.c") + 1)
+        .select(
+            F.col("a.c").alias("cust_a"), F.col("b.c").alias("cust_b")
+        )
+        .orderBy("cust_a")
+        .limit(20)
+    )
+    ea = e.join(
+        F.broadcast(probes.select("cust_a", "cust_b")),
+        e.c == F.col("cust_a"),
+    ).select("cust_a", "cust_b", "s")
+    scored = (
+        ea.join(
+            e.select(F.col("c").alias("cb"), F.col("s").alias("sb")),
+            (F.col("cb") == F.col("cust_b")) & (F.col("sb") == F.col("s")),
+        )
+        .join(F.broadcast(deg), "s")
+        .groupBy("cust_a", "cust_b")
+        .agg(
+            F.count(F.lit(1)).alias("nc"),
+            F.sum(F.lit(1.0) / F.log(F.col("d"))).alias("aa"),
+        )
+    )
+    return (
+        probes.join(scored, ["cust_a", "cust_b"], "left")
+        .select(
+            "cust_a",
+            "cust_b",
+            F.coalesce("nc", F.lit(0)).cast("bigint").alias("n_common"),
+            F.round(F.coalesce("aa", F.lit(0.0)), 6).alias("adamic_adar"),
+        )
+    )

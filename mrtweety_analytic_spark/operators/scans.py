@@ -370,3 +370,267 @@ def q_sample_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("min_ts"),
         F.max("ts").alias("max_ts"),
     )
+
+
+@register(
+    "q_scan_zonemap_skip",
+    oracle="""
+    WITH zones AS (
+        SELECT l_orderkey % 64 AS file_id,
+               min(l_shipdate) AS zmin, max(l_shipdate) AS zmax,
+               count(*) AS n_rows,
+               sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                        THEN 1 ELSE 0 END) AS n_match
+        FROM lineitem GROUP BY 1
+    )
+    SELECT count(*) AS n_files,
+           sum(CASE WHEN zmax < TIMESTAMP '1997-01-01'
+                    THEN 1 ELSE 0 END) AS n_skipped_files,
+           sum(CASE WHEN zmax >= TIMESTAMP '1997-01-01'
+                    THEN n_rows ELSE 0 END) AS rows_scanned,
+           sum(n_match) AS rows_matched,
+           sum(CASE WHEN zmax < TIMESTAMP '1997-01-01'
+                    THEN n_match ELSE 0 END) AS rows_lost_to_skip,
+           round(1.0 - sum(CASE WHEN zmax >= TIMESTAMP '1997-01-01'
+                                THEN n_rows ELSE 0 END)
+                     / CAST(sum(n_rows) AS DOUBLE), 6) AS skip_ratio
+    FROM zones
+    """,
+)
+def q_scan_zonemap_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data-skipping certificate — the min/max-statistics
+    pruning contract behind every modern table format (parquet
+    row-group stats, Delta/Iceberg file stats, ORC stripe indexes).
+    Rows are binned into simulated files (l_orderkey % 64 — a
+    deterministic stand-in for the physical file split so both
+    engines agree on it), each file gets a (min, max) zone map on
+    l_shipdate, and the predicate `l_shipdate >= 1997-01-01` skips
+    every file whose max falls below the cutoff. The certificate is
+    `rows_lost_to_skip`: matches inside skipped files, provably 0 by
+    the zone-map invariant (max < cutoff ⇒ no row ≥ cutoff) — the
+    engine doesn't assert skipping is safe, it MEASURES it, alongside
+    the realized skip_ratio (the fraction of bytes a stats-aware scan
+    never reads).
+
+    Scale: at 100 TB this is the difference between scanning 100 TB
+    and scanning the ~20% of files a time-range predicate touches —
+    the certificate pattern generalizes to any clustered column
+    (see q_maintenance_zorder, which MAKES columns clustered so zone
+    maps bite). One groupBy on the file key (map-side combinable to
+    64 rows), then a single-row aggregate: two tiny shuffles, one
+    scan, no window.
+    """
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    zones = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy((F.col("l_orderkey") % 64).alias("file_id"))
+        .agg(
+            F.min("l_shipdate").alias("zmin"),
+            F.max("l_shipdate").alias("zmax"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("l_shipdate") >= cutoff, 1).otherwise(0)
+            ).alias("n_match"),
+        )
+    )
+    skipped = F.col("zmax") < cutoff
+    return zones.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(F.when(skipped, 1).otherwise(0)).alias("n_skipped_files"),
+        F.sum(F.when(~skipped, F.col("n_rows")).otherwise(0)).alias(
+            "rows_scanned"
+        ),
+        F.sum("n_match").alias("rows_matched"),
+        F.sum(F.when(skipped, F.col("n_match")).otherwise(0)).alias(
+            "rows_lost_to_skip"
+        ),
+        F.round(
+            1.0
+            - F.sum(F.when(~skipped, F.col("n_rows")).otherwise(0))
+            / F.sum("n_rows").cast("double"),
+            6,
+        ).alias("skip_ratio"),
+    )
+
+
+BLOOM_M = 65536
+BLOOM_K = 3
+
+
+@register(
+    "q_scan_bloom_skip",
+    oracle=f"""
+    WITH fk AS (
+        SELECT DISTINCT l_orderkey % 64 AS file_id, l_partkey AS v
+        FROM lineitem
+    ),
+    seeds AS (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS j),
+    bits AS (
+        SELECT DISTINCT file_id, j,
+               CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                     || CAST(v AS VARCHAR)), 1, 8)) AS BIGINT)
+               % {BLOOM_M} AS pos
+        FROM fk, seeds
+    ),
+    probes AS (
+        SELECT p_partkey AS v FROM part WHERE p_partkey % 101 = 0
+    ),
+    pairs AS (
+        SELECT f.file_id, p.v
+        FROM (SELECT DISTINCT file_id FROM fk) f CROSS JOIN probes p
+    ),
+    hits AS (
+        SELECT pr.file_id, pr.v, count(*) AS k_hits
+        FROM pairs pr
+        JOIN seeds s ON true
+        JOIN bits b
+          ON b.file_id = pr.file_id AND b.j = s.j
+         AND b.pos = CAST(('0x' || substr(md5(CAST(s.j AS VARCHAR)
+                          || ':' || CAST(pr.v AS VARCHAR)), 1, 8))
+                          AS BIGINT) % {BLOOM_M}
+        GROUP BY 1, 2
+    ),
+    ev AS (
+        SELECT pr.file_id, pr.v,
+               CASE WHEN coalesce(h.k_hits, 0) = {BLOOM_K}
+                    THEN 1 ELSE 0 END AS maybe,
+               CASE WHEN fk2.v IS NOT NULL THEN 1 ELSE 0 END AS present
+        FROM pairs pr
+        LEFT JOIN hits h ON h.file_id = pr.file_id AND h.v = pr.v
+        LEFT JOIN fk fk2 ON fk2.file_id = pr.file_id AND fk2.v = pr.v
+    )
+    SELECT count(*) AS n_pairs,
+           sum(present) AS n_present,
+           sum(maybe) AS n_maybe,
+           sum(CASE WHEN present = 1 AND maybe = 0 THEN 1 ELSE 0 END)
+               AS n_false_negatives,
+           sum(CASE WHEN present = 0 AND maybe = 1 THEN 1 ELSE 0 END)
+               AS n_false_positives,
+           round(sum(CASE WHEN present = 0 AND maybe = 1
+                          THEN 1 ELSE 0 END)
+                 / CAST(nullif(count(*) - sum(present), 0) AS DOUBLE),
+                 6) AS fp_rate,
+           round(1.0 - sum(maybe)
+                 / CAST(nullif(count(*), 0) AS DOUBLE), 6) AS skip_ratio
+    FROM ev
+    """,
+)
+def q_scan_bloom_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter point-lookup file-skip certificate — the
+    membership twin of `q_scan_zonemap_skip`: zone maps prune RANGE
+    predicates on clustered columns, blooms prune EQUALITY lookups on
+    UNclustered ones (parquet bloom filters, Delta/Iceberg bloom
+    indexes), where min/max zones are useless because every file
+    spans the whole key domain. Each simulated file (l_orderkey % 64)
+    gets a BLOOM_K-hash, BLOOM_M-bit bloom over its distinct
+    l_partkey set, built from the engine-portable md5 positions
+    (first 32 md5 bits of 'seed:value' mod m) so DuckDB reproduces
+    every bit. A probe panel (part keys ≡ 0 mod 101 — present and
+    absent values both represented) is tested against every file's
+    bloom; `maybe` = all k positions set. Two measured guarantees:
+    `n_false_negatives` is provably 0 (a present value set its own
+    bits — the bloom contract; pytest-pinned), and `fp_rate` is the
+    realized false-positive rate the m/n sizing promised, alongside
+    `skip_ratio` — the fraction of (probe, file) reads an index-aware
+    scan never performs.
+
+    Scale: the bloom build is one distinct + groupBy collapsing each
+    file to <= m set-bit rows (mergeable by union, exactly how
+    parquet writers build row-group blooms); probes x files is a
+    broadcast of a deliberately bounded panel, never a fact-fact
+    join. At 100 TB the measured fp_rate IS the extra-IO budget a
+    point-lookup pays, and saturation (fill -> 1, skip_ratio -> 0)
+    is detected by this same certificate rather than silently eaten.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    fk = li.select(
+        (F.col("l_orderkey") % 64).alias("file_id"),
+        F.col("l_partkey").alias("v"),
+    ).distinct()
+
+    def pos(j: F.Column, v: F.Column) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            j.cast("string"),
+                            F.lit(":"),
+                            v.cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % BLOOM_M
+        )
+
+    seeds = F.array(*[F.lit(j) for j in range(BLOOM_K)])
+    bits = (
+        fk.select("file_id", "v", F.explode(seeds).alias("j"))
+        .select(
+            "file_id", "j", pos(F.col("j"), F.col("v")).alias("pos")
+        )
+        .distinct()
+    )
+    probes = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 101 == 0)
+        .select(F.col("p_partkey").alias("v"))
+    )
+    pairs = (
+        fk.select("file_id")
+        .distinct()
+        .crossJoin(F.broadcast(probes))
+    )
+    probe_bits = pairs.select(
+        "file_id", "v", F.explode(seeds).alias("j")
+    ).select("file_id", "v", "j", pos(F.col("j"), F.col("v")).alias("pos"))
+    hits = (
+        bits.join(F.broadcast(probe_bits), ["file_id", "j", "pos"])
+        .groupBy("file_id", "v")
+        .agg(F.count(F.lit(1)).alias("k_hits"))
+    )
+    ev = (
+        pairs.join(hits, ["file_id", "v"], "left")
+        .join(
+            fk.select("file_id", "v", F.lit(1).alias("present0")),
+            ["file_id", "v"],
+            "left",
+        )
+        .select(
+            F.when(
+                F.coalesce(F.col("k_hits"), F.lit(0)) == BLOOM_K, 1
+            )
+            .otherwise(0)
+            .alias("maybe"),
+            F.when(F.col("present0").isNotNull(), 1)
+            .otherwise(0)
+            .alias("present"),
+        )
+    )
+    n_pairs = F.count(F.lit(1))
+    n_present = F.sum("present")
+    n_maybe = F.sum("maybe")
+    fp = F.sum(
+        F.when((F.col("present") == 0) & (F.col("maybe") == 1), 1).otherwise(0)
+    )
+    fn = F.sum(
+        F.when((F.col("present") == 1) & (F.col("maybe") == 0), 1).otherwise(0)
+    )
+    return ev.agg(
+        n_pairs.alias("n_pairs"),
+        n_present.alias("n_present"),
+        n_maybe.alias("n_maybe"),
+        fn.alias("n_false_negatives"),
+        fp.alias("n_false_positives"),
+        F.round(
+            fp / F.nullif(n_pairs - n_present, F.lit(0)).cast("double"), 6
+        ).alias("fp_rate"),
+        F.round(
+            1.0 - n_maybe / F.nullif(n_pairs, F.lit(0)).cast("double"), 6
+        ).alias("skip_ratio"),
+    )

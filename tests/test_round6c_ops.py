@@ -1763,3 +1763,69 @@ def test_abc_xyz_quadrants(spark, tmp_path):
         for r in QUERIES["q_orders_abc_xyz"](spark, str(tmp_path)).collect()
     }
     assert got == {("A", "X"): (1, 40000.0), ("C", "Z"): (1, 10.0)}
+
+
+def test_hll_md5_certificate_bounds(spark, sf_dir):
+    """The from-scratch md5 HLL must land within the textbook
+    1.04/sqrt(m) standard error (x5 slack) of the exact distinct
+    count, and every register field must be internally consistent."""
+    r = QUERIES["q_agg_hll_md5"](spark, sf_dir).collect()[0]
+    assert r.m == 256
+    assert 0 < r.n_registers_used <= 256
+    # 5 sigma of 1.04/sqrt(256) = 0.325
+    assert abs(r.rel_err) < 0.325
+    assert abs(r.hll_estimate / r.exact_distinct - 1 - r.rel_err) < 1e-4
+
+
+def test_zonemap_skip_never_loses_rows(spark, sf_dir):
+    """Zone-map invariant: a file whose max(l_shipdate) falls below
+    the cutoff cannot contain a matching row, so rows_lost_to_skip
+    is provably zero and scanned+skipped partitions the file set."""
+    r = QUERIES["q_scan_zonemap_skip"](spark, sf_dir).collect()[0]
+    assert r.rows_lost_to_skip == 0
+    assert r.n_files == 64
+    assert 0.0 <= r.skip_ratio < 1.0
+    assert r.rows_matched <= r.rows_scanned
+
+
+def test_cms_md5_one_sided_error(spark, sf_dir):
+    """Count-Min invariant: every counter a term hashes into counts
+    at least that term's occurrences, so the min-of-cells estimate
+    can only OVERestimate — overestimate >= 0 for every probe, and
+    the probe list is exactly the 20 heaviest terms."""
+    rows = QUERIES["q_agg_cms_md5"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.overestimate >= 0
+        assert r.cms_est == r.exact_cnt + r.overestimate
+        assert r.exact_cnt >= 1
+
+
+def test_bloom_skip_no_false_negatives(spark, sf_dir):
+    """Bloom contract: a value present in a file set its own k bits,
+    so the filter can never say 'absent' for a present value —
+    n_false_negatives is provably 0; FPs stay within the pair
+    universe and the rates are internally consistent."""
+    r = QUERIES["q_scan_bloom_skip"](spark, sf_dir).collect()[0]
+    assert r.n_false_negatives == 0
+    assert r.n_maybe == r.n_present + r.n_false_positives
+    assert 0 < r.n_pairs
+    assert 0.0 <= r.skip_ratio <= 1.0
+    if r.n_pairs > r.n_present:
+        assert 0.0 <= r.fp_rate <= 1.0
+
+
+def test_adamic_adar_dominated_by_common_count(spark, sf_dir):
+    """Each common neighbor contributes 1/ln(deg) in (0, 1/ln(2)]:
+    the AA score is positive iff n_common > 0 and bounded by
+    n_common / ln(2); hub-heavy overlaps score closer to 0 per
+    neighbor."""
+    import math
+
+    rows = QUERIES["q_graph_adamic_adar"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        if r.n_common == 0:
+            assert r.adamic_adar == 0.0
+        else:
+            assert 0.0 < r.adamic_adar <= r.n_common / math.log(2) + 1e-6
