@@ -223,6 +223,9 @@ HEADLINE = [
     "q_agg_cms_md5",             # oracle-certified Count-Min sketch
     "q_scan_bloom_skip",         # bloom point-lookup skip certificate
     "q_graph_adamic_adar",       # degree-weighted link prediction
+    "q_sim_mips_prune",          # norm-bound MIPS zero-miss pruning
+    "q_events_ab_power",         # experiment sample-size planning
+    "q_ts_dtw",                  # banded DTW via Arrow-batched DP
 ]
 
 

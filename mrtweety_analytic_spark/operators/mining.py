@@ -12,6 +12,8 @@ key-bounded before it runs.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -2875,4 +2877,243 @@ def q_orders_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_parts"),
             F.round(F.sum("revenue"), 2).alias("revenue"),
         )
+    )
+
+
+_Z_ALPHA = 1.959963984540054  # two-sided 0.05
+_Z_BETA = 0.8416212335729143  # power 0.80
+
+
+@register(
+    "q_events_ab_power",
+    oracle=f"""
+    WITH mx AS (SELECT max(value) AS mv FROM events
+                WHERE event_type = 'purchase'),
+    u AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'purchase'
+                         AND value >= mv / 2
+                        THEN 1 ELSE 0 END) AS conv
+        FROM events, mx GROUP BY user_id
+    ),
+    s AS (
+        SELECT count(*) AS n_users,
+               CAST(sum(conv) AS DOUBLE) / count(*) AS p
+        FROM u
+    ),
+    d AS (
+        SELECT n_users, p,
+               least(p * CAST(1.05 AS DOUBLE), CAST(1 AS DOUBLE)) AS p2
+        FROM s
+    )
+    SELECT n_users,
+           round(p, 6) AS p_base,
+           round(({_Z_ALPHA} + {_Z_BETA}) * ({_Z_ALPHA} + {_Z_BETA})
+                 * (p * (1 - p) + p2 * (1 - p2))
+                 / ((p2 - p) * (p2 - p)), 2) AS n_per_arm_5pct_lift,
+           round(({_Z_ALPHA} + {_Z_BETA})
+                 * sqrt(2 * p * (1 - p)
+                        / (CAST(n_users AS DOUBLE) / 2)), 6)
+               AS mde_at_current_n
+    FROM d
+    """,
+)
+def q_events_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment POWER planning from measured data — the question
+    asked before `q_events_ab_test` is ever run: given the observed
+    baseline conversion rate p (high-value purchase, the same
+    conversion definition as ab_test since plain did-purchase is
+    degenerate on this corpus), (a) how many users per arm does a
+    5% relative lift need at alpha=.05 two-sided / 80% power
+    (two-proportion normal approximation,
+    n = (z_a+z_b)^2 (p1 q1 + p2 q2) / (p2-p1)^2), and (b) what
+    minimum detectable effect does the CURRENT population support if
+    split 50/50 (the inverse formula solved for delta). Both are
+    closed-form arithmetic on two aggregates, with the z constants
+    pinned as literals — no erf/quantile libm in either engine, so
+    the certificate is deterministic cross-engine double math.
+
+    Scale: one per-user conversion rollup (map-side combinable
+    max), one global aggregate. The power math itself is O(1) — the
+    point is that the INPUTS (p, n) come from the full corpus, not a
+    sample, which at 100 TB is exactly what a planning query should
+    do cheaply.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.filter(F.col("event_type") == "purchase").agg(
+        F.max("value").alias("mv")
+    )
+    u = (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") >= F.col("mv") / 2),
+                    1,
+                ).otherwise(0)
+            ).alias("conv")
+        )
+    )
+    s = u.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        (F.sum("conv").cast("double") / F.count(F.lit(1))).alias("p"),
+    )
+    z = F.lit(_Z_ALPHA + _Z_BETA)
+    p = F.col("p")
+    p2 = F.least(p * F.lit(1.05), F.lit(1.0))
+    return s.select(
+        "n_users",
+        F.round(p, 6).alias("p_base"),
+        F.round(
+            z * z * (p * (1 - p) + p2 * (1 - p2)) / ((p2 - p) * (p2 - p)),
+            2,
+        ).alias("n_per_arm_5pct_lift"),
+        F.round(
+            z
+            * F.sqrt(
+                2 * p * (1 - p) / (F.col("n_users").cast("double") / 2)
+            ),
+            6,
+        ).alias("mde_at_current_n"),
+    )
+
+
+_DTW_BAND = 10
+
+
+@register(
+    "q_ts_dtw",
+    oracle=f"""
+    WITH RECURSIVE
+    days AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(sum(CASE WHEN event_type = 'click'
+                             THEN 1 ELSE 0 END) AS DOUBLE) AS av,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS DOUBLE) AS bv
+        FROM events GROUP BY 1
+    ),
+    s AS (
+        SELECT row_number() OVER (ORDER BY d) AS i, av, bv FROM days
+    ),
+    n AS (SELECT count(*) AS n FROM s),
+    dp(i, j, c, fresh) AS (
+        SELECT 1, 1, abs(a.av - b.bv), 1
+        FROM s a, s b WHERE a.i = 1 AND b.i = 1
+        UNION ALL
+        SELECT * FROM (
+            WITH w AS (SELECT i, j, c, fresh FROM dp),
+            cand AS (
+                SELECT DISTINCT m.ci AS i, m.cj AS j
+                FROM w, n,
+                     LATERAL (VALUES (w.i + 1, w.j), (w.i, w.j + 1))
+                         AS m(ci, cj)
+                WHERE w.fresh = 1
+                  AND m.ci <= n.n AND m.cj <= n.n
+                  AND abs(m.ci - m.cj) <= {_DTW_BAND}
+            )
+            SELECT cand.i, cand.j,
+                   abs(sa.av - sb.bv)
+                   + (SELECT min(w2.c) FROM w w2
+                      WHERE (w2.i, w2.j) IN ((cand.i - 1, cand.j),
+                                             (cand.i, cand.j - 1),
+                                             (cand.i - 1, cand.j - 1)))
+                       AS c,
+                   1 AS fresh
+            FROM cand
+            JOIN s sa ON sa.i = cand.i
+            JOIN s sb ON sb.i = cand.j
+            UNION ALL
+            SELECT i, j, c, 0 FROM w WHERE fresh = 1
+        )
+    )
+    SELECT CAST(n.n AS BIGINT) AS n_days,
+           round(dp.c, 4) AS dtw_distance
+    FROM dp, n WHERE dp.i = n.n AND dp.j = n.n AND dp.fresh = 1
+    """,
+)
+def q_ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-time-warping distance (Sakoe-Chiba band = 10) between
+    the daily click and purchase series — the alignment-tolerant
+    series similarity `q_ts_similarity`'s lockstep correlation can't
+    express (a purchase curve that lags clicks by two days is
+    near-identical under DTW, dissimilar under Pearson). The DP is
+    inherently sequential, so this is the two-layer shape every
+    sequential kernel takes in this engine: layer 1 DISTRIBUTES —
+    the 100 TB event stream collapses to O(days) per-day counts via
+    one map-side-combinable aggregate; layer 2 runs the O(n*band) DP
+    on that bounded series inside ONE Arrow-batched pandas UDF (the
+    sanctioned custom-operator escape hatch — bytes cross the
+    JVM->Python boundary once, and n = days, never rows). The DuckDB
+    oracle replays the identical DP as a RECURSIVE CTE marching the
+    anti-diagonal frontier (the q_ts_holt / q_graph_bfs sequential-
+    kernel-oracle pattern, extended to a 2-D frontier with a
+    fresh-flag carrying exactly two diagonals); daily counts are
+    integers, so every |a_i - b_j| and min(+) is exact in double
+    arithmetic and the certificate is bit-deterministic, not
+    rounding-forgiven.
+
+    Scale: the only thing that grows at 100 TB is layer 1, which is
+    a count-by-(day, type) partial aggregate; the DP cost is fixed
+    by the calendar, and banding keeps it O(n*band) if the calendar
+    grows to years.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        )
+        .cast("double")
+        .alias("av"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("double")
+        .alias("bv"),
+    )
+    packed = days.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("d", "av"))),
+            lambda x: x["av"],
+        ).alias("a"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("d", "bv"))),
+            lambda x: x["bv"],
+        ).alias("b"),
+    )
+
+    @pandas_udf("double")
+    def dtw_band(a_ser: pd.Series, b_ser: pd.Series) -> pd.Series:
+        out = []
+        for a, b in zip(a_ser, b_ser):
+            n, m = len(a), len(b)
+            if n == 0 or m == 0:
+                out.append(None)
+                continue
+            inf = float("inf")
+            dp = [[inf] * (m + 1) for _ in range(n + 1)]
+            dp[1][1] = abs(a[0] - b[0])
+            for i in range(1, n + 1):
+                for j in range(1, m + 1):
+                    if (i == 1 and j == 1) or abs(i - j) > _DTW_BAND:
+                        continue
+                    prev = min(
+                        dp[i - 1][j], dp[i][j - 1], dp[i - 1][j - 1]
+                    )
+                    if prev == inf:
+                        continue
+                    dp[i][j] = abs(a[i - 1] - b[j - 1]) + prev
+            out.append(dp[n][m])
+        return pd.Series(out, dtype="float64")
+
+    return (
+        packed.select(
+            F.size("a").cast("bigint").alias("n_days"),
+            F.round(dtw_band("a", "b"), 4).alias("dtw_distance"),
+        )
+        .filter(F.col("n_days") > 0)
     )

@@ -2598,3 +2598,122 @@ def q_sim_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+@register(
+    "q_sim_mips_prune",
+    oracle=f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id = 0),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE vec_id <> 0),
+    scored AS (
+        SELECT vec_id,
+               list_inner_product(e, qe) AS ip,
+               sqrt(list_inner_product(e, e)) AS vnorm
+        FROM v, q
+    ),
+    qn AS (SELECT sqrt(list_inner_product(qe, qe)) AS qnorm FROM q),
+    theta AS (
+        SELECT min(ip) AS kth FROM (
+            SELECT ip FROM scored ORDER BY ip DESC, vec_id
+            LIMIT {KNN_K}
+        )
+    )
+    SELECT count(*) AS n_vectors,
+           sum(CASE WHEN round(vnorm * qnorm, 6) >= round(kth, 6)
+                    THEN 1 ELSE 0 END) AS n_scanned,
+           round(1.0 - sum(CASE WHEN round(vnorm * qnorm, 6)
+                                     >= round(kth, 6)
+                                THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS prune_ratio,
+           round(min(kth), 6) AS kth_best_ip,
+           sum(CASE WHEN round(ip, 6) > round(vnorm * qnorm, 6)
+                    THEN 1 ELSE 0 END) AS n_bound_violations
+    FROM scored, theta, qn
+    """,
+)
+def q_sim_mips_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product search with NORM-BOUND pruning and a
+    zero-miss certificate — the index-free core of every MIPS system
+    (ip(q, v) <= ||q||*||v|| by Cauchy-Schwarz, so once a running
+    top-k threshold theta is known, any vector with
+    ||v|| < theta/||q|| provably cannot enter the top-k and is
+    skipped without computing its dot product; norm-sorted storage
+    makes that a prefix scan). The certificate is twofold:
+    `n_bound_violations` counts rows whose actual inner product
+    exceeds its own Cauchy-Schwarz bound (provably 0, pytest-pinned
+    — the bound the pruning trusts is MEASURED over the whole
+    corpus), and every exact top-k member satisfies
+    ip >= kth => ||v||*||q|| >= kth, so the `n_scanned` survivor
+    set contains the full exact top-k by construction: zero recall
+    loss, unlike the LSH/IVF tiers whose recall is measured, not
+    proven. `prune_ratio` is the fraction of dot products a
+    norm-indexed scan never evaluates. Bound comparisons use the
+    same round-before-compare discipline as the ranking ops so the
+    survivor count is cross-engine stable.
+
+    Scale: norms are one map-side pass; theta comes from a TakeOrdered
+    top-k (no global sort); the certificate aggregate is one
+    partial-aggregable pass. prune_ratio is exactly the scan-cost
+    reduction of storing embeddings sorted by norm (Teflioudi &
+    Gemulla's LEMP setup) — and it is DATA-DEPENDENT: this corpus's
+    isotropic random embeddings have near-equal norms and
+    near-orthogonal directions (bound >> kth ip), so the measured
+    ratio is ~0 and the op's verdict is "norm indexing won't help
+    here; use the IVF/LSH tiers" — for real embedding corpora with
+    skewed norm distributions (frequency-weighted word vectors,
+    unnormalized two-tower outputs) the same one-multiply-per-row
+    check is the go/no-go measurement run BEFORE building the index.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    probe = emb.filter(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
+    dot = F.aggregate(
+        F.zip_with("e", "qe", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    qdot = F.aggregate(
+        F.zip_with("qe", "qe", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probe))
+        .select(
+            "vec_id",
+            dot.alias("ip"),
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with("e", "e", lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("vnorm"),
+            F.sqrt(qdot).alias("qnorm"),
+        )
+    )
+    kth = (
+        scored.orderBy(F.desc("ip"), "vec_id")
+        .limit(KNN_K)
+        .agg(F.min("ip").alias("kth"))
+    )
+    bound = F.round(F.col("vnorm") * F.col("qnorm"), 6)
+    survives = bound >= F.round(F.col("kth"), 6)
+    return scored.crossJoin(F.broadcast(kth)).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(F.when(survives, 1).otherwise(0)).alias("n_scanned"),
+        F.round(
+            1.0
+            - F.sum(F.when(survives, 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("prune_ratio"),
+        F.round(F.min("kth"), 6).alias("kth_best_ip"),
+        F.sum(
+            F.when(F.round(F.col("ip"), 6) > bound, 1).otherwise(0)
+        ).alias("n_bound_violations"),
+    )

@@ -1829,3 +1829,54 @@ def test_adamic_adar_dominated_by_common_count(spark, sf_dir):
             assert r.adamic_adar == 0.0
         else:
             assert 0.0 < r.adamic_adar <= r.n_common / math.log(2) + 1e-6
+
+
+def test_mips_prune_zero_miss(spark, sf_dir):
+    """Cauchy-Schwarz certificate: no inner product may exceed
+    ||q||*||v|| (n_bound_violations == 0), and since every exact
+    top-k member's bound >= its own ip >= kth, the norm-bound
+    survivor set must be at least k vectors — zero recall loss."""
+    r = QUERIES["q_sim_mips_prune"](spark, sf_dir).collect()[0]
+    assert r.n_bound_violations == 0
+    assert r.n_scanned >= 10
+    assert r.n_scanned <= r.n_vectors
+    assert 0.0 <= r.prune_ratio < 1.0
+
+
+def test_ab_power_internal_consistency(spark, sf_dir):
+    """Power math sanity: baseline p in (0,1); a larger detectable
+    effect needs fewer users, so running the MDE the current n
+    supports back through the n formula should roughly return n/2
+    per arm (within the p2~p pooling approximation)."""
+    r = QUERIES["q_events_ab_power"](spark, sf_dir).collect()[0]
+    assert 0.0 < r.p_base < 1.0
+    assert r.n_per_arm_5pct_lift > 0
+    assert r.mde_at_current_n > 0
+    z = _Z = 1.959963984540054 + 0.8416212335729143
+    approx_n = 2 * z * z * r.p_base * (1 - r.p_base) / r.mde_at_current_n**2
+    assert abs(approx_n - r.n_users / 2) / (r.n_users / 2) < 0.01
+
+
+def test_dtw_aligns_lagged_series(spark, tmp_path):
+    """clicks=[0,3,0] vs purchases=[0,0,3] (purchase lags a day):
+    lockstep L1 distance is 6, but DTW warps the spike onto its lag
+    and pays only the unmatched tail = 3 — pinned against the
+    hand-computed DP."""
+    import pandas as pd
+
+    rows = [("view", "2024-01-01")]
+    rows += [("click", "2024-01-02")] * 3
+    rows += [("purchase", "2024-01-03")] * 3
+    pd.DataFrame(
+        {
+            "event_id": range(1, len(rows) + 1),
+            "ts": pd.to_datetime([r[1] for r in rows]),
+            "user_id": [1] * len(rows),
+            "event_type": [r[0] for r in rows],
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    r = QUERIES["q_ts_dtw"](spark, str(tmp_path)).collect()[0]
+    assert r.n_days == 3
+    assert r.dtw_distance == 3.0
