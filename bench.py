@@ -226,6 +226,8 @@ HEADLINE = [
     "q_sim_mips_prune",          # norm-bound MIPS zero-miss pruning
     "q_events_ab_power",         # experiment sample-size planning
     "q_ts_dtw",                  # banded DTW via Arrow-batched DP
+    "q_sample_neyman",           # variance-optimal sampling budget
+    "q_text_burstiness",         # per-doc dispersion index
 ]
 
 

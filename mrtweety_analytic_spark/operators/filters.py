@@ -104,3 +104,102 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sum_chars"),
         )
     )
+
+
+@register(
+    "q_sample_neyman",
+    oracle="""
+    WITH st AS (
+        SELECT source, count(*) AS n_rows,
+               CAST(sum(n_chars) AS DOUBLE) AS sx,
+               CAST(sum(n_chars * n_chars) AS DOUBLE) AS sxx
+        FROM documents GROUP BY source
+    ),
+    v AS (
+        SELECT source, n_rows,
+               sqrt((sxx - sx * sx / n_rows) / (n_rows - 1)) AS s_h
+        FROM st WHERE n_rows > 1
+    ),
+    t AS (SELECT sum(n_rows) AS n_tot,
+                 sum(n_rows * s_h) AS sns,
+                 sum(n_rows * s_h * s_h) AS snss
+          FROM v)
+    SELECT v.source, v.n_rows,
+           round(v.s_h, 6) AS s_h,
+           round(CAST(1000 AS DOUBLE) * v.n_rows / t.n_tot, 4)
+               AS n_prop,
+           round(CAST(1000 AS DOUBLE) * v.n_rows * v.s_h / t.sns, 4)
+               AS n_neyman,
+           round(t.sns * t.sns / (t.n_tot * t.snss), 6)
+               AS neyman_efficiency
+    FROM v, t
+    """,
+)
+def q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling allocation — the
+    measure-then-sample upgrade of `q_sample_stratified`'s fixed
+    per-stratum rates: for a fixed label/inspection budget (1000
+    here), allocate n_h proportional to N_h * S_h (stratum size x
+    measured stddev of the target metric, n_chars by source), which
+    minimizes the variance of the stratified mean estimator
+    (Neyman 1934). Both the proportional and Neyman allocations are
+    emitted per stratum, plus `neyman_efficiency` =
+    V_neyman / V_proportional = (sum W_h S_h)^2 / sum W_h S_h^2 —
+    <= 1 by Cauchy-Schwarz (pytest-pinned), with the gap measuring
+    exactly how much labeling budget the variance-aware allocation
+    saves on THIS corpus. Stddev is deliberately computed from exact
+    integer sums (sum x, sum x^2 are exact in double up to 2^53,
+    then one fixed-order subtraction/division) rather than the
+    engines' streaming stddev aggregates, whose partial-merge order
+    is not deterministic across partitionings — the same
+    determinism discipline as the regression ops.
+
+    Scale: one map-side-combinable pass for the per-stratum moments
+    (3 numbers per stratum regardless of volume), one tiny global
+    roll-up, one broadcast back onto O(strata) rows. Singleton
+    strata (n_rows = 1) carry no variance signal and are excluded
+    before the allocation.
+    """
+    st = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_chars").cast("double").alias("sx"),
+            F.sum(F.col("n_chars") * F.col("n_chars"))
+            .cast("double")
+            .alias("sxx"),
+        )
+    )
+    v = st.filter(F.col("n_rows") > 1).select(
+        "source",
+        "n_rows",
+        F.sqrt(
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n_rows"))
+            / (F.col("n_rows") - 1)
+        ).alias("s_h"),
+    )
+    t = v.agg(
+        F.sum("n_rows").alias("n_tot"),
+        F.sum(F.col("n_rows") * F.col("s_h")).alias("sns"),
+        F.sum(F.col("n_rows") * F.col("s_h") * F.col("s_h")).alias(
+            "snss"
+        ),
+    )
+    return v.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_rows",
+        F.round("s_h", 6).alias("s_h"),
+        F.round(
+            F.lit(1000.0) * F.col("n_rows") / F.col("n_tot"), 4
+        ).alias("n_prop"),
+        F.round(
+            F.lit(1000.0) * F.col("n_rows") * F.col("s_h") / F.col("sns"),
+            4,
+        ).alias("n_neyman"),
+        F.round(
+            F.col("sns") * F.col("sns")
+            / (F.col("n_tot") * F.col("snss")),
+            6,
+        ).alias("neyman_efficiency"),
+    )

@@ -2188,3 +2188,100 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_bits",
         )
     )
+
+
+@register(
+    "q_text_burstiness",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lower(term) AS term
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        WHERE term <> ''
+    ),
+    nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    per AS (SELECT term, doc_id, count(*) AS c FROM tok GROUP BY 1, 2),
+    agg AS (
+        SELECT term,
+               sum(c) AS total_cnt,
+               CAST(sum(c) AS DOUBLE) AS total,
+               CAST(sum(c * c) AS DOUBLE) AS sumsq,
+               count(*) AS n_docs_present
+        FROM per GROUP BY term
+    ),
+    d AS (
+        SELECT term, CAST(total_cnt AS BIGINT) AS total_cnt,
+               n_docs_present,
+               (sumsq / nd.n_docs
+                - (total / nd.n_docs) * (total / nd.n_docs))
+               / (total / nd.n_docs) AS disp
+        FROM agg, nd
+        WHERE total_cnt >= 30
+    )
+    SELECT term, total_cnt, n_docs_present,
+           round(disp, 6) AS dispersion
+    FROM d ORDER BY disp DESC, term LIMIT 15
+    """,
+)
+def q_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (Church & Gale): variance-to-mean ratio
+    (index of dispersion) of a term's PER-DOCUMENT count, with the
+    zero-count documents included — a Poisson-scattered term has
+    D ~= 1, a bursty term (concentrated repeats in few documents:
+    names, boilerplate, topical jargon) has D >> 1. This separates
+    topical/template vocabulary from background vocabulary in a way
+    raw frequency (q_text_trending) and doc-frequency (q_text_tfidf)
+    cannot: two terms with identical totals differ sharply in D if
+    one spreads evenly and one clumps. Zero-fill never materializes:
+    with mu = total/N and E[x^2] = sum(c^2)/N over N = all docs,
+    D = (E[x^2] - mu^2)/mu needs only the present-doc sums — the
+    absent docs contribute zero to both moments. All inputs are
+    exact integer sums, so D is a deterministic double in both
+    engines and the DESC ranking needs no rounding guard. Floor of
+    30 occurrences keeps rare-term noise (D estimates degenerate at
+    tiny totals) out of the leaderboard.
+
+    Scale: per-(term, doc) counts are one map-side-combinable
+    groupBy on the token stream; per-term moments a second; then a
+    1-row broadcast of the corpus size and a TakeOrdered top-15 —
+    no window, no join against the fact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), " ")).alias("raw"),
+        )
+        .where(F.col("raw") != "")
+        .select("doc_id", F.lower(F.col("raw")).alias("term"))
+    )
+    nd = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    per = tok.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    agg = per.groupBy("term").agg(
+        F.sum("c").alias("total_cnt"),
+        F.sum("c").cast("double").alias("total"),
+        F.sum(F.col("c") * F.col("c")).cast("double").alias("sumsq"),
+        F.count(F.lit(1)).alias("n_docs_present"),
+    )
+    mu = F.col("total") / F.col("n_docs")
+    disp = (F.col("sumsq") / F.col("n_docs") - mu * mu) / mu
+    return (
+        agg.crossJoin(F.broadcast(nd))
+        .filter(F.col("total_cnt") >= 30)
+        .select(
+            "term",
+            F.col("total_cnt").cast("bigint").alias("total_cnt"),
+            "n_docs_present",
+            disp.alias("disp"),
+        )
+        .orderBy(F.desc("disp"), "term")
+        .limit(15)
+        .select(
+            "term",
+            "total_cnt",
+            "n_docs_present",
+            F.round("disp", 6).alias("dispersion"),
+        )
+    )

@@ -1880,3 +1880,45 @@ def test_dtw_aligns_lagged_series(spark, tmp_path):
     r = QUERIES["q_ts_dtw"](spark, str(tmp_path)).collect()[0]
     assert r.n_days == 3
     assert r.dtw_distance == 3.0
+
+
+def test_neyman_efficiency_bounded(spark, sf_dir):
+    """Cauchy-Schwarz: Neyman variance <= proportional variance, so
+    efficiency in (0, 1]; allocations for both schemes sum to the
+    1000 budget."""
+    rows = QUERIES["q_sample_neyman"](spark, sf_dir).collect()
+    assert rows
+    eff = {r.neyman_efficiency for r in rows}
+    assert len(eff) == 1
+    assert 0.0 < rows[0].neyman_efficiency <= 1.0
+    assert abs(sum(r.n_prop for r in rows) - 1000) < 0.01
+    assert abs(sum(r.n_neyman for r in rows) - 1000) < 0.01
+
+
+def test_burstiness_separates_clumped_from_spread(spark, tmp_path):
+    """30x 'spread' once per doc over 30 docs -> D ~ (1-mu) < 1;
+    30x 'clump' all in one doc -> D ~ 29+ >> 1. The dispersion
+    index must rank clump far above spread."""
+    import pandas as pd
+
+    texts = ["spread"] * 30
+    texts[0] = "spread " + ("clump " * 30).strip()
+    pd.DataFrame(
+        {
+            "doc_id": range(30),
+            "text": texts,
+            "lang": ["en"] * 30,
+            "source": ["s"] * 30,
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    got = {
+        r.term: r for r in QUERIES["q_text_burstiness"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(got) == {"spread", "clump"}
+    assert got["clump"].n_docs_present == 1
+    assert got["spread"].n_docs_present == 30
+    assert got["clump"].dispersion > 25
+    assert got["spread"].dispersion < 1
