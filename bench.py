@@ -228,6 +228,7 @@ HEADLINE = [
     "q_ts_dtw",                  # banded DTW via Arrow-batched DP
     "q_sample_neyman",           # variance-optimal sampling budget
     "q_text_burstiness",         # per-doc dispersion index
+    "q_text_compress_ratio",     # real deflate quality signal
 ]
 
 

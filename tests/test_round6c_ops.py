@@ -1922,3 +1922,34 @@ def test_burstiness_separates_clumped_from_spread(spark, tmp_path):
     assert got["spread"].n_docs_present == 30
     assert got["clump"].dispersion > 25
     assert got["spread"].dispersion < 1
+
+
+def test_compress_ratio_orders_repetition(spark, tmp_path):
+    """Deflate monotonicity: phrase-repeated text must compress far
+    below unique prose even when both have similar character mixes;
+    ratios bounded in (0, ~1.1] (tiny docs can exceed 1 from header
+    overhead, repeats never do)."""
+    import pandas as pd
+
+    rep = "the quick brown fox jumps over the lazy dog " * 50
+    uniq = " ".join(f"w{i}x{i * 7 % 97}" for i in range(450))
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [rep, uniq],
+            "lang": ["en"] * 2,
+            "source": ["s"] * 2,
+            "n_chars": [len(rep), len(uniq)],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    got = {
+        r.doc_id: r
+        for r in QUERIES["q_text_compress_ratio"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got[1].compress_ratio < 0.1
+    assert got[2].compress_ratio > got[1].compress_ratio * 3
+    for r in got.values():
+        assert r.n_compressed > 0
+        assert r.n_bytes == len((rep if r.doc_id == 1 else uniq).encode())
