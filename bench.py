@@ -229,6 +229,9 @@ HEADLINE = [
     "q_sample_neyman",           # variance-optimal sampling budget
     "q_text_burstiness",         # per-doc dispersion index
     "q_text_compress_ratio",     # real deflate quality signal
+    "q_events_did",              # difference-in-differences + placebo
+    "q_orders_backlog_aging",    # point-in-time open-order exposure
+    "q_agg_hll_merge",           # lossless sketch-merge certificate
 ]
 
 

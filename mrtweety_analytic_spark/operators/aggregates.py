@@ -1208,3 +1208,134 @@ def q_agg_cms_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_est") - F.col("exact_cnt")).alias("overestimate"),
         )
     )
+
+
+@register(
+    "q_agg_hll_merge",
+    oracle="""
+    WITH h AS (
+        SELECT event_type,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))
+                    AS BIGINT) AS bucket,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 8))
+                    AS BIGINT) AS w
+        FROM events
+    ),
+    shard_regs AS (
+        SELECT event_type, bucket,
+               max(CASE WHEN w = 0 THEN 33
+                        ELSE 33 - length(bin(w)) END) AS rho
+        FROM h GROUP BY 1, 2
+    ),
+    merged AS (
+        SELECT bucket, max(rho) AS rho FROM shard_regs GROUP BY 1
+    ),
+    globl AS (
+        SELECT bucket,
+               max(CASE WHEN w = 0 THEN 33
+                        ELSE 33 - length(bin(w)) END) AS rho
+        FROM h GROUP BY 1
+    ),
+    cmp AS (
+        SELECT count(*) AS n_registers,
+               sum(CASE WHEN m.rho IS DISTINCT FROM g.rho
+                        THEN 1 ELSE 0 END) AS n_register_diffs
+        FROM globl g FULL JOIN merged m USING (bucket)
+    ),
+    est AS (
+        SELECT sum(pow(2.0, -rho)) AS ps, count(*) AS used FROM merged
+    ),
+    shards AS (SELECT count(DISTINCT event_type) AS n_shards FROM h)
+    SELECT n_shards, n_registers, n_register_diffs,
+           round(CASE WHEN CAST(0.7182725932495458 AS DOUBLE) * 256 * 256
+                           / (ps + (256 - used)) <= 2.5 * 256
+                           AND used < 256
+                      THEN 256 * ln(CAST(256 AS DOUBLE) / (256 - used))
+                      ELSE CAST(0.7182725932495458 AS DOUBLE) * 256 * 256
+                           / (ps + (256 - used))
+                 END, 4) AS hll_estimate_merged
+    FROM cmp, est, shards
+    """,
+)
+def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE contract of `q_agg_hll_md5`, proven rather than
+    assumed: per-shard HLL registers (sharded by event_type, a
+    stand-in for per-partition or per-day partial sketches) combined
+    by element-wise max must equal the registers built in one global
+    pass — max is associative and commutative, so a 1000-executor
+    cluster can sketch shards independently, ship 256 bytes each,
+    and merge losslessly. `n_register_diffs` MEASURES that equality
+    register-by-register (provably 0, full-join so a bucket present
+    on either side alone also counts as a diff), and the estimate is
+    recomputed from the MERGED registers, hash-compared cross-engine
+    like the parent op. This is what separates HLL from e.g. a naive
+    distinct-sample: the merge loses nothing, at any split.
+
+    Scale: shard_regs is map-side combinable to (shards x 256) rows;
+    the merge is a second 256-group max; the comparison joins two
+    256-row sides. Nothing here grows with data volume except the
+    first scan.
+    """
+    hexid = F.md5(F.col("user_id").cast("string"))
+    h = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.conv(F.substring(hexid, 1, 2), 16, 10)
+        .cast("bigint")
+        .alias("bucket"),
+        F.conv(F.substring(hexid, 3, 8), 16, 10)
+        .cast("bigint")
+        .alias("w"),
+    )
+    rho = F.max(
+        F.when(F.col("w") == 0, 33).otherwise(
+            33 - F.length(F.bin("w"))
+        )
+    ).alias("rho")
+    shard_regs = h.groupBy("event_type", "bucket").agg(rho)
+    merged = shard_regs.groupBy("bucket").agg(
+        F.max("rho").alias("rho")
+    )
+    globl = h.groupBy("bucket").agg(rho)
+    cmp = (
+        globl.withColumnRenamed("rho", "g_rho")
+        .join(
+            merged.withColumnRenamed("rho", "m_rho"),
+            "bucket",
+            "full",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_registers"),
+            F.sum(
+                F.when(
+                    ~F.col("g_rho").eqNullSafe(F.col("m_rho")), 1
+                ).otherwise(0)
+            ).alias("n_register_diffs"),
+        )
+    )
+    est = merged.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("ps"),
+        F.count(F.lit(1)).alias("used"),
+    )
+    shards = h.agg(
+        F.countDistinct("event_type").alias("n_shards")
+    )
+    raw = (
+        F.lit(0.7182725932495458)
+        * 256
+        * 256
+        / (F.col("ps") + (256 - F.col("used")))
+    )
+    e = F.when(
+        (raw <= 2.5 * 256) & (F.col("used") < 256),
+        256 * F.log(F.lit(256.0) / (256 - F.col("used"))),
+    ).otherwise(raw)
+    return (
+        cmp.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(shards))
+        .select(
+            "n_shards",
+            "n_registers",
+            "n_register_diffs",
+            F.round(e, 4).alias("hll_estimate_merged"),
+        )
+    )

@@ -3117,3 +3117,213 @@ def q_ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_days") > 0)
     )
+
+
+@register(
+    "q_events_did",
+    oracle="""
+    WITH cells AS (
+        SELECT (strpos('0123456789abcdef',
+                       substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1)
+                   % 2 AS treat,
+               CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                    THEN 1 ELSE 0 END AS post,
+               count(*) AS n,
+               CAST(sum(value) AS DOUBLE) AS sx,
+               CAST(sum(value * value) AS DOUBLE) AS sxx
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT treat, post, n, sx / n AS mu,
+               (sxx - sx * sx / n) / (n - 1) / n AS mvar
+        FROM cells WHERE n > 1
+    ),
+    wide AS (
+        SELECT
+            max(CASE WHEN treat = 0 AND post = 0 THEN mu END) AS m00,
+            max(CASE WHEN treat = 0 AND post = 1 THEN mu END) AS m01,
+            max(CASE WHEN treat = 1 AND post = 0 THEN mu END) AS m10,
+            max(CASE WHEN treat = 1 AND post = 1 THEN mu END) AS m11,
+            max(CASE WHEN treat = 0 AND post = 0 THEN mvar END) AS v00,
+            max(CASE WHEN treat = 0 AND post = 1 THEN mvar END) AS v01,
+            max(CASE WHEN treat = 1 AND post = 0 THEN mvar END) AS v10,
+            max(CASE WHEN treat = 1 AND post = 1 THEN mvar END) AS v11,
+            CAST(sum(n) AS BIGINT) AS n_obs
+        FROM m
+    )
+    SELECT n_obs,
+           round(m00, 6) AS mean_ctrl_pre,
+           round(m01, 6) AS mean_ctrl_post,
+           round(m10, 6) AS mean_treat_pre,
+           round(m11, 6) AS mean_treat_post,
+           round((m11 - m10) - (m01 - m00), 6) AS did_estimate,
+           round(sqrt(v00 + v01 + v10 + v11), 6) AS did_se,
+           round(((m11 - m10) - (m01 - m00))
+                 / sqrt(v00 + v01 + v10 + v11), 6) AS z_score
+    FROM wide
+    """,
+)
+def q_events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator — the causal tool for when
+    assignment ISN'T randomized (rollouts, geo launches): the treated
+    group's pre-to-post change in mean purchase value, net of the
+    control group's change over the same calendar split (post =
+    second half of the log), cancels any shared time trend under the
+    parallel-trends assumption. Completes the experimentation suite:
+    q_events_ab_test (randomized z-test), q_events_ab_srm (validity),
+    q_events_ab_power (planning), DiD (observational). Treatment uses
+    the same engine-portable md5-parity assignment as ab_test; since
+    that assignment IS random here, the true effect is 0 and the
+    z_score doubles as a placebo/A-A check on the estimator itself.
+    SE is the four-cell delta-method sum of mean-variances, each
+    computed from exact integer-free sums (sum, sum-of-squares, one
+    fixed-order division) so the statistic is deterministic under
+    any partition merge order.
+
+    Scale: ONE pass over the fact — a 4-group partial-aggregable
+    rollup of three moments; everything after is arithmetic on four
+    rows. This is the whole point of closed-form inference at 100
+    TB: the data never moves, only (n, sum, sumsq) per cell does.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    treat = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1),
+        )
+        - 1
+    ) % 2
+    post = F.when(
+        F.col("ts") >= F.lit("2024-01-16").cast("timestamp"), 1
+    ).otherwise(0)
+    cells = ev.groupBy(
+        treat.alias("treat"), post.alias("post")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").cast("double").alias("sx"),
+        F.sum(F.col("value") * F.col("value"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    m = cells.filter(F.col("n") > 1).select(
+        "treat",
+        "post",
+        "n",
+        (F.col("sx") / F.col("n")).alias("mu"),
+        (
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+            / (F.col("n") - 1)
+            / F.col("n")
+        ).alias("mvar"),
+    )
+
+    def cell(t: int, p: int, col: str) -> F.Column:
+        return F.max(
+            F.when(
+                (F.col("treat") == t) & (F.col("post") == p), F.col(col)
+            )
+        )
+
+    wide = m.agg(
+        *[
+            cell(t, p, "mu").alias(f"m{t}{p}")
+            for t in (0, 1)
+            for p in (0, 1)
+        ],
+        *[
+            cell(t, p, "mvar").alias(f"v{t}{p}")
+            for t in (0, 1)
+            for p in (0, 1)
+        ],
+        F.sum("n").cast("bigint").alias("n_obs"),
+    )
+    did = (F.col("m11") - F.col("m10")) - (F.col("m01") - F.col("m00"))
+    se = F.sqrt(
+        F.col("v00") + F.col("v01") + F.col("v10") + F.col("v11")
+    )
+    return wide.select(
+        "n_obs",
+        F.round("m00", 6).alias("mean_ctrl_pre"),
+        F.round("m01", 6).alias("mean_ctrl_post"),
+        F.round("m10", 6).alias("mean_treat_pre"),
+        F.round("m11", 6).alias("mean_treat_post"),
+        F.round(did, 6).alias("did_estimate"),
+        F.round(se, 6).alias("did_se"),
+        F.round(did / se, 6).alias("z_score"),
+    )
+
+
+@register(
+    "q_orders_backlog_aging",
+    oracle="""
+    WITH open_lines AS (
+        SELECT o.o_orderkey, o.o_orderdate, l.l_extendedprice
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate <= TIMESTAMP '1998-06-30'
+          AND l.l_shipdate > TIMESTAMP '1998-06-30'
+    ),
+    aged AS (
+        SELECT o_orderkey, l_extendedprice,
+               date_diff('day', CAST(o_orderdate AS DATE),
+                         DATE '1998-06-30') AS age_days
+        FROM open_lines
+    )
+    SELECT CASE WHEN age_days <= 30 THEN '0-030'
+                WHEN age_days <= 90 THEN '031-090'
+                WHEN age_days <= 180 THEN '091-180'
+                ELSE '180+' END AS age_bucket,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+           count(*) AS n_open_lines,
+           round(sum(l_extendedprice), 2) AS open_value
+    FROM aged
+    GROUP BY 1
+    """,
+)
+def q_orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time open-order backlog aging — the operational
+    report warehouses run nightly: as of a fixed cutoff, every line
+    not yet shipped (l_shipdate > cutoff) on an order already placed
+    (o_orderdate <= cutoff) is open exposure, bucketed by how long
+    the order has been waiting. Bucket labels are zero-padded so
+    lexical ordering equals age ordering in any consumer. Unlike
+    `q_orders_ship_sla` (realized latency of SHIPPED lines), this is
+    the complementary open-position view: the money that has NOT
+    moved, which is what ops teams chase.
+
+    Scale: the predicate pair pushes to both scans (an order-date
+    zone map prunes the orders side, a ship-date one the lineitem
+    side — see q_scan_zonemap_skip for the measured effect), the
+    join shuffles only the open slice, and the distinct-order count
+    is per-bucket over an already-collapsed key set.
+    """
+    cutoff_ts = F.lit("1998-06-30").cast("timestamp")
+    cutoff_d = F.lit("1998-06-30").cast("date")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") <= cutoff_ts
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > cutoff_ts
+    )
+    aged = orders.join(
+        li, orders.o_orderkey == li.l_orderkey
+    ).select(
+        "o_orderkey",
+        "l_extendedprice",
+        F.datediff(cutoff_d, F.to_date("o_orderdate")).alias(
+            "age_days"
+        ),
+    )
+    bucket = (
+        F.when(F.col("age_days") <= 30, "0-030")
+        .when(F.col("age_days") <= 90, "031-090")
+        .when(F.col("age_days") <= 180, "091-180")
+        .otherwise("180+")
+    )
+    return aged.groupBy(bucket.alias("age_bucket")).agg(
+        F.countDistinct("o_orderkey").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_open_lines"),
+        F.round(F.sum("l_extendedprice"), 2).alias("open_value"),
+    )

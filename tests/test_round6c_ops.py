@@ -1953,3 +1953,44 @@ def test_compress_ratio_orders_repetition(spark, tmp_path):
     for r in got.values():
         assert r.n_compressed > 0
         assert r.n_bytes == len((rep if r.doc_id == 1 else uniq).encode())
+
+
+def test_did_placebo_on_randomized_assignment(spark, sf_dir):
+    """md5-parity assignment IS randomized, so the true DiD effect
+    is 0: the placebo z-score must be small (|z| < 4), the four cell
+    means present, and the identity did = (m11-m10)-(m01-m00) exact
+    at rounding precision."""
+    r = QUERIES["q_events_did"](spark, sf_dir).collect()[0]
+    assert r.n_obs > 0 and r.did_se > 0
+    recomputed = (r.mean_treat_post - r.mean_treat_pre) - (
+        r.mean_ctrl_post - r.mean_ctrl_pre
+    )
+    assert abs(recomputed - r.did_estimate) < 5e-6
+    assert abs(r.z_score) < 4
+
+
+def test_backlog_aging_partitions_open_lines(spark, sf_dir):
+    """Buckets partition the open set: lexical bucket order equals
+    age order by construction (zero-padded labels), counts are
+    positive, and orders can repeat across buckets only never within
+    (n_orders <= n_open_lines)."""
+    rows = QUERIES["q_orders_backlog_aging"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_orders >= 1
+        assert r.n_orders <= r.n_open_lines
+        assert r.open_value > 0
+    labels = sorted(r.age_bucket for r in rows)
+    assert labels == [r for r in ["0-030", "031-090", "091-180", "180+"] if r in labels]
+
+
+def test_hll_merge_lossless(spark, sf_dir):
+    """Element-wise max over per-shard registers must reproduce the
+    single-pass registers exactly (n_register_diffs == 0) and the
+    merged estimate must equal the parent op's estimate."""
+    m = QUERIES["q_agg_hll_merge"](spark, sf_dir).collect()[0]
+    g = QUERIES["q_agg_hll_md5"](spark, sf_dir).collect()[0]
+    assert m.n_register_diffs == 0
+    assert m.n_registers == g.n_registers_used
+    assert m.hll_estimate_merged == g.hll_estimate
+    assert m.n_shards >= 1
