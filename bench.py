@@ -232,6 +232,7 @@ HEADLINE = [
     "q_events_did",              # difference-in-differences + placebo
     "q_orders_backlog_aging",    # point-in-time open-order exposure
     "q_agg_hll_merge",           # lossless sketch-merge certificate
+    "q_join_asof_forward",       # label-side as-of (time-to-next)
 ]
 
 

@@ -788,3 +788,72 @@ def q_join_skew_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("total_value"),
         )
     )
+
+
+@register(
+    "q_join_asof_forward",
+    oracle="""
+    SELECT p.event_id AS event_id,
+           (SELECT v.value FROM events v
+            WHERE v.event_type = 'view'
+              AND v.user_id = p.user_id
+              AND v.ts >= p.ts
+            ORDER BY v.ts ASC, v.event_id ASC
+            LIMIT 1) AS next_view_value,
+           (SELECT epoch_us(v.ts) FROM events v
+            WHERE v.event_type = 'view'
+              AND v.user_id = p.user_id
+              AND v.ts >= p.ts
+            ORDER BY v.ts ASC, v.event_id ASC
+            LIMIT 1) - epoch_us(p.ts) AS us_to_next
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join — `q_join_asof`'s mirror: each purchase
+    picks the EARLIEST view at-or-after it (same user), the lookup
+    shape of label attribution ('what did the user do next?'),
+    re-engagement latency, and leakage-safe feature/label splits
+    (features from the backward as-of, labels from the forward one).
+    Same partial-aggregable order-statistic trick with min(struct):
+    the 'earliest row' resolves map-side, no per-group sort; ties on
+    ts resolve to the smaller event_id, matching the oracle's ORDER
+    BY ts ASC, event_id ASC. The latency is kept in integer
+    microseconds end-to-end (unix_micros <-> epoch_us, the only safe
+    cross-engine timestamp pairing), so it is exact, not rounded.
+
+    Scale: identical to the backward op — equi-join on user_id with
+    the range predicate as a residual, then one map-side-combinable
+    struct-min; never a window over the fact.
+    """
+    events = load_table(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    v = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("v_event_id"),
+        F.col("value").alias("v_value"),
+    )
+    joined = p.join(
+        v,
+        (p.user_id == v.v_user_id) & (v.v_ts >= p.ts),
+        "left",
+    )
+    best = F.min(F.struct("v_ts", "v_event_id", "v_value")).alias(
+        "best"
+    )
+    return (
+        joined.groupBy("event_id", "ts")
+        .agg(best)
+        .select(
+            "event_id",
+            F.col("best.v_value").alias("next_view_value"),
+            (
+                F.unix_micros(F.col("best.v_ts"))
+                - F.unix_micros(F.col("ts"))
+            ).alias("us_to_next"),
+        )
+    )

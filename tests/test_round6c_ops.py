@@ -1994,3 +1994,41 @@ def test_hll_merge_lossless(spark, sf_dir):
     assert m.n_registers == g.n_registers_used
     assert m.hll_estimate_merged == g.hll_estimate
     assert m.n_shards >= 1
+
+
+def test_asof_forward_latency_nonnegative_and_tied(spark, tmp_path):
+    """Forward as-of picks the earliest at-or-after view; a view at
+    the exact purchase instant wins with latency 0; tie on ts goes
+    to the smaller event_id; a user with no later view gets NULLs."""
+    import pandas as pd
+
+    rows = [
+        # user 1: purchase t=10, views at t=10 (ids 3,4) and t=20
+        (1, "2024-01-01 00:00:10", 1, "purchase", 5.0),
+        (3, "2024-01-01 00:00:10", 1, "view", 7.0),
+        (4, "2024-01-01 00:00:10", 1, "view", 9.0),
+        (5, "2024-01-01 00:00:20", 1, "view", 11.0),
+        # user 2: purchase with only an EARLIER view -> null
+        (6, "2024-01-01 00:00:30", 2, "purchase", 1.0),
+        (7, "2024-01-01 00:00:20", 2, "view", 2.0),
+    ]
+    pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows]),
+            "user_id": [r[2] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": [r[4] for r in rows],
+            "props": ["{}"] * len(rows),
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    got = {
+        r.event_id: r
+        for r in QUERIES["q_join_asof_forward"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got[1].next_view_value == 7.0  # id 3 beats id 4 on the tie
+    assert got[1].us_to_next == 0
+    assert got[6].next_view_value is None
+    assert got[6].us_to_next is None
