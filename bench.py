@@ -233,6 +233,8 @@ HEADLINE = [
     "q_orders_backlog_aging",    # point-in-time open-order exposure
     "q_agg_hll_merge",           # lossless sketch-merge certificate
     "q_join_asof_forward",       # label-side as-of (time-to-next)
+    "q_agg_hll_intersect",       # sketch set algebra w/ exact cert
+    "q_dq_table_checksum",       # order-independent content digest
 ]
 
 

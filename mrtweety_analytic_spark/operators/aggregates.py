@@ -1339,3 +1339,161 @@ def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(e, 4).alias("hll_estimate_merged"),
         )
     )
+
+
+@register(
+    "q_agg_hll_intersect",
+    oracle="""
+    WITH h AS (
+        SELECT user_id, event_type,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))
+                    AS BIGINT) AS bucket,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 8))
+                    AS BIGINT) AS w
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    regs AS (
+        SELECT event_type, bucket,
+               max(CASE WHEN w = 0 THEN 33
+                        ELSE 33 - length(bin(w)) END) AS rho
+        FROM h GROUP BY 1, 2
+    ),
+    union_regs AS (
+        SELECT bucket, max(rho) AS rho FROM regs GROUP BY 1
+    ),
+    est AS (
+        SELECT 'click' AS side, count(*) AS used,
+               sum(pow(2.0, -rho)) AS ps
+        FROM regs WHERE event_type = 'click'
+        UNION ALL
+        SELECT 'purchase', count(*), sum(pow(2.0, -rho))
+        FROM regs WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT 'union', count(*), sum(pow(2.0, -rho)) FROM union_regs
+    ),
+    e AS (
+        SELECT side,
+               CASE WHEN CAST(0.7182725932495458 AS DOUBLE) * 256 * 256
+                         / (ps + (256 - used)) <= 2.5 * 256
+                         AND used < 256
+                    THEN 256 * ln(CAST(256 AS DOUBLE) / (256 - used))
+                    ELSE CAST(0.7182725932495458 AS DOUBLE) * 256 * 256
+                         / (ps + (256 - used))
+               END AS v
+        FROM est
+    ),
+    wide AS (
+        SELECT max(CASE WHEN side = 'click' THEN v END) AS ea,
+               max(CASE WHEN side = 'purchase' THEN v END) AS eb,
+               max(CASE WHEN side = 'union' THEN v END) AS eu
+        FROM e
+    ),
+    ex AS (
+        SELECT count(*) AS exact_intersect FROM (
+            SELECT user_id FROM h GROUP BY user_id
+            HAVING count(DISTINCT event_type) = 2
+        )
+    )
+    SELECT round(ea, 4) AS est_clickers,
+           round(eb, 4) AS est_purchasers,
+           round(eu, 4) AS est_union,
+           round(ea + eb - eu, 4) AS est_intersect,
+           exact_intersect,
+           round((ea + eb - eu - exact_intersect)
+                 / exact_intersect, 6) AS rel_err
+    FROM wide, ex
+    """,
+)
+def q_agg_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET ALGEBRA on the md5 HLL: audience-overlap cardinality
+    (users who both click AND purchase) by inclusion-exclusion —
+    |A∩B| = |A| + |B| - |A∪B| — where |A∪B| comes from the
+    element-wise-max register merge `q_agg_hll_merge` proved
+    lossless. This is the query behind every audience-overlap /
+    cross-feature-reach dashboard at 100 TB: materialize one 256-byte
+    sketch per segment ONCE, then answer any pairwise (or k-way, by
+    iterated merge) overlap in O(m) register arithmetic with zero
+    re-scans. The exact intersection runs alongside as the
+    certificate; rel_err documents the known weakness — inclusion-
+    exclusion differences amplify relative error when the overlap is
+    small relative to the union (the reason production systems keep
+    theta sketches for heavy set algebra; the pytest bounds the error
+    at the textbook 3-sigma of the UNION's standard error scaled by
+    union/intersect, not the intersect's own).
+
+    Scale: one scan builds both per-segment register sets
+    (map-side-combinable max over at most 2x256 cells); union is a
+    256-row max-merge; every estimate is O(m) arithmetic on the
+    driver-sized result. Only the certificate's exact distinct pass
+    touches the fact twice, and it is dropped in production.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    hexid = F.md5(F.col("user_id").cast("string"))
+    h = ev.select(
+        "user_id",
+        "event_type",
+        F.conv(F.substring(hexid, 1, 2), 16, 10)
+        .cast("bigint")
+        .alias("bucket"),
+        F.conv(F.substring(hexid, 3, 8), 16, 10)
+        .cast("bigint")
+        .alias("w"),
+    )
+    rho_expr = F.max(
+        F.when(F.col("w") == 0, 33).otherwise(
+            33 - F.length(F.bin("w"))
+        )
+    ).alias("rho")
+    regs = h.groupBy("event_type", "bucket").agg(rho_expr)
+    union_regs = regs.groupBy("bucket").agg(F.max("rho").alias("rho"))
+
+    def est(df: DataFrame) -> F.Column:
+        return df.agg(
+            F.count(F.lit(1)).alias("used"),
+            F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("ps"),
+        )
+
+    def raw_to_e(used: F.Column, ps: F.Column) -> F.Column:
+        raw = (
+            F.lit(0.7182725932495458) * 256 * 256 / (ps + (256 - used))
+        )
+        return F.when(
+            (raw <= 2.5 * 256) & (used < 256),
+            256 * F.log(F.lit(256.0) / (256 - used)),
+        ).otherwise(raw)
+
+    ea = est(regs.filter(F.col("event_type") == "click")).select(
+        raw_to_e(F.col("used"), F.col("ps")).alias("ea")
+    )
+    eb = est(regs.filter(F.col("event_type") == "purchase")).select(
+        raw_to_e(F.col("used"), F.col("ps")).alias("eb")
+    )
+    eu = est(union_regs).select(
+        raw_to_e(F.col("used"), F.col("ps")).alias("eu")
+    )
+    ex = (
+        h.groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("nt"))
+        .filter(F.col("nt") == 2)
+        .agg(F.count(F.lit(1)).alias("exact_intersect"))
+    )
+    inter = F.col("ea") + F.col("eb") - F.col("eu")
+    return (
+        ea.crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(eu))
+        .crossJoin(F.broadcast(ex))
+        .select(
+            F.round("ea", 4).alias("est_clickers"),
+            F.round("eb", 4).alias("est_purchasers"),
+            F.round("eu", 4).alias("est_union"),
+            F.round(inter, 4).alias("est_intersect"),
+            "exact_intersect",
+            F.round(
+                (inter - F.col("exact_intersect"))
+                / F.col("exact_intersect"),
+                6,
+            ).alias("rel_err"),
+        )
+    )

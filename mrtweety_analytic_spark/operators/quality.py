@@ -878,3 +878,78 @@ def q_dq_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_abs_gap"),
         )
     )
+
+
+@register(
+    "q_dq_table_checksum",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(('0x' || substr(md5(
+                   CAST(o_orderkey AS VARCHAR) || '|'
+                   || CAST(o_custkey AS VARCHAR) || '|'
+                   || o_orderstatus || '|' || o_orderpriority), 1, 12))
+                   AS BIGINT) AS h
+        FROM orders
+    )
+    SELECT count(*) AS n_rows,
+           sum(h) AS digest_sum,
+           bit_xor(h) AS digest_xor,
+           min(h) AS digest_min,
+           max(h) AS digest_max
+    FROM d
+    """,
+)
+def q_dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table content checksum — the one-pass
+    migration/replication validator: to certify that two copies of a
+    table (engine A vs engine B, pre- vs post-compaction, source vs
+    replica region) hold IDENTICAL content without sorting or
+    shuffling either side, fold a per-row 48-bit md5 digest of the
+    key columns through four commutative aggregates (count, sum,
+    xor, min/max). Any row inserted, dropped, or mutated moves at
+    least one of them; sum and xor catch complementary tamper
+    classes (xor misses duplicated pairs, sum misses balanced
+    swaps). The digest uses the cross-engine md5 gate, so this very
+    query IS the validator run here: Spark computes the fingerprint,
+    DuckDB recomputes it from the same parquet, and the driver's
+    hash-compare asserts they agree — checksum validation of a
+    cross-engine 'migration' every round. Columns are restricted to
+    integers and strings, whose textual rendering both engines share
+    (float rendering differs; checksum floats via their IEEE bit
+    pattern instead).
+
+    Scale: fully map-side-combinable — each partition folds to 5
+    numbers, the shuffle moves 5 numbers per partition, nothing
+    sorts. At 1e12 rows the 48-bit digest sum stays under 2^63 only
+    to ~32k rows per 2^48... in practice: sum wraps are fine for
+    validation AS LONG AS both sides wrap identically, which ANSI
+    overflow checking forbids — so at true 100 TB row counts, fold
+    per-shard checksums (this query per partition/day) and compare
+    the shard LIST, which is also the incremental-validation shape
+    (only changed shards re-checksum).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("o_custkey").cast("string"),
+                    F.col("o_orderstatus"),
+                    F.col("o_orderpriority"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return o.select(h.alias("h")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("h").alias("digest_sum"),
+        F.bit_xor("h").alias("digest_xor"),
+        F.min("h").alias("digest_min"),
+        F.max("h").alias("digest_max"),
+    )

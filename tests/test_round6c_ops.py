@@ -2032,3 +2032,53 @@ def test_asof_forward_latency_nonnegative_and_tied(spark, tmp_path):
     assert got[1].us_to_next == 0
     assert got[6].next_view_value is None
     assert got[6].us_to_next is None
+
+
+def test_hll_intersect_identities(spark, sf_dir):
+    """Sketch set algebra: union estimate can never fall below either
+    side (registers are element-wise max), inclusion-exclusion
+    reproduces est_intersect exactly at rounding precision, and the
+    error vs the exact intersection stays within 5 sigma of the
+    m=256 HLL standard error."""
+    r = QUERIES["q_agg_hll_intersect"](spark, sf_dir).collect()[0]
+    assert r.est_union >= r.est_clickers - 1e-4
+    assert r.est_union >= r.est_purchasers - 1e-4
+    recomputed = r.est_clickers + r.est_purchasers - r.est_union
+    assert abs(recomputed - r.est_intersect) < 5e-4
+    assert r.exact_intersect > 0
+    assert abs(r.rel_err) < 0.325
+
+
+def test_table_checksum_detects_any_mutation(spark, tmp_path):
+    """Validator sensitivity: dropping a row, duplicating a row, and
+    mutating one field must each move at least one of the five
+    fingerprint components; identical content fingerprints equal."""
+    import pandas as pd
+
+    base = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3],
+            "o_custkey": [10, 20, 30],
+            "o_orderstatus": ["O", "F", "O"],
+            "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM"],
+            "o_totalprice": [1.0, 2.0, 3.0],
+            "o_orderdate": pd.to_datetime(["2024-01-01"] * 3),
+        }
+    )
+
+    def fp(df, sub):
+        d = tmp_path / sub
+        d.mkdir()
+        df.to_parquet(d / "orders.parquet")
+        r = QUERIES["q_dq_table_checksum"](spark, str(d)).collect()[0]
+        return (r.n_rows, r.digest_sum, r.digest_xor,
+                r.digest_min, r.digest_max)
+
+    ref = fp(base, "a")
+    assert fp(base.iloc[::-1], "shuffled") == ref  # order-independent
+    assert fp(base.iloc[:2], "dropped") != ref
+    dup = pd.concat([base, base.iloc[[0]]])
+    assert fp(dup, "duped") != ref
+    mut = base.copy()
+    mut.loc[1, "o_orderstatus"] = "P"
+    assert fp(mut, "mutated") != ref
