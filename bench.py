@@ -235,6 +235,8 @@ HEADLINE = [
     "q_join_asof_forward",       # label-side as-of (time-to-next)
     "q_agg_hll_intersect",       # sketch set algebra w/ exact cert
     "q_dq_table_checksum",       # order-independent content digest
+    "s_hll_distinct",            # 256-row-state streaming sketch
+    "q_agg_corr_matrix",         # decimal-exact feature correlations
 ]
 
 

@@ -1497,3 +1497,92 @@ def q_agg_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err"),
         )
     )
+
+
+@register(
+    "q_agg_corr_matrix",
+    oracle="""
+    WITH m AS (
+        SELECT count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+               CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sd,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sqq,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS spp,
+               CAST(sum(CAST(l_discount AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sdd,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sqp,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sqd,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS spd
+        FROM lineitem
+    )
+    SELECT n,
+           round((n * sqp - sq * sp)
+                 / sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)), 6)
+               AS corr_qty_price,
+           round((n * sqd - sq * sd)
+                 / sqrt((n * sqq - sq * sq) * (n * sdd - sd * sd)), 6)
+               AS corr_qty_disc,
+           round((n * spd - sp * sd)
+                 / sqrt((n * spp - sp * sp) * (n * sdd - sd * sd)), 6)
+               AS corr_price_disc
+    FROM m
+    """,
+)
+def q_agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the lineitem numeric
+    measures — the feature-redundancy screen every modeling pipeline
+    runs before training. The determinism technique is the point:
+    the engines' streaming `corr` aggregates merge partials in
+    nondeterministic order (flaky last-ulp results under different
+    partitionings), and plain double sums of squared prices exceed
+    2^53 already at sf 0.01 — so the ten raw moments accumulate as
+    DECIMAL (exact 128-bit integer arithmetic in BOTH engines, any
+    merge order), are converted to double ONCE, and the closed-form
+    corr arithmetic runs in a fixed operation order. The same
+    discipline as q_sample_neyman's integer sums, extended to
+    cent-scaled money via decimal.
+
+    Scale: one map-side-combinable pass producing ten numbers total;
+    the matrix assembles driver-side. Decimal aggregation is
+    Tungsten-native (no Python, no UDF).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    d = F.col("l_discount").cast("decimal(18,2)")
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("double").alias("sq"),
+        F.sum(p).cast("double").alias("sp"),
+        F.sum(d).cast("double").alias("sd"),
+        F.sum(q * q).cast("double").alias("sqq"),
+        F.sum(p * p).cast("double").alias("spp"),
+        F.sum(d * d).cast("double").alias("sdd"),
+        F.sum(q * p).cast("double").alias("sqp"),
+        F.sum(q * d).cast("double").alias("sqd"),
+        F.sum(p * d).cast("double").alias("spd"),
+    )
+    n = F.col("n")
+
+    def corr(sxy, sx, sy, sxx, syy):
+        return F.round(
+            (n * F.col(sxy) - F.col(sx) * F.col(sy))
+            / F.sqrt(
+                (n * F.col(sxx) - F.col(sx) * F.col(sx))
+                * (n * F.col(syy) - F.col(sy) * F.col(sy))
+            ),
+            6,
+        )
+
+    return m.select(
+        "n",
+        corr("sqp", "sq", "sp", "sqq", "spp").alias("corr_qty_price"),
+        corr("sqd", "sq", "sd", "sqq", "sdd").alias("corr_qty_disc"),
+        corr("spd", "sp", "sd", "spp", "sdd").alias("corr_price_disc"),
+    )

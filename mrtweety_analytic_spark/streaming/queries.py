@@ -1936,3 +1936,93 @@ def s_enrich_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select("event_id", "ver_value")
     return _run_to_memory(spark, joined, "append")
+
+
+@register(
+    "s_hll_distinct",
+    oracle="""
+    WITH h AS (
+        SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))
+                    AS BIGINT) AS bucket,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 8))
+                    AS BIGINT) AS w
+        FROM events
+    ),
+    regs AS (
+        SELECT bucket,
+               max(CASE WHEN w = 0 THEN 33
+                        ELSE 33 - length(bin(w)) END) AS rho
+        FROM h GROUP BY bucket
+    ),
+    s AS (SELECT count(*) AS used, sum(pow(2.0, -rho)) AS ps FROM regs)
+    SELECT 256 AS m,
+           used AS n_registers_used,
+           round(CASE WHEN CAST(0.7182725932495458 AS DOUBLE) * 256 * 256
+                           / (ps + (256 - used)) <= 2.5 * 256
+                           AND used < 256
+                      THEN 256 * ln(CAST(256 AS DOUBLE) / (256 - used))
+                      ELSE CAST(0.7182725932495458 AS DOUBLE) * 256 * 256
+                           / (ps + (256 - used))
+                 END, 4) AS hll_estimate
+    FROM s
+    """,
+)
+def s_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING approximate distinct users via the md5 HLL — the
+    same 256 registers as `q_agg_hll_md5`, maintained incrementally:
+    register state is a per-bucket running MAX, and max is monotone,
+    so Spark's built-in streaming aggregation in update mode IS the
+    sketch maintainer (no arbitrary-state API needed — contrast
+    s_stateful_count, which needs applyInPandasWithState because a
+    running count must add, not max). State is bounded at 256 rows
+    FOREVER, the whole point of sketching an unbounded stream: exact
+    streaming distinct (s_window_distinct) holds every key in the
+    state store; this holds 256 bigints no matter how many trillion
+    events pass. The availableNow replay makes the final registers
+    equal the batch registers (max is order- and batch-split-
+    invariant — the same merge law q_agg_hll_merge certifies), so
+    the DuckDB batch oracle hash-checks the streaming estimate
+    end-to-end.
+
+    The memory sink sees one row per (bucket, micro-batch) in update
+    mode; the final register value is the max per bucket — the same
+    post-replay reduction s_stateful_count documents.
+    """
+    ev = load_events_stream(spark, sf_dir)
+    hexid = F.md5(F.col("user_id").cast("string"))
+    h = ev.select(
+        F.conv(F.substring(hexid, 1, 2), 16, 10)
+        .cast("bigint")
+        .alias("bucket"),
+        F.conv(F.substring(hexid, 3, 8), 16, 10)
+        .cast("bigint")
+        .alias("w"),
+    )
+    regs_stream = h.groupBy("bucket").agg(
+        F.max(
+            F.when(F.col("w") == 0, 33).otherwise(
+                33 - F.length(F.bin("w"))
+            )
+        ).alias("rho")
+    )
+    out = _run_to_memory(spark, regs_stream, "update")
+    regs = out.groupBy("bucket").agg(F.max("rho").alias("rho"))
+    s = regs.agg(
+        F.count(F.lit(1)).alias("used"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("ps"),
+    )
+    raw = (
+        F.lit(0.7182725932495458)
+        * 256
+        * 256
+        / (F.col("ps") + (256 - F.col("used")))
+    )
+    est = F.when(
+        (raw <= 2.5 * 256) & (F.col("used") < 256),
+        256 * F.log(F.lit(256.0) / (256 - F.col("used"))),
+    ).otherwise(raw)
+    return s.select(
+        F.lit(256).alias("m"),
+        F.col("used").alias("n_registers_used"),
+        F.round(est, 4).alias("hll_estimate"),
+    )

@@ -2082,3 +2082,44 @@ def test_table_checksum_detects_any_mutation(spark, tmp_path):
     mut = base.copy()
     mut.loc[1, "o_orderstatus"] = "P"
     assert fp(mut, "mutated") != ref
+
+
+def test_streaming_hll_equals_batch_sketch(spark, sf_dir):
+    """max-aggregation is batch-split-invariant, so the streaming
+    replay's registers — and therefore the estimate — must equal the
+    batch q_agg_hll_md5 sketch exactly, while holding only 256 rows
+    of state."""
+    s = QUERIES["s_hll_distinct"](spark, sf_dir).collect()[0]
+    b = QUERIES["q_agg_hll_md5"](spark, sf_dir).collect()[0]
+    assert s.m == 256
+    assert s.n_registers_used == b.n_registers_used
+    assert s.hll_estimate == b.hll_estimate
+
+
+def test_corr_matrix_pinned_construction(spark, tmp_path):
+    """qty=price/10 exactly (corr 1), disc anti-monotone with qty
+    over a symmetric ramp (corr -1 up to fp rounding); bounds hold."""
+    import pandas as pd
+
+    n = 20
+    qty = list(range(1, n + 1))
+    pd.DataFrame(
+        {
+            "l_orderkey": range(n),
+            "l_partkey": [1] * n,
+            "l_suppkey": [1] * n,
+            "l_linenumber": [1] * n,
+            "l_quantity": [float(x) for x in qty],
+            "l_extendedprice": [x * 10.0 for x in qty],
+            "l_discount": [round(0.90 - 0.01 * x, 2) for x in qty],
+            "l_tax": [0.0] * n,
+            "l_returnflag": ["N"] * n,
+            "l_linestatus": ["O"] * n,
+            "l_shipdate": pd.to_datetime(["1995-01-01"] * n),
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    r = QUERIES["q_agg_corr_matrix"](spark, str(tmp_path)).collect()[0]
+    assert r.n == n
+    assert r.corr_qty_price == 1.0
+    assert r.corr_qty_disc == -1.0
+    assert r.corr_price_disc == -1.0
