@@ -237,6 +237,8 @@ HEADLINE = [
     "q_dq_table_checksum",       # order-independent content digest
     "s_hll_distinct",            # 256-row-state streaming sketch
     "q_agg_corr_matrix",         # decimal-exact feature correlations
+    "q_sample_ht_total",         # reproducible PPS + HT estimation
+    "q_agg_skew_kurtosis",       # exact-moment shape profiling
 ]
 
 

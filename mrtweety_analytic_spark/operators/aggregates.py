@@ -1586,3 +1586,92 @@ def q_agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         corr("sqd", "sq", "sd", "sqq", "sdd").alias("corr_qty_disc"),
         corr("spd", "sp", "sd", "spp", "sdd").alias("corr_price_disc"),
     )
+
+
+@register(
+    "q_agg_skew_kurtosis",
+    oracle="""
+    WITH m AS (
+        SELECT count(*) AS n,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s1,
+               CAST(sum(CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s2,
+               CAST(sum(CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s3,
+               CAST(sum(CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s4
+        FROM lineitem
+    ),
+    c AS (
+        SELECT n,
+               s1 / n AS mu,
+               (s2 - s1 * s1 / n) / n AS m2,
+               (s3 - 3 * (s1 / n) * s2 + 2 * n * (s1 / n) * (s1 / n)
+                    * (s1 / n)) / n AS m3,
+               (s4 - 4 * (s1 / n) * s3 + 6 * (s1 / n) * (s1 / n) * s2
+                    - 3 * n * (s1 / n) * (s1 / n) * (s1 / n)
+                    * (s1 / n)) / n AS m4
+        FROM m
+    )
+    SELECT n,
+           round(mu, 6) AS mean_qty,
+           round(sqrt(m2), 6) AS std_qty,
+           round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+           round(m4 / (m2 * m2) - 3, 6) AS excess_kurtosis
+    FROM c
+    """,
+)
+def q_agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment distribution profiling (skewness + excess
+    kurtosis) of order quantities — the shape statistics a feature
+    audit reads next after mean/stddev: skew flags asymmetric tails
+    (price-like columns), kurtosis flags heavy tails that break
+    z-score outlier rules (see q_events_hill_tail for the extreme-
+    tail counterpart). Same determinism discipline as
+    q_agg_corr_matrix, one tier higher: quantities are small
+    integers, so the four raw power sums accumulate EXACTLY in
+    64-bit arithmetic under any partition merge order, and the
+    central-moment algebra (population m2/m3/m4 expanded in raw
+    sums, fixed operation order) is bit-reproducible cross-engine.
+    The corpus's quantity is uniform on [1, 50], so the expected
+    signature — skewness ~ 0, excess kurtosis ~ -1.2 (the uniform's
+    platykurtic fingerprint) — is itself the pytest.
+
+    Scale: one map-side-combinable pass, five numbers out. Skewness
+    and kurtosis of a 100 TB column cost exactly one scan, which is
+    why they belong in the standard profiling pass (q_dq_profile)
+    rather than a sampled notebook.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("double").alias("s1"),
+        F.sum(q * q).cast("double").alias("s2"),
+        F.sum(q * q * q).cast("double").alias("s3"),
+        F.sum(q * q * q * q).cast("double").alias("s4"),
+    )
+    n = F.col("n")
+    mu = F.col("s1") / n
+    m2 = (F.col("s2") - F.col("s1") * F.col("s1") / n) / n
+    m3 = (
+        F.col("s3")
+        - 3 * mu * F.col("s2")
+        + 2 * n * mu * mu * mu
+    ) / n
+    m4 = (
+        F.col("s4")
+        - 4 * mu * F.col("s3")
+        + 6 * mu * mu * F.col("s2")
+        - 3 * n * mu * mu * mu * mu
+    ) / n
+    return m.select(
+        "n",
+        F.round(mu, 6).alias("mean_qty"),
+        F.round(F.sqrt(m2), 6).alias("std_qty"),
+        F.round(m3 / (m2 * F.sqrt(m2)), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - 3, 6).alias("excess_kurtosis"),
+    )

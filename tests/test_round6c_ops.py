@@ -2123,3 +2123,27 @@ def test_corr_matrix_pinned_construction(spark, tmp_path):
     assert r.corr_qty_price == 1.0
     assert r.corr_qty_disc == -1.0
     assert r.corr_price_disc == -1.0
+
+
+def test_ht_estimator_design_effect(spark, sf_dir):
+    """HT with PPS weights: the matched target (total) must estimate
+    within 5x the Poisson floor 1/sqrt(n_sampled); the mismatched
+    target (count) is allowed more but still bounded; weights never
+    undershoot (every 1/p >= 1, so ht_count >= n_sampled)."""
+    r = QUERIES["q_sample_ht_total"](spark, sf_dir).collect()[0]
+    assert 0 < r.n_sampled < r.n_rows
+    floor = 1.0 / (r.n_sampled ** 0.5)
+    assert abs(r.rel_err_total) < 5 * floor
+    assert abs(r.rel_err_count) < 15 * floor
+    assert r.ht_count >= r.n_sampled
+
+
+def test_skew_kurtosis_uniform_signature(spark, sf_dir):
+    """Quantity is uniform on [1,50]: skewness must sit near 0 and
+    excess kurtosis near the uniform's -1.2 platykurtic fingerprint
+    (-6/5 exactly in the continuous limit)."""
+    r = QUERIES["q_agg_skew_kurtosis"](spark, sf_dir).collect()[0]
+    assert r.n > 0
+    assert abs(r.skewness) < 0.15
+    assert -1.35 < r.excess_kurtosis < -1.0
+    assert abs(r.mean_qty - 25.5) < 1.5
