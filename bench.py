@@ -239,6 +239,7 @@ HEADLINE = [
     "q_agg_corr_matrix",         # decimal-exact feature correlations
     "q_sample_ht_total",         # reproducible PPS + HT estimation
     "q_agg_skew_kurtosis",       # exact-moment shape profiling
+    "q_fn_try_arith",            # ANSI-safe null-propagation tier
 ]
 
 

@@ -499,3 +499,49 @@ def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         (os_ == probe).alias("struct_eq"),
         F.to_json(os_).alias("as_json"),
     )
+
+
+@register(
+    "q_fn_try_arith",
+    oracle="""
+    SELECT p_partkey,
+           round(p_retailprice / nullif(p_size - 5, 0), 6)
+               AS price_per_adj_size,
+           TRY_CAST(substr(p_brand, 7, 2) AS INTEGER) AS brand_num,
+           TRY_CAST(p_name AS INTEGER) AS name_as_int,
+           CASE WHEN p_size - 5 = 0 THEN 'div0' ELSE 'ok' END
+               AS div_status
+    FROM part
+    """,
+)
+def q_fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic surface — Spark 4 runs with ANSI mode ON,
+    where division by zero and malformed casts RAISE instead of
+    silently returning NULL (the pre-ANSI behavior that hid data
+    bugs). Pipelines that prefer null-propagation over job failure
+    use the `try_*` family: try_divide yields NULL on a zero
+    denominator (p_size = 5 rows here — real mixed data, not a
+    synthetic all-null column), try_cast yields NULL on unparseable
+    input (part names never parse, brand suffixes always do). The
+    DuckDB oracle expresses the same semantics with nullif and
+    TRY_CAST, certifying the null-propagation contract cross-engine.
+    This op is why the empty-corpus/restart audits can hold 'nothing
+    may raise': the try_* tier is the sanctioned way to keep a
+    100 TB job alive through dirty rows while preserving ANSI
+    strictness everywhere else.
+    """
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.round(
+            F.try_divide(F.col("p_retailprice"), F.col("p_size") - 5),
+            6,
+        ).alias("price_per_adj_size"),
+        F.substring(F.col("p_brand"), 7, 2)
+        .try_cast("int")
+        .alias("brand_num"),
+        F.col("p_name").try_cast("int").alias("name_as_int"),
+        F.when(F.col("p_size") - 5 == 0, "div0")
+        .otherwise("ok")
+        .alias("div_status"),
+    )

@@ -2147,3 +2147,18 @@ def test_skew_kurtosis_uniform_signature(spark, sf_dir):
     assert abs(r.skewness) < 0.15
     assert -1.35 < r.excess_kurtosis < -1.0
     assert abs(r.mean_qty - 25.5) < 1.5
+
+
+def test_try_arith_null_propagation(spark, sf_dir):
+    """ANSI-safe tier: zero denominators yield NULL (never raise),
+    flagged rows are exactly the NULL-division rows, word names
+    never parse as ints, brand suffixes always do."""
+    rows = QUERIES["q_fn_try_arith"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.div_status == "div0":
+            assert r.price_per_adj_size is None
+        else:
+            assert r.price_per_adj_size is not None
+        assert r.name_as_int is None
+        assert r.brand_num is not None
