@@ -240,6 +240,8 @@ HEADLINE = [
     "q_sample_ht_total",         # reproducible PPS + HT estimation
     "q_agg_skew_kurtosis",       # exact-moment shape profiling
     "q_fn_try_arith",            # ANSI-safe null-propagation tier
+    "q_ts_holt_winters",         # seasonal triple smoothing
+    "q_graph_degree_powerlaw",   # scale-free go/no-go fit
 ]
 
 

@@ -3327,3 +3327,144 @@ def q_orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_open_lines"),
         F.round(F.sum("l_extendedprice"), 2).alias("open_value"),
     )
+
+
+HW_ALPHA = 0.5
+HW_BETA = 0.3
+HW_GAMMA = 0.2
+HW_PERIOD = 7
+
+
+@register(
+    "q_ts_holt_winters",
+    oracle=f"""
+    WITH RECURSIVE
+    daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type, v,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY day) AS rn
+        FROM daily
+    ),
+    n AS (SELECT event_type, max(rn) AS n FROM s GROUP BY 1),
+    init AS (
+        SELECT s.event_type,
+               avg(CASE WHEN rn <= {HW_PERIOD} THEN v END) AS l0,
+               (avg(CASE WHEN rn > {HW_PERIOD}
+                          AND rn <= {2 * HW_PERIOD} THEN v END)
+                - avg(CASE WHEN rn <= {HW_PERIOD} THEN v END))
+                   / {HW_PERIOD} AS b0,
+               list(CASE WHEN rn <= {HW_PERIOD} THEN v END ORDER BY rn
+                    ) FILTER (WHERE rn <= {HW_PERIOD}) AS first_season
+        FROM s GROUP BY 1
+    ),
+    hw(event_type, t, l, b, seasons) AS (
+        SELECT event_type, CAST({HW_PERIOD} AS BIGINT), l0, b0,
+               list_transform(first_season, x -> x - l0)
+        FROM init
+        UNION ALL
+        SELECT hw.event_type, hw.t + 1,
+               CAST({HW_ALPHA} AS DOUBLE) * (s.v - hw.seasons[1])
+                   + CAST({1 - HW_ALPHA} AS DOUBLE) * (hw.l + hw.b),
+               CAST({HW_BETA} AS DOUBLE)
+                   * ((CAST({HW_ALPHA} AS DOUBLE) * (s.v - hw.seasons[1])
+                       + CAST({1 - HW_ALPHA} AS DOUBLE) * (hw.l + hw.b))
+                      - hw.l)
+                   + CAST({1 - HW_BETA} AS DOUBLE) * hw.b,
+               seasons[2:{HW_PERIOD}]
+                   || [CAST({HW_GAMMA} AS DOUBLE) * (s.v
+                       - (CAST({HW_ALPHA} AS DOUBLE)
+                              * (s.v - hw.seasons[1])
+                          + CAST({1 - HW_ALPHA} AS DOUBLE)
+                              * (hw.l + hw.b)))
+                       + CAST({1 - HW_GAMMA} AS DOUBLE) * hw.seasons[1]]
+        FROM hw
+        JOIN s ON s.event_type = hw.event_type AND s.rn = hw.t + 1
+    )
+    SELECT hw.event_type, hw.t AS n_days,
+           round(hw.l, 6) AS level,
+           round(hw.b, 6) AS trend,
+           round(hw.l + hw.b + hw.seasons[1], 6) AS forecast_next
+    FROM hw
+    JOIN n ON n.event_type = hw.event_type AND hw.t = n.n
+    WHERE n.n >= {2 * HW_PERIOD}
+    """,
+)
+def q_ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE triple exponential smoothing (level +
+    trend + weekly seasonality) per event type — the seasonal
+    upgrade of `q_ts_holt` and the forecast every ops dashboard
+    actually needs on weekly-patterned traffic (plain Holt chases
+    the weekend dip as if it were trend). Same two-layer sequential-
+    kernel shape as q_ts_dtw: the 100 TB stream collapses to
+    O(types x days) counts in one distributed aggregate, then the
+    recursion runs per type in one Arrow-batched pandas UDF with the
+    7-slot season vector as loop state. The DuckDB oracle replays
+    the identical recursion as a RECURSIVE CTE whose working row
+    CARRIES the season vector as a LIST column (shift = slice ||
+    append) — extending the scalar-state Holt oracle pattern to
+    vector state. Fixed smoothing constants, fixed operation order,
+    integer daily counts: every level/trend/season value is the
+    same double in both engines, certified at 6 decimals. Types
+    shorter than two seasons are excluded (their trend init is
+    undefined), so the operator is total on any corpus.
+
+    Scale: layer 1 is a map-side-combinable count; layer 2 is
+    O(days) per type, independent across types (parallel within the
+    UDF batch), and never touches raw rows.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("v"))
+    packed = daily.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "v"))),
+            lambda x: x["v"],
+        ).alias("vals")
+    )
+
+    @pandas_udf(
+        "struct<n_days: bigint, level: double, trend: double,"
+        " forecast_next: double>"
+    )
+    def hw(vals: pd.Series) -> pd.DataFrame:
+        out = []
+        m, a, be, g = HW_PERIOD, HW_ALPHA, HW_BETA, HW_GAMMA
+        for y in vals:
+            y = list(y)
+            if len(y) < 2 * m:
+                out.append((len(y), None, None, None))
+                continue
+            l = sum(y[:m]) / m
+            b = (sum(y[m : 2 * m]) / m - sum(y[:m]) / m) / m
+            seas = [x - l for x in y[:m]]
+            for t in range(m, len(y)):
+                s_used = seas[0]
+                l_new = a * (y[t] - s_used) + (1 - a) * (l + b)
+                b_new = be * (l_new - l) + (1 - be) * b
+                s_new = g * (y[t] - l_new) + (1 - g) * s_used
+                seas = seas[1:] + [s_new]
+                l, b = l_new, b_new
+            out.append((len(y), l, b, l + b + seas[0]))
+        return pd.DataFrame(
+            out, columns=["n_days", "level", "trend", "forecast_next"]
+        )
+
+    return (
+        packed.select("event_type", hw("vals").alias("r"))
+        .select(
+            "event_type",
+            F.col("r.n_days").alias("n_days"),
+            F.round("r.level", 6).alias("level"),
+            F.round("r.trend", 6).alias("trend"),
+            F.round("r.forecast_next", 6).alias("forecast_next"),
+        )
+        .filter(F.col("n_days") >= 2 * HW_PERIOD)
+    )

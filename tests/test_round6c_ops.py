@@ -2162,3 +2162,98 @@ def test_try_arith_null_propagation(spark, sf_dir):
             assert r.price_per_adj_size is not None
         assert r.name_as_int is None
         assert r.brand_num is not None
+
+
+def test_holt_winters_absorbs_seasonality(spark, tmp_path):
+    """A perfectly periodic series (period 7, zero trend) must end
+    with trend ~ 0 and a forecast equal to the next periodic value
+    once the season vector has absorbed the cycle; a short series
+    (< 2 periods) is excluded."""
+    import pandas as pd
+
+    pat = [10.0, 20.0, 30.0, 40.0, 30.0, 20.0, 10.0]
+    days = 28
+    rows = []
+    eid = 1
+    for d in range(days):
+        cnt = int(pat[d % 7])
+        for _ in range(cnt):
+            rows.append((eid, f"2024-01-{d+1:02d}", "click"))
+            eid += 1
+    # a second, 7-day-only type -> must be excluded
+    for d in range(7):
+        rows.append((eid, f"2024-01-{d+1:02d}", "signup"))
+        eid += 1
+    pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows]),
+            "user_id": [1] * len(rows),
+            "event_type": [r[2] for r in rows],
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    got = {
+        r.event_type: r
+        for r in QUERIES["q_ts_holt_winters"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(got) == {"click"}
+    r = got["click"]
+    assert r.n_days == 28
+    assert abs(r.trend) < 0.01
+    # day 29 is pattern position 0 -> 10
+    assert abs(r.forecast_next - 10.0) < 1.0
+
+
+def test_degree_powerlaw_recovers_exponent(spark, tmp_path):
+    """Exact-CCDF construction: supplier degree counts chosen so
+    P(D >= d) = 1/d exactly for d = 1..10 (cnt(d) = N/(d(d+1)),
+    tail lump at d=10) — every log-log point lies ON the line, so
+    the fit must return slope -1 and r2 = 1 to 6 decimals: the
+    estimator is validated exactly, not just smoke-tested."""
+    import pandas as pd
+
+    N = 2520
+    cnts = {d: N // (d * (d + 1)) for d in range(1, 10)}
+    cnts[10] = N // 10
+    orders, lines, ok, cust, sup = [], [], 1, 1, 1
+    for d, cnt in cnts.items():
+        for _ in range(cnt):
+            for _k in range(d):
+                orders.append((ok, cust)); lines.append((ok, sup))
+                ok += 1; cust += 1
+            sup += 1
+    pd.DataFrame(
+        {
+            "o_orderkey": [r[0] for r in orders],
+            "o_custkey": [r[1] for r in orders],
+            "o_orderstatus": ["O"] * len(orders),
+            "o_totalprice": [1.0] * len(orders),
+            "o_orderdate": pd.to_datetime(["1995-01-01"] * len(orders)),
+            "o_orderpriority": ["1-URGENT"] * len(orders),
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame(
+        {
+            "l_orderkey": [r[0] for r in lines],
+            "l_partkey": [1] * len(lines),
+            "l_suppkey": [r[1] for r in lines],
+            "l_linenumber": [1] * len(lines),
+            "l_quantity": [1.0] * len(lines),
+            "l_extendedprice": [1.0] * len(lines),
+            "l_discount": [0.0] * len(lines),
+            "l_tax": [0.0] * len(lines),
+            "l_returnflag": ["N"] * len(lines),
+            "l_linestatus": ["O"] * len(lines),
+            "l_shipdate": pd.to_datetime(["1995-01-02"] * len(lines)),
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    r = QUERIES["q_graph_degree_powerlaw"](
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert r.n_points == 10
+    assert r.ccdf_slope == -1.0
+    assert r.r2 == 1.0
