@@ -33,8 +33,8 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # and green under tools/verify_vanilla.py (the driver-style vanilla
 # session differential).
 #
-# After this window, 201 registered names remain never-driver-sampled:
-# the 144 round-6-new operators (q_text_pii_stats q_events_bot_detect
+# After this window, 202 registered names remain never-driver-sampled:
+# the 145 round-6-new operators (q_text_pii_stats q_events_bot_detect
 # q_ts_crosscorr q_win_cumulative_distinct q_join_scd2_pit
 # q_sim_semantic_clusters q_dedup_keep_best q_sample_diversity
 # q_agg_largest_remainder q_dq_benford q_ts_theil_sen
@@ -68,7 +68,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # q_join_asof_forward q_agg_hll_intersect q_dq_table_checksum
 # s_hll_distinct q_agg_corr_matrix q_sample_ht_total
 # q_agg_skew_kurtosis q_fn_try_arith q_ts_holt_winters
-# q_graph_degree_powerlaw
+# q_graph_degree_powerlaw q_sim_lsh_md5
 # q_sample_time_split
 # q_graph_common_neighbors q_agg_weighted_median
 # q_text_bigram_logprob q_dedup_threshold_sweep

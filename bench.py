@@ -242,6 +242,7 @@ HEADLINE = [
     "q_fn_try_arith",            # ANSI-safe null-propagation tier
     "q_ts_holt_winters",         # seasonal triple smoothing
     "q_graph_degree_powerlaw",   # scale-free go/no-go fit
+    "q_sim_lsh_md5",             # certified hyperplane LSH recall
 ]
 
 

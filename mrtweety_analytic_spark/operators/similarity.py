@@ -2717,3 +2717,167 @@ def q_sim_mips_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.round(F.col("ip"), 6) > bound, 1).otherwise(0)
         ).alias("n_bound_violations"),
     )
+
+
+# Fixed random-hyperplane LSH model: 4 sign-planes over 64 dims,
+# coefficients +-1 derived from md5 of "plane:dim" via hashlib at
+# import (a frozen model artifact, identical in the Spark code and
+# the generated oracle SQL — the engine-portable analogue of seeding).
+import hashlib as _hashlib
+
+_RHP_PLANES = 4
+_RHP_DIM = 64
+_RHP_COEFS = [
+    [
+        1.0
+        if int(
+            _hashlib.md5(f"{p}:{i}".encode()).hexdigest()[0], 16
+        )
+        % 2
+        == 0
+        else -1.0
+        for i in range(_RHP_DIM)
+    ]
+    for p in range(_RHP_PLANES)
+]
+
+
+def _rhp_bucket_sql(col: str) -> str:
+    terms = []
+    for p, coefs in enumerate(_RHP_COEFS):
+        arr = "[" + ", ".join(f"CAST({c} AS DOUBLE)" for c in coefs) + "]"
+        terms.append(
+            f"(CASE WHEN list_inner_product({col}, {arr}) >= 0"
+            f" THEN {1 << p} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+@register(
+    "q_sim_lsh_md5",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings
+    ),
+    b AS (SELECT vec_id, {_rhp_bucket_sql('e')} AS bucket FROM v),
+    q AS (SELECT bucket AS qb FROM b WHERE vec_id = 0),
+    topk AS (
+        SELECT v.vec_id
+        FROM v, (SELECT e AS qe FROM v WHERE vec_id = 0) p
+        WHERE v.vec_id <> 0
+        ORDER BY list_cosine_similarity(v.e, p.qe) DESC, v.vec_id
+        LIMIT {KNN_K}
+    )
+    SELECT (SELECT count(*) FROM b) AS n_vectors,
+           q.qb AS probe_bucket,
+           (SELECT count(*) FROM b, q
+            WHERE b.bucket = q.qb AND b.vec_id <> 0) AS n_candidates,
+           (SELECT round(CAST(count(*) AS DOUBLE) / {KNN_K}, 4)
+            FROM topk JOIN b ON b.vec_id = topk.vec_id, q
+            WHERE b.bucket = q.qb) AS recall_at_k
+    FROM q
+    """,
+)
+def q_sim_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-CERTIFIED random-hyperplane (SimHash-for-vectors) LSH —
+    the certification upgrade of the rows-only `q_sim_lsh_bucketed`/
+    `q_sim_lsh_eval` pair, completing the md5 series (minhash_md5,
+    hll_md5, cms_md5): the 4 sign-planes are +-1 vectors derived
+    from md5 at import and frozen into BOTH the Spark plan and the
+    generated oracle SQL as literal arrays, so every projection
+    sign, every bucket id, and the measured recall are bit-identical
+    cross-engine (dot products evaluate in the same left-to-right
+    order that certifies q_sim_knn_cosine). The output is the LSH
+    quality triple a tuner reads: candidate-set size (the cost) and
+    recall of the true cosine top-{KNN_K} inside the probe's bucket
+    (the quality) — on this isotropic corpus recall tracks the
+    1/2^planes bucket fraction plus the angular-locality lift, and
+    the same certified query re-tunes the planes/probes trade-off on
+    any real corpus.
+
+    Scale: bucketing is one map-side pass (4 fixed dot products per
+    vector, JVM codegen, no shuffle); candidate counting groups by
+    bucket; only the CERTIFICATE's exact top-k does a full scan, and
+    it is dropped in production — the production path joins query
+    buckets to a bucket-partitioned index, touching 1/2^planes of
+    the corpus.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+
+    def dot_lit(coefs: list) -> F.Column:
+        arr = F.array(*[F.lit(c) for c in coefs])
+        return F.aggregate(
+            F.zip_with("e", arr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bucket = None
+    for p, coefs in enumerate(_RHP_COEFS):
+        term = F.when(dot_lit(coefs) >= 0, F.lit(1 << p)).otherwise(0)
+        bucket = term if bucket is None else bucket + term
+    b = emb.select("vec_id", bucket.alias("bucket"))
+    q = b.filter(F.col("vec_id") == 0).select(
+        F.col("bucket").alias("qb")
+    )
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        F.col("e").alias("qe")
+    )
+    cos = F.aggregate(
+        F.zip_with("e", "qe", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / (
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("e", "e", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        * F.sqrt(
+            F.aggregate(
+                F.zip_with("qe", "qe", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    )
+    topk = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probe))
+        .select("vec_id", cos.alias("score"))
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(KNN_K)
+        .select("vec_id")
+    )
+    n_vectors = b.agg(F.count(F.lit(1)).alias("n_vectors"))
+    n_cand = (
+        b.crossJoin(F.broadcast(q))
+        .filter((F.col("bucket") == F.col("qb")) & (F.col("vec_id") != 0))
+        .agg(F.count(F.lit(1)).alias("n_candidates"))
+    )
+    hits = (
+        topk.join(b, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("bucket") == F.col("qb"))
+        .agg(
+            F.round(
+                F.count(F.lit(1)).cast("double") / KNN_K, 4
+            ).alias("recall_at_k")
+        )
+    )
+    return (
+        q.crossJoin(F.broadcast(n_vectors))
+        .crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(hits))
+        .select(
+            "n_vectors",
+            F.col("qb").alias("probe_bucket"),
+            "n_candidates",
+            "recall_at_k",
+        )
+    )

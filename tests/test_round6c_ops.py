@@ -2257,3 +2257,14 @@ def test_degree_powerlaw_recovers_exponent(spark, tmp_path):
     assert r.n_points == 10
     assert r.ccdf_slope == -1.0
     assert r.r2 == 1.0
+
+
+def test_lsh_md5_bucket_internal_consistency(spark, sf_dir):
+    """Hyperplane LSH sanity: the probe bucket is one of the 2^4
+    cells, candidates are a strict subset of the corpus, and recall
+    is a valid fraction of k; the probe vector always shares its own
+    bucket (it IS the bucket definition)."""
+    r = QUERIES["q_sim_lsh_md5"](spark, sf_dir).collect()[0]
+    assert 0 <= r.probe_bucket < 16
+    assert 0 <= r.n_candidates < r.n_vectors
+    assert 0.0 <= r.recall_at_k <= 1.0
