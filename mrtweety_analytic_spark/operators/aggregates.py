@@ -1675,3 +1675,164 @@ def q_agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m3 / (m2 * F.sqrt(m2)), 6).alias("skewness"),
         F.round(m4 / (m2 * m2) - 3, 6).alias("excess_kurtosis"),
     )
+
+
+# Histogram quantile sketch: fixed dyadic domain so bucket width and
+# edges are EXACT doubles in both engines (131072/4096 = 32.0).
+HQ_BUCKETS = 4096
+HQ_DOMAIN = 131072.0  # 2^17 — covers l_extendedprice (max ~105k)
+HQ_WIDTH = HQ_DOMAIN / HQ_BUCKETS  # 32.0 exactly
+HQ_QS = [("p50", 0.5), ("p95", 0.95), ("p99", 0.99)]
+
+
+@register(
+    "q_agg_histogram_quantile",
+    oracle=f"""
+    WITH v AS (
+        SELECT l_returnflag AS flag, CAST(l_extendedprice AS DOUBLE) AS x
+        FROM lineitem
+    ),
+    h AS (
+        SELECT flag,
+               LEAST({HQ_BUCKETS - 1},
+                     CAST(floor(x / {HQ_WIDTH!r}) AS BIGINT)) AS b,
+               count(*) AS c
+        FROM v GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT flag, b, c,
+               sum(c) OVER (PARTITION BY flag ORDER BY b) AS cum,
+               sum(c) OVER (PARTITION BY flag) AS total
+        FROM h
+    ),
+    qs AS (SELECT * FROM (VALUES {", ".join(f"('{k}', CAST({q} AS DOUBLE))" for k, q in HQ_QS)})
+           AS t(qk, q)),
+    pick AS (
+        SELECT cum.flag, qs.qk, min(cum.b) AS pb
+        FROM cum, qs
+        WHERE cum.cum >= ceil(qs.q * cum.total)
+        GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT p.flag, p.qk,
+               round({HQ_WIDTH!r} * (p.pb
+                     + (ceil(q.q * c.total) - (c.cum - c.c))
+                       / CAST(c.c AS DOUBLE)), 4) AS e
+        FROM pick p
+        JOIN cum c ON c.flag = p.flag AND c.b = p.pb
+        JOIN qs q ON q.qk = p.qk
+    ),
+    ex AS (
+        SELECT flag, count(*) AS n,
+               {", ".join(f"round(quantile_cont(x, CAST({q} AS DOUBLE)), 4) AS x_{k}" for k, q in HQ_QS)}
+        FROM v GROUP BY 1
+    )
+    SELECT ex.flag, ex.n,
+           {", ".join(f"max(CASE WHEN est.qk = '{k}' THEN est.e END) AS est_{k}" for k, _ in HQ_QS)},
+           {", ".join(f"round(abs(max(CASE WHEN est.qk = '{k}' THEN est.e END) - ex.x_{k}) / ex.x_{k}, 6) AS relerr_{k}" for k, _ in HQ_QS)}
+    FROM ex JOIN est ON est.flag = ex.flag
+    GROUP BY ex.flag, ex.n, {", ".join(f"ex.x_{k}" for k, _ in HQ_QS)}
+    """,
+)
+def q_agg_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram-quantile sketch with a measured-error
+    certificate — the third member of the certified sketch suite
+    (q_agg_hll_md5 = distinct, q_agg_cms_md5 = frequency, this =
+    quantiles). A fixed 4096-bucket equi-width histogram over a
+    dyadic domain (width 32.0, an exact double, so bucket ids are
+    bit-identical cross-engine with no md5 needed) is the sketch:
+    per-bucket counts are ADDITIVE, hence partial-aggregable,
+    mergeable across shards/days, and streamable (twin:
+    s_quantile_sketch). Quantiles come from a CDF walk — the first
+    bucket whose running count reaches ceil(q·n) — with linear
+    interpolation inside the bucket, all closed-form integer/double
+    arithmetic, no data-dependent iteration.
+
+    The certificate measures the estimate against the exact
+    interpolated percentile (Spark `percentile` == DuckDB
+    `quantile_cont`, the probed bit-exact pairing) as a relative
+    error per (group, quantile) — at 4096 buckets over this corpus
+    the p50/p95/p99 errors land well under 1e-3, and the same query
+    re-reads the error after any re-bucketing decision.
+
+    Scale: the sketch path is one map-side-combinable groupBy to at
+    most groups×4096 rows, one bounded partitioned window over those
+    rows, and a broadcast-argmin pick (min over a conditional
+    struct). The exact side is the certificate only — it is the one
+    fact-wide percentile and is dropped in production, exactly the
+    hll_md5 pattern. A 100 TB rollup keeps one 4096-int array per
+    (group, day) and answers any quantile after any merge.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").cast("double").alias("x"),
+    )
+    h = v.groupBy(
+        "flag",
+        F.least(
+            F.lit(HQ_BUCKETS - 1),
+            F.floor(F.col("x") / F.lit(HQ_WIDTH)),
+        ).alias("b"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wb = W.partitionBy("flag").orderBy("b")
+    cum = h.select(
+        "flag",
+        "b",
+        "c",
+        F.sum("c").over(wb).alias("cum"),
+        F.sum("c").over(W.partitionBy("flag")).alias("total"),
+    )
+    # Broadcast-argmin per quantile: min(struct(b, c, cum)) over the
+    # buckets that reach the target rank — first qualifying bucket,
+    # no second shuffle, no join back.
+    aggs = []
+    for k, q in HQ_QS:
+        t = F.ceil(F.lit(q) * F.col("total"))
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("cum") >= t,
+                    F.struct(
+                        F.col("b"), F.col("c"), F.col("cum"), t.alias("t")
+                    ),
+                )
+            ).alias(f"pick_{k}")
+        )
+    picked = cum.groupBy("flag").agg(*aggs)
+    est_cols = []
+    for k, _q in HQ_QS:
+        p = F.col(f"pick_{k}")
+        est_cols.append(
+            F.round(
+                F.lit(HQ_WIDTH)
+                * (
+                    p["b"]
+                    + (p["t"] - (p["cum"] - p["c"]))
+                    / p["c"].cast("double")
+                ),
+                4,
+            ).alias(f"est_{k}")
+        )
+    est = picked.select("flag", *est_cols)
+    exact = v.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.round(F.percentile("x", F.lit(q)), 4).alias(f"x_{k}")
+            for k, q in HQ_QS
+        ],
+    )
+    out = exact.join(F.broadcast(est), "flag")
+    return out.select(
+        "flag",
+        "n",
+        *[F.col(f"est_{k}") for k, _ in HQ_QS],
+        *[
+            F.round(
+                F.abs(F.col(f"est_{k}") - F.col(f"x_{k}"))
+                / F.col(f"x_{k}"),
+                6,
+            ).alias(f"relerr_{k}")
+            for k, _ in HQ_QS
+        ],
+    )

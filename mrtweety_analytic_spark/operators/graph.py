@@ -567,6 +567,11 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = (
         edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
     )
+    # One count job per peel round: last round's n_now IS this round's
+    # node count, so carry it instead of re-counting the checkpointed
+    # survivor frame (at scale each count is a driver round-trip per
+    # iteration).
+    n_prev = nodes.count()
     for _ in range(20):
         alive = edges.join(
             nodes, edges.src == nodes.node, "left_semi"
@@ -581,11 +586,11 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("src").alias("node"))
             .localCheckpoint()
         )
-        n_prev = nodes.count()
         n_now = survivors.count()
         nodes = survivors
         if n_now == n_prev or n_now == 0:
             break
+        n_prev = n_now
     core_edges = edges.join(
         nodes, edges.src == nodes.node, "left_semi"
     ).join(

@@ -2766,7 +2766,7 @@ def _rhp_bucket_sql(col: str) -> str:
         SELECT v.vec_id
         FROM v, (SELECT e AS qe FROM v WHERE vec_id = 0) p
         WHERE v.vec_id <> 0
-        ORDER BY list_cosine_similarity(v.e, p.qe) DESC, v.vec_id
+        ORDER BY round(list_cosine_similarity(v.e, p.qe), 6) DESC, v.vec_id
         LIMIT {KNN_K}
     )
     SELECT (SELECT count(*) FROM b) AS n_vectors,
@@ -2846,10 +2846,15 @@ def q_sim_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # Round-before-ranking (repo rule): the oracle's
+    # list_cosine_similarity and the manual left-to-right fold are
+    # not bit-identical, so a near-tie at rank K could flip the
+    # certified top-k set; 6-decimal rounding in BOTH engines before
+    # ORDER BY removes the hazard (vec_id breaks residual ties).
     topk = (
         emb.filter(F.col("vec_id") != 0)
         .join(F.broadcast(probe))
-        .select("vec_id", cos.alias("score"))
+        .select("vec_id", F.round(cos, 6).alias("score"))
         .orderBy(F.desc("score"), "vec_id")
         .limit(KNN_K)
         .select("vec_id")

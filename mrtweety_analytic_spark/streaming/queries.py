@@ -17,7 +17,7 @@ import json
 import os
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -1074,7 +1074,12 @@ class UpsertKeyedSink:
 
         self.base = base_dir or tempfile.mkdtemp(prefix="upsert_keyed_")
         os.makedirs(self.base, exist_ok=True)
-        self._version = 0
+        # Reopen-and-continue (ADVICE r06): resume versioning from the
+        # newest committed snapshot, else the first commit after a
+        # restart would try to re-create an existing v000001 directory
+        # and the recovery path the manifest protocol advertises would
+        # be unusable.
+        self._version = max(self.snapshots(), default=0)
         self._spark: SparkSession | None = None
 
     # -- manifest (bucket -> version) ---------------------------------
@@ -2026,3 +2031,118 @@ def s_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("used").alias("n_registers_used"),
         F.round(est, 4).alias("hll_estimate"),
     )
+
+
+# Streaming histogram-quantile sketch: dyadic domain so the bucket
+# width is an exact double (512/4096 = 0.125) — see the batch twin
+# q_agg_histogram_quantile (operators/aggregates.py) for the design.
+SQS_BUCKETS = 4096
+SQS_WIDTH = 512.0 / SQS_BUCKETS  # 0.125 exactly
+SQS_QS = [("p50", 0.5), ("p95", 0.95), ("p99", 0.99)]
+
+
+@register(
+    "s_quantile_sketch",
+    oracle=f"""
+    WITH h AS (
+        SELECT LEAST({SQS_BUCKETS - 1},
+                     CAST(floor(CAST(value AS DOUBLE) / {SQS_WIDTH!r})
+                          AS BIGINT)) AS b,
+               count(*) AS c
+        FROM events GROUP BY 1
+    ),
+    cum AS (
+        SELECT b, c,
+               sum(c) OVER (ORDER BY b) AS cum,
+               sum(c) OVER () AS total
+        FROM h
+    ),
+    qs AS (SELECT * FROM (VALUES {", ".join(f"('{k}', CAST({q} AS DOUBLE))" for k, q in SQS_QS)})
+           AS t(qk, q)),
+    pick AS (
+        SELECT qs.qk, min(cum.b) AS pb
+        FROM cum, qs
+        WHERE cum.cum >= ceil(qs.q * cum.total)
+        GROUP BY 1
+    ),
+    est AS (
+        SELECT p.qk,
+               round({SQS_WIDTH!r} * (p.pb
+                     + (ceil(q.q * c.total) - (c.cum - c.c))
+                       / CAST(c.c AS DOUBLE)), 4) AS e
+        FROM pick p
+        JOIN cum c ON c.b = p.pb
+        JOIN qs q ON q.qk = p.qk
+    )
+    SELECT (SELECT count(*) FROM events) AS n,
+           (SELECT count(*) FROM h) AS n_buckets_used,
+           {", ".join(f"max(CASE WHEN qk = '{k}' THEN e END) AS est_{k}" for k, _ in SQS_QS)}
+    FROM est
+    """,
+)
+def s_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING quantile sketch — per-bucket counts of the fixed
+    4096-bucket histogram maintained by Spark's built-in streaming
+    aggregation. A streaming count per bucket is a RUNNING count
+    (monotone, like s_hll_distinct's register max), so update-mode
+    emissions to the memory sink finalize as max per bucket, and the
+    availableNow replay makes the final counts equal the batch
+    counts exactly — the DuckDB batch oracle hash-checks the
+    streaming p50/p95/p99 end-to-end. State is bounded at 4096 rows
+    FOREVER: exact streaming percentiles would hold every value in
+    the state store; this holds 4096 longs no matter how many
+    trillion events pass, and the same counts merge across streams
+    by addition (the q_agg_histogram_quantile merge law).
+
+    The quantile finalization (CDF walk + in-bucket interpolation)
+    runs batch-side on the 4096-row state — the cheap read-path of
+    the lambda architecture this sketch implements.
+    """
+    ev = load_events_stream(spark, sf_dir)
+    h = ev.groupBy(
+        F.least(
+            F.lit(SQS_BUCKETS - 1),
+            F.floor(F.col("value").cast("double") / F.lit(SQS_WIDTH)),
+        ).alias("b")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    out = _run_to_memory(spark, h, "update")
+    buckets = out.groupBy("b").agg(F.max("c").alias("c"))
+    cum = buckets.select(
+        "b",
+        "c",
+        F.sum("c").over(W.orderBy("b").rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+        F.sum("c").over(W.partitionBy()).alias("total"),
+    )
+    aggs = []
+    for k, q in SQS_QS:
+        t = F.ceil(F.lit(q) * F.col("total"))
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("cum") >= t,
+                    F.struct(
+                        F.col("b"), F.col("c"), F.col("cum"), t.alias("t")
+                    ),
+                )
+            ).alias(f"pick_{k}")
+        )
+    picked = cum.agg(
+        F.max("total").alias("n"),
+        F.count(F.lit(1)).alias("n_buckets_used"),
+        *aggs,
+    )
+    est_cols = []
+    for k, _q in SQS_QS:
+        p = F.col(f"pick_{k}")
+        est_cols.append(
+            F.round(
+                F.lit(SQS_WIDTH)
+                * (
+                    p["b"]
+                    + (p["t"] - (p["cum"] - p["c"]))
+                    / p["c"].cast("double")
+                ),
+                4,
+            ).alias(f"est_{k}")
+        )
+    return picked.select("n", "n_buckets_used", *est_cols)

