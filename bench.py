@@ -267,6 +267,15 @@ HEADLINE_EXTRA = [
     "q_ts_holt_winters",         # seasonal triple smoothing
     "q_graph_degree_powerlaw",   # scale-free go/no-go fit
     "q_sim_lsh_md5",             # certified hyperplane LSH recall
+    # round-7 additions
+    "q_agg_histogram_quantile",  # mergeable quantile sketch + error cert
+    "s_quantile_sketch",         # streaming twin, 4096-row state
+    "q_dq_ks_test",              # exact two-sample KS drift test
+    "q_events_cuped",            # variance-reduced A/B readout
+    "q_graph_components_cert",   # certified connected components
+    "q_sim_ivfpq",               # composed IVF routing + PQ ADC index
+    "q_sim_ivfpq_recall",        # measured compression+routing cost
+    "q_sample_kfold",            # leakage-safe K-fold CV assignment
 ]
 
 HEADLINE = HEADLINE_CORE + HEADLINE_EXTRA

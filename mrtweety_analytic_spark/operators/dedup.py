@@ -1596,3 +1596,114 @@ def q_mix_effective_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("unique_frac"),
     )
+
+
+KF_K = 5  # cross-validation folds
+
+
+@register(
+    "q_sample_kfold",
+    oracle=f"""
+    WITH RECURSIVE {_EDGES_SQL},
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc, other) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT r.doc, e.b FROM reach r JOIN edges e ON e.a = r.other
+    ),
+    cl AS (SELECT doc, min(other) AS cluster_id FROM reach GROUP BY doc),
+    asg AS (
+        SELECT d.doc_id, d.n_chars,
+               coalesce(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN cl c ON c.doc = d.doc_id
+    ),
+    folded AS (
+        SELECT doc_id, n_chars, cluster_id,
+               CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)),
+                                    1, 12)) AS BIGINT) % {KF_K} AS fold
+        FROM asg
+    ),
+    viol AS (
+        SELECT count(*) AS n
+        FROM pairs p
+        JOIN folded fa ON fa.doc_id = p.doc_a
+        JOIN folded fb ON fb.doc_id = p.doc_b
+        WHERE fa.fold <> fb.fold
+    )
+    SELECT CAST(fold AS INTEGER) AS fold,
+           count(*) AS n_docs,
+           count(DISTINCT cluster_id) AS n_clusters,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           (SELECT n FROM viol) AS n_leak_pairs
+    FROM folded GROUP BY 1
+    """,
+)
+def q_sample_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe K-fold cross-validation assignment — the
+    generalization of q_split_leakage_safe from one train/val cut to
+    {KF_K} rotating folds: the assignment unit is the near-dup
+    CLUSTER (a paraphrase family can never straddle folds), and the
+    fold is the 48-bit-md5 hash of the cluster id mod {KF_K} — the
+    certified cross-engine hash gate, which unlike `cluster_id %% K`
+    is invariant to how ids were allocated (sequential ids would put
+    all early docs in the same folds). The output carries its own
+    audit: n_leak_pairs counts near-dup pairs whose endpoints landed
+    in different folds, and is STRUCTURALLY zero (fold is a function
+    of cluster id; both endpoints share a cluster) — the certificate
+    a CV harness checks before trusting per-fold eval numbers.
+
+    Scale: cluster labels from the bounded label propagation
+    (q_dedup_clusters), one left join of docs to the O(clustered)
+    label table, a row-local hash — then counts. The leakage audit
+    joins the O(near-dup pairs) edge list to the fold map twice —
+    both tiny after the exact tier. Nothing here scans text.
+    """
+    from ..registry import QUERIES
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = QUERIES["q_dedup_clusters"](spark, sf_dir)
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 12),
+            16,
+            10,
+        ).cast("bigint")
+        % KF_K
+    )
+    folded = (
+        docs.join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn("fold", fold)
+    )
+    pairs = QUERIES["q_dedup_ngram_jaccard"](spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    fa = folded.select(
+        F.col("doc_id").alias("doc_a"), F.col("fold").alias("fold_a")
+    )
+    fb = folded.select(
+        F.col("doc_id").alias("doc_b"), F.col("fold").alias("fold_b")
+    )
+    viol = (
+        pairs.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .filter(F.col("fold_a") != F.col("fold_b"))
+        .agg(F.count(F.lit(1)).alias("n_leak_pairs"))
+    )
+    return (
+        folded.groupBy(F.col("fold").cast("int").alias("fold"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .crossJoin(F.broadcast(viol))
+    )

@@ -981,3 +981,143 @@ def q_graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(ly, lx), 6).alias("ccdf_slope"),
         F.round(F.regr_r2(ly, lx), 6).alias("r2"),
     )
+
+
+@register(
+    "q_graph_components_cert",
+    oracle="""
+    WITH e0 AS (
+        SELECT nc.n_name AS cn, ns.n_name AS sn, count(*) AS cnt
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN customer c ON c.c_custkey = o_custkey
+        JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+        JOIN supplier s ON s.s_suppkey = l_suppkey
+        JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+        WHERE nc.n_name <> ns.n_name
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT count(*) AS n, sum(cnt) AS s FROM e0),
+    strong AS (
+        SELECT cn, sn FROM e0, tot WHERE cnt * 4 * tot.n >= 7 * tot.s
+    ),
+    und AS (SELECT cn AS a, sn AS b FROM strong
+            UNION SELECT sn, cn FROM strong),
+    nodes AS (SELECT n_name AS node FROM nation),
+    reach AS (
+        WITH RECURSIVE r(node, lbl) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT u.b, r.lbl FROM r JOIN und u ON u.a = r.node
+            WHERE r.lbl < u.b
+        ) SELECT * FROM r
+    ),
+    comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+    SELECT comp.node AS n_name, comp.component, sizes.comp_size
+    FROM comp
+    JOIN (SELECT component, count(*) AS comp_size
+          FROM comp GROUP BY 1) sizes USING (component)
+    """,
+)
+def q_graph_components_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-CERTIFIED connected components — the iterative
+    min-label-propagation kernel that q_dedup_clusters /
+    q_sim_semantic_clusters build on, hash-certified end-to-end for
+    the first time: the DuckDB twin replays the fixpoint as a
+    RECURSIVE CTE (labels flow along edges while strictly
+    decreasing, then min per node — the same certification trick as
+    q_graph_bfs's min-distance CTE), so every node's component id
+    and every component size is value-compared cross-engine, not
+    just row-counted. The graph is real but BOUNDED by construction:
+    nations as nodes, an edge where cross-nation trade volume is
+    ≥ 1.75× the mean pair volume (the comparison is integer cross-
+    multiplication, cnt·4·n ≥ 7·s — no double threshold to disagree
+    on), yielding trade blocs at any SF (13 components at sf0.001,
+    2 at sf0.01) while keeping the oracle's quadratic
+    reach-enumeration at ≤ 25² rows.
+
+    The Spark side is the production-shaped kernel, identical to
+    q_dedup_clusters' core: labels start as the node id, each round
+    takes min(own, neighbors' labels) (one equi-join + one
+    map-side-combinable groupBy), re-checkpoints (lineage stays
+    flat), and exits when no label changed — ≤ diameter rounds,
+    with only the per-round change count shipped to the driver. On
+    a 100 TB edge list the SAME loop runs with the node frame
+    hash-partitioned; the certification graph is small because the
+    ORACLE must enumerate reachability, not because the kernel is.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    e0 = (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .join(cust, cust.c_custkey == orders.o_custkey)
+        .join(
+            F.broadcast(nat.select(
+                F.col("n_nationkey").alias("ck"),
+                F.col("n_name").alias("cn"),
+            )),
+            F.col("ck") == cust.c_nationkey,
+        )
+        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+              F.col("s_suppkey") == li.l_suppkey)
+        .join(
+            F.broadcast(nat.select(
+                F.col("n_nationkey").alias("sk"),
+                F.col("n_name").alias("sn"),
+            )),
+            F.col("sk") == F.col("s_nationkey"),
+        )
+        .filter(F.col("cn") != F.col("sn"))
+        .groupBy("cn", "sn")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = e0.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cnt").alias("s")
+    )
+    strong = (
+        e0.crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") * 4 * F.col("n") >= 7 * F.col("s"))
+        .select("cn", "sn")
+    )
+    und = (
+        strong.select(F.col("cn").alias("a"), F.col("sn").alias("b"))
+        .union(strong.select(F.col("sn").alias("a"), F.col("cn").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        nat.select(F.col("n_name").alias("node"))
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(25):  # <= node count bounds any diameter
+        neigh = und.join(
+            labels, und.a == labels.node
+        ).select(F.col("b").alias("node"), "lbl")
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(
+                labels.select("node", F.col("lbl").alias("old")), "node"
+            )
+            .filter(F.col("lbl") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    comp = labels.select(
+        F.col("node").alias("n_name"), F.col("lbl").alias("component")
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("comp_size")
+    )
+    return comp.join(F.broadcast(sizes), "component").select(
+        "n_name", "component", "comp_size"
+    )

@@ -3468,3 +3468,150 @@ def q_ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_days") >= 2 * HW_PERIOD)
     )
+
+
+@register(
+    "q_events_cuped",
+    oracle="""
+    WITH span AS (
+        SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+        FROM events
+    ),
+    per_user AS (
+        SELECT user_id,
+               sum(CASE WHEN epoch_us(ts) <= span.mid
+                        THEN CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5)
+                                  AS BIGINT) ELSE 0 END) AS x_c,
+               sum(CASE WHEN epoch_us(ts) > span.mid
+                        THEN CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5)
+                                  AS BIGINT) ELSE 0 END) AS y_c
+        FROM events, span
+        GROUP BY user_id
+    ),
+    assigned AS (
+        SELECT user_id, x_c, y_c,
+               (strpos('0123456789abcdef',
+                       substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1)
+                   % 2 AS variant
+        FROM per_user
+    ),
+    pooled AS (
+        SELECT round(regr_slope(CAST(y_c AS DOUBLE),
+                                CAST(x_c AS DOUBLE)), 6) AS theta,
+               regr_avgx(CAST(y_c AS DOUBLE),
+                         CAST(x_c AS DOUBLE)) AS xbar,
+               round(regr_r2(CAST(y_c AS DOUBLE),
+                             CAST(x_c AS DOUBLE)), 6) AS var_reduction
+        FROM assigned
+    ),
+    arms AS (
+        SELECT variant, count(*) AS n_users,
+               sum(x_c) AS sx, sum(y_c) AS sy
+        FROM assigned GROUP BY variant
+    )
+    SELECT CAST(a.variant AS INTEGER) AS variant,
+           a.n_users,
+           round(CAST(a.sy AS DOUBLE) / a.n_users / 100, 4) AS mean_y,
+           round((CAST(a.sy AS DOUBLE) / a.n_users
+                  - p.theta * (CAST(a.sx AS DOUBLE) / a.n_users - p.xbar))
+                 / 100, 4) AS mean_y_cuped,
+           p.theta, p.var_reduction
+    FROM arms a, pooled p
+    """,
+)
+def q_events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data)
+    variance reduction — the adjustment every mature experimentation
+    platform applies before reading q_events_ab_test's z-score: each
+    user's in-experiment spend Y is shifted by θ·(X − X̄) where X is
+    their PRE-period spend and θ = cov(X,Y)/var(X), removing the
+    between-user variance X explains (var_reduction = ρ² = regr_r2)
+    without biasing the treatment difference (θ and X̄ are pooled
+    across arms, and assignment is independent of X). The pre/post
+    boundary is the corpus time-span midpoint in integer
+    microseconds (unix_micros <-> epoch_us, the certified pairing);
+    assignment is the same md5-parity hash as q_events_ab_test, so
+    the experiment key reproduces in any engine.
+
+    Determinism: per-user X and Y accumulate as integer CENTS
+    (floor(v·100+0.5) — the explicit-floor rule; sums are exact
+    bigints), θ/X̄/ρ² come from the regr_* aggregates (probed
+    bit-exact between Spark and DuckDB), and the arm-level CUPED
+    means are closed-form over exact integer arm sums — no
+    merge-order-dependent floating aggregate anywhere.
+
+    Scale: one fact scan → O(users) rows (map-side combinable),
+    then a 1-row pooled regression and a 2-row arm table joined by
+    broadcast. The 100 TB plan is identical; X̄/θ ride the 1-row
+    broadcast exactly like q_events_ab_test's pooled rate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        (
+            (F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts")))
+            / F.lit(2)
+        )
+        .cast("bigint")
+        .alias("mid")
+    )
+    cents = F.floor(F.col("value").cast("double") * 100 + 0.5).cast(
+        "bigint"
+    )
+    us = F.unix_micros("ts")
+    per_user = (
+        ev.crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(us <= F.col("mid"), cents).otherwise(0)).alias(
+                "x_c"
+            ),
+            F.sum(F.when(us > F.col("mid"), cents).otherwise(0)).alias(
+                "y_c"
+            ),
+        )
+    )
+    hexes = "0123456789abcdef"
+    assigned = per_user.withColumn(
+        "variant",
+        (
+            F.expr(
+                f"locate(substring(md5(CAST(user_id AS STRING)), 1, 1),"
+                f" '{hexes}')"
+            )
+            - 1
+        )
+        % 2,
+    )
+    yd = F.col("y_c").cast("double")
+    xd = F.col("x_c").cast("double")
+    pooled = assigned.agg(
+        F.round(F.regr_slope(yd, xd), 6).alias("theta"),
+        F.regr_avgx(yd, xd).alias("xbar"),
+        F.round(F.regr_r2(yd, xd), 6).alias("var_reduction"),
+    )
+    arms = assigned.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("x_c").alias("sx"),
+        F.sum("y_c").alias("sy"),
+    )
+    return arms.crossJoin(F.broadcast(pooled)).select(
+        F.col("variant").cast("int").alias("variant"),
+        "n_users",
+        F.round(
+            F.col("sy").cast("double") / F.col("n_users") / 100, 4
+        ).alias("mean_y"),
+        F.round(
+            (
+                F.col("sy").cast("double") / F.col("n_users")
+                - F.col("theta")
+                * (
+                    F.col("sx").cast("double") / F.col("n_users")
+                    - F.col("xbar")
+                )
+            )
+            / 100,
+            4,
+        ).alias("mean_y_cuped"),
+        "theta",
+        "var_reduction",
+    )

