@@ -276,6 +276,8 @@ HEADLINE_EXTRA = [
     "q_sim_ivfpq",               # composed IVF routing + PQ ADC index
     "q_sim_ivfpq_recall",        # measured compression+routing cost
     "q_sample_kfold",            # leakage-safe K-fold CV assignment
+    "q_ts_ljung_box",            # whiteness test before forecasting
+    "q_dq_chi2",                 # categorical independence + Cramer's V
 ]
 
 HEADLINE = HEADLINE_CORE + HEADLINE_EXTRA

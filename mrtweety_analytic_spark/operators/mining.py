@@ -3615,3 +3615,129 @@ def q_events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         "theta",
         "var_reduction",
     )
+
+
+LB_LAGS = 3
+LB_CHI2_CRIT_3DF_95 = 7.814728  # chi-square 0.95 quantile, df=3
+
+
+def _lb_sql_terms() -> str:
+    """Per-lag ACF + Ljung-Box terms from exact integer sums (the
+    q_agg_skew_kurtosis discipline: v is an integer count, so every
+    power/lag-product sum is an exact BIGINT under any merge order;
+    the only doubles are the final fixed-order closed forms)."""
+    cols = []
+    for k in range(1, LB_LAGS + 1):
+        cols.append(
+            f"""round((CAST(sxy{k} AS DOUBLE)
+                 - xbar * (sa{k} + sb{k}) + n{k} * xbar * xbar)
+                / (CAST(sxx AS DOUBLE) - n * xbar * xbar), 6) AS r{k}"""
+        )
+    return ", ".join(cols)
+
+
+@register(
+    "q_ts_ljung_box",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+        SELECT event_type, v,
+               lag(v, 1) OVER w AS v1,
+               lag(v, 2) OVER w AS v2,
+               lag(v, 3) OVER w AS v3
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    sums AS (
+        SELECT event_type,
+               count(*) AS n, sum(v) AS s, sum(v * v) AS sxx,
+               {", ".join(f'''sum(v * v{k}) AS sxy{k},
+               sum(CASE WHEN v{k} IS NOT NULL THEN v END) AS sa{k},
+               sum(v{k}) AS sb{k}, count(v{k}) AS n{k}''' for k in range(1, LB_LAGS + 1))}
+        FROM lagged GROUP BY event_type
+    ),
+    acf AS (
+        SELECT event_type, n,
+               {", ".join(f"(CAST(sxy{k} AS DOUBLE) - (CAST(s AS DOUBLE) / n) * (sa{k} + sb{k}) + n{k} * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) / (CAST(sxx AS DOUBLE) - n * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS r{k}" for k in range(1, LB_LAGS + 1))}
+        FROM sums
+    )
+    SELECT event_type, n AS n_days,
+           {", ".join(f"round(r{k}, 6) AS r{k}" for k in range(1, LB_LAGS + 1))},
+           round(n * (n + 2.0) * ({" + ".join(f"r{k} * r{k} / (n - {k})" for k in range(1, LB_LAGS + 1))}), 4)
+             AS lb_q,
+           n * (n + 2.0) * ({" + ".join(f"r{k} * r{k} / (n - {k})" for k in range(1, LB_LAGS + 1))})
+             > {LB_CHI2_CRIT_3DF_95} AS reject_white_noise_95
+    FROM acf
+    """,
+)
+def q_ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau whiteness test per event type — the
+    decision layer above q_ts_autocorr's raw lags: Q = n(n+2)·Σ
+    r_k²/(n−k) over lags 1..{LB_LAGS} against the χ²({LB_LAGS})
+    95% critical value, answering "is there ANY autocorrelation
+    worth modeling?" before a forecaster (q_ts_ewma / q_ts_holt) is
+    chosen — a white-noise series needs none, and fitting one
+    anyway just memorizes noise.
+
+    Determinism: the ACF here is the textbook autocovariance form
+    expanded into EXACT integer sums (v is a count; Σv, Σv², Σv·v_k,
+    and the lag-aligned partial sums are all bigints under any merge
+    order — the q_agg_skew_kurtosis discipline), then one
+    fixed-order double closed form per lag; Q is computed from the
+    unrounded r_k in both engines and rounded once. No corr()
+    streaming aggregate anywhere.
+
+    Scale: the fact log collapses to O(types × days) in one
+    partial-aggregable pass; lags ride the event_type partitioning;
+    the test itself is O(types) arithmetic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("v"))
+    w = W.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "v",
+        *[F.lag("v", k).over(w).alias(f"v{k}") for k in range(1, LB_LAGS + 1)],
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("sxx"),
+    ]
+    for k in range(1, LB_LAGS + 1):
+        vk = F.col(f"v{k}")
+        aggs += [
+            F.sum(F.col("v") * vk).alias(f"sxy{k}"),
+            F.sum(F.when(vk.isNotNull(), F.col("v"))).alias(f"sa{k}"),
+            F.sum(vk).alias(f"sb{k}"),
+            F.count(vk).alias(f"n{k}"),
+        ]
+    sums = lagged.groupBy("event_type").agg(*aggs)
+    xbar = F.col("s").cast("double") / F.col("n")
+    den = F.col("sxx").cast("double") - F.col("n") * xbar * xbar
+    rks = []
+    for k in range(1, LB_LAGS + 1):
+        num = (
+            F.col(f"sxy{k}").cast("double")
+            - xbar * (F.col(f"sa{k}") + F.col(f"sb{k}"))
+            + F.col(f"n{k}") * xbar * xbar
+        )
+        rks.append((num / den).alias(f"r{k}"))
+    acf = sums.select("event_type", "n", *rks)
+    q = None
+    for k in range(1, LB_LAGS + 1):
+        term = F.col(f"r{k}") * F.col(f"r{k}") / (F.col("n") - k)
+        q = term if q is None else q + term
+    q = F.col("n") * (F.col("n") + F.lit(2.0)) * q
+    return acf.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        *[F.round(F.col(f"r{k}"), 6).alias(f"r{k}") for k in range(1, LB_LAGS + 1)],
+        F.round(q, 4).alias("lb_q"),
+        (q > LB_CHI2_CRIT_3DF_95).alias("reject_white_noise_95"),
+    )

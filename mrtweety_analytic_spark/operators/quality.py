@@ -1077,3 +1077,119 @@ def q_dq_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lambda",
         F.round(series, 6).alias("p_value"),
     )
+
+
+@register(
+    "q_dq_chi2",
+    oracle="""
+    WITH cells AS (
+        SELECT source, lang, count(*) AS o
+        FROM documents GROUP BY 1, 2
+    ),
+    rt AS (SELECT source, sum(o) AS r FROM cells GROUP BY 1),
+    ct AS (SELECT lang, sum(o) AS c FROM cells GROUP BY 1),
+    n AS (SELECT sum(o) AS n FROM cells),
+    terms AS (
+        SELECT cells.source, cells.lang,
+               CAST(cells.o * cells.o AS DOUBLE) * n.n / (rt.r * ct.c)
+                   AS t
+        FROM cells JOIN rt USING (source) JOIN ct USING (lang), n
+    ),
+    folded AS (
+        SELECT list_aggregate(list(t ORDER BY source, lang), 'sum')
+                   AS chi2_plus_n
+        FROM terms
+    )
+    SELECT (SELECT count(*) FROM rt) AS n_rows,
+           (SELECT count(*) FROM ct) AS n_cols,
+           ((SELECT count(*) FROM rt) - 1)
+               * ((SELECT count(*) FROM ct) - 1) AS dof,
+           n.n AS n_docs,
+           round(folded.chi2_plus_n - n.n, 4) AS chi2,
+           round(sqrt((folded.chi2_plus_n - n.n)
+                      / (n.n * (least((SELECT count(*) FROM rt),
+                                      (SELECT count(*) FROM ct)) - 1))),
+                 6) AS cramers_v
+    FROM folded, n
+    """,
+)
+def q_dq_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between document source and
+    language — the categorical counterpart to q_agg_anova (numeric
+    across groups) and q_dq_ks_test (two continuous samples): a
+    corpus where language depends on source needs per-source
+    language mixing (q_text_domain_mix) before training, and
+    Cramér's V gives the effect size a threshold can act on where
+    raw χ² only grows with n.
+
+    Determinism: χ² = Σ o²·n/(r·c) − n (the algebraic form — o, n,
+    r, c are all exact integer counts, so each term is one double
+    division of exact integers), and the cell-term sum is a
+    FIXED-ORDER fold: both engines sort the O(sources×langs) terms
+    by (source, lang) and sum left-to-right (Spark: aggregate over
+    sort_array(collect_list); DuckDB: list_aggregate over an ORDER
+    BY list), so no shuffle-merge order can perturb the hash — the
+    same discipline as the md5 sketch suite's register folds.
+
+    Scale: one map-side-combinable groupBy to O(cells) rows; margins
+    are two tiny re-aggregations; the fold runs over the bounded
+    cell list. The fact table is scanned once.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    rt = cells.groupBy("source").agg(F.sum("o").alias("r"))
+    ct = cells.groupBy("lang").agg(F.sum("o").alias("c"))
+    n = cells.agg(F.sum("o").alias("n"))
+    terms = (
+        cells.join(F.broadcast(rt), "source")
+        .join(F.broadcast(ct), "lang")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "lang",
+            (
+                (F.col("o") * F.col("o")).cast("double")
+                * F.col("n")
+                / (F.col("r") * F.col("c"))
+            ).alias("t"),
+        )
+    )
+    folded = terms.agg(
+        F.aggregate(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("source", "lang", "t"))
+                ),
+                lambda s: s["t"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("chi2_plus_n")
+    )
+    shape = rt.agg(F.count(F.lit(1)).alias("n_rows")).crossJoin(
+        ct.agg(F.count(F.lit(1)).alias("n_cols"))
+    )
+    chi2 = F.col("chi2_plus_n") - F.col("n")
+    return (
+        shape.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(folded))
+        .select(
+            "n_rows",
+            "n_cols",
+            ((F.col("n_rows") - 1) * (F.col("n_cols") - 1)).alias("dof"),
+            F.col("n").alias("n_docs"),
+            F.round(chi2, 4).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    chi2
+                    / (
+                        F.col("n")
+                        * (F.least(F.col("n_rows"), F.col("n_cols")) - 1)
+                    )
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )

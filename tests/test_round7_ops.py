@@ -238,3 +238,65 @@ def test_kfold_leakage_free_and_complete(spark, sf_dir):
     assert all(0 <= r.fold < KF_K for r in rows)
     n_docs = load_table(spark, sf_dir, "documents").count()
     assert sum(r.n_docs for r in rows) == n_docs
+
+
+def test_ljung_box_internal_consistency(spark, sf_dir):
+    """Ljung-Box invariants: each ACF lag in [-1, 1], Q non-negative
+    and consistent with the emitted r_k values under the published
+    formula, and the rejection flag agrees with the chi-square
+    critical value."""
+    from mrtweety_analytic_spark.operators.mining import (
+        LB_CHI2_CRIT_3DF_95,
+        LB_LAGS,
+    )
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    rows = QUERIES["q_ts_ljung_box"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_days > LB_LAGS
+        q_check = 0.0
+        for k in range(1, LB_LAGS + 1):
+            rk = r[f"r{k}"]
+            assert -1.0 <= rk <= 1.0
+            q_check += rk * rk / (r.n_days - k)
+        q_check *= r.n_days * (r.n_days + 2.0)
+        assert r.lb_q >= 0.0
+        # r_k are rounded to 6dp, so the recomputed Q matches loosely
+        assert abs(r.lb_q - q_check) < 0.05 * max(1.0, abs(r.lb_q))
+        assert r.reject_white_noise_95 == (r.lb_q > LB_CHI2_CRIT_3DF_95)
+
+
+def test_chi2_matches_pure_python(spark, sf_dir):
+    """The chi-square statistic equals the from-scratch textbook
+    computation (observed vs expected from margins) on the same
+    contingency table — a full numeric pin, independent of the
+    algebraic shortcut the operator uses."""
+    from collections import defaultdict
+
+    from mrtweety_analytic_spark.queries import QUERIES
+    from mrtweety_analytic_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    cells = {
+        (r.source, r.lang): r.c
+        for r in docs.groupBy("source", "lang").count()
+        .withColumnRenamed("count", "c").collect()
+    }
+    rt: dict = defaultdict(int)
+    ct: dict = defaultdict(int)
+    for (s, l), o in cells.items():
+        rt[s] += o
+        ct[l] += o
+    n = sum(cells.values())
+    chi2 = 0.0
+    for s in rt:
+        for l in ct:
+            e = rt[s] * ct[l] / n
+            o = cells.get((s, l), 0)
+            chi2 += (o - e) ** 2 / e
+    r = QUERIES["q_dq_chi2"](spark, sf_dir).collect()[0]
+    assert abs(r.chi2 - chi2) < 1e-3
+    assert r.n_docs == n
+    assert r.dof == (len(rt) - 1) * (len(ct) - 1)
+    assert 0.0 <= r.cramers_v <= 1.0
