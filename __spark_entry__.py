@@ -33,11 +33,12 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # tools/verify_vanilla.py (driver-style vanilla session differential)
 # at sf 0.01.
 #
-# After this window, 162 registered names remain never-driver-
-# sampled. The 10 round-7-new operators LEAD round 8's window:
+# After this window, 163 registered names remain never-driver-
+# sampled. The 11 round-7-new operators LEAD round 8's window:
 # q_agg_histogram_quantile s_quantile_sketch q_dq_ks_test
 # q_events_cuped q_graph_components_cert q_sim_ivfpq
 # q_sim_ivfpq_recall q_sample_kfold q_ts_ljung_box q_dq_chi2
+# s_ks_drift
 # then the remaining round-6 lead list:
 # q_dedup_cross_source q_fn_struct q_ts_volatility
 # q_text_code_detect q_orders_reorder_gaps q_mix_effective_counts

@@ -278,6 +278,7 @@ HEADLINE_EXTRA = [
     "q_sample_kfold",            # leakage-safe K-fold CV assignment
     "q_ts_ljung_box",            # whiteness test before forecasting
     "q_dq_chi2",                 # categorical independence + Cramer's V
+    "s_ks_drift",                # streaming binned-KS drift monitor
 ]
 
 HEADLINE = HEADLINE_CORE + HEADLINE_EXTRA

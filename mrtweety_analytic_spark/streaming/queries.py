@@ -2146,3 +2146,109 @@ def s_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"est_{k}")
         )
     return picked.select("n", "n_buckets_used", *est_cols)
+
+
+# Streaming binned-KS drift monitor: same dyadic bucket grid as
+# s_quantile_sketch; the two arms mirror q_dq_ks_test's batch pair.
+SKS_A = "click"
+SKS_B = "purchase"
+
+
+@register(
+    "s_ks_drift",
+    oracle=f"""
+    WITH h AS (
+        SELECT LEAST({SQS_BUCKETS - 1},
+                     CAST(floor(CAST(value AS DOUBLE) / {SQS_WIDTH!r})
+                          AS BIGINT)) AS b,
+               sum(CASE WHEN event_type = '{SKS_A}' THEN 1 ELSE 0 END)
+                   AS ca,
+               sum(CASE WHEN event_type = '{SKS_B}' THEN 1 ELSE 0 END)
+                   AS cb
+        FROM events WHERE event_type IN ('{SKS_A}', '{SKS_B}')
+        GROUP BY 1
+    ),
+    n AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM h),
+    cum AS (
+        SELECT sum(ca) OVER (ORDER BY b) AS cum_a,
+               sum(cb) OVER (ORDER BY b) AS cum_b
+        FROM h
+    )
+    SELECT n.na AS n_a, n.nb AS n_b,
+           (SELECT count(*) FROM h) AS n_buckets_used,
+           round(max(abs(CAST(cum_a AS DOUBLE) / n.na
+                         - CAST(cum_b AS DOUBLE) / n.nb)), 6)
+               AS ks_binned
+    FROM cum, n GROUP BY n.na, n.nb
+    """,
+)
+def s_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING two-sample drift monitor — the production form of
+    q_dq_ks_test: per-(bucket) counts of both arms on the fixed
+    4096-bucket grid are maintained by built-in streaming
+    aggregation (running counts are monotone ⇒ the s_hll_distinct /
+    s_quantile_sketch update-mode max-finalize recipe), so state is
+    2×4096 longs FOREVER while the exact batch test would hold every
+    distinct value. The finalization computes the KS statistic
+    between the BINNED CDFs — a lower bound on the true D that
+    differs from it by at most the largest single-bucket probability
+    mass (0.125-wide buckets on a 0.01-grid metric), the standard
+    accuracy/state trade of a streaming monitor; the alarm threshold
+    is chosen with that slack. The availableNow replay makes the
+    final counts equal the batch counts exactly, so the DuckDB batch
+    oracle hash-checks the streaming statistic end-to-end.
+
+    Scale: the stream reduces to ≤ 2×4096 state rows no matter the
+    volume; the CDF walk runs batch-side over the tiny state table.
+    """
+    ev = load_events_stream(spark, sf_dir).filter(
+        F.col("event_type").isin(SKS_A, SKS_B)
+    )
+    h = ev.groupBy(
+        F.least(
+            F.lit(SQS_BUCKETS - 1),
+            F.floor(F.col("value").cast("double") / F.lit(SQS_WIDTH)),
+        ).alias("b"),
+        F.col("event_type").alias("arm"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    out = _run_to_memory(spark, h, "update")
+    counts = (
+        out.groupBy("b", "arm")
+        .agg(F.max("c").alias("c"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("arm") == SKS_A, F.col("c")).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("arm") == SKS_B, F.col("c")).otherwise(0)).alias("cb"),
+        )
+    )
+    n = counts.agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.count(F.lit(1)).alias("n_buckets_used"),
+    )
+    w = W.orderBy("b").rowsBetween(W.unboundedPreceding, 0)
+    cum = counts.select(
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(n))
+        .groupBy("na", "nb", "n_buckets_used")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("cum_a").cast("double") / F.col("na")
+                        - F.col("cum_b").cast("double") / F.col("nb")
+                    )
+                ),
+                6,
+            ).alias("ks_binned")
+        )
+        .select(
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            "n_buckets_used",
+            "ks_binned",
+        )
+    )

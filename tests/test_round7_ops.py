@@ -300,3 +300,19 @@ def test_chi2_matches_pure_python(spark, sf_dir):
     assert r.n_docs == n
     assert r.dof == (len(rt) - 1) * (len(ct) - 1)
     assert 0.0 <= r.cramers_v <= 1.0
+
+
+def test_streaming_ks_consistent_with_exact_batch_test(spark, sf_dir):
+    """Cross-operator consistency: the streaming BINNED KS statistic
+    is a valid statistic in [0,1] over the same two arms as the
+    exact batch test, with identical sample sizes, and can exceed
+    the exact D by at most the binning slack (in practice it is a
+    lower bound; tiny overshoot can only come from the 6dp
+    rounding)."""
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    binned = QUERIES["s_ks_drift"](spark, sf_dir).collect()[0]
+    exact = QUERIES["q_dq_ks_test"](spark, sf_dir).collect()[0]
+    assert binned.n_a == exact.n_a and binned.n_b == exact.n_b
+    assert 0.0 <= binned.ks_binned <= 1.0
+    assert binned.ks_binned <= exact.ks_stat + 1e-5
