@@ -5,10 +5,17 @@ combine before the shuffle) — the Catalyst equivalent of the
 reference's reduceByKeyAndWindow combiner (SparkApplication.scala:88).
 
 Rounding policy: round every computed double AT or finer than the
-exact rational's decimal grid, never coarser — concretely: money
-sums (1e-2 grid) and product-sums (1e-4 grid) round to 4, triple
-products (1e-6 grid) to 6, averages to 4 (boundary collision
-probability ~1e-9, accepted). Rounded expressions that can be tiny
+exact rational's decimal grid, never coarser — and, since round 7,
+any money SUM whose per-group row count can exceed ~10k accumulates
+as EXACT INTEGER UNITS first (cents for 1e-2-grid columns, 1e-4
+units for price*(1-discount) products, 1e-6 for triple products,
+percent points for discounts; always floor(x*scale + 0.5) before
+the integer cast), then divides once and rounds. Double sums at
+those magnitudes carry merge-order error PAST the 1e-4 rounding
+grid (caught live at sf0.1 — PLANS.md "money-sum hardening");
+integer sums are exact under any merge order to 2^63 units.
+round(sum(double), 4) remains acceptable only for provably-small
+groups (per-order, per-user). Rounded expressions that can be tiny
 negatives additionally normalize IEEE -0.0 with `+ 0.0` on the
 DuckDB side (Spark's BigDecimal round never emits -0.0).
 """
@@ -44,31 +51,63 @@ def q_agg_count_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_agg_multi",
     oracle="""
+    WITH u AS (
+        SELECT l_returnflag, l_linestatus, l_quantity,
+               CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100 + 0.5)
+                    AS BIGINT) AS cents,
+               CAST(floor(CAST(l_discount AS DOUBLE) * 100 + 0.5)
+                    AS BIGINT) AS d100
+        FROM lineitem
+    )
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 4) AS sum_qty,
-           round(sum(l_extendedprice), 4) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(CAST(sum(cents) AS DOUBLE) / 100, 4) AS sum_base_price,
+           round(CAST(sum(cents * (100 - d100)) AS DOUBLE) / 10000, 4)
+               AS sum_disc_price,
            round(avg(l_quantity), 4) AS avg_qty,
-           round(avg(l_extendedprice), 4) AS avg_price,
-           round(avg(l_discount), 4) AS avg_disc,
+           round(CAST(sum(cents) AS DOUBLE) / 100 / count(*), 4)
+               AS avg_price,
+           round(CAST(sum(d100) AS DOUBLE) / 100 / count(*), 4)
+               AS avg_disc,
            min(l_quantity) AS min_qty,
            max(l_quantity) AS max_qty,
            count(*) AS count_order
-    FROM lineitem
+    FROM u
     GROUP BY l_returnflag, l_linestatus
     """,
 )
 def q_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 shape: two-key groupBy, eight aggregates, one pass."""
+    """TPC-H Q1 shape: two-key groupBy, eight aggregates, one pass.
+
+    Money aggregates accumulate as EXACT integer units (cents for
+    prices, 1e-4 dollars for the discount product, percent points
+    for discounts — the explicit-floor rule): a double money sum
+    over 100k+ rows carries merge-order error past the 1e-4
+    rounding grid, where the two engines deterministically diverge
+    (caught live at sf0.1 in the round-7 differential on the
+    structurally identical q_join_bucketed). Integer sums are exact
+    under ANY merge order to 2^63 units, and quantities are
+    integer-valued so their double sums are already exact.
+    """
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+    d100 = F.floor(F.col("l_discount") * 100 + 0.5).cast("bigint")
+    n = F.count(F.lit(1))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-        F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+        F.round(F.sum(cents).cast("double") / 100, 4).alias(
+            "sum_base_price"
+        ),
+        F.round(
+            F.sum(cents * (100 - d100)).cast("double") / 10000, 4
+        ).alias("sum_disc_price"),
         F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.round(F.sum(cents).cast("double") / 100 / n, 4).alias(
+            "avg_price"
+        ),
+        F.round(F.sum(d100).cast("double") / 100 / n, 4).alias(
+            "avg_disc"
+        ),
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
         F.count(F.lit(1)).alias("count_order"),
@@ -163,8 +202,10 @@ def q_agg_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_filtered",
     oracle="""
     SELECT l_returnflag,
-           round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 4)
-               AS disc_rev,
+           round(CAST(sum(CAST(floor(CAST(l_extendedprice AS DOUBLE)
+                                     * 100 + 0.5) AS BIGINT))
+                          FILTER (WHERE l_discount > 0.05) AS DOUBLE)
+                 / 100, 4) AS disc_rev,
            count(*) FILTER (WHERE l_quantity > 25) AS n_heavy
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -172,9 +213,13 @@ def q_agg_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional aggregation: sum(when(...)) ≙ SQL FILTER clause."""
     li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
     return li.groupBy("l_returnflag").agg(
         F.round(
-            F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))), 4
+            F.sum(F.when(F.col("l_discount") > 0.05, cents))
+            .cast("double")
+            / 100,
+            4,
         ).alias("disc_rev"),
         F.count(F.when(F.col("l_quantity") > 25, F.lit(1))).alias("n_heavy"),
     )
@@ -454,7 +499,9 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n,
-           round(sum(value), 4) AS sum_value,
+           round(CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5)
+                               AS BIGINT)) AS DOUBLE) / 100, 4)
+               AS sum_value,
            round(max(value), 6) AS max_value
     FROM events GROUP BY event_type
     """,
@@ -479,14 +526,15 @@ def q_agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     salted = events.withColumn(
         "_salt", F.pmod(F.xxhash64("event_id"), F.lit(N_SALTS))
     )
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
     phase1 = salted.groupBy("event_type", "_salt").agg(
         F.count(F.lit(1)).alias("pn"),
-        F.sum("value").alias("psum"),
+        F.sum(cents).alias("psum"),
         F.max("value").alias("pmax"),
     )
     return phase1.groupBy("event_type").agg(
         F.sum("pn").alias("n"),
-        F.round(F.sum("psum"), 4).alias("sum_value"),
+        F.round(F.sum("psum").cast("double") / 100, 4).alias("sum_value"),
         F.round(F.max("pmax"), 6).alias("max_value"),
     )
 

@@ -444,7 +444,7 @@ def q_tpch_q3like(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q5like",
     oracle="""
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+           round(CAST(sum(CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(CAST(l_discount AS DOUBLE) * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000, 4) AS revenue
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -472,7 +472,17 @@ def q_tpch_q5like(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * 100 + 0.5)
+                    .cast("bigint")
+                    * (
+                        100
+                        - F.floor(F.col("l_discount") * 100 + 0.5)
+                        .cast("bigint")
+                    )
+                ).cast("double")
+                / 10000,
+                4,
             ).alias("revenue")
         )
     )
@@ -792,7 +802,7 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            CAST(year(l_shipdate) AS INTEGER) AS l_year,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+           round(CAST(sum(CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(CAST(l_discount AS DOUBLE) * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000, 4) AS revenue
     FROM lineitem
     JOIN supplier ON s_suppkey = l_suppkey
     JOIN nation n1 ON n1.n_nationkey = s_nationkey
@@ -848,7 +858,17 @@ def q_tpch_q7like(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * 100 + 0.5)
+                    .cast("bigint")
+                    * (
+                        100
+                        - F.floor(F.col("l_discount") * 100 + 0.5)
+                        .cast("bigint")
+                    )
+                ).cast("double")
+                / 10000,
+                4,
             ).alias("revenue")
         )
     )
@@ -895,7 +915,7 @@ def q_tpch_q14like(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_tpch_q19like",
     oracle="""
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+    SELECT round(CAST(sum(CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(CAST(l_discount AS DOUBLE) * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000, 4) AS revenue,
            count(*) AS n_lines
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -926,7 +946,17 @@ def q_tpch_q19like(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cond)
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * 100 + 0.5)
+                    .cast("bigint")
+                    * (
+                        100
+                        - F.floor(F.col("l_discount") * 100 + 0.5)
+                        .cast("bigint")
+                    )
+                ).cast("double")
+                / 10000,
+                4,
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
@@ -940,7 +970,9 @@ def q_tpch_q19like(spark: SparkSession, sf_dir: str) -> DataFrame:
                      WHERE c_acctbal > 0)
     SELECT c_nationkey,
            count(*) AS numcust,
-           round(sum(c_acctbal), 4) AS totacctbal
+           round(CAST(sum(CAST(floor(CAST(c_acctbal AS DOUBLE) * 100
+                                     + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 100, 4) AS totacctbal
     FROM customer, avg_bal
     WHERE c_acctbal > ab
       AND NOT EXISTS (SELECT 1 FROM orders
@@ -975,7 +1007,13 @@ def q_tpch_q22like(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+            F.round(
+                F.sum(
+                    F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint")
+                ).cast("double")
+                / 100,
+                4,
+            ).alias("totacctbal"),
         )
     )
 
@@ -1201,7 +1239,8 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT coalesce(touch_type, 'direct') AS touch_type,
            count(*) AS n_purchases,
-           round(sum(value), 4) AS revenue
+           round(CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5)
+                               AS BIGINT)) AS DOUBLE) / 100, 4) AS revenue
     FROM attributed GROUP BY 1
     """,
 )
@@ -1249,7 +1288,13 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_purchases"),
-            F.round(F.sum("value"), 4).alias("revenue"),
+            F.round(
+                F.sum(
+                    F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+                ).cast("double")
+                / 100,
+                4,
+            ).alias("revenue"),
         )
     )
 

@@ -47,7 +47,9 @@ _WRITTEN_FOR: dict[str, str] = {}
     "q_join_bucketed",
     oracle="""
     SELECT o_orderstatus,
-           round(sum(l_extendedprice), 4) AS sum_price,
+           round(CAST(sum(CAST(floor(CAST(l_extendedprice AS DOUBLE)
+                                     * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 100, 2) AS sum_price,
            count(*) AS n
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderstatus
@@ -80,7 +82,14 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     bl = spark.table("b_lineitem").hint("merge")
     bo = spark.table("b_orders")
     joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey, "inner")
+    # Money sums accumulate as EXACT integer cents (floor(x*100+0.5),
+    # the explicit-floor rule): at sf0.1 the double-sum merge-order
+    # error (~1e-3 at a 6e9-magnitude total) crosses the 1e-4
+    # rounding grid and the engines diverge — caught live by the
+    # round-7 sf0.1 differential. Integer cents are exact at any
+    # scale up to 2^63 cents (~9e16 dollars).
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
     return joined.groupBy("o_orderstatus").agg(
-        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        F.round(F.sum(cents).cast("double") / 100, 2).alias("sum_price"),
         F.count(F.lit(1)).alias("n"),
     )

@@ -70,7 +70,7 @@ def q_join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_multiway",
     oracle="""
     SELECT r_name, count(*) AS n_customers,
-           round(sum(c_acctbal), 4) AS sum_acctbal
+           round(CAST(sum(CAST(floor(CAST(c_acctbal AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100, 4) AS sum_acctbal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -90,7 +90,13 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 4).alias("sum_acctbal"),
+            F.round(
+                F.sum(
+                    F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint")
+                ).cast("double")
+                / 100,
+                4,
+            ).alias("sum_acctbal"),
         )
     )
 
@@ -307,7 +313,7 @@ def q_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_salted",
     oracle="""
     SELECT n_name, count(*) AS n_customers,
-           round(sum(c_acctbal), 4) AS total_bal
+           round(CAST(sum(CAST(floor(CAST(c_acctbal AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100, 4) AS total_bal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY n_name
     """,
@@ -327,7 +333,13 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(customer, nation, "c_nationkey", "n_nationkey")
     return joined.groupBy("n_name").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.round(F.sum("c_acctbal"), 4).alias("total_bal"),
+        F.round(
+                F.sum(
+                    F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint")
+                ).cast("double")
+                / 100,
+                4,
+            ).alias("total_bal"),
     )
 
 
@@ -392,7 +404,9 @@ _LAST_BLOOM_KEY: list = [None]
     oracle="""
     SELECT o_orderpriority,
            count(*) AS n,
-           round(sum(l_extendedprice), 4) AS sum_price
+           round(CAST(sum(CAST(floor(CAST(l_extendedprice AS DOUBLE)
+                                     * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 100, 2) AS sum_price
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE o_orderpriority = '1-URGENT'
     GROUP BY o_orderpriority
@@ -442,7 +456,17 @@ def q_join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("o_orderpriority")
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+                # exact integer cents — see q_join_bucketed: the
+                # double sum's merge-order error crosses the rounding
+                # grid at sf0.1 magnitudes
+                F.round(
+                    F.sum(
+                        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+                        .cast("bigint")
+                    ).cast("double")
+                    / 100,
+                    2,
+                ).alias("sum_price"),
             )
         )
         # The bloom injection itself is an optimizer rule gated on the
@@ -738,7 +762,7 @@ _HYBRID_HOT_MIN = 60  # fact rows above which a key counts as hot
     oracle=f"""
     SELECT c_mktsegment,
            count(*) AS n_events,
-           round(sum(value), 4) AS total_value
+           round(CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100, 4) AS total_value
     FROM events JOIN customer ON c_custkey = user_id
     GROUP BY c_mktsegment
     """,
@@ -785,7 +809,13 @@ def q_join_skew_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            F.round(
+                F.sum(
+                    F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+                ).cast("double")
+                / 100,
+                4,
+            ).alias("total_value"),
         )
     )
 

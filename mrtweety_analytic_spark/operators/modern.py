@@ -76,7 +76,7 @@ def q_fn_variant_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sql_pipe",
     oracle="""
     SELECT event_type, count(*) AS n,
-           round(sum(value), 4) AS sum_value
+           round(CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100, 4) AS sum_value
     FROM events
     WHERE user_id % 7 = 0
     GROUP BY event_type
@@ -95,7 +95,10 @@ def q_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         FROM {events}
         |> WHERE user_id % 7 = 0
-        |> AGGREGATE count(*) AS n, round(sum(value), 4) AS sum_value
+        |> AGGREGATE count(*) AS n,
+               round(CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 100
+                                         + 0.5) AS BIGINT)) AS DOUBLE)
+                     / 100, 4) AS sum_value
            GROUP BY event_type
         |> ORDER BY n DESC, event_type
         |> SELECT event_type, n, sum_value
@@ -228,7 +231,9 @@ def q_fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sql_named_params",
     oracle="""
     SELECT o_orderpriority, count(*) AS n,
-           round(sum(o_totalprice), 4) AS total
+           round(CAST(sum(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100
+                                     + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 100, 4) AS total
     FROM orders
     WHERE o_totalprice > 150000 AND o_orderstatus = 'O'
     GROUP BY o_orderpriority
@@ -249,7 +254,9 @@ def q_sql_named_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderpriority, count(*) AS n,
-               round(sum(o_totalprice), 4) AS total
+               round(CAST(sum(CAST(floor(CAST(o_totalprice AS DOUBLE)
+                                         * 100 + 0.5) AS BIGINT))
+                          AS DOUBLE) / 100, 4) AS total
         FROM params_orders
         WHERE o_totalprice > :threshold AND o_orderstatus = :status
         GROUP BY o_orderpriority
@@ -264,7 +271,9 @@ def q_sql_named_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT count(*) AS n_rows,
            CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT)
                AS n_discounted,
-           round(sum(l_extendedprice), 4) AS total_price
+           round(CAST(sum(CAST(floor(CAST(l_extendedprice AS DOUBLE)
+                                     * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 100, 4) AS total_price
     FROM lineitem
     """,
 )
@@ -287,7 +296,14 @@ def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("l_discount") > 0.05, 1)).alias(
             "n_discounted"
         ),
-        F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
+        F.round(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + 0.5)
+                .cast("bigint")
+            ).cast("double")
+            / 100,
+            4,
+        ).alias("total_price"),
     )
     observed.write.format("noop").mode("overwrite").save()
     got = obs.get
@@ -300,7 +316,8 @@ def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_sql_identifier",
     oracle="""
-    SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
+    SELECT event_type, count(*) AS n,
+           round(CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100, 4) AS total
     FROM events GROUP BY event_type
     """,
 )
@@ -319,7 +336,10 @@ def q_sql_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT IDENTIFIER(:dim) AS event_type, count(*) AS n,
-               round(sum(IDENTIFIER(:measure)), 4) AS total
+               round(CAST(sum(CAST(floor(CAST(IDENTIFIER(:measure)
+                                              AS DOUBLE) * 100 + 0.5)
+                                   AS BIGINT)) AS DOUBLE) / 100, 4)
+                   AS total
         FROM IDENTIFIER(:tbl)
         GROUP BY IDENTIFIER(:dim)
         """,

@@ -888,11 +888,16 @@ def q_dq_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(o_orderkey AS VARCHAR) || '|'
                    || CAST(o_custkey AS VARCHAR) || '|'
                    || o_orderstatus || '|' || o_orderpriority), 1, 12))
-                   AS BIGINT) AS h
+                   AS BIGINT) AS h,
+               CAST(('0x' || substr(md5(
+                   CAST(o_orderkey AS VARCHAR) || '|'
+                   || CAST(o_custkey AS VARCHAR) || '|'
+                   || o_orderstatus || '|' || o_orderpriority), 1, 8))
+                   AS BIGINT) AS h32
         FROM orders
     )
     SELECT count(*) AS n_rows,
-           sum(h) AS digest_sum,
+           CAST(sum(h32) AS BIGINT) AS digest_sum,
            bit_xor(h) AS digest_xor,
            min(h) AS digest_min,
            max(h) AS digest_max
@@ -920,35 +925,33 @@ def q_dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: fully map-side-combinable — each partition folds to 5
     numbers, the shuffle moves 5 numbers per partition, nothing
-    sorts. At 1e12 rows the 48-bit digest sum stays under 2^63 only
-    to ~32k rows per 2^48... in practice: sum wraps are fine for
-    validation AS LONG AS both sides wrap identically, which ANSI
-    overflow checking forbids — so at true 100 TB row counts, fold
-    per-shard checksums (this query per partition/day) and compare
-    the shard LIST, which is also the incremental-validation shape
-    (only changed shards re-checksum).
+    sorts. The SUMMED digest is the 32-bit md5 prefix, not the
+    48-bit one, precisely because of int64 headroom: a 48-bit sum
+    exceeds 2^63 at ~32k rows, and the two engines then DIVERGE
+    rather than agree-wrongly (Spark wraps mod 2^64, DuckDB promotes
+    to HUGEINT — caught live by the round-7 sf0.1 differential,
+    where the two values differed by exactly 2^64). The 32-bit sum
+    is exact to ~4×10^9 rows; beyond that, fold per-shard checksums
+    (this query per partition/day) and compare the shard LIST —
+    also the incremental-validation shape (only changed shards
+    re-checksum). xor/min/max keep the full 48-bit digest: they
+    cannot overflow.
     """
     o = load_table(spark, sf_dir, "orders")
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.col("o_orderkey").cast("string"),
-                    F.col("o_custkey").cast("string"),
-                    F.col("o_orderstatus"),
-                    F.col("o_orderpriority"),
-                )
-            ),
-            1,
-            12,
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    return o.select(h.alias("h")).agg(
+    hexstr = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.col("o_orderpriority"),
+        )
+    )
+    h = F.conv(F.substring(hexstr, 1, 12), 16, 10).cast("bigint")
+    h32 = F.conv(F.substring(hexstr, 1, 8), 16, 10).cast("bigint")
+    return o.select(h.alias("h"), h32.alias("h32")).agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum("h").alias("digest_sum"),
+        F.sum("h32").alias("digest_sum"),
         F.bit_xor("h").alias("digest_xor"),
         F.min("h").alias("digest_min"),
         F.max("h").alias("digest_max"),

@@ -119,7 +119,9 @@ def partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_scan_partition_pruned",
     oracle="""
-    SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
+    SELECT event_type, count(*) AS n,
+           round(CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5)
+                               AS BIGINT)) AS DOUBLE) / 100, 4) AS total
     FROM events
     WHERE event_type IN ('purchase', 'signup')
     GROUP BY event_type
@@ -141,7 +143,13 @@ def q_scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("event_type").cast("string").alias("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("total"),
+            F.round(
+                F.sum(
+                    F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+                ).cast("double")
+                / 100,
+                4,
+            ).alias("total"),
         )
     )
 
@@ -271,7 +279,9 @@ def q_scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type FROM events
         GROUP BY event_type HAVING avg(value) > 25
     )
-    SELECT e.event_type, count(*) AS n, round(sum(e.value), 4) AS total
+    SELECT e.event_type, count(*) AS n,
+           round(CAST(sum(CAST(floor(CAST(e.value AS DOUBLE) * 100 + 0.5)
+                               AS BIGINT)) AS DOUBLE) / 100, 4) AS total
     FROM events e JOIN dim USING (event_type)
     GROUP BY e.event_type
     """,
@@ -303,7 +313,13 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("event_type").cast("string").alias("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("total"),
+            F.round(
+                F.sum(
+                    F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+                ).cast("double")
+                / 100,
+                4,
+            ).alias("total"),
         )
     )
 

@@ -115,7 +115,7 @@ def q_sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sink_csv_roundtrip",
     oracle="""
     SELECT o_orderstatus, count(*) AS n,
-           round(sum(o_totalprice), 4) AS total
+           round(CAST(sum(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100, 4) AS total
     FROM orders GROUP BY o_orderstatus
     """,
 )
@@ -129,7 +129,13 @@ def q_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     agg = orders.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 4).alias("total"),
+        F.round(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+            ).cast("double")
+            / 100,
+            4,
+        ).alias("total"),
     )
     out = _scratch("sink_csv", sf_dir)
     agg.write.mode("overwrite").option("header", True).csv(out)
@@ -143,7 +149,7 @@ def q_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sink_orc_roundtrip",
     oracle="""
     SELECT event_type, count(*) AS n,
-           round(sum(value), 4) AS sum_value
+           round(CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100, 4) AS sum_value
     FROM events GROUP BY event_type
     """,
 )
@@ -157,7 +163,13 @@ def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     agg = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.round(
+            F.sum(
+                F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+            ).cast("double")
+            / 100,
+            4,
+        ).alias("sum_value"),
     )
     out = _scratch("sink_orc", sf_dir)
     agg.write.mode("overwrite").orc(out)

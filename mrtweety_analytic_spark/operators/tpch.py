@@ -41,15 +41,17 @@ def _rev():
     oracle="""
     WITH offers AS (
         SELECT l_partkey, l_suppkey,
-               min(round(CAST(l_extendedprice AS DOUBLE) / l_quantity, 4))
-                   AS unit_cost
+               min(CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100 + 0.5)
+                        AS BIGINT) * 10000
+                   // CAST(l_quantity AS BIGINT)) AS unit_micro
         FROM lineitem GROUP BY l_partkey, l_suppkey
     ),
-    best AS (SELECT l_partkey AS bp, min(unit_cost) AS best_cost
+    best AS (SELECT l_partkey AS bp, min(unit_micro) AS best_micro
              FROM offers GROUP BY l_partkey)
-    SELECT p_partkey, p_name, s_name, n_name, unit_cost
+    SELECT p_partkey, p_name, s_name, n_name,
+           round(CAST(unit_micro AS DOUBLE) / 1000000, 6) AS unit_cost
     FROM offers
-    JOIN best ON bp = l_partkey AND unit_cost = best_cost
+    JOIN best ON bp = l_partkey AND unit_micro = best_micro
     JOIN part ON p_partkey = l_partkey
     JOIN supplier ON s_suppkey = l_suppkey
     JOIN nation ON n_nationkey = s_nationkey
@@ -66,19 +68,26 @@ def q_tpch_q2like(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the join-back reuse the first shuffle's partitioning (one
     Exchange on the fact side); part/supplier/nation broadcast. The
     naive correlated form would re-scan offers per outer row.
-    Unit cost is rounded to the 4-dec grid BEFORE min so both engines
-    take min over identical doubles.
+    Unit cost lives on an exact INTEGER micro-dollar grid
+    (cents·10⁴ DIV qty — integer division in both engines): the
+    earlier round(price/qty, 4) hit exact decimal-half boundaries
+    (cents/qty denominators like 8 put a literal 5 in the 5th
+    decimal), where Spark's HALF_UP and DuckDB's rounding disagree —
+    three collisions surfaced at sf0.1 in the round-7 differential.
+    min over integers has no boundary to disagree on.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    micro = F.expr(
+        "CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100 + 0.5)"
+        " AS BIGINT) * 10000 DIV CAST(l_quantity AS BIGINT)"
+    )
     offers = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(
-            F.round(F.col("l_extendedprice") / F.col("l_quantity"), 4)
-        ).alias("unit_cost")
+        F.min(micro).alias("unit_micro")
     )
     best = offers.groupBy("l_partkey").agg(
-        F.min("unit_cost").alias("best_cost")
+        F.min("unit_micro").alias("best_micro")
     )
-    best = best.select(F.col("l_partkey").alias("bp"), "best_cost")
+    best = best.select(F.col("l_partkey").alias("bp"), "best_micro")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
@@ -86,12 +95,19 @@ def q_tpch_q2like(spark: SparkSession, sf_dir: str) -> DataFrame:
         offers.join(
             best,
             (offers.l_partkey == F.col("bp"))
-            & (offers.unit_cost == F.col("best_cost")),
+            & (offers.unit_micro == F.col("best_micro")),
         )
         .join(F.broadcast(part), offers.l_partkey == part.p_partkey)
         .join(F.broadcast(supp), offers.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("p_partkey", "p_name", "s_name", "n_name", "unit_cost")
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            F.round(F.col("unit_micro").cast("double") / 1000000, 6)
+            .alias("unit_cost"),
+        )
     )
 
 
@@ -138,7 +154,11 @@ def q_tpch_q4like(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_tpch_q6like",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue_delta,
+    SELECT round(CAST(sum(CAST(floor(CAST(l_extendedprice AS DOUBLE)
+                                     * 100 + 0.5) AS BIGINT)
+                           * CAST(floor(CAST(l_discount AS DOUBLE)
+                                        * 100 + 0.5) AS BIGINT))
+                       AS DOUBLE) / 10000, 4) AS revenue_delta,
            count(*) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -162,8 +182,16 @@ def q_tpch_q6like(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount").between(0.05, 0.07))
             & (F.col("l_quantity") < 24)
         ).agg(
+            # exact integer 1e-4-dollar units — see q_agg_multi
             F.round(
-                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * 100 + 0.5)
+                    .cast("bigint")
+                    * F.floor(F.col("l_discount") * 100 + 0.5)
+                    .cast("bigint")
+                ).cast("double")
+                / 10000,
+                4,
             ).alias("revenue_delta"),
             F.count(F.lit(1)).alias("n_lines"),
         )
@@ -267,8 +295,14 @@ def q_tpch_q8like(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n_name AS nation,
            CAST(year(o_orderdate) AS INTEGER) AS o_year,
-           round(sum(l_extendedprice * (1 - l_discount)
-                     - 0.8 * p_retailprice * l_quantity), 4) AS profit
+           round(CAST(sum(CAST(floor(CAST(l_extendedprice AS DOUBLE)
+                                     * 100 + 0.5) AS BIGINT)
+                          * (100 - CAST(floor(CAST(l_discount AS DOUBLE)
+                                              * 100 + 0.5) AS BIGINT))
+                          - 80 * CAST(floor(CAST(p_retailprice AS DOUBLE)
+                                            * 100 + 0.5) AS BIGINT)
+                               * CAST(l_quantity AS BIGINT))
+                      AS DOUBLE) / 10000, 4) AS profit
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     JOIN supplier ON s_suppkey = l_suppkey
@@ -285,8 +319,11 @@ def q_tpch_q9like(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast part dim — the SHAPE (fact joined to a name-filtered
     part, supplier-nation rollup across order years) is intact.
 
-    Profit terms sit on the 4-dec grid (rev) and 3-dec grid
-    (0.8 x 2-dec price x integer qty), so the sum rounds at 4.
+    Profit accumulates as EXACT integer 1e-4-dollar units
+    (cents x (100 - d100) - 80 x retail_cents x qty — see
+    q_agg_multi): the revenue-minus-cost subtraction makes double
+    cancellation especially hazardous at scale; integer units make
+    it exact under any merge order.
     The LIKE filter lands on the broadcast build side; the fact's
     only shuffle is orders⋈lineitem, then the O(nations x years)
     aggregate.
@@ -298,7 +335,12 @@ def q_tpch_q9like(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     orders = load_table(spark, sf_dir, "orders")
-    profit = _rev() - 0.8 * F.col("p_retailprice") * F.col("l_quantity")
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+    d100 = F.floor(F.col("l_discount") * 100 + 0.5).cast("bigint")
+    rcents = F.floor(F.col("p_retailprice") * 100 + 0.5).cast("bigint")
+    profit_u4 = cents * (100 - d100) - 80 * rcents * F.col(
+        "l_quantity"
+    ).cast("bigint")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
@@ -308,7 +350,11 @@ def q_tpch_q9like(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
         )
-        .agg(F.round(F.sum(profit), 4).alias("profit"))
+        .agg(
+            F.round(F.sum(profit_u4).cast("double") / 10000, 4).alias(
+                "profit"
+            )
+        )
     )
 
 
@@ -501,7 +547,9 @@ def q_tpch_q15like(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_tpch_q17like",
     oracle="""
-    SELECT round(sum(l_extendedprice), 4) AS small_qty_revenue,
+    SELECT round(CAST(sum(CAST(floor(CAST(l_extendedprice AS DOUBLE)
+                                     * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 100, 4) AS small_qty_revenue,
            count(*) AS n_lines
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
@@ -535,7 +583,15 @@ def q_tpch_q17like(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(avg_qty), li.l_partkey == F.col("ap"))
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
-            F.round(F.sum("l_extendedprice"), 4).alias("small_qty_revenue"),
+            # exact integer cents — see q_agg_multi
+            F.round(
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * 100 + 0.5)
+                    .cast("bigint")
+                ).cast("double")
+                / 100,
+                4,
+            ).alias("small_qty_revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -667,19 +723,31 @@ def q_tpch_q21like(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_tpch_q1like",
     oracle="""
+    WITH u AS (
+        SELECT l_returnflag, l_linestatus, l_quantity,
+               CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100 + 0.5)
+                    AS BIGINT) AS cents,
+               CAST(floor(CAST(l_discount AS DOUBLE) * 100 + 0.5)
+                    AS BIGINT) AS d100,
+               CAST(floor(CAST(l_tax AS DOUBLE) * 100 + 0.5)
+                    AS BIGINT) AS t100
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) <= DATE '2024-12-01'
+    )
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 4) AS sum_qty,
-           round(sum(l_extendedprice), 4) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 4)
+           round(CAST(sum(cents) AS DOUBLE) / 100, 4) AS sum_base_price,
+           round(CAST(sum(cents * (100 - d100)) AS DOUBLE) / 10000, 4)
                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)
-               AS sum_charge,
+           round(CAST(sum(cents * (100 - d100) * (100 + t100)) AS DOUBLE)
+                 / 1000000, 6) AS sum_charge,
            round(avg(l_quantity), 4) AS avg_qty,
-           round(avg(l_extendedprice), 4) AS avg_price,
-           round(avg(l_discount), 4) AS avg_disc,
+           round(CAST(sum(cents) AS DOUBLE) / 100 / count(*), 4)
+               AS avg_price,
+           round(CAST(sum(d100) AS DOUBLE) / 100 / count(*), 4)
+               AS avg_disc,
            count(*) AS count_order
-    FROM lineitem
-    WHERE CAST(l_shipdate AS DATE) <= DATE '2024-12-01'
+    FROM u
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus
     """,
@@ -695,18 +763,34 @@ def q_tpch_q1like(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").where(
         F.to_date("l_shipdate") <= F.lit("2024-12-01").cast("date")
     )
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    # Exact integer units (cents / percent points) — see q_agg_multi:
+    # double money sums over 100k+ rows drift past the rounding grid.
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+    d100 = F.floor(F.col("l_discount") * 100 + 0.5).cast("bigint")
+    t100 = F.floor(F.col("l_tax") * 100 + 0.5).cast("bigint")
+    n = F.count(F.lit(1))
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(charge), 6).alias("sum_charge"),
+            F.round(F.sum(cents).cast("double") / 100, 4).alias(
+                "sum_base_price"
+            ),
+            F.round(
+                F.sum(cents * (100 - d100)).cast("double") / 10000, 4
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(cents * (100 - d100) * (100 + t100)).cast("double")
+                / 1000000,
+                6,
+            ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.sum(cents).cast("double") / 100 / n, 4).alias(
+                "avg_price"
+            ),
+            F.round(F.sum(d100).cast("double") / 100 / n, 4).alias(
+                "avg_disc"
+            ),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")

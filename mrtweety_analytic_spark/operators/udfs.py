@@ -47,8 +47,10 @@ def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_udaf_grouped",
     oracle="""
     SELECT l_returnflag,
-           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
-               AS wavg_price
+           round(CAST(sum(CAST(floor(CAST(l_extendedprice AS DOUBLE)
+                                     * 100 + 0.5) AS BIGINT)
+                          * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                 / sum(l_quantity) / 100, 4) AS wavg_price
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -61,12 +63,22 @@ def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def wavg(pdf: pd.DataFrame) -> pd.DataFrame:
-        num = float((pdf["l_extendedprice"] * pdf["l_quantity"]).sum())
-        den = float(pdf["l_quantity"].sum())
+        # Integer-cent accumulation: the float dot-product sum is
+        # row-order-dependent (pandas frames arrive in shuffle order)
+        # while int64 sums are exact under any order — the same
+        # discipline as q_agg_multi, inside the Arrow kernel.
+        import numpy as np
+
+        cents = np.floor(
+            pdf["l_extendedprice"].to_numpy() * 100 + 0.5
+        ).astype(np.int64)
+        qty = pdf["l_quantity"].to_numpy().astype(np.int64)
+        num_cents = int((cents * qty).sum())
+        den = int(qty.sum())
         return pd.DataFrame(
             {
                 "l_returnflag": [pdf["l_returnflag"].iloc[0]],
-                "wavg_price": [round(num / den, 4)],
+                "wavg_price": [round(num_cents / den / 100, 4)],
             }
         )
 
