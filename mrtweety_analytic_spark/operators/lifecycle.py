@@ -261,6 +261,15 @@ def q_agg_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (integer day difference → identical doubles); the 1-row max-ts
     aggregate is broadcast into the scan, so the whole thing is one
     scan + one partial-aggregable groupBy.
+
+    Scale bound (round-7 money-sum policy): exp-weighted terms are
+    NOT grid-rational, so this sum cannot take the exact-integer
+    escape the 4dp money sums got — the 4-decimal round holds while
+    per-group merge-order error stays under the grid (measured
+    ~4e-6 at sf0.1; the ~25x margin runs out around sf1-sf10 group
+    sizes). A larger corpus rounds coarser or folds per-day partial
+    sums (day buckets make the inner sum per (type, day) small, and
+    the outer O(days) re-sum is merge-order-stable).
     """
     ev = load_table(spark, sf_dir, "events")
     mx = ev.agg(F.max("ts").alias("tmax"))
