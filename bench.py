@@ -279,6 +279,10 @@ HEADLINE_EXTRA = [
     "q_ts_ljung_box",            # whiteness test before forecasting
     "q_dq_chi2",                 # categorical independence + Cramer's V
     "s_ks_drift",                # streaming binned-KS drift monitor
+    # round-8 additions
+    "q_graph_kcore_cert",        # certified degree-peel 2-core
+    "q_dedup_simhash_md5",       # engine-portable simhash signatures
+    "q_dedup_simhash_md5_pairs",  # certified Manku-banded pairs
 ]
 
 HEADLINE = HEADLINE_CORE + HEADLINE_EXTRA

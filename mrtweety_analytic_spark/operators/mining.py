@@ -3621,21 +3621,6 @@ LB_LAGS = 3
 LB_CHI2_CRIT_3DF_95 = 7.814728  # chi-square 0.95 quantile, df=3
 
 
-def _lb_sql_terms() -> str:
-    """Per-lag ACF + Ljung-Box terms from exact integer sums (the
-    q_agg_skew_kurtosis discipline: v is an integer count, so every
-    power/lag-product sum is an exact BIGINT under any merge order;
-    the only doubles are the final fixed-order closed forms)."""
-    cols = []
-    for k in range(1, LB_LAGS + 1):
-        cols.append(
-            f"""round((CAST(sxy{k} AS DOUBLE)
-                 - xbar * (sa{k} + sb{k}) + n{k} * xbar * xbar)
-                / (CAST(sxx AS DOUBLE) - n * xbar * xbar), 6) AS r{k}"""
-        )
-    return ", ".join(cols)
-
-
 @register(
     "q_ts_ljung_box",
     oracle=f"""

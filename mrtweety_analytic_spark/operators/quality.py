@@ -931,7 +931,10 @@ def q_dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     rather than agree-wrongly (Spark wraps mod 2^64, DuckDB promotes
     to HUGEINT — caught live by the round-7 sf0.1 differential,
     where the two values differed by exactly 2^64). The 32-bit sum
-    is exact to ~4×10^9 rows; beyond that, fold per-shard checksums
+    is exact to ~2.1×10^9 rows GUARANTEED (2^63 / 2^32 worst case,
+    every digest near 2^32) and ~4.3×10^9 expected (mean h32 ≈
+    2^31); size shard folds to the guaranteed bound. Beyond that,
+    fold per-shard checksums
     (this query per partition/day) and compare the shard LIST —
     also the incremental-validation shape (only changed shards
     re-checksum). xor/min/max keep the full 48-bit digest: they
@@ -995,7 +998,8 @@ KS_SERIES_K = 5
         FROM d, n
     )
     SELECT n.na AS n_a, n.nb AS n_b, lam.ks AS ks_stat, lam.lambda,
-           round({" + ".join(f"2.0 * {(-1) ** (k - 1)} * exp(-2.0 * {k * k} * lambda * lambda)" for k in range(1, KS_SERIES_K + 1))}, 6)
+           round(least(CAST(1.0 AS DOUBLE), greatest(CAST(0.0 AS DOUBLE),
+               {" + ".join(f"2.0 * {(-1) ** (k - 1)} * exp(-2.0 * {k * k} * lambda * lambda)" for k in range(1, KS_SERIES_K + 1))})), 6)
              AS p_value
     FROM lam, n
     """,
@@ -1064,7 +1068,23 @@ def q_dq_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lambda"),
     )
-    lmb = F.col("lambda")
+    return lam.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.col("ks").alias("ks_stat"),
+        "lambda",
+        _ks_p_value(F.col("lambda")).alias("p_value"),
+    )
+
+
+def _ks_p_value(lmb):
+    """Truncated Kolmogorov series, clamped to [0, 1]. The clamp is
+    load-bearing, not cosmetic: for small lambda (similar
+    distributions) the alternating terms stop cancelling and the
+    5-term partial sum exceeds 1, tending to 2 as lambda -> 0 — an
+    invalid probability. The oracle applies the identical
+    least/greatest clamp so the hash can't diverge at the boundary.
+    Pytest-pinned at lambda = 0.05 (test_ks_p_value_clamped)."""
     series = None
     for k in range(1, KS_SERIES_K + 1):
         term = (
@@ -1073,12 +1093,8 @@ def q_dq_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.exp(F.lit(-2.0 * k * k) * lmb * lmb)
         )
         series = term if series is None else series + term
-    return lam.select(
-        F.col("na").alias("n_a"),
-        F.col("nb").alias("n_b"),
-        F.col("ks").alias("ks_stat"),
-        "lambda",
-        F.round(series, 6).alias("p_value"),
+    return F.round(
+        F.least(F.lit(1.0), F.greatest(F.lit(0.0), series)), 6
     )
 
 

@@ -759,6 +759,18 @@ def q_tpch_q1like(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate and the triple-product sum_charge, rounded at 6 per the
     1e-6-grid policy). One scan, eight partial-aggregable measures, the shipdate
     filter pushed to the parquet reader.
+
+    Overflow headroom (ADVICE r07): the per-row integer products are
+    bounded by cents <= ~1.1e7, (100-d100) <= 100, (100+t100) <= 108,
+    so the triple product reaches ~1.1e11 units/row and an int64 SUM
+    would wrap (Spark wraps mod 2^64 silently; DuckDB promotes to
+    HUGEINT) at ~8e7 rows per group — Q1's four groups pass that at
+    roughly TPC-H sf50. Fix: the products accumulate as
+    decimal(38,0) (exact 128-bit sum, partial-aggregable, overflow
+    bound ~1e38 ≙ ~1e26 rows), matching DuckDB's HUGEINT promotion
+    bit-for-bit since both sides sum the identical integers. Plain
+    cents sums stay int64: worst case 1.1e7 units/row x 6.6e11 rows
+    (a 100 TB lineitem) ~= 7e18 < 2^63.
     """
     li = load_table(spark, sf_dir, "lineitem").where(
         F.to_date("l_shipdate") <= F.lit("2024-12-01").cast("date")
@@ -768,6 +780,11 @@ def q_tpch_q1like(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
     d100 = F.floor(F.col("l_discount") * 100 + 0.5).cast("bigint")
     t100 = F.floor(F.col("l_tax") * 100 + 0.5).cast("bigint")
+    # int64 per-row product (fits: <=1.2e11), 128-bit accumulation.
+    disc_units = (cents * (100 - d100)).cast("decimal(38,0)")
+    charge_units = (cents * (100 - d100) * (100 + t100)).cast(
+        "decimal(38,0)"
+    )
     n = F.count(F.lit(1))
     return (
         li.groupBy("l_returnflag", "l_linestatus")
@@ -777,11 +794,10 @@ def q_tpch_q1like(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sum_base_price"
             ),
             F.round(
-                F.sum(cents * (100 - d100)).cast("double") / 10000, 4
+                F.sum(disc_units).cast("double") / 10000, 4
             ).alias("sum_disc_price"),
             F.round(
-                F.sum(cents * (100 - d100) * (100 + t100)).cast("double")
-                / 1000000,
+                F.sum(charge_units).cast("double") / 1000000,
                 6,
             ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),

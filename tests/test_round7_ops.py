@@ -160,6 +160,36 @@ def test_ks_test_contract(spark, sf_dir):
     assert off_grid == 0
 
 
+def test_ks_p_value_clamped(spark):
+    """ADVICE r07: the truncated 5-term Kolmogorov series exceeds 1
+    for small lambda (it tends to 2 as lambda -> 0), so the p-value
+    must be clamped to [0, 1] — the corpus arms differ strongly, so
+    only a synthetic small lambda exercises the boundary. Pin that
+    the raw partial sum really is > 1 there (the hazard is real) and
+    that the shipped expression clamps it to exactly 1."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mrtweety_analytic_spark.operators.quality import (
+        KS_SERIES_K,
+        _ks_p_value,
+    )
+
+    lam = 0.05
+    raw = sum(
+        2.0 * (-1) ** (k - 1) * math.exp(-2.0 * k * k * lam * lam)
+        for k in range(1, KS_SERIES_K + 1)
+    )
+    assert raw > 1.0  # unclamped series is an invalid probability
+    rows = (
+        spark.range(1)
+        .select(_ks_p_value(F.lit(lam)).alias("p"))
+        .collect()
+    )
+    assert rows[0].p == 1.0
+
+
 def test_cuped_preserves_pooled_mean_and_reduces_variance(spark, sf_dir):
     """CUPED's defining invariants: (1) the user-weighted pooled mean
     of the adjusted metric equals the pooled raw mean (the adjustment

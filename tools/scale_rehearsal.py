@@ -1,0 +1,140 @@
+"""Scale rehearsal (VERDICT r07 item 7): measure the doubling curve
+of the most expensive composites above the sf0.1 gate.
+
+The 100 TB claims for the big composites are design-argued (banded /
+bucketed / broadcast) and plan-audited; this tool adds MEASURED
+evidence: a deterministic synthetic corpus with the same schemas and
+statistical shape as /root/testdata (TESTDATA.md / FIXTURES.md —
+31-word vocabulary, doc length U[10,100], 5% near-dup docs tagged
+with a 'dup' suffix token, unit-norm isotropic 64-dim embeddings,
+uniform 10-class labels) generated at x1 and x8 the sf0.1 row
+counts, each composite timed at both, and the observed scaling
+exponent alpha = ln(t8/t1) / ln(8) reported. alpha <= ~1 means the
+operator scales linearly in rows; the single-JVM stage-latency floor
+(~0.4 s/stage) biases alpha DOWN for short queries, so exponents are
+upper-bounded evidence of superlinearity, not precise fits.
+
+    python tools/scale_rehearsal.py [--mults 1,8] [--out .scale]
+
+Corpora land in .scale/x{m}/ (gitignored). Results print as a
+markdown table for PLANS.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE_DOCS = 5000     # sf0.1 documents rows
+BASE_VECS = 2000     # sf0.1 embeddings rows
+VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "fast",
+    "filter", "group", "hash", "join", "key", "line", "merge", "order",
+    "part", "query", "row", "scan", "slow", "small", "sort", "spark",
+    "stream", "table", "the", "value", "vector", "window",
+]
+LANGS = ["en", "zh", "es", "fr", "de"]
+LANG_P = [0.41, 0.15, 0.15, 0.15, 0.14]
+COMPOSITES = [
+    "q_training_export",
+    "q_sample_kfold",
+    "q_dedup_pipeline",
+    "q_corpus_funnel",
+    "q_sim_ivfpq_recall",
+]
+
+
+def gen_corpus(out_dir: str, mult: int, seed: int = 8) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    n_docs = BASE_DOCS * mult
+    texts, langs, sources = [], [], []
+    for i in range(n_docs):
+        if i > 0 and rng.random() < 0.05:
+            # near-dup: copy an earlier doc, perturb with a tag token
+            texts.append(texts[int(rng.integers(0, i))] + " dup")
+        else:
+            length = int(rng.integers(10, 101))
+            words = rng.integers(0, len(VOCAB), size=length)
+            texts.append(" ".join(VOCAB[w] for w in words))
+        langs.append(LANGS[int(rng.choice(len(LANGS), p=LANG_P))])
+        sources.append(f"src{int(rng.integers(0, 20))}")
+    docs = pa.table({
+        "doc_id": pa.array(range(n_docs), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(sources, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(docs, os.path.join(out_dir, "documents.parquet"))
+
+    n_vecs = BASE_VECS * mult
+    vecs = rng.standard_normal((n_vecs, 64)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    emb = pa.table({
+        "vec_id": pa.array(range(n_vecs), pa.int64()),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+        "label": pa.array(
+            rng.integers(0, 10, size=n_vecs).astype(np.int32), pa.int32()
+        ),
+    })
+    pq.write_table(emb, os.path.join(out_dir, "embeddings.parquet"))
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--mults", default="1,8")
+    p.add_argument("--out", default=".scale")
+    args = p.parse_args()
+    mults = [int(m) for m in args.mults.split(",")]
+
+    for m in mults:
+        d = os.path.join(args.out, f"x{m}")
+        if not os.path.exists(os.path.join(d, "embeddings.parquet")):
+            t0 = time.time()
+            gen_corpus(d, m)
+            print(f"generated x{m} in {time.time() - t0:.1f}s", flush=True)
+
+    from mrtweety_analytic_spark.queries import QUERIES
+    from mrtweety_analytic_spark.session import get_spark
+
+    spark = get_spark("scale-rehearsal")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm-up: JVM, Python worker pool, shuffle machinery — same
+    # rationale as bench.py's unmeasured warm-up.
+    smallest = os.path.join(args.out, f"x{mults[0]}")
+    for name in COMPOSITES:
+        QUERIES[name](spark, smallest).count()
+
+    times: dict[str, dict[int, float]] = {}
+    for m in mults:
+        d = os.path.join(args.out, f"x{m}")
+        for name in COMPOSITES:
+            t0 = time.time()
+            n = QUERIES[name](spark, d).count()
+            dt = time.time() - t0
+            times.setdefault(name, {})[m] = dt
+            print(f"x{m} {name:24s} {n:9d} rows {dt:7.1f}s", flush=True)
+
+    lo, hi = mults[0], mults[-1]
+    print("\n| composite | t(x%d) s | t(x%d) s | alpha |" % (lo, hi))
+    print("|---|---|---|---|")
+    for name in COMPOSITES:
+        t1, t2 = times[name][lo], times[name][hi]
+        alpha = math.log(t2 / t1) / math.log(hi / lo)
+        print(f"| {name} | {t1:.1f} | {t2:.1f} | {alpha:.2f} |")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
