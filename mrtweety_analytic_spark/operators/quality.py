@@ -898,6 +898,7 @@ def q_dq_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT count(*) AS n_rows,
            CAST(sum(h32) AS BIGINT) AS digest_sum,
+           CAST(sum(h) AS VARCHAR) AS digest_sum48,
            bit_xor(h) AS digest_xor,
            min(h) AS digest_min,
            max(h) AS digest_max
@@ -933,8 +934,15 @@ def q_dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     where the two values differed by exactly 2^64). The 32-bit sum
     is exact to ~2.1×10^9 rows GUARANTEED (2^63 / 2^32 worst case,
     every digest near 2^32) and ~4.3×10^9 expected (mean h32 ≈
-    2^31); size shard folds to the guaranteed bound. Beyond that,
-    fold per-shard checksums
+    2^31); size shard folds to the guaranteed bound.
+    digest_sum48 removes the bound entirely via 128-bit
+    accumulation — Spark sums the full 48-bit digest as
+    decimal(38,0), DuckDB's BIGINT sum promotes to HUGEINT, and
+    both render the exact integer as a string (the representation
+    the hash compare can't be fooled by): exact to ~3.6×10^23 rows,
+    i.e. unbounded for any physical table. Keep digest_sum for
+    engines without a 128-bit sum; beyond its bound, fold per-shard
+    checksums
     (this query per partition/day) and compare the shard LIST —
     also the incremental-validation shape (only changed shards
     re-checksum). xor/min/max keep the full 48-bit digest: they
@@ -955,6 +963,9 @@ def q_dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(h.alias("h"), h32.alias("h32")).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("h32").alias("digest_sum"),
+        F.sum(F.col("h").cast("decimal(38,0)"))
+        .cast("string")
+        .alias("digest_sum48"),
         F.bit_xor("h").alias("digest_xor"),
         F.min("h").alias("digest_min"),
         F.max("h").alias("digest_max"),

@@ -2071,7 +2071,11 @@ def test_table_checksum_detects_any_mutation(spark, tmp_path):
         d.mkdir()
         df.to_parquet(d / "orders.parquet")
         r = QUERIES["q_dq_table_checksum"](spark, str(d)).collect()[0]
-        return (r.n_rows, r.digest_sum, r.digest_xor,
+        # digest_sum48 is the exact 128-bit sum rendered as digits —
+        # parse and cross-check against digest structure (it must be
+        # >= the largest single digest whenever rows exist)
+        assert int(r.digest_sum48) >= r.digest_max
+        return (r.n_rows, r.digest_sum, r.digest_sum48, r.digest_xor,
                 r.digest_min, r.digest_max)
 
     ref = fp(base, "a")

@@ -126,7 +126,20 @@ def main() -> int:
             d = os.path.join(args.out, f"x{m}")
             for name in COMPOSITES:
                 t0 = time.time()
-                n = QUERIES[name](spark, d).count()
+                try:
+                    n = QUERIES[name](spark, d).count()
+                except Exception as ex:  # noqa: BLE001 — keep sweeping
+                    # Seen live: rep2 at x27 died with
+                    # UNABLE_TO_ACQUIRE_MEMORY — accumulated
+                    # localCheckpoint blocks from the two earlier
+                    # reps of the same composites, not a per-query
+                    # cost (reps 0-1 at the same scale passed).
+                    print(
+                        f"rep{rep} x{m} {name:24s} FAILED "
+                        f"{str(ex)[:120]}",
+                        flush=True,
+                    )
+                    continue
                 dt = time.time() - t0
                 cur = times.setdefault(name, {})
                 cur[m] = min(cur.get(m, float("inf")), dt)
@@ -134,14 +147,33 @@ def main() -> int:
                     f"rep{rep} x{m} {name:24s} {n:9d} rows {dt:7.1f}s",
                     flush=True,
                 )
+        # Drop accumulated localCheckpoint blocks between reps: the
+        # composites checkpoint per invocation and the blocks only
+        # free on GC of the Python handles.
+        import gc
 
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+
+    # N-point summary: min time per scale, plus per-segment exponents
+    # (alpha between consecutive scale points) and the end-to-end one.
+    hdr = " | ".join(f"t(x{m}) s" for m in mults)
+    segs = " | ".join(
+        f"a[{mults[i]}-{mults[i + 1]}]" for i in range(len(mults) - 1)
+    )
+    print(f"\n| composite | {hdr} | {segs} | alpha |")
+    print("|" + "---|" * (len(mults) + len(mults)))
     lo, hi = mults[0], mults[-1]
-    print("\n| composite | t(x%d) s | t(x%d) s | alpha |" % (lo, hi))
-    print("|---|---|---|---|")
     for name in COMPOSITES:
-        t1, t2 = times[name][lo], times[name][hi]
-        alpha = math.log(t2 / t1) / math.log(hi / lo)
-        print(f"| {name} | {t1:.1f} | {t2:.1f} | {alpha:.2f} |")
+        ts = " | ".join(f"{times[name][m]:.1f}" for m in mults)
+        seg_a = " | ".join(
+            f"{math.log(times[name][mults[i + 1]] / times[name][mults[i]]) / math.log(mults[i + 1] / mults[i]):.2f}"
+            for i in range(len(mults) - 1)
+        )
+        alpha = math.log(times[name][hi] / times[name][lo]) / math.log(
+            hi / lo
+        )
+        print(f"| {name} | {ts} | {seg_a} | {alpha:.2f} |")
     return 0
 
 
