@@ -14,8 +14,13 @@ the integer cast), then divides once and rounds. Double sums at
 those magnitudes carry merge-order error PAST the 1e-4 rounding
 grid (caught live at sf0.1 — PLANS.md "money-sum hardening");
 integer sums are exact under any merge order to 2^63 units.
-round(sum(double), 4) remains acceptable only for provably-small
-groups (per-order, per-user). Rounded expressions that can be tiny
+Round 8 escalation: UNIT-PRODUCT sums (cents × percent factors,
+~1.1e9 units/row) wrap int64 at ~8.4e9 rows/group — Spark wraps
+silently where DuckDB promotes to HUGEINT — so they accumulate as
+decimal(38,0) (exact 128-bit, partial-aggregable, ≙ HUGEINT;
+ADVICE r07 on q_tpch_q1like, applied family-wide: q_agg_multi,
+Q5/Q7/Q9/Q19 shapes). round(sum(double), 4) remains acceptable
+only for provably-small groups (per-order, per-user). Rounded expressions that can be tiny
 negatives additionally normalize IEEE -0.0 with `+ 0.0` on the
 DuckDB side (Spark's BigDecimal round never emits -0.0).
 """
@@ -98,8 +103,14 @@ def q_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(cents).cast("double") / 100, 4).alias(
             "sum_base_price"
         ),
+        # product units reach ~1.1e9/row: 128-bit accumulation (≙
+        # DuckDB's HUGEINT promotion) — int64 would wrap at ~8.4e9
+        # rows/group, breached by Q1-shape groups near 10 TB
         F.round(
-            F.sum(cents * (100 - d100)).cast("double") / 10000, 4
+            F.sum((cents * (100 - d100)).cast("decimal(38,0)"))
+            .cast("double")
+            / 10000,
+            4,
         ).alias("sum_disc_price"),
         F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
         F.round(F.sum(cents).cast("double") / 100 / n, 4).alias(

@@ -472,14 +472,18 @@ def q_tpch_q5like(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.round(
+                # ~1.1e9 units/row: 128-bit accumulation (≙ DuckDB
+                # HUGEINT) — int64 wraps at ~8.4e9 rows/group
                 F.sum(
-                    F.floor(F.col("l_extendedprice") * 100 + 0.5)
-                    .cast("bigint")
-                    * (
-                        100
-                        - F.floor(F.col("l_discount") * 100 + 0.5)
+                    (
+                        F.floor(F.col("l_extendedprice") * 100 + 0.5)
                         .cast("bigint")
-                    )
+                        * (
+                            100
+                            - F.floor(F.col("l_discount") * 100 + 0.5)
+                            .cast("bigint")
+                        )
+                    ).cast("decimal(38,0)")
                 ).cast("double")
                 / 10000,
                 4,
@@ -858,14 +862,18 @@ def q_tpch_q7like(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.round(
+                # ~1.1e9 units/row: 128-bit accumulation (≙ DuckDB
+                # HUGEINT) — int64 wraps at ~8.4e9 rows/group
                 F.sum(
-                    F.floor(F.col("l_extendedprice") * 100 + 0.5)
-                    .cast("bigint")
-                    * (
-                        100
-                        - F.floor(F.col("l_discount") * 100 + 0.5)
+                    (
+                        F.floor(F.col("l_extendedprice") * 100 + 0.5)
                         .cast("bigint")
-                    )
+                        * (
+                            100
+                            - F.floor(F.col("l_discount") * 100 + 0.5)
+                            .cast("bigint")
+                        )
+                    ).cast("decimal(38,0)")
                 ).cast("double")
                 / 10000,
                 4,
@@ -946,14 +954,18 @@ def q_tpch_q19like(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cond)
         .agg(
             F.round(
+                # ~1.1e9 units/row: 128-bit accumulation (≙ DuckDB
+                # HUGEINT) — int64 wraps at ~8.4e9 rows/group
                 F.sum(
-                    F.floor(F.col("l_extendedprice") * 100 + 0.5)
-                    .cast("bigint")
-                    * (
-                        100
-                        - F.floor(F.col("l_discount") * 100 + 0.5)
+                    (
+                        F.floor(F.col("l_extendedprice") * 100 + 0.5)
                         .cast("bigint")
-                    )
+                        * (
+                            100
+                            - F.floor(F.col("l_discount") * 100 + 0.5)
+                            .cast("bigint")
+                        )
+                    ).cast("decimal(38,0)")
                 ).cast("double")
                 / 10000,
                 4,

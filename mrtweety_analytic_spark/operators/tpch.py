@@ -351,9 +351,13 @@ def q_tpch_q9like(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").alias("o_year"),
         )
         .agg(
-            F.round(F.sum(profit_u4).cast("double") / 10000, 4).alias(
-                "profit"
-            )
+            # ~1.1e9 units/row magnitude: 128-bit accumulation (≙
+            # DuckDB HUGEINT) — int64 wraps at ~8.4e9 rows/group
+            F.round(
+                F.sum(profit_u4.cast("decimal(38,0)")).cast("double")
+                / 10000,
+                4,
+            ).alias("profit")
         )
     )
 
