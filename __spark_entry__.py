@@ -31,9 +31,11 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # under tools/verify_vanilla.py (driver-style vanilla session
 # differential) at sf 0.01 and sf 0.1.
 #
-# After this window, 113 registered names remain never-driver-
-# sampled. Round-8-new operators (q_graph_kcore_cert,
-# q_dedup_simhash_md5, q_dedup_simhash_md5_pairs, q_sim_ivfpq_refine,
+# After this window, 118 registered names remain never-driver-
+# sampled (113 from the pre-round-8 registry + the 5 round-8-new
+# ops, which are certified but not yet windowed). Round-8-new
+# operators (q_graph_kcore_cert, q_dedup_simhash_md5,
+# q_dedup_simhash_md5_pairs, q_sim_ivfpq_refine,
 # q_sim_ivfpq_refine_recall) LEAD round 9's window, then the
 # remainder below in order:
 # q_events_ab_power q_sample_neyman q_text_burstiness

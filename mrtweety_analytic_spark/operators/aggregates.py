@@ -1692,7 +1692,11 @@ def q_agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail counterpart). Same determinism discipline as
     q_agg_corr_matrix, one tier higher: quantities are small
     integers, so the four raw power sums accumulate EXACTLY in
-    64-bit arithmetic under any partition merge order, and the
+    64-bit arithmetic under any partition merge order (explicit
+    bound: q^4 <= 6.25e6/row at quantity <= 50, so the int64 sum is
+    exact to ~1.5e12 rows — ~2x headroom over a 100 TB lineitem's
+    ~6.6e11; shard-fold or switch to decimal(38,0) beyond, as the
+    unit-product sums do), and the
     central-moment algebra (population m2/m3/m4 expanded in raw
     sums, fixed operation order) is bit-reproducible cross-engine.
     The corpus's quantity is uniform on [1, 50], so the expected
