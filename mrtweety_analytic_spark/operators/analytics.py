@@ -2104,7 +2104,8 @@ def q_events_calendar_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM ux)
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_users,
-           round((2e0 * sum(i * x) - (count(*) + 1) * sum(x))
+           round(CAST(2 * sum(i * x) - (count(*) + 1) * sum(x)
+                      AS DOUBLE)
                  / (count(*) * CAST(sum(x) AS DOUBLE)), 6) AS gini
     FROM r GROUP BY event_type
     """,
@@ -2118,6 +2119,11 @@ def q_events_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     activity counts, ties broken by user_id so the rank sum is
     deterministic. All sums stay in INTEGER arithmetic (exact across
     engines); doubles appear only in the final 5-row division.
+    Headroom: Σ i·x grows as n²·x̄/2, past int64 near ~1e9 users per
+    type (where Spark would wrap and DuckDB would promote to
+    HUGEINT — the r7/r8 divergence class), so the rank-weighted sum
+    accumulates as decimal(38,0) and the whole numerator
+    2Σix − (n+1)Σx stays exact 128-bit until the single cast.
 
     Scale: the raw log collapses to O(types × users) counts in one
     partial-aggregable pass; the rank is a per-type window sort over
@@ -2135,11 +2141,17 @@ def q_events_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.count(F.lit(1))
     sx = F.sum("x")
+    s_ix = F.sum(
+        (F.col("i").cast("bigint") * F.col("x")).cast("decimal(38,0)")
+    )
+    num = (
+        F.lit(2).cast("decimal(38,0)") * s_ix
+        - (n + 1).cast("decimal(38,0)") * sx.cast("decimal(38,0)")
+    )
     return r.groupBy("event_type").agg(
         n.cast("bigint").alias("n_users"),
         F.round(
-            (F.lit(2.0) * F.sum(F.col("i") * F.col("x")) - (n + 1) * sx)
-            / (n * sx.cast("double")),
+            num.cast("double") / (n * sx.cast("double")),
             6,
         ).alias("gini"),
     )

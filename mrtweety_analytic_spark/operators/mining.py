@@ -3638,8 +3638,9 @@ LB_CHI2_CRIT_3DF_95 = 7.814728  # chi-square 0.95 quantile, df=3
     ),
     sums AS (
         SELECT event_type,
-               count(*) AS n, sum(v) AS s, sum(v * v) AS sxx,
-               {", ".join(f'''sum(v * v{k}) AS sxy{k},
+               count(*) AS n, sum(v) AS s,
+               sum(CAST(v AS HUGEINT) * v) AS sxx,
+               {", ".join(f'''sum(CAST(v AS HUGEINT) * v{k}) AS sxy{k},
                sum(CASE WHEN v{k} IS NOT NULL THEN v END) AS sa{k},
                sum(v{k}) AS sb{k}, count(v{k}) AS n{k}''' for k in range(1, LB_LAGS + 1))}
         FROM lagged GROUP BY event_type
@@ -3689,15 +3690,21 @@ def q_ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         *[F.lag("v", k).over(w).alias(f"v{k}") for k in range(1, LB_LAGS + 1)],
     )
+    # Squared/cross daily-count products accumulate as decimal(38,0)
+    # (≙ DuckDB HUGEINT): v ~ N/(types x days), so v^2 alone passes
+    # int64 near v ~ 3e9/day — a 30-day window over ~1e12 events —
+    # and the int64 SUM wraps earlier still. Plain Σv stays int64
+    # (bounded by total event count).
+    vd = F.col("v").cast("decimal(19,0)")
     aggs = [
         F.count(F.lit(1)).alias("n"),
         F.sum("v").alias("s"),
-        F.sum(F.col("v") * F.col("v")).alias("sxx"),
+        F.sum(vd * vd).alias("sxx"),
     ]
     for k in range(1, LB_LAGS + 1):
         vk = F.col(f"v{k}")
         aggs += [
-            F.sum(F.col("v") * vk).alias(f"sxy{k}"),
+            F.sum(vd * vk.cast("decimal(19,0)")).alias(f"sxy{k}"),
             F.sum(F.when(vk.isNotNull(), F.col("v"))).alias(f"sa{k}"),
             F.sum(vk).alias(f"sb{k}"),
             F.count(vk).alias(f"n{k}"),
