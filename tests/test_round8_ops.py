@@ -67,3 +67,23 @@ def test_ivfpq_refine_dominates_adc_final(spark, sf_dir):
     ref = QUERIES["q_sim_ivfpq_refine_recall"](spark, sf_dir).collect()[0]
     assert ref.n_probes == adc.n_probes
     assert ref.recall_at_k >= adc.recall_at_k
+
+
+def test_decimal_accumulation_survives_int64_wrap(spark):
+    """The r8 hardening's defining behavior, materialized: summing
+    2^62-scale products wraps int64 silently (Spark) where
+    decimal(38,0) stays exact — the cross-engine divergence class
+    (DuckDB promotes to HUGEINT) that q_agg_multi / Q5 / Q7 / Q9 /
+    Q19 / gini / ljung-box now guard against. Four values of 2^62
+    sum to 2^64, which wraps to exactly 0 in int64."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(4).select(F.lit(1 << 62).alias("v"))
+    r = df.agg(
+        F.sum("v").alias("wrapped"),
+        F.sum(F.col("v").cast("decimal(38,0)"))
+        .cast("string")
+        .alias("exact"),
+    ).collect()[0]
+    assert r.wrapped == 0  # silent mod-2^64 wrap — the hazard
+    assert int(r.exact) == 4 * (1 << 62)  # 128-bit stays exact
