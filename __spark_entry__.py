@@ -22,107 +22,93 @@ from mrtweety_analytic_spark.queries import ORACLES, QUERIES  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-# Round-8 rotation (VERDICT r07 items 1-2): all 50 names below have
-# NEVER been inside a driver correctness window (rounds 1-7; I diffed
-# against the CORRECTNESS_r01-r07 union = 249 names). Order: the 11
-# round-7-new operators lead, exactly as VERDICT r07 item 1 mandates
-# (q_agg_histogram_quantile ... s_ks_drift), then the round-6 lead-list
-# remainder in its original order to exactly 50. Every name is green
-# under tools/verify_vanilla.py (driver-style vanilla session
-# differential) at sf 0.01 and sf 0.1.
+# Round-9 rotation (VERDICT r08 items 1+3): the 9 round-8
+# hash_match:false rows lead (adjudicated oracle-dtype artifacts —
+# DuckDB SUM(BIGINT)->HUGEINT->fetchdf float64 vs Spark int64; every
+# oracle now carries CAST(... AS BIGINT) and passes the new pandas-
+# dtype gate in tools/verify_oracle.py), then the 2 latent members of
+# the same class (q_agg_hll_merge, q_sessionize_gaps — fixed BEFORE
+# their first window), then the 5 round-8-new operators, then 34
+# never-driver-sampled names from the round-8 remainder in its
+# original order. Every name below passes the dtype-gated vanilla
+# differential at sf 0.01.
 #
-# After this window, 118 registered names remain never-driver-
-# sampled (113 from the pre-round-8 registry + the 5 round-8-new
-# ops, which are certified but not yet windowed). Round-8-new
-# operators (q_graph_kcore_cert, q_dedup_simhash_md5,
-# q_dedup_simhash_md5_pairs, q_sim_ivfpq_refine,
-# q_sim_ivfpq_refine_recall) LEAD round 9's window, then the
-# remainder below in order:
-# q_events_ab_power q_sample_neyman q_text_burstiness
-# q_text_compress_ratio q_events_did q_orders_backlog_aging
-# q_agg_hll_merge q_join_asof_forward q_agg_hll_intersect
-# q_dq_table_checksum s_hll_distinct q_agg_corr_matrix
-# q_sample_ht_total q_agg_skew_kurtosis q_fn_try_arith
-# q_graph_degree_powerlaw q_sample_time_split q_graph_common_neighbors
-# q_agg_weighted_median q_text_bigram_logprob q_dedup_threshold_sweep
-# q_sql_execute_immediate q_sql_union_by_name q_dedup_incremental
-# q_sim_gram q_sim_pca_power q_mix_temperature q_win_moving_regression
-# q_text_bpe_train q_agg_regression q_events_feature_window
-# q_sim_pq_adc q_sim_pq_adc_recall s_threshold_alert
-# q_sim_pq_trained_recall q_shard_assign q_mix_rebalance
-# q_ts_changepoint q_ts_holt q_dq_drift q_join_interval_overlap
-# q_text_bpe_pairs q_events_pareto q_graph_bfs q_text_llr s_dq_drift
+# Never-driver-sampled remainder after this window (77 names;
+# round-9-new operators lead round 10, then these in order):
+# q_shard_assign q_mix_rebalance q_ts_changepoint q_ts_holt
+# q_dq_drift q_join_interval_overlap q_text_bpe_pairs
+# q_events_pareto q_graph_bfs q_text_llr s_dq_drift
 # q_maintenance_vacuum q_sample_weighted q_agg_countmin_eval
-# q_multimodal_phash q_sql_identifier q_sink_text_roundtrip q_dq_skew
-# q_ts_seasonal q_ts_outlier_mad q_join_asof_nearest q_tpch_q1like
-# q_agg_salted_twophase q_anomaly_zscore q_cdc_apply q_date_spine
-# q_dedup_containment q_dedup_lsh_eval q_dq_expectations q_dq_profile
-# q_events_anomaly_zscore q_events_funnel q_events_retention
-# q_events_transitions q_graph_degree q_join_bucketed
-# q_lateral_subquery q_maintenance_compact q_maintenance_zorder
-# q_recursive_cte q_scan_file_metadata q_sessionize_gaps
-# q_sim_pq_assign q_sink_csv_roundtrip q_sink_json_roundtrip
-# q_sink_orc_roundtrip q_subquery_in q_subquery_scalar q_table_diff
-# q_text_chunk q_text_cooccur q_text_decontaminate q_text_domain_mix
-# q_text_edit_distance q_text_ngrams q_text_pack_sequences
-# q_text_redact q_text_repetition q_text_sentiment
-# q_text_unigram_logprob q_text_vocab_coverage q_tpch_q11like
-# q_tpch_q12like q_tpch_q13like q_tpch_q14like q_tpch_q15like
-# q_tpch_q16like q_tpch_q17like q_tpch_q19like q_tpch_q20like
-# q_tpch_q21like q_tpch_q22like q_tpch_q8like q_tpch_q9like
-# q_udtf_expand_json q_win_fill_forward q_win_first_last
-# q_win_pct_change
+# q_multimodal_phash q_sql_identifier q_sink_text_roundtrip
+# q_dq_skew q_ts_seasonal q_ts_outlier_mad q_join_asof_nearest
+# q_tpch_q1like q_agg_salted_twophase q_anomaly_zscore q_cdc_apply
+# q_date_spine q_dedup_containment q_dedup_lsh_eval
+# q_dq_expectations q_dq_profile q_events_anomaly_zscore
+# q_events_funnel q_events_retention q_events_transitions
+# q_graph_degree q_join_bucketed q_lateral_subquery
+# q_maintenance_compact q_maintenance_zorder q_recursive_cte
+# q_scan_file_metadata q_sim_pq_assign q_sink_csv_roundtrip
+# q_sink_json_roundtrip q_sink_orc_roundtrip q_subquery_in
+# q_subquery_scalar q_table_diff q_text_chunk q_text_cooccur
+# q_text_decontaminate q_text_domain_mix q_text_edit_distance
+# q_text_ngrams q_text_pack_sequences q_text_redact
+# q_text_repetition q_text_sentiment q_text_unigram_logprob
+# q_text_vocab_coverage q_tpch_q11like q_tpch_q12like
+# q_tpch_q13like q_tpch_q14like q_tpch_q15like q_tpch_q16like
+# q_tpch_q17like q_tpch_q19like q_tpch_q20like q_tpch_q21like
+# q_tpch_q22like q_tpch_q8like q_tpch_q9like q_udtf_expand_json
+# q_win_fill_forward q_win_first_last q_win_pct_change
 PRIORITY = [
-    "q_agg_histogram_quantile",
-    "s_quantile_sketch",
     "q_dq_ks_test",
-    "q_events_cuped",
-    "q_graph_components_cert",
-    "q_sim_ivfpq",
-    "q_sim_ivfpq_recall",
-    "q_sample_kfold",
-    "q_ts_ljung_box",
     "q_dq_chi2",
     "s_ks_drift",
-    "q_dedup_cross_source",
-    "q_fn_struct",
-    "q_ts_volatility",
-    "q_text_code_detect",
-    "q_orders_reorder_gaps",
-    "q_mix_effective_counts",
-    "q_join_asof_tolerance",
-    "q_events_calendar_heatmap",
-    "s_priority_sample",
-    "q_sim_sparse_cosine",
-    "q_sample_balanced",
-    "q_graph_modularity",
-    "q_sim_knn_filtered",
-    "q_events_gini",
-    "q_events_survival",
     "q_shard_balance",
-    "q_join_skew_hybrid",
-    "q_ts_hampel",
-    "s_scd2_stream",
     "q_sql_group_by_all",
-    "q_text_rake",
-    "q_sim_nprobe_curve",
-    "q_agg_bootstrap_ci",
-    "q_text_winnowing",
-    "q_graph_hits",
-    "s_enrich_pit",
-    "q_ts_strength",
-    "q_text_char_entropy",
-    "q_orders_price_index",
-    "q_events_hill_tail",
-    "q_win_tumbling",
-    "q_dq_reconciliation",
     "q_multimodal_webdataset",
-    "q_orders_abc_xyz",
     "q_scan_zonemap_skip",
-    "q_agg_cms_md5",
     "q_scan_bloom_skip",
-    "q_graph_adamic_adar",
     "q_sim_mips_prune",
+    "q_agg_hll_merge",
+    "q_sessionize_gaps",
+    "q_graph_kcore_cert",
+    "q_dedup_simhash_md5",
+    "q_dedup_simhash_md5_pairs",
+    "q_sim_ivfpq_refine",
+    "q_sim_ivfpq_refine_recall",
+    "q_events_ab_power",
+    "q_sample_neyman",
+    "q_text_burstiness",
+    "q_text_compress_ratio",
+    "q_events_did",
+    "q_orders_backlog_aging",
+    "q_join_asof_forward",
+    "q_agg_hll_intersect",
+    "q_dq_table_checksum",
+    "s_hll_distinct",
+    "q_agg_corr_matrix",
+    "q_sample_ht_total",
+    "q_agg_skew_kurtosis",
+    "q_fn_try_arith",
+    "q_graph_degree_powerlaw",
+    "q_sample_time_split",
+    "q_graph_common_neighbors",
+    "q_agg_weighted_median",
+    "q_text_bigram_logprob",
+    "q_dedup_threshold_sweep",
+    "q_sql_execute_immediate",
+    "q_sql_union_by_name",
+    "q_dedup_incremental",
+    "q_sim_gram",
+    "q_sim_pca_power",
+    "q_mix_temperature",
+    "q_win_moving_regression",
+    "q_text_bpe_train",
+    "q_agg_regression",
+    "q_events_feature_window",
+    "q_sim_pq_adc",
+    "q_sim_pq_adc_recall",
+    "s_threshold_alert",
+    "q_sim_pq_trained_recall",
 ]
 
 

@@ -1305,7 +1305,8 @@ def q_agg_cms_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT sum(pow(2.0, -rho)) AS ps, count(*) AS used FROM merged
     ),
     shards AS (SELECT count(DISTINCT event_type) AS n_shards FROM h)
-    SELECT n_shards, n_registers, n_register_diffs,
+    SELECT n_shards, n_registers,
+           CAST(n_register_diffs AS BIGINT) AS n_register_diffs,
            round(CASE WHEN CAST(0.7182725932495458 AS DOUBLE) * 256 * 256
                            / (ps + (256 - used)) <= 2.5 * 256
                            AND used < 256

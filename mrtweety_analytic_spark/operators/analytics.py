@@ -155,7 +155,7 @@ def q_win_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.orderBy(F.desc("c_acctbal"), "c_custkey")
     return customer.select(
         "c_custkey",
-        F.ntile(4).over(w).alias("quartile"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
@@ -495,7 +495,7 @@ def q_tpch_q5like(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_sessionize_gaps",
     oracle="""
-    SELECT user_id, session_id,
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
            count(*) AS n_events,
            min(ts) AS session_start,
            max(ts) AS session_end
@@ -1726,6 +1726,7 @@ def q_events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_events_stickiness",
+    date_as_ts=True,
     oracle="""
     WITH au AS (
         SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
@@ -1950,6 +1951,7 @@ def q_orders_ship_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_events_bounce_rate",
+    date_as_ts=True,
     oracle="""
     WITH sessions AS (
         SELECT user_id, session_id,

@@ -331,6 +331,7 @@ def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).alias("rk"),
         )
         .filter(F.col("rk") <= _RESERVOIR_K)
+        .withColumn("rk", F.col("rk").cast("long"))
     )
 
 
@@ -993,7 +994,7 @@ def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.crossJoin(F.broadcast(mn)).filter(
         F.col("rk") <= F.col("mn")
-    ).select("lang", "doc_id", "rk")
+    ).select("lang", "doc_id", F.col("rk").cast("long").alias("rk"))
 
 
 @register(
@@ -1016,7 +1017,7 @@ def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(shard AS BIGINT) AS shard,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM a GROUP BY shard
     """,
 )

@@ -263,6 +263,7 @@ def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_ts_interpolate",
+    date_as_ts=True,
     oracle="""
     WITH daily AS (
         SELECT user_id, CAST(ts AS DATE) AS day, avg(value) AS v
@@ -389,6 +390,7 @@ def interpolate_daily(daily: DataFrame) -> DataFrame:
 
 @register(
     "q_mv_incremental",
+    date_as_ts=True,
     oracle="""
     SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
            o_orderpriority,
@@ -579,6 +581,7 @@ def _daily_counts(ev: DataFrame) -> DataFrame:
 
 @register(
     "q_ts_ewma",
+    date_as_ts=True,
     oracle="""
     WITH daily AS (
         SELECT event_type, CAST(ts AS DATE) AS day,
@@ -623,6 +626,7 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_events_ltv",
+    date_as_ts=True,
     oracle="""
     WITH p AS (
         SELECT user_id, CAST(ts AS DATE) AS day, value
@@ -689,6 +693,7 @@ def q_events_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_events_concurrency",
+    date_as_ts=True,
     oracle="""
     WITH sess AS (
         SELECT ts AS s, ts + INTERVAL 30 MINUTE AS e FROM events
@@ -971,6 +976,7 @@ def q_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_events_active_users",
+    date_as_ts=True,
     oracle="""
     WITH pairs AS (
         SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
@@ -1110,6 +1116,7 @@ def growth_accounting(pairs: DataFrame) -> DataFrame:
 
 @register(
     "q_events_growth_accounting",
+    date_as_ts=True,
     oracle="""
     WITH pairs AS (
         SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
@@ -1431,6 +1438,7 @@ def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_ts_changepoint",
+    date_as_ts=True,
     oracle="""
     WITH daily AS (
         SELECT event_type, CAST(ts AS DATE) AS day,
@@ -1651,9 +1659,10 @@ def q_events_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
     dec = per_user.select(
         "n",
-        F.ntile(10).over(W.orderBy(F.desc("n"), F.asc("user_id"))).alias(
-            "decile"
-        ),
+        F.ntile(10)
+        .over(W.orderBy(F.desc("n"), F.asc("user_id")))
+        .cast("long")
+        .alias("decile"),
     )
     by_dec = dec.groupBy("decile").agg(
         F.count(F.lit(1)).cast("long").alias("n_users"),
@@ -1807,6 +1816,7 @@ def q_text_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_ts_seasonal",
+    date_as_ts=True,
     oracle="""
     WITH daily AS (
         SELECT event_type, CAST(ts AS DATE) AS day,
@@ -1897,6 +1907,7 @@ def q_ts_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_ts_outlier_mad",
+    date_as_ts=True,
     oracle="""
     WITH daily AS (
         SELECT event_type, CAST(ts AS DATE) AS day,
@@ -2006,7 +2017,7 @@ def q_ts_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p"),
     )
     lags = spark.createDataFrame(
-        [(i,) for i in range(-3, 4)], "lag_days int"
+        [(i,) for i in range(-3, 4)], "lag_days long"
     )
     a = daily.select("d", "c")
     b = daily.select(F.col("d").alias("d2"), "p")
@@ -2014,7 +2025,8 @@ def q_ts_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         lags.crossJoin(a)
         .join(
             F.broadcast(b),
-            F.col("d2") == F.date_add(F.col("d"), F.col("lag_days")),
+            F.col("d2")
+            == F.date_add(F.col("d"), F.col("lag_days").cast("int")),
         )
     )
     c = F.corr("c", "p")
@@ -2224,6 +2236,7 @@ def q_ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_events_anomaly_deseasonalized",
+    date_as_ts=True,
     oracle="""
     WITH daily AS (
         SELECT event_type, CAST(ts AS DATE) AS day,
@@ -2374,6 +2387,7 @@ def q_events_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_ts_volatility",
+    date_as_ts=True,
     oracle="""
     WITH daily AS (
         SELECT event_type, CAST(ts AS DATE) AS day,
@@ -2438,6 +2452,7 @@ def q_ts_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_ts_hampel",
+    date_as_ts=True,
     oracle="""
     WITH daily AS (
         SELECT event_type, CAST(ts AS DATE) AS day,

@@ -422,7 +422,7 @@ def q_sql_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source, lang,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
            round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars
     FROM documents
     GROUP BY ALL

@@ -458,7 +458,7 @@ def q_multimodal_offload(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.md5("payload").alias("content_md5"),
-            F.octet_length("payload").alias("n_bytes"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
         )
     )
 
@@ -593,7 +593,7 @@ def q_multimodal_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(nb != F.col("n_chars"), 1).otherwise(0)).alias(
             "n_len_mismatch"
         ),
-        F.max(nb).alias("max_bytes"),
+        F.max(nb).cast("long").alias("max_bytes"),
     )
 
 
@@ -663,7 +663,7 @@ _WDS_SHARD_BYTES = 4096  # shard byte budget (fixture-scaled)
     )
     SELECT source, CAST(shard_seq AS BIGINT) AS shard_seq,
            count(*) AS n_items,
-           sum(n_bytes) AS shard_bytes,
+           CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
            min(doc_id) AS first_doc
     FROM shards GROUP BY 1, 2
     """,

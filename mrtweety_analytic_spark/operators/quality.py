@@ -1008,7 +1008,8 @@ KS_SERIES_K = 5
                                  / (n.na + n.nb)), 6) AS lambda
         FROM d, n
     )
-    SELECT n.na AS n_a, n.nb AS n_b, lam.ks AS ks_stat, lam.lambda,
+    SELECT CAST(n.na AS BIGINT) AS n_a, CAST(n.nb AS BIGINT) AS n_b,
+           lam.ks AS ks_stat, lam.lambda,
            round(least(CAST(1.0 AS DOUBLE), greatest(CAST(0.0 AS DOUBLE),
                {" + ".join(f"2.0 * {(-1) ** (k - 1)} * exp(-2.0 * {k * k} * lambda * lambda)" for k in range(1, KS_SERIES_K + 1))})), 6)
              AS p_value
@@ -1134,7 +1135,7 @@ def _ks_p_value(lmb):
            (SELECT count(*) FROM ct) AS n_cols,
            ((SELECT count(*) FROM rt) - 1)
                * ((SELECT count(*) FROM ct) - 1) AS dof,
-           n.n AS n_docs,
+           CAST(n.n AS BIGINT) AS n_docs,
            round(folded.chi2_plus_n - n.n, 4) AS chi2,
            round(sqrt((folded.chi2_plus_n - n.n)
                       / (n.n * (least((SELECT count(*) FROM rt),
@@ -1222,4 +1223,136 @@ def q_dq_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("cramers_v"),
         )
+    )
+
+
+# Gopher-style quality-rule thresholds, stated as INTEGER cross-
+# multiplications so both engines compare exact int64s (a double
+# ratio sitting exactly on a threshold grid point is the known
+# cross-engine divergence class; integers cannot sit "almost" on one):
+#   R1 too-short:        n_tokens < 20
+#   R2 short-words:      sum_len / n_tokens < 4.2   <=> 10*sum_len < 42*n_tokens
+#   R3 no-function-words: n_stop / n_tokens < 0.02  <=> 50*n_stop  < n_tokens
+#   R4 repetitive:       max_cnt / n_tokens > 0.2   <=> 5*max_cnt  > n_tokens
+_GOPHER_STOP_SQL = ", ".join(
+    f"'{w}'"
+    for w in ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+)
+
+
+@register(
+    "q_dq_gopher_rules",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, source, term, count(*) AS cnt
+        FROM (SELECT doc_id, source,
+                     unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        WHERE term <> ''
+        GROUP BY 1, 2, 3
+    ),
+    per AS (
+        SELECT doc_id, source,
+               sum(cnt) AS n_tokens,
+               sum(cnt * length(term)) AS sum_len,
+               sum(CASE WHEN term IN ({_GOPHER_STOP_SQL})
+                        THEN cnt ELSE 0 END) AS n_stop,
+               max(cnt) AS max_cnt
+        FROM tf GROUP BY 1, 2
+    ),
+    flags AS (
+        SELECT source,
+               CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END AS f_len,
+               CASE WHEN 10 * sum_len < 42 * n_tokens
+                    THEN 1 ELSE 0 END AS f_wordlen,
+               CASE WHEN 50 * n_stop < n_tokens THEN 1 ELSE 0 END AS f_stop,
+               CASE WHEN 5 * max_cnt > n_tokens THEN 1 ELSE 0 END AS f_rep
+        FROM per
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(f_len) AS BIGINT) AS n_fail_len,
+           CAST(sum(f_wordlen) AS BIGINT) AS n_fail_word_len,
+           CAST(sum(f_stop) AS BIGINT) AS n_fail_stopword,
+           CAST(sum(f_rep) AS BIGINT) AS n_fail_repetition,
+           CAST(sum(CASE WHEN f_len + f_wordlen + f_stop + f_rep = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           round(CAST(sum(CASE WHEN f_len + f_wordlen + f_stop + f_rep = 0
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS retention_rate
+    FROM flags GROUP BY source
+    """,
+)
+def q_dq_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style quality-rule matrix per source — the ingest
+    gate an LLM corpus runs before anything else: per-document
+    heuristics (too short, degenerate word lengths, no function
+    words, single-term repetition) rolled up into a per-source
+    rule-failure census plus the retention rate a mixture planner
+    budgets against. Unlike `q_text_quality` (per-doc signals, the
+    microscope), this is the fleet-level report card: which SOURCE
+    is bleeding documents, and to which rule.
+
+    Every rule is an integer cross-multiplication (see module
+    comment above the registration) — no double ratio ever touches
+    a threshold, so the Spark and DuckDB verdicts are exactly equal
+    document-by-document, not just in aggregate.
+
+    Scale: one explode of the token stream into a (doc, term)
+    hash-aggregate (partial map-side combine), one per-doc
+    aggregate, one per-source aggregate — three shuffles, each a
+    strict reduction of the previous; nothing is held per-document
+    beyond four int64s. At 100 TB the token explode dominates and
+    is embarrassingly parallel; rule evaluation adds zero extra
+    passes.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(F.split("text", " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "source", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    stop = F.col("term").isin(
+        "the", "a", "an", "and", "or", "of", "to", "in", "is", "it"
+    )
+    per = tf.groupBy("doc_id", "source").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.sum(F.col("cnt") * F.length("term")).alias("sum_len"),
+        F.sum(F.when(stop, F.col("cnt")).otherwise(0)).alias("n_stop"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    f_len = F.when(F.col("n_tokens") < 20, 1).otherwise(0)
+    f_wordlen = F.when(
+        10 * F.col("sum_len") < 42 * F.col("n_tokens"), 1
+    ).otherwise(0)
+    f_stop = F.when(50 * F.col("n_stop") < F.col("n_tokens"), 1).otherwise(0)
+    f_rep = F.when(5 * F.col("max_cnt") > F.col("n_tokens"), 1).otherwise(0)
+    flags = per.select(
+        "source",
+        f_len.alias("f_len"),
+        f_wordlen.alias("f_wordlen"),
+        f_stop.alias("f_stop"),
+        f_rep.alias("f_rep"),
+    )
+    all_pass = (
+        F.col("f_len") + F.col("f_wordlen") + F.col("f_stop") + F.col("f_rep")
+        == 0
+    )
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("f_len").alias("n_fail_len"),
+        F.sum("f_wordlen").alias("n_fail_word_len"),
+        F.sum("f_stop").alias("n_fail_stopword"),
+        F.sum("f_rep").alias("n_fail_repetition"),
+        F.sum(F.when(all_pass, 1).otherwise(0)).alias("n_pass"),
+        F.round(
+            F.sum(F.when(all_pass, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("retention_rate"),
     )

@@ -192,6 +192,7 @@ def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_fn_interval",
+    date_as_ts=True,
     oracle="""
     SELECT event_id,
            ts + INTERVAL 1 DAY AS next_day,

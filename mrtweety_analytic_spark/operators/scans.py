@@ -400,13 +400,14 @@ def q_sample_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY 1
     )
     SELECT count(*) AS n_files,
-           sum(CASE WHEN zmax < TIMESTAMP '1997-01-01'
-                    THEN 1 ELSE 0 END) AS n_skipped_files,
-           sum(CASE WHEN zmax >= TIMESTAMP '1997-01-01'
-                    THEN n_rows ELSE 0 END) AS rows_scanned,
-           sum(n_match) AS rows_matched,
-           sum(CASE WHEN zmax < TIMESTAMP '1997-01-01'
-                    THEN n_match ELSE 0 END) AS rows_lost_to_skip,
+           CAST(sum(CASE WHEN zmax < TIMESTAMP '1997-01-01'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped_files,
+           CAST(sum(CASE WHEN zmax >= TIMESTAMP '1997-01-01'
+                    THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+           CAST(sum(n_match) AS BIGINT) AS rows_matched,
+           CAST(sum(CASE WHEN zmax < TIMESTAMP '1997-01-01'
+                    THEN n_match ELSE 0 END) AS BIGINT)
+               AS rows_lost_to_skip,
            round(1.0 - sum(CASE WHEN zmax >= TIMESTAMP '1997-01-01'
                                 THEN n_rows ELSE 0 END)
                      / CAST(sum(n_rows) AS DOUBLE), 6) AS skip_ratio
@@ -516,12 +517,12 @@ BLOOM_K = 3
         LEFT JOIN fk fk2 ON fk2.file_id = pr.file_id AND fk2.v = pr.v
     )
     SELECT count(*) AS n_pairs,
-           sum(present) AS n_present,
-           sum(maybe) AS n_maybe,
-           sum(CASE WHEN present = 1 AND maybe = 0 THEN 1 ELSE 0 END)
-               AS n_false_negatives,
-           sum(CASE WHEN present = 0 AND maybe = 1 THEN 1 ELSE 0 END)
-               AS n_false_positives,
+           CAST(sum(present) AS BIGINT) AS n_present,
+           CAST(sum(maybe) AS BIGINT) AS n_maybe,
+           CAST(sum(CASE WHEN present = 1 AND maybe = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_negatives,
+           CAST(sum(CASE WHEN present = 0 AND maybe = 1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positives,
            round(sum(CASE WHEN present = 0 AND maybe = 1
                           THEN 1 ELSE 0 END)
                  / CAST(nullif(count(*) - sum(present), 0) AS DOUBLE),

@@ -366,7 +366,7 @@ def q_sim_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", F.posexplode("embedding").alias("i0", "e")
     )
     return (
-        ex.groupBy("label", (F.col("i0") + 1).cast("int").alias("dim"))
+        ex.groupBy("label", (F.col("i0") + 1).cast("long").alias("dim"))
         .agg(F.round(F.avg("e"), 4).alias("centroid"))
     )
 
@@ -1210,7 +1210,7 @@ def q_sim_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     parts = emb.mapInPandas(
-        partial_gram, schema="i int, j int, part double"
+        partial_gram, schema="i long, j long, part double"
     )
     return parts.groupBy("i", "j").agg(
         F.round(F.sum("part"), 4).alias("gram")
@@ -1946,7 +1946,11 @@ def q_sample_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         members.withColumn("pick_rank", F.row_number().over(win))
         .filter(F.col("pick_rank") <= 2)
-        .select("vec_id", "cluster_id", "pick_rank")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.col("pick_rank").cast("long").alias("pick_rank"),
+        )
     )
 
 
@@ -2183,7 +2187,7 @@ def q_sim_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flat = emb.select(
         F.posexplode("e").alias("pos", "v")
-    ).select((F.col("pos") + 1).alias("dim"), "v")
+    ).select((F.col("pos") + 1).cast("long").alias("dim"), "v")
     return flat.groupBy("dim").agg(
         F.round(F.avg("v"), 6).alias("mean_v"),
         F.round(F.var_samp("v"), 6).alias("var_v"),
@@ -2492,7 +2496,7 @@ _NPROBE_CURVE_ORACLE = f"""
     exact AS ({{knn_batch}}),
     ex AS (SELECT n.np, e.probe_id, e.vec_id
            FROM exact e CROSS JOIN nps n)
-    SELECT ex.np AS nprobe,
+    SELECT CAST(ex.np AS BIGINT) AS nprobe,
            count(*) AS n_exact,
            count(t.vec_id) AS n_hit,
            round(1.0 * count(t.vec_id) / count(*), 4) AS recall_at_k
@@ -2621,15 +2625,15 @@ def q_sim_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     SELECT count(*) AS n_vectors,
-           sum(CASE WHEN round(vnorm * qnorm, 6) >= round(kth, 6)
-                    THEN 1 ELSE 0 END) AS n_scanned,
+           CAST(sum(CASE WHEN round(vnorm * qnorm, 6) >= round(kth, 6)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned,
            round(1.0 - sum(CASE WHEN round(vnorm * qnorm, 6)
                                      >= round(kth, 6)
                                 THEN 1 ELSE 0 END)
                      / CAST(count(*) AS DOUBLE), 6) AS prune_ratio,
            round(min(kth), 6) AS kth_best_ip,
-           sum(CASE WHEN round(ip, 6) > round(vnorm * qnorm, 6)
-                    THEN 1 ELSE 0 END) AS n_bound_violations
+           CAST(sum(CASE WHEN round(ip, 6) > round(vnorm * qnorm, 6)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_bound_violations
     FROM scored, theta, qn
     """,
 )

@@ -133,7 +133,9 @@ def q_text_trending_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         counts.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
-        .select("source", "term", "cnt", "rn")
+        .select(
+            "source", "term", "cnt", F.col("rn").cast("long").alias("rn")
+        )
     )
 
 
@@ -491,7 +493,9 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("doc_id", "term", "score", "rn")
+        .select(
+            "doc_id", "term", "score", F.col("rn").cast("long").alias("rn")
+        )
     )
 
 
@@ -749,7 +753,9 @@ def q_text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein(
                 F.substring("text", 1, 30),
                 F.lit("the quick brown fox jumps over"),
-            ).alias("lev"),
+            )
+            .cast("long")
+            .alias("lev"),
         )
         .orderBy("lev", "doc_id")
         .limit(10)

@@ -36,9 +36,9 @@ def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_mktsegment",
         "c_acctbal",
-        F.rank().over(w_rank).alias("rnk"),
-        F.dense_rank().over(w_rank).alias("drnk"),
-        F.row_number().over(w_rn).alias("rn"),
+        F.rank().over(w_rank).cast("long").alias("rnk"),
+        F.dense_rank().over(w_rank).cast("long").alias("drnk"),
+        F.row_number().over(w_rn).cast("long").alias("rn"),
     )
 
 
@@ -121,7 +121,12 @@ def q_win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         customer.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
-        .select("c_mktsegment", "c_custkey", "c_acctbal", "rn")
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.col("rn").cast("long").alias("rn"),
+        )
     )
 
 

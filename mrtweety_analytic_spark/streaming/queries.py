@@ -1581,7 +1581,8 @@ def s_prior_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ev e JOIN rt r
           ON e.user_id = r.user_id AND e.rn = r.rn + 1
     )
-    SELECT event_id, user_id, allowed, tokens AS tokens_after
+    SELECT event_id, user_id, allowed,
+           CAST(tokens AS BIGINT) AS tokens_after
     FROM rt
     """,
 )
@@ -1747,7 +1748,9 @@ def s_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.distinct()
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
-        .select("event_type", "event_id", "rnk")
+        .select(
+            "event_type", "event_id", F.col("rnk").cast("long").alias("rnk")
+        )
     )
 
 
@@ -2174,7 +2177,7 @@ SKS_B = "purchase"
                sum(cb) OVER (ORDER BY b) AS cum_b
         FROM h
     )
-    SELECT n.na AS n_a, n.nb AS n_b,
+    SELECT CAST(n.na AS BIGINT) AS n_a, CAST(n.nb AS BIGINT) AS n_b,
            (SELECT count(*) FROM h) AS n_buckets_used,
            round(max(abs(CAST(cum_a AS DOUBLE) / n.na
                          - CAST(cum_b AS DOUBLE) / n.nb)), 6)
@@ -2251,4 +2254,72 @@ def s_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_buckets_used",
             "ks_binned",
         )
+    )
+
+
+@register(
+    "s_novelty_decay",
+    oracle="""
+    WITH fs AS (
+        SELECT user_id, event_type, min(ts) AS first_ts
+        FROM events GROUP BY 1, 2
+    ),
+    d AS (
+        SELECT time_bucket(INTERVAL '1 day', first_ts) AS day,
+               count(*) AS n_new_keys
+        FROM fs GROUP BY 1
+    )
+    SELECT day, n_new_keys,
+           CAST(sum(n_new_keys) OVER (ORDER BY day) AS BIGINT)
+               AS cum_keys,
+           round(CAST(n_new_keys AS DOUBLE)
+                 / CAST(sum(n_new_keys) OVER (ORDER BY day) AS DOUBLE),
+                 6) AS novelty_rate
+    FROM d
+    """,
+)
+def s_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING corpus-novelty monitor: per day, how many
+    (user, behavior) keys appear for the FIRST time ever, and what
+    fraction of all keys seen so far that day contributes — the
+    decay curve an ingest pipeline watches to decide when a source
+    is mined out (new-key yield falling ⇒ marginal data is
+    increasingly duplicate behavior, the acquisition-vs-dedup
+    trade). The streaming state is one timestamp per key maintained
+    by the built-in aggregation: min(ts) is MONOTONE, so update-mode
+    + min-finalize is exact under any micro-batch split (the
+    s_hll_distinct recipe; no arbitrary-state API). First-seen-ness
+    is defined by EVENT time (global min), not arrival order, so the
+    answer is replay-deterministic where a dropDuplicates-based
+    "first row wins" would not be. The availableNow replay makes the
+    final state equal the batch min, so the DuckDB oracle
+    hash-checks the whole curve.
+
+    Scale: state is O(distinct keys) timestamps — for an unbounded
+    key domain, production hashes the key into a fixed 2^k-bucket
+    space first (novelty of the bucket approximates novelty of the
+    key from below, same state bound as the sketch family). The
+    post-replay reduction runs on the days-sized frame: the ordered
+    cumulative sum is a ~30-row window, not a data-scale sort.
+    """
+    ev = load_events_stream(spark, sf_dir)
+    firsts_stream = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("first_ts")
+    )
+    out = _run_to_memory(spark, firsts_stream, "update")
+    firsts = out.groupBy("user_id", "event_type").agg(
+        F.min("first_ts").alias("first_ts")
+    )
+    d = firsts.groupBy(
+        F.date_trunc("day", "first_ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_new_keys"))
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = F.sum("n_new_keys").over(w)
+    return d.select(
+        "day",
+        "n_new_keys",
+        cum.cast("long").alias("cum_keys"),
+        F.round(
+            F.col("n_new_keys").cast("double") / cum.cast("double"), 6
+        ).alias("novelty_rate"),
     )

@@ -108,7 +108,11 @@ def test_ts_interpolate_gap_physics(spark, sf_dir):
         .agg(F.round(F.avg("value"), 6).alias("v"))
         .collect()
     }
-    observed = [(r.user_id, r.day, r.val) for r in rows if r.observed]
+    # the query emits the day bucket as TIMESTAMP_NTZ (midnight) for
+    # cross-engine pandas-dtype alignment — compare on .date()
+    observed = [
+        (r.user_id, r.day.date(), r.val) for r in rows if r.observed
+    ]
     assert len(observed) == len(daily)
     for u, d, v in observed:
         assert v == pytest.approx(daily[(u, d)], abs=1e-6)
@@ -231,9 +235,11 @@ def test_ts_ewma_matches_pandas(spark, sf_dir):
 def test_events_ltv_monotone_and_matches_recompute(spark, sf_dir):
     rows = QUERIES["q_events_ltv"](spark, sf_dir).collect()
     assert rows
+    # cohort_day is TIMESTAMP_NTZ midnight post dtype alignment —
+    # key by .date() so the python recompute (date-typed) can index it
     by_cohort: dict = {}
     for r in rows:
-        by_cohort.setdefault(r.cohort_day, []).append(r)
+        by_cohort.setdefault(r.cohort_day.date(), []).append(r)
     # cumulative curves are non-decreasing in age
     for rs in by_cohort.values():
         rs.sort(key=lambda r: r.age_days)
@@ -270,7 +276,7 @@ def test_events_concurrency_matches_bruteforce(spark, sf_dir):
     from datetime import datetime, timedelta
 
     rows = {
-        r.day: r.peak_concurrency
+        r.day.date(): r.peak_concurrency
         for r in QUERIES["q_events_concurrency"](spark, sf_dir).collect()
     }
     ev = load_table(spark, sf_dir, "events")

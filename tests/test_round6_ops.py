@@ -121,7 +121,9 @@ def test_ts_changepoint_finds_planted_shift(spark, tmp_path):
     got = QUERIES["q_ts_changepoint"](spark, str(tmp_path)).collect()
     assert len(got) == 1
     # CUSUM of a single level shift peaks on the last pre-shift day
-    assert got[0].cp_day == datetime(2024, 3, 1).date() + timedelta(days=19)
+    assert got[0].cp_day.date() == (
+        datetime(2024, 3, 1).date() + timedelta(days=19)
+    )
     assert got[0].n_days == 30
 
 
@@ -669,7 +671,12 @@ def test_mad_outlier_resists_masking(spark, tmp_path):
         "event_id long, user_id long, ts timestamp, event_type string,"
         " value double",
     ).write.parquet(str(tmp_path / "events.parquet"))
-    out = {r.day: r for r in QUERIES["q_ts_outlier_mad"](spark, str(tmp_path)).collect()}
+    # day is emitted as TIMESTAMP_NTZ midnight (cross-engine pandas-
+    # dtype alignment) — key by .date()
+    out = {
+        r.day.date(): r
+        for r in QUERIES["q_ts_outlier_mad"](spark, str(tmp_path)).collect()
+    }
     spike_day = (datetime(2024, 6, 1) + timedelta(days=12)).date()
     assert out[spike_day].is_outlier == 1
     assert sum(r.is_outlier for r in out.values()) == 1

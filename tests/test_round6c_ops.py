@@ -384,8 +384,9 @@ def test_stickiness_rolling_mau(spark, tmp_path):
         "event_id long, ts timestamp, user_id long, event_type string,"
         " value double, props string",
     ).write.parquet(str(tmp_path / "events.parquet"))
+    # day is TIMESTAMP_NTZ midnight post dtype alignment — key on date()
     got = {
-        str(r.day): (r.dau, r.mau, r.stickiness)
+        str(r.day.date()): (r.dau, r.mau, r.stickiness)
         for r in QUERIES["q_events_stickiness"](
             spark, str(tmp_path)
         ).collect()
@@ -867,7 +868,9 @@ def test_bounce_rate_single_event_sessions(spark, tmp_path):
         " value double, props string",
     ).write.parquet(str(tmp_path / "events.parquet"))
     [r] = QUERIES["q_events_bounce_rate"](spark, str(tmp_path)).collect()
-    assert (str(r.day), r.n_sessions, r.n_bounces) == ("2024-01-01", 3, 2)
+    assert (str(r.day.date()), r.n_sessions, r.n_bounces) == (
+        "2024-01-01", 3, 2,
+    )
     assert abs(r.bounce_rate - round(2 / 3, 6)) < 1e-9
 
 

@@ -161,19 +161,34 @@ def main() -> int:
     segs = " | ".join(
         f"a[{mults[i]}-{mults[i + 1]}]" for i in range(len(mults) - 1)
     )
+    # 1 name col + len(mults) time cols + len(mults)-1 segment cols
+    # + 1 end-to-end alpha col. A composite that failed EVERY rep at
+    # some scale has no times[name][m] — print '-' placeholders
+    # instead of discarding the whole table on a KeyError.
+    n_cols = 1 + len(mults) + (len(mults) - 1) + 1
     print(f"\n| composite | {hdr} | {segs} | alpha |")
-    print("|" + "---|" * (len(mults) + len(mults)))
+    print("|" + "---|" * n_cols)
     lo, hi = mults[0], mults[-1]
+
+    def _t(name, m):
+        return times.get(name, {}).get(m)
+
+    def _alpha(name, m0, m1):
+        t0, t1 = _t(name, m0), _t(name, m1)
+        if t0 is None or t1 is None or t0 <= 0:
+            return "-"
+        return f"{math.log(t1 / t0) / math.log(m1 / m0):.2f}"
+
     for name in COMPOSITES:
-        ts = " | ".join(f"{times[name][m]:.1f}" for m in mults)
+        ts = " | ".join(
+            f"{_t(name, m):.1f}" if _t(name, m) is not None else "-"
+            for m in mults
+        )
         seg_a = " | ".join(
-            f"{math.log(times[name][mults[i + 1]] / times[name][mults[i]]) / math.log(mults[i + 1] / mults[i]):.2f}"
+            _alpha(name, mults[i], mults[i + 1])
             for i in range(len(mults) - 1)
         )
-        alpha = math.log(times[name][hi] / times[name][lo]) / math.log(
-            hi / lo
-        )
-        print(f"| {name} | {ts} | {seg_a} | {alpha:.2f} |")
+        print(f"| {name} | {ts} | {seg_a} | {_alpha(name, lo, hi)} |")
     return 0
 
 

@@ -2,7 +2,22 @@
 
 For every query in QUERIES: run the Spark DataFrame and (when present)
 the DuckDB oracle on the same parquet tables, then compare
-  row count  +  sorted column names  +  order-insensitive values.
+  row count  +  sorted column names  +  order-insensitive values
+  +  pandas dtypes (sdf.toPandas() vs con.execute(oracle).fetchdf()).
+
+The dtype leg exists because the driver hashes PANDAS frames, and its
+canonicalization normalizes integer widths and datetime flavors but
+NOT int-vs-float: DuckDB promotes SUM(BIGINT) to HUGEINT, which
+fetchdf() renders as float64 while Spark emits int64 — bit-identical
+values, red driver hash (the whole round-8 incident). fetchall()
+delivers HUGEINT as a plain Python int, so a value-level compare is
+structurally blind to the class; only the pandas-dtype compare sees it.
+Cross-family divergence (int vs float, numeric vs object, ...) is a
+hard failure; same-family width/flavor divergence (int32 vs int64,
+datetime64[ns] vs [us], date-object vs datetime64) is driver-tolerated
+today but printed as a DTYPE_SOFT warning and summarized — the policy
+is to cast those to identity too (one driver-version bump from red).
+Set SKIP_DTYPES=1 to skip the extra execution per query.
 Usage:
     python tools/verify_oracle.py [sf_dir] [query ...]
 Defaults to /root/testdata/sf0.001 and all queries.
@@ -53,6 +68,71 @@ def _rows_key(rows, cols):
     return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
 
 
+CHECK_DTYPES = os.environ.get("SKIP_DTYPES", "") != "1"
+# (query, column, spark_dtype, duck_dtype) for same-family divergences
+SOFT_DTYPE_DIVERGENCES: list[tuple[str, str, str, str]] = []
+
+
+def _dtype_token(series) -> tuple[str, str]:
+    """(family, exact) for one pandas column. Families must match across
+    engines (hard gate); exact strings should too (soft gate)."""
+    dt = series.dtype
+    kind = getattr(dt, "kind", "O")
+    if kind in "iu":
+        return "int", str(dt)
+    if kind == "f":
+        return "float", str(dt)
+    if kind == "b":
+        return "bool", str(dt)
+    if kind == "M":
+        return "ts", str(dt)
+    # object column: classify from the first non-null cell
+    for v in series:
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            continue
+        if isinstance(v, Decimal):
+            return "decimal", "object[Decimal]"
+        if isinstance(v, datetime):
+            return "ts", "object[datetime]"
+        if isinstance(v, date):
+            return "date", "object[date]"
+        if isinstance(v, bool):
+            return "bool", "object[bool]"
+        if isinstance(v, int):
+            return "int", "object[int]"
+        if isinstance(v, str):
+            return "str", "object[str]"
+        if isinstance(v, bytes):
+            return "bytes", "object[bytes]"
+        if isinstance(v, (list, tuple, dict)) or type(v).__module__ == "numpy":
+            return "nested", f"object[{type(v).__name__}]"
+        return type(v).__name__, f"object[{type(v).__name__}]"
+    return "empty", "object[empty]"
+
+
+def _dtype_check(name: str, pdf_s, pdf_d):
+    """Compare pandas dtypes column-by-column. Returns (hard, soft) lists
+    of 'col: spark vs duck' strings; hard = cross-family (driver-red)."""
+    hard, soft = [], []
+    for col in sorted(pdf_s.columns):
+        fam_s, exact_s = _dtype_token(pdf_s[col])
+        fam_d, exact_d = _dtype_token(pdf_d[col])
+        # date-object vs datetime64 is a datetime FLAVOR the driver
+        # canonicalizes (date-typed queries passed the r08 window);
+        # policy is still to cast it away — soft, not hard.
+        if (
+            fam_s == fam_d
+            or "empty" in (fam_s, fam_d)
+            or {fam_s, fam_d} == {"date", "ts"}
+        ):
+            if exact_s != exact_d:
+                soft.append(f"{col}: {exact_s} vs {exact_d}")
+                SOFT_DTYPE_DIVERGENCES.append((name, col, exact_s, exact_d))
+        else:
+            hard.append(f"{col}: {exact_s}({fam_s}) vs {exact_d}({fam_d})")
+    return hard, soft
+
+
 def compare(spark, con, name: str, sf_dir: str) -> tuple[str, str]:
     t0 = time.time()
     sdf = QUERIES[name](spark, sf_dir)
@@ -73,6 +153,14 @@ def compare(spark, con, name: str, sf_dir: str) -> tuple[str, str]:
     if sk != dk:
         diffs = [(a, b) for a, b in zip(sk, dk) if a != b][:3]
         return "VALUE_MISMATCH", f"first diffs: {diffs}"
+    if CHECK_DTYPES:
+        pdf_s = QUERIES[name](spark, sf_dir).toPandas()
+        pdf_d = con.execute(ORACLES[name]).fetchdf()
+        hard, soft = _dtype_check(name, pdf_s, pdf_d)
+        if hard:
+            return "DTYPE_MISMATCH", f"cross-family: {hard}"
+        if soft:
+            return "OK", f"{len(srows)} rows, {took:.1f}s  DTYPE_SOFT: {soft}"
     return "OK", f"{len(srows)} rows, {took:.1f}s"
 
 
@@ -100,6 +188,24 @@ def main() -> int:
         if status not in ("OK", "ROWS_ONLY"):
             failed.append(name)
     print(f"\n{len(names) - len(failed)}/{len(names)} passed")
+    if SOFT_DTYPE_DIVERGENCES:
+        # datetime64[ns] vs [us] is inherent: Spark toPandas always
+        # yields ns, DuckDB fetchdf always us — same family, driver-
+        # normalized, unfixable at the SQL level. Everything else soft
+        # (int widths etc.) is actionable: cast to identity.
+        flavor = [
+            d
+            for d in SOFT_DTYPE_DIVERGENCES
+            if {d[2], d[3]} == {"datetime64[ns]", "datetime64[us]"}
+        ]
+        other = [d for d in SOFT_DTYPE_DIVERGENCES if d not in flavor]
+        print(
+            f"DTYPE_SOFT: {len(flavor)} ns/us-flavor column(s) "
+            f"(inherent, driver-normalized) + {len(other)} other "
+            f"within-family column(s)"
+        )
+        for q, col, s, d in other:
+            print(f"   soft {q}.{col}: {s} vs {d}")
     if failed:
         print("failed:", ", ".join(failed))
     return 1 if failed else 0
