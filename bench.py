@@ -291,6 +291,8 @@ HEADLINE_EXTRA = [
     "q_dedup_srp_cert",          # SRP recall/cost certificate
     "q_sim_ivfpq_residual",      # true-FAISS residual IVFADC
     "q_sim_ivfpq_residual_recall",  # measured residual-encoding lift
+    "q_sim_ivfpq_residual_refine",  # residual shortlist -> exact re-rank
+    "q_sim_ivfpq_residual_refine_recall",  # encoding x refine grid cell
     "s_novelty_decay",           # streaming first-seen-key decay curve
 ]
 

@@ -3394,9 +3394,11 @@ _IVFPQ_RES_ORACLE = f"""
 """
 
 
-def _ivfpq_residual_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Residual-encoded IVF-ADC scores over routed candidates — the
-    Spark twin of the radc CTE above."""
+def _ivfpq_residual_adc(spark: SparkSession, sf_dir: str):
+    """Residual-encoded IVF-ADC pipeline — the Spark twin of the radc
+    CTE above. Returns (adc scores, probes, embeddings) so the
+    ADC-final and exact-refine tiers window the same certified frame
+    (the _ivfpq_adc contract)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
@@ -3504,7 +3506,7 @@ def _ivfpq_residual_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", "cl", F.col("cand_vec").alias("vec_id"))
     )
     joined = rcodes.join(rcand, "vec_id")
-    return (
+    radc = (
         joined.join(
             F.broadcast(rlut),
             (joined["m"] == rlut["m"])
@@ -3517,6 +3519,7 @@ def _ivfpq_residual_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("probe_id", "vec_id")
         .agg(F.round(F.sqrt(F.sum("d2")), 6).alias("approx_l2"))
     )
+    return radc, probes, emb
 
 
 @register("q_sim_ivfpq_residual", oracle=_IVFPQ_RES_ORACLE)
@@ -3539,7 +3542,7 @@ def q_sim_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast. Corpus is still touched as {PQ_M}-byte codes at query
     time; the residual subtraction happens once at index-build.
     """
-    adc = _ivfpq_residual_adc(spark, sf_dir)
+    adc, _, _ = _ivfpq_residual_adc(spark, sf_dir)
     w = W.partitionBy("probe_id").orderBy("approx_l2", "vec_id")
     return (
         adc.withColumn("rn", F.row_number().over(w))
@@ -3581,6 +3584,129 @@ def q_sim_ivfpq_residual_recall(
     exact = q_sim_knn_batch(spark, sf_dir).select("probe_id", "vec_id")
     j = exact.join(
         ivfpqr,
+        (F.col("probe_id") == F.col("i_probe"))
+        & (F.col("vec_id") == F.col("i_vec")),
+        "left",
+    )
+    return j.agg(
+        F.countDistinct("probe_id").alias("n_probes"),
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("i_vec").alias("n_hit"),
+        F.round(F.count("i_vec") / F.count(F.lit(1)), 4).alias(
+            "recall_at_k"
+        ),
+    )
+
+
+@register(
+    "q_sim_ivfpq_residual_refine",
+    oracle=f"""
+    WITH {_IVFPQ_RES_CTES},
+    short AS (
+        SELECT probe_id, vec_id FROM (
+            SELECT probe_id, vec_id,
+                   row_number() OVER (PARTITION BY probe_id
+                                      ORDER BY approx_l2, vec_id) AS rn
+            FROM radc
+        ) WHERE rn <= {IVFPQ_REFINE_R}
+    ),
+    re AS (
+        SELECT s.probe_id, s.vec_id,
+               round(list_cosine_similarity(v.emb, p.pe), 6) AS cos_sim
+        FROM short s
+        JOIN e v ON v.vec_id = s.vec_id
+        JOIN probes p ON p.probe_id = s.probe_id
+    )
+    SELECT probe_id, vec_id, cos_sim FROM (
+        SELECT probe_id, vec_id, cos_sim,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM re
+    ) WHERE rn <= {IVFPQ_K}
+    """,
+)
+def q_sim_ivfpq_residual_refine(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The production endpoint of the residual arc: residual-ADC
+    top-{IVFPQ_REFINE_R} shortlist → bounded float fetch → exact
+    cosine re-rank to top-{IVFPQ_K} — q_sim_ivfpq_refine with the
+    better shortlist generator underneath. A better shortlist is the
+    whole leverage of refinement: refine can only surface what the
+    shortlist kept. Measured (q_sim_ivfpq_residual_refine_recall,
+    sf 0.1): 0.2417 vs raw-coding refine's 0.2583 — statistically
+    indistinguishable (29 vs 31 hits of 120). The finding: with
+    R = {IVFPQ_REFINE_R} >> k both shortlists already saturate, so
+    refinement WASHES OUT the encoder difference; residual coding
+    pays off when ADC is the final ranking (0.1583 vs 0.125), and
+    shortlist width R, not encoder quality, is the lever once an
+    exact refine is affordable.
+
+    Scale: identical to q_sim_ivfpq_refine — one equi-join fetching
+    {IVFPQ_REFINE_R} float vectors per probe, never a cell-wide
+    shuffle; the corpus stays 8-byte codes.
+    """
+    adc, probes, emb = _ivfpq_residual_adc(spark, sf_dir)
+    w_short = W.partitionBy("probe_id").orderBy("approx_l2", "vec_id")
+    short = (
+        adc.withColumn("rn", F.row_number().over(w_short))
+        .filter(F.col("rn") <= IVFPQ_REFINE_R)
+        .select("probe_id", "vec_id")
+    )
+    re = (
+        short.join(emb.select("vec_id", "emb"), "vec_id")
+        .join(probes, "probe_id")
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(cosine_expr(F.col("emb"), F.col("pe")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        re.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= IVFPQ_K)
+        .select("probe_id", "vec_id", "cos_sim")
+    )
+
+
+@register(
+    "q_sim_ivfpq_residual_refine_recall",
+    oracle=f"""
+    WITH refined AS ({{refine}}),
+    exact AS ({{knn_batch}}),
+    j AS (
+        SELECT e.probe_id, e.vec_id, r.vec_id AS hit
+        FROM exact e LEFT JOIN refined r
+          ON r.probe_id = e.probe_id AND r.vec_id = e.vec_id
+    )
+    SELECT CAST(count(DISTINCT probe_id) AS BIGINT) AS n_probes,
+           count(*) AS n_exact,
+           count(hit) AS n_hit,
+           round(1.0 * count(hit) / count(*), 4) AS recall_at_k
+    FROM j
+    """.replace("{refine}", _ORACLES["q_sim_ivfpq_residual_refine"])
+       .replace("{knn_batch}", _ORACLES["q_sim_knn_batch"]),
+)
+def q_sim_ivfpq_residual_refine_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall of residual IVF-PQ + exact refine against brute-force
+    cosine top-{BATCH_K} — completing the encoding × refinement grid
+    of the certified FAISS arc at this routing budget: every cell
+    (raw/residual × ADC-final/refined) now carries a hash-certified
+    measured recall, and the grid's read is in
+    q_sim_ivfpq_residual_refine's docstring (encoder choice matters
+    for ADC-final; shortlist width matters once refined).
+    """
+    refined = q_sim_ivfpq_residual_refine(spark, sf_dir).select(
+        F.col("probe_id").alias("i_probe"), F.col("vec_id").alias("i_vec")
+    )
+    exact = q_sim_knn_batch(spark, sf_dir).select("probe_id", "vec_id")
+    j = exact.join(
+        refined,
         (F.col("probe_id") == F.col("i_probe"))
         & (F.col("vec_id") == F.col("i_vec")),
         "left",

@@ -190,3 +190,15 @@ def test_novelty_decay_conservation(spark, sf_dir):
         assert r.novelty_rate == pytest.approx(
             round(r.n_new_keys / cum, 6), abs=1e-9
         )
+
+
+def test_ivfpq_residual_refine_dominates_adc_final(spark, sf_dir):
+    """Same theorem as the raw arc (test_round8_ops): the residual-ADC
+    top-10 is a subset of the top-40 shortlist, so every ADC-final hit
+    survives the exact re-rank — refine recall >= ADC-final recall."""
+    adc = QUERIES["q_sim_ivfpq_residual_recall"](spark, sf_dir).collect()[0]
+    ref = QUERIES["q_sim_ivfpq_residual_refine_recall"](
+        spark, sf_dir
+    ).collect()[0]
+    assert ref.n_probes == adc.n_probes
+    assert ref.recall_at_k >= adc.recall_at_k
