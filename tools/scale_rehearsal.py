@@ -95,8 +95,16 @@ def main() -> int:
     p.add_argument("--mults", default="1,8")
     p.add_argument("--out", default=".scale")
     p.add_argument("--repeats", type=int, default=3)
+    p.add_argument(
+        "--composites",
+        default=None,
+        help="comma-separated query names (default: the standing list)",
+    )
     args = p.parse_args()
     mults = [int(m) for m in args.mults.split(",")]
+    global COMPOSITES
+    if args.composites:
+        COMPOSITES = args.composites.split(",")
 
     for m in mults:
         d = os.path.join(args.out, f"x{m}")
