@@ -38,7 +38,8 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # q_dq_gopher_rules q_dedup_srp_pairs q_dedup_srp_cert
 # q_sim_ivfpq_residual q_sim_ivfpq_residual_recall
 # q_sim_ivfpq_residual_refine q_sim_ivfpq_residual_refine_recall
-# s_novelty_decay — then the remainder below in order):
+# s_novelty_decay q_text_pretokenize q_text_bpe_apply — then the
+# remainder below in order):
 # q_shard_assign q_mix_rebalance q_ts_changepoint q_ts_holt
 # q_dq_drift q_join_interval_overlap q_text_bpe_pairs
 # q_events_pareto q_graph_bfs q_text_llr s_dq_drift

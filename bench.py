@@ -294,6 +294,8 @@ HEADLINE_EXTRA = [
     "q_sim_ivfpq_residual_refine",  # residual shortlist -> exact re-rank
     "q_sim_ivfpq_residual_refine_recall",  # encoding x refine grid cell
     "s_novelty_decay",           # streaming first-seen-key decay curve
+    "q_text_pretokenize",        # regex run-class census
+    "q_text_bpe_apply",          # vocab-cached BPE encode
 ]
 
 HEADLINE = HEADLINE_CORE + HEADLINE_EXTRA

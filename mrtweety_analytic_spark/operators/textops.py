@@ -2343,3 +2343,153 @@ def q_text_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("compress_ratio"),
     )
+
+
+@register(
+    "q_text_pretokenize",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text),
+                      '[a-z]+|[0-9]+|[^a-z0-9 ]+')) AS tok
+        FROM documents
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(CASE WHEN regexp_matches(tok, '^[a-z]')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_word_runs,
+           CAST(sum(CASE WHEN regexp_matches(tok, '^[0-9]')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_digit_runs,
+           CAST(sum(CASE WHEN NOT regexp_matches(tok, '^[a-z0-9]')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_other_runs,
+           max(length(tok)) AS max_run_len
+    FROM toks GROUP BY doc_id
+    """,
+)
+def q_text_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-2-style regex PRE-tokenization census — the stage every
+    BPE tokenizer runs before any merge: split text into letter
+    runs, digit runs, and punctuation/symbol runs (the '-ish regex'
+    of the tokenizer family; GPT-2's full pattern adds contractions
+    and unicode classes, same plan shape). Per document: run counts
+    by class and the longest run — the pre-tokenizer statistics a
+    corpus budget (tokens ≥ runs; every run is ≥ 1 token) and a
+    tokenizer-health check (a huge max_run_len flags unsegmentable
+    blobs: base64, DNA, minified JS) read directly. The character
+    class is kept to a subset RE2 (DuckDB) and Java regex (Spark)
+    interpret identically — alternation of simple classes, no
+    lookaround, no \\w ambiguity.
+
+    Scale: regexp_extract_all + explode is one codegen'd map pass;
+    the per-doc aggregate is partial-combinable; nothing but
+    (doc_id, 4 longs) crosses the shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "regexp_extract_all(lower(text),"
+                " '[a-z]+|[0-9]+|[^a-z0-9 ]+', 0)"
+            )
+        ).alias("tok"),
+    )
+    return toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("tok").rlike("^[a-z]"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_word_runs"),
+        F.sum(F.when(F.col("tok").rlike("^[0-9]"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_digit_runs"),
+        F.sum(F.when(~F.col("tok").rlike("^[a-z0-9]"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_other_runs"),
+        F.max(F.length("tok")).cast("long").alias("max_run_len"),
+    )
+
+
+def _bpe_encode(word: str, ranks: dict) -> int:
+    """Token count after greedily applying ranked merges to one word
+    (Sennrich apply loop: repeatedly merge the best-ranked adjacent
+    pair until none applies). Returns the symbol count — the number
+    a token budget needs; the symbols themselves stay in the UDF."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank, best_i = None, None
+        for i, (a, b) in enumerate(zip(syms, syms[1:])):
+            r = ranks.get((a, b))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return len(syms)
+
+
+@register("q_text_bpe_apply")  # rows-only: data-dependent merge table
+def q_text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLY — the encode path that completes the arc
+    q_text_bpe_pairs (one merge statistic) → q_text_bpe_train (the
+    k=10 merge table) → this (tokenize the corpus with it): per
+    document, word count, BPE token count, and mean tokens/word —
+    the number a training-token budget is actually denominated in.
+
+    Scale design is the production tokenizer-cache pattern: the
+    corpus collapses to its DISTINCT word vocabulary (one
+    partial-aggregable groupBy), the merge loop encodes each
+    distinct word ONCE (vectorized Arrow batch; the merge table is
+    10 rows, a closure broadcast), and per-word token counts
+    broadcast-join back onto the word stream — encode cost is
+    O(vocabulary), not O(corpus), exactly how HF tokenizers amortize
+    at scale. Rows-only like q_text_bpe_train (the per-iteration
+    argmax recursion is not SQL-expressible); the apply loop is
+    pinned by pytest against the classic low/lower/newest/widest
+    worked example and conservation laws on the real corpus.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab_rows = (
+        docs.select(
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+        )
+        .filter(F.col("w").rlike("^[a-z]{2,}$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wn"))
+        .orderBy(F.col("wn").desc(), "w")
+        .limit(65536)
+        .collect()
+    )
+    merges = _bpe_merge_loop({r["w"]: r["wn"] for r in vocab_rows}, 10)
+    ranks = {
+        (left, right): step for step, left, right, _, _ in merges
+    }
+
+    def _count(words: pd.Series) -> pd.Series:
+        return words.map(lambda w: _bpe_encode(w, ranks))
+
+    count_udf = pandas_udf(_count, "long")
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("w"),
+    ).filter(F.col("w").rlike("^[a-z]{2,}$"))
+    # Encode each DISTINCT word once, then broadcast the tiny
+    # (word -> token count) table back onto the corpus stream.
+    word_tokens = (
+        toks.select("w")
+        .distinct()
+        .select("w", count_udf(F.col("w")).alias("wtok"))
+    )
+    return (
+        toks.join(F.broadcast(word_tokens), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("wtok").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("wtok").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_tokens_per_word"),
+        )
+    )

@@ -202,3 +202,64 @@ def test_ivfpq_residual_refine_dominates_adc_final(spark, sf_dir):
     ).collect()[0]
     assert ref.n_probes == adc.n_probes
     assert ref.recall_at_k >= adc.recall_at_k
+
+
+def test_bpe_encode_classic_example():
+    """Sennrich worked example: corpus low×5 lower×2 newest×6
+    widest×3; after the canonical merges, 'lowest' (unseen) encodes
+    through the learned merges exactly as the paper's apply does."""
+    from mrtweety_analytic_spark.operators.textops import (
+        _bpe_encode,
+        _bpe_merge_loop,
+    )
+
+    wc = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = _bpe_merge_loop(wc, 10)
+    ranks = {(l, r): s for s, l, r, _, _ in merges}
+    # trained words collapse to few symbols; each encode must agree
+    # with replaying the TRAINER's own symbol table
+    syms = {w: tuple(w) for w in wc}
+    for step, left, right, merged, _ in merges:
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = tuple(out)
+    for w in wc:
+        assert _bpe_encode(w, ranks) == len(syms[w]), w
+    # unseen word: encoding still terminates and conserves characters
+    n = _bpe_encode("lowest", ranks)
+    assert 1 <= n <= len("lowest")
+
+
+def test_bpe_apply_conservation(spark, sf_dir):
+    """n_words <= n_bpe_tokens <= total characters of the words; and
+    with k=10 merges some compression must have happened corpus-wide
+    (avg tokens/word < avg chars/word)."""
+    rows = QUERIES["q_text_bpe_apply"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_words <= r.n_bpe_tokens
+    from mrtweety_analytic_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    chars = (
+        docs.select(
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+        )
+        .filter(F.col("w").rlike("^[a-z]{2,}$"))
+        .agg(
+            F.sum(F.length("w")).alias("chars"),
+            F.count(F.lit(1)).alias("words"),
+        )
+        .collect()[0]
+    )
+    total_tokens = sum(r.n_bpe_tokens for r in rows)
+    assert total_tokens <= chars.chars
+    assert total_tokens < chars.chars  # the 10 merges bought something
+    assert sum(r.n_words for r in rows) == chars.words
