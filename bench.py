@@ -296,6 +296,10 @@ HEADLINE_EXTRA = [
     "s_novelty_decay",           # streaming first-seen-key decay curve
     "q_text_pretokenize",        # regex run-class census
     "q_text_bpe_apply",          # vocab-cached BPE encode
+    "q_text_bm25",               # one-pass BM25 lexical ranker
+    "q_sim_hybrid_rrf",          # lexical+dense reciprocal-rank fusion
+    "q_mix_dsir_weights",        # hashed-feature importance resampling
+    "q_sim_matryoshka_recall",   # prefix-dim recall certificate
 ]
 
 HEADLINE = HEADLINE_CORE + HEADLINE_EXTRA

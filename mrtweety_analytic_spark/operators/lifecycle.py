@@ -31,6 +31,7 @@ from ..util import LastHandle
 # manager, same pattern as mining._LAST_ITEMS).
 _LAST_RATES = LastHandle(lambda dfs: [df.unpersist() for df in dfs])
 _LAST_EXPORT = LastHandle(lambda dfs: [df.unpersist() for df in dfs])
+_LAST_DSIR_TOK = LastHandle(lambda dfs: [df.unpersist() for df in dfs])
 
 
 @register(
@@ -1055,4 +1056,146 @@ def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
         )
+    )
+
+
+# DSIR hashed-feature space: 256 buckets via the cross-engine md5
+# gate, Laplace smoothing of +1 per bucket.
+DSIR_BUCKETS = 256
+DSIR_TARGET_LANG = "en"
+
+
+@register(
+    "q_mix_dsir_weights",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source, lang,
+               CAST(('0x' || substr(md5(term), 1, 4)) AS INTEGER)
+                   % {DSIR_BUCKETS} AS f
+        FROM (SELECT doc_id, source, lang,
+                     unnest(string_split(lower(text), ' ')) AS term
+              FROM documents)
+        WHERE term <> ''
+    ),
+    raw AS (
+        SELECT f, count(*) AS c_raw FROM tok GROUP BY f
+    ),
+    tgt AS (
+        SELECT f, count(*) AS c_tgt FROM tok
+        WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY f
+    ),
+    tots AS (
+        SELECT CAST(sum(CASE WHEN lang = '{DSIR_TARGET_LANG}'
+                             THEN 1 ELSE 0 END) AS DOUBLE) AS t_tgt,
+               CAST(count(*) AS DOUBLE) AS t_raw
+        FROM tok
+    ),
+    lr AS (
+        SELECT raw.f,
+               ln((COALESCE(tgt.c_tgt, 0) + 1.0)
+                  / (tots.t_tgt + {DSIR_BUCKETS})
+                  * (tots.t_raw + {DSIR_BUCKETS})
+                  / (raw.c_raw + 1.0)) AS lr
+        FROM raw LEFT JOIN tgt ON raw.f = tgt.f CROSS JOIN tots
+    ),
+    docw AS (
+        SELECT t.doc_id, any_value(t.source) AS source,
+               sum(lr.lr) AS logw
+        FROM tok t JOIN lr ON t.f = lr.f
+        GROUP BY t.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(logw), 6) AS avg_logw,
+           round(avg(CASE WHEN logw > 0 THEN 1.0 ELSE 0.0 END), 6)
+               AS frac_targetlike
+    FROM docw
+    GROUP BY source
+    """,
+)
+def q_mix_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by how much it resembles a TARGET distribution, using
+    hashed unigram features and two Laplace-smoothed multinomial
+    models. log w(doc) = sum_f c_f(doc) * ln(p_target(f)/p_raw(f));
+    resampling by these weights tilts the corpus mix toward the
+    target. Target here = the lang='en' slice; features = words
+    md5-hashed into 256 buckets (the hashed-n-gram trick that makes
+    the model size O(buckets), not O(vocab) — and the repo's
+    cross-engine md5 gate, so both engines bucket identically).
+    Output is the per-source summary the mixing decision consumes:
+    mean log-weight and the fraction of target-like (logw>0) docs.
+
+    Determinism: every ln() operand is a ratio of exact integers
+    (counts + Laplace constants), identical in both engines; per-doc
+    and per-source sums are the only float accumulations and land
+    behind round-6 (the q_text_tfidf convention).
+
+    Scale: one tokenization pass; the feature census is a 256-row
+    aggregate (map-side combinable); the log-ratio table is a
+    256-row broadcast joined back onto the token stream, which then
+    reduces straight to per-doc then per-source sums — no shuffle
+    carries raw text, and the model ships as 2 KB. At 100 TB this is
+    exactly the production DSIR shape: train the two hashed models
+    in one pass, broadcast, score in the next.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.explode(F.split(F.lower("text"), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tok = tok.select(
+        "doc_id",
+        "source",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("term"), 1, 4), 16, 10).cast("int")
+            % DSIR_BUCKETS
+        ).alias("f"),
+    ).persist()
+    _LAST_DSIR_TOK.replace([tok])
+    raw = tok.groupBy("f").agg(F.count(F.lit(1)).alias("c_raw"))
+    tgt = (
+        tok.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+    tots = tok.agg(
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        )
+        .cast("double")
+        .alias("t_tgt"),
+        F.count(F.lit(1)).cast("double").alias("t_raw"),
+    )
+    lr = (
+        raw.join(tgt, "f", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "f",
+            F.log(
+                (F.coalesce(F.col("c_tgt"), F.lit(0)) + 1.0)
+                / (F.col("t_tgt") + DSIR_BUCKETS)
+                * (F.col("t_raw") + DSIR_BUCKETS)
+                / (F.col("c_raw") + 1.0)
+            ).alias("lr"),
+        )
+    )
+    docw = (
+        tok.join(F.broadcast(lr), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.first("source").alias("source"),
+            F.sum("lr").alias("logw"),
+        )
+    )
+    return docw.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("logw"), 6).alias("avg_logw"),
+        F.round(
+            F.avg(F.when(F.col("logw") > 0, 1.0).otherwise(0.0)), 6
+        ).alias("frac_targetlike"),
     )

@@ -3719,3 +3719,250 @@ def q_sim_ivfpq_residual_refine_recall(
             "recall_at_k"
         ),
     )
+
+
+# --- Hybrid retrieval: reciprocal-rank fusion of the lexical (BM25)
+# and dense (cosine) rankers. The embeddings table is the corpus's
+# dense index (vec_id ≡ doc_id; at larger SFs it indexes a PREFIX of
+# the corpus — exactly the partial-coverage case RRF is built for:
+# a doc absent from one ranker simply contributes nothing there).
+from .textops import BM25_SCORED_SQL, bm25_scored  # noqa: E402
+
+RRF_K = 60        # the canonical Cormack/Clarke/Buettcher constant
+RRF_DEPTH = 20    # per-ranker candidate depth
+RRF_TOPN = 10
+RRF_PROBE_ID = 0  # dense query = embedding of vec_id 0
+
+
+@register(
+    "q_sim_hybrid_rrf",
+    oracle=f"""
+    WITH lex AS (
+        SELECT doc_id AS id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                    AS BIGINT) AS lex_rank
+        FROM ({BM25_SCORED_SQL}) b
+        QUALIFY lex_rank <= {RRF_DEPTH}
+    ),
+    dense AS (
+        SELECT id,
+               CAST(row_number() OVER (ORDER BY score DESC, id)
+                    AS BIGINT) AS vec_rank
+        FROM (
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id = {RRF_PROBE_ID})
+            SELECT vec_id AS id,
+                   round(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]), q.qe), 6) AS score
+            FROM embeddings, q
+            WHERE vec_id <> {RRF_PROBE_ID}
+        ) d
+        QUALIFY vec_rank <= {RRF_DEPTH}
+    )
+    SELECT COALESCE(l.id, d.id) AS id,
+           COALESCE(l.lex_rank, 0) AS lex_rank,
+           COALESCE(d.vec_rank, 0) AS vec_rank,
+           round(CASE WHEN l.lex_rank IS NOT NULL
+                      THEN 1.0 / ({RRF_K} + l.lex_rank) ELSE 0.0 END
+                 + CASE WHEN d.vec_rank IS NOT NULL
+                        THEN 1.0 / ({RRF_K} + d.vec_rank) ELSE 0.0 END,
+                 6) AS rrf_score
+    FROM lex l FULL OUTER JOIN dense d ON l.id = d.id
+    ORDER BY rrf_score DESC, id
+    LIMIT {RRF_TOPN}
+    """,
+)
+def q_sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: reciprocal-rank fusion (RRF, score = sum over
+    rankers of 1/(60+rank)) of the BM25 lexical top-20 and the dense
+    cosine top-20 — the standard fusion step of a lexical+vector
+    retrieval stack (Elasticsearch/Vespa/Lucene all ship exactly
+    this). Ranks, not scores, are fused, so the two rankers need no
+    score calibration; a doc present in only one list contributes
+    only that list's term (rank 0 in the output marks absence).
+
+    Determinism: both per-ranker rankings order by (round-6 score,
+    id) — the repo's top-k convention — so ranks are cross-engine
+    identical; the fused score is a sum of two exact rationals,
+    rounded at 6; final order (rrf_score, id).
+
+    Scale: each ranker independently reduces the corpus to DEPTH
+    rows BEFORE fusion (BM25 via TakeOrderedAndProject over the
+    query-term-filtered aggregate, dense via the broadcast-probe
+    scan) — the fusion join touches 2*DEPTH rows no matter the
+    corpus size. The window rank runs on the already-cut DEPTH-row
+    frame, never on the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+
+    lex_top = (
+        bm25_scored(docs)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(RRF_DEPTH)
+    )
+    w_lex = W.orderBy(F.desc("score"), F.asc("doc_id"))
+    lex = lex_top.select(
+        F.col("doc_id").alias("id"),
+        F.row_number().over(w_lex).cast("long").alias("lex_rank"),
+    )
+
+    probe = emb.filter(F.col("vec_id") == RRF_PROBE_ID).select(
+        F.col("e").alias("qe")
+    )
+    dense_top = (
+        emb.filter(F.col("vec_id") != RRF_PROBE_ID)
+        .join(F.broadcast(probe))
+        .select(
+            F.col("vec_id").alias("id"),
+            F.round(cosine_expr(F.col("e"), F.col("qe")), 6).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(RRF_DEPTH)
+    )
+    w_dense = W.orderBy(F.desc("score"), F.asc("id"))
+    dense = dense_top.select(
+        "id",
+        F.row_number().over(w_dense).cast("long").alias("vec_rank"),
+    )
+
+    fused = lex.join(dense, "id", "full")
+    contrib = F.when(
+        F.col("lex_rank").isNotNull(),
+        1.0 / (RRF_K + F.col("lex_rank")),
+    ).otherwise(0.0) + F.when(
+        F.col("vec_rank").isNotNull(),
+        1.0 / (RRF_K + F.col("vec_rank")),
+    ).otherwise(0.0)
+    return (
+        fused.select(
+            "id",
+            F.coalesce("lex_rank", F.lit(0)).alias("lex_rank"),
+            F.coalesce("vec_rank", F.lit(0)).alias("vec_rank"),
+            F.round(contrib, 6).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("id"))
+        .limit(RRF_TOPN)
+    )
+
+
+# --- Matryoshka (MRL) prefix-dimension evaluation: how much of the
+# exact top-k survives truncating embeddings to their first
+# MRL_PREFIX dims. Matryoshka-trained models front-load information
+# so the prefix is a valid cheap index; this is the measurement that
+# certifies (or refutes) that property for a given corpus.
+MRL_PREFIX = 32
+MRL_K = 10
+
+
+@register(
+    "q_sim_matryoshka_recall",
+    oracle=f"""
+    WITH probes AS (
+        SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pe
+        FROM embeddings WHERE vec_id % {PROBE_MOD} = 0
+    ),
+    pairs AS (
+        SELECT p.probe_id, e.vec_id,
+               round(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]), p.pe), 6) AS s_full,
+               round(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[])[1:{MRL_PREFIX}],
+                   p.pe[1:{MRL_PREFIX}]), 6) AS s_pre
+        FROM embeddings e, probes p
+        WHERE e.vec_id <> p.probe_id
+    ),
+    ranked AS (
+        SELECT probe_id, vec_id,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY s_full DESC, vec_id)
+                   AS rn_full,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY s_pre DESC, vec_id)
+                   AS rn_pre
+        FROM pairs
+    )
+    SELECT CAST(count(DISTINCT probe_id) AS BIGINT) AS n_probes,
+           CAST({MRL_K} AS BIGINT) AS k,
+           CAST(sum(CASE WHEN rn_full <= {MRL_K}
+                          AND rn_pre <= {MRL_K}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           round(sum(CASE WHEN rn_full <= {MRL_K}
+                           AND rn_pre <= {MRL_K}
+                          THEN 1.0 ELSE 0.0 END)
+                 / (count(DISTINCT probe_id) * {MRL_K}), 4)
+               AS recall_at_k
+    FROM ranked
+    """,
+)
+def q_sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka prefix-dim recall@k: rank the corpus per probe by
+    full-dim cosine AND by first-32-dim cosine, and measure
+    the top-k overlap (Kusupati et al. 2022 — MRL-trained embeddings
+    keep most nearest-neighbor structure in their prefix, enabling a
+    truncate-then-refine retrieval funnel at 1/2 the FLOPs and
+    bandwidth). This is the honest-measurement twin of the IVF/PQ
+    recall certificates: the number it emits is the funnel's
+    candidate-recall ceiling for this corpus.
+
+    Determinism: both rankings order by (round-6 score, vec_id); the
+    final recall divides exact integer counts, rounded at 4 (the
+    recall-certificate convention).
+
+    Scale: the pair scan is the brute-force certificate side (probes
+    × corpus, broadcast probe matrix, one corpus pass computing BOTH
+    scores per pair — the prefix fold reuses the fetched array, no
+    second scan). Production uses the measured prefix as the FILTER
+    stage (prefix top-c » exact refine, c > k), which scans the
+    corpus as prefix-dim slices — half the bytes; the
+    certificate itself runs on a fixed probe stratum, like
+    q_sim_ivfpq_recall's exact side.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    probes = emb.filter(F.col("vec_id") % PROBE_MOD == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
+    )
+    pre = lambda c: F.slice(c, 1, MRL_PREFIX)  # noqa: E731
+    pairs = (
+        emb.join(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(cosine_expr(F.col("e"), F.col("pe")), 6).alias(
+                "s_full"
+            ),
+            F.round(
+                cosine_expr(pre(F.col("e")), pre(F.col("pe"))), 6
+            ).alias("s_pre"),
+        )
+    )
+    w_full = W.partitionBy("probe_id").orderBy(
+        F.desc("s_full"), F.asc("vec_id")
+    )
+    w_pre = W.partitionBy("probe_id").orderBy(
+        F.desc("s_pre"), F.asc("vec_id")
+    )
+    ranked = pairs.select(
+        "probe_id",
+        "vec_id",
+        F.row_number().over(w_full).alias("rn_full"),
+        F.row_number().over(w_pre).alias("rn_pre"),
+    )
+    hit = (F.col("rn_full") <= MRL_K) & (F.col("rn_pre") <= MRL_K)
+    return ranked.agg(
+        F.countDistinct("probe_id").alias("n_probes"),
+        F.lit(MRL_K).cast("long").alias("k"),
+        F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_hit"),
+        F.round(
+            F.sum(F.when(hit, 1.0).otherwise(0.0))
+            / (F.countDistinct("probe_id") * MRL_K),
+            4,
+        ).alias("recall_at_k"),
+    )

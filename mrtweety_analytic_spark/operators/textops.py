@@ -19,6 +19,12 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources import load_table
+from ..util import LastHandle
+
+# Supersession holder for bm25_scored's persisted per-doc aggregate
+# (two registered consumers — q_text_bm25 and q_sim_hybrid_rrf — can
+# each leave one generation in the block manager per bench pass).
+_LAST_BM25_PERDOC = LastHandle(lambda dfs: [df.unpersist() for df in dfs])
 
 # Trending-query stopword blacklist — the engine analogue of the
 # reference's WORD_BLACKLIST {europe, europa, eu, euro}
@@ -2492,4 +2498,156 @@ def q_text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("wtok").cast("double") / F.count(F.lit(1)), 4
             ).alias("avg_tokens_per_word"),
         )
+    )
+
+
+# BM25 retrieval constants (the Robertson/Lucene defaults) and the
+# fixed query term set — drawn from the synthetic corpus vocabulary so
+# every scale factor produces matches.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("spark", "join", "window")
+BM25_TOPN = 20
+_BM25_Q_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY)
+
+
+# The (doc_id, score) BM25-scored frame as a composable SQL subquery —
+# q_text_bm25's oracle cuts it top-N; q_sim_hybrid_rrf's oracle ranks
+# it as the lexical arm.
+BM25_SCORED_SQL = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    dl AS (
+        SELECT doc_id, CAST(count(*) AS DOUBLE) AS len
+        FROM tok WHERE term <> '' GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+               avg(len) AS avgdl
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        FROM tok WHERE term IN ({_BM25_Q_SQL})
+        GROUP BY doc_id, term
+    ),
+    idf AS (
+        SELECT term,
+               ln(1.0 + (stats.n_docs - count(DISTINCT doc_id) + 0.5)
+                        / (count(DISTINCT doc_id) + 0.5)) AS idf
+        FROM tf CROSS JOIN stats
+        GROUP BY term, stats.n_docs
+    )
+    SELECT doc_id, round(score, 6) AS score
+    FROM (
+        SELECT t.doc_id,
+               sum(i.idf * t.tf * ({BM25_K1} + 1.0)
+                   / (t.tf + {BM25_K1}
+                      * (1.0 - {BM25_B}
+                         + {BM25_B} * dl.len / stats.avgdl))) AS score
+        FROM tf t
+        JOIN dl ON t.doc_id = dl.doc_id
+        JOIN idf i ON t.term = i.term
+        CROSS JOIN stats
+        GROUP BY t.doc_id
+    )
+"""
+
+
+@register(
+    "q_text_bm25",
+    oracle=f"""
+    {BM25_SCORED_SQL}
+    ORDER BY score DESC, doc_id
+    LIMIT {BM25_TOPN}
+    """,
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (k1=1.2, b=0.75, the Lucene/Robertson
+    always-positive idf ln(1+(N-df+0.5)/(df+0.5))) for a fixed query
+    term set — the lexical ranker of a retrieval stack, and the
+    lexical half of q_sim_hybrid_rrf. Completes the term-weighting
+    family next to q_text_tfidf (which length-normalizes linearly;
+    BM25 saturates tf and normalizes against avgdl).
+
+    Determinism: the score is rounded to 6 dp BEFORE the top-N cut
+    and doc_id breaks ties, so both engines cut identically (the
+    q_text_tfidf convention). All inputs to the float expression are
+    exact integers, so both engines evaluate ln/division on
+    bit-identical operands.
+
+    Scale: tokenization is ONE corpus pass; the tf aggregate keeps
+    only query-term rows (|Q| * docs worst case, pushed down as a
+    term IN-filter BEFORE the groupBy); dl is a per-doc count
+    (map-side combinable); idf and the (n_docs, avgdl) pair are
+    O(|Q|) and O(1) broadcasts. The final scored frame is
+    |matching docs| rows cut by TakeOrderedAndProject — no corpus
+    sort, no unbounded shuffle. At 100 TB the only full-corpus
+    stages are the two token aggregates, both strict reductions.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scored = bm25_scored(docs)
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(BM25_TOPN)
+
+
+def bm25_scored(docs: DataFrame) -> DataFrame:
+    """(doc_id, score) for every BM25_QUERY-matching document —
+    the Spark twin of BM25_SCORED_SQL, shared with q_sim_hybrid_rrf.
+
+    One corpus pass: tokenization reduces straight to a per-doc WIDE
+    aggregate (len + one conditional tf column per query term — |Q|
+    is a query-time constant, so the width is fixed), persisted and
+    reused by the two O(1)-row corpus statistics (n_docs/avgdl and
+    per-term df). Without this the naive dl/tf/idf formulation scans
+    and re-tokenizes the corpus FIVE times (measured on the physical
+    plan) — the q_text_tfidf lesson applied at authoring time.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    aggs = [F.count(F.lit(1)).cast("double").alias("len")]
+    for i, t in enumerate(BM25_QUERY):
+        aggs.append(
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0))
+            .cast("double")
+            .alias(f"tf_{i}")
+        )
+    per_doc = toks.groupBy("doc_id").agg(*aggs).persist()
+    _LAST_BM25_PERDOC.replace([per_doc])
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("len").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("int"))
+            .cast("double")
+            .alias(f"df_{i}")
+            for i in range(len(BM25_QUERY))
+        ],
+    )
+    terms = []
+    for i in range(len(BM25_QUERY)):
+        tf = F.col(f"tf_{i}")
+        idf = F.log(
+            1.0
+            + (F.col("n_docs") - F.col(f"df_{i}") + 0.5)
+            / (F.col(f"df_{i}") + 0.5)
+        )
+        denom = tf + BM25_K1 * (
+            1.0 - BM25_B + BM25_B * F.col("len") / F.col("avgdl")
+        )
+        terms.append(
+            F.when(tf > 0, idf * tf * (BM25_K1 + 1.0) / denom).otherwise(
+                0.0
+            )
+        )
+    score = terms[0]
+    for t in terms[1:]:
+        score = score + t
+    matched = per_doc.filter(
+        " OR ".join(f"tf_{i} > 0" for i in range(len(BM25_QUERY)))
+    )
+    return matched.crossJoin(F.broadcast(stats)).select(
+        "doc_id", F.round(score, 6).alias("score")
     )

@@ -263,3 +263,36 @@ def test_bpe_apply_conservation(spark, sf_dir):
     assert total_tokens <= chars.chars
     assert total_tokens < chars.chars  # the 10 merges bought something
     assert sum(r.n_words for r in rows) == chars.words
+
+
+def test_checksum_string_rendering_agrees_beyond_int64(spark):
+    """VERDICT r08 item 7: the digest_sum48 unbounded path relies on
+    BOTH engines rendering the exact >int64 integer sum as the SAME
+    decimal string — Spark via decimal(38,0)->string, DuckDB via
+    BIGINT-sum HUGEINT promotion -> VARCHAR. Pin the agreement with
+    synthetic literals whose sum (3 * (2^62 + 7) = 1.38e19) exceeds
+    int64 max (9.22e18): any scientific notation, grouping separator,
+    or wraparound on either side breaks the equality."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    vals = [(1 << 62) + 7] * 3
+    expected = str(sum(vals))
+    assert sum(vals) > (1 << 63) - 1  # genuinely beyond int64
+
+    spark_s = (
+        spark.createDataFrame([(v,) for v in vals], "h bigint")
+        .agg(
+            F.sum(F.col("h").cast("decimal(38,0)"))
+            .cast("string")
+            .alias("s")
+        )
+        .collect()[0]
+        .s
+    )
+    duck_s = duckdb.sql(
+        f"SELECT CAST(sum(h) AS VARCHAR) AS s FROM (VALUES "
+        f"({vals[0]}), ({vals[1]}), ({vals[2]})) t(h)"
+    ).fetchall()[0][0]
+    assert spark_s == duck_s == expected

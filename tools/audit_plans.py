@@ -73,6 +73,10 @@ GLOBAL_WINDOW_OK: set[str] = {
     "q_dq_ks_test",  # CDF cumsum over the collapsed distinct-value
     # grid (value sits on an exact 0.01 grid => bounded O(grid) rows,
     # never the fact table; docstring documents the collapse)
+    "q_sim_hybrid_rrf",  # two row_number ranks over frames ALREADY
+    # cut to RRF_DEPTH(=20) rows by TakeOrderedAndProject — each
+    # window moves O(DEPTH) rows regardless of corpus size (docstring
+    # "the window rank runs on the already-cut DEPTH-row frame")
 }
 
 
