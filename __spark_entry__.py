@@ -33,14 +33,14 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # original order. Every name below passes the dtype-gated vanilla
 # differential at sf 0.01.
 #
-# Never-driver-sampled remainder after this window (77 names + the 14
+# Never-driver-sampled remainder after this window (77 names + the 15
 # round-9-new operators, which LEAD round 10's window in this order:
 # q_dq_gopher_rules q_dedup_srp_pairs q_dedup_srp_cert
 # q_sim_ivfpq_residual q_sim_ivfpq_residual_recall
 # q_sim_ivfpq_residual_refine q_sim_ivfpq_residual_refine_recall
 # s_novelty_decay q_text_pretokenize q_text_bpe_apply q_text_bm25
-# q_sim_hybrid_rrf q_mix_dsir_weights q_sim_matryoshka_recall — then
-# the remainder below in order):
+# q_sim_hybrid_rrf q_mix_dsir_weights q_sim_matryoshka_recall
+# q_sim_hamming_topk — then the remainder below in order):
 # q_shard_assign q_mix_rebalance q_ts_changepoint q_ts_holt
 # q_dq_drift q_join_interval_overlap q_text_bpe_pairs
 # q_events_pareto q_graph_bfs q_text_llr s_dq_drift

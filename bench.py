@@ -300,6 +300,7 @@ HEADLINE_EXTRA = [
     "q_sim_hybrid_rrf",          # lexical+dense reciprocal-rank fusion
     "q_mix_dsir_weights",        # hashed-feature importance resampling
     "q_sim_matryoshka_recall",   # prefix-dim recall certificate
+    "q_sim_hamming_topk",        # 1-bit BQ + histogram-cutoff top-k
 ]
 
 HEADLINE = HEADLINE_CORE + HEADLINE_EXTRA

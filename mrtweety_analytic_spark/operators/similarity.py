@@ -3966,3 +3966,158 @@ def q_sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("recall_at_k"),
     )
+
+
+# --- Binary-quantized Hamming retrieval: 1-bit sign quantization
+# packs each 64-dim vector into TWO sign-safe 32-bit halves (the
+# repo's 60-bit-simhash convention: never touch the int64 sign bit),
+# so the corpus scans at 24 bytes/row — a 21x bandwidth cut vs the
+# float64 dims — and distance is two XOR+popcounts, all integers.
+HAM_K = 10
+
+_PACK_LO = (
+    "aggregate(transform(slice(e, 1, 32), (x, i) -> "
+    "IF(x > 0, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), "
+    "CAST(0 AS BIGINT), (a, b) -> a + b)"
+)
+_PACK_HI = (
+    "aggregate(transform(slice(e, 33, 32), (x, i) -> "
+    "IF(x > 0, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), "
+    "CAST(0 AS BIGINT), (a, b) -> a + b)"
+)
+
+_LAST_HAM_SIGS = LastHandle(lambda dfs: [df.unpersist() for df in dfs])
+
+
+@register(
+    "q_sim_hamming_topk",
+    oracle=f"""
+    WITH sig AS (
+        SELECT vec_id,
+               sum(CASE WHEN e[i+1] > 0
+                        THEN (CAST(1 AS BIGINT) << i)
+                        ELSE 0 END) AS lo,
+               sum(CASE WHEN e[i+33] > 0
+                        THEN (CAST(1 AS BIGINT) << i)
+                        ELSE 0 END) AS hi
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings)
+        CROSS JOIN range(32) t(i)
+        GROUP BY vec_id
+    ),
+    probes AS (
+        SELECT vec_id AS probe_id, lo AS plo, hi AS phi
+        FROM sig WHERE vec_id % {PROBE_MOD} = 0
+    ),
+    pairs AS (
+        SELECT p.probe_id, s.vec_id,
+               CAST(bit_count(xor(s.lo, p.plo))
+                    + bit_count(xor(s.hi, p.phi)) AS BIGINT) AS hamming
+        FROM sig s CROSS JOIN probes p
+        WHERE s.vec_id <> p.probe_id
+    )
+    SELECT probe_id, vec_id, hamming
+    FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                       ORDER BY hamming, vec_id) AS rn
+          FROM pairs)
+    WHERE rn <= {HAM_K}
+    """,
+)
+def q_sim_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch top-k retrieval over 1-bit sign-quantized embeddings
+    (binary quantization — the coarsest, cheapest ANN tier, the
+    64x-compression end of the PQ/IVF family): signature = the
+    64-dim sign pattern packed into two 32-bit bigint halves,
+    distance = XOR + popcount, every value an exact integer, so the
+    whole operator is hash-exact cross-engine with no rounding
+    convention needed.
+
+    Plan shape — NO corpus-scale sort: Hamming distance lives on the
+    discrete domain 0..64, so per-probe top-k decomposes into
+      (1) one signature pass (24 B/row, persisted),
+      (2) a (probe, distance) histogram — map-side-combinable count
+          into at most 65 x n_probes rows,
+      (3) the k-th-distance cutoff d* and the below-cutoff count per
+          probe, computed on that tiny histogram (a 65-row window),
+      (4) one filter pass emitting h < d* rows outright plus the
+          h = d* ties ranked by vec_id up to the remaining budget —
+          the tie window moves only the d*-bucket, never the corpus.
+    At 100 TB the corpus is scanned twice as 24-byte signature rows
+    (both scans from the persisted projection), shuffles carry the
+    65-bucket census and the final <=k rows per probe, and nothing
+    ever sorts corpus-scale data. The same two-pass
+    histogram-threshold trick applies to any bounded integer score.
+    Production funnel: Hamming shortlist -> exact re-rank, exactly
+    like q_sim_ivfpq_refine's bounded-fetch stage.
+
+    Probe fan-out is the q_sim_knn_batch broadcast contract (PROBE
+    set small, shipped once); the BNLJ in the plan is that broadcast
+    — whitelisted with the same argument as its siblings.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    sigs = emb.select(
+        "vec_id",
+        F.expr(_PACK_LO).alias("lo"),
+        F.expr(_PACK_HI).alias("hi"),
+    ).persist()
+    _LAST_HAM_SIGS.replace([sigs])
+    probes = sigs.filter(F.col("vec_id") % PROBE_MOD == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("lo").alias("plo"),
+        F.col("hi").alias("phi"),
+    )
+    pairs = (
+        sigs.join(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            (
+                F.bit_count(F.col("lo").bitwiseXOR(F.col("plo")))
+                + F.bit_count(F.col("hi").bitwiseXOR(F.col("phi")))
+            )
+            .cast("long")
+            .alias("hamming"),
+        )
+    )
+    hist = pairs.groupBy("probe_id", "hamming").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_cum = (
+        W.partitionBy("probe_id")
+        .orderBy("hamming")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum", F.sum("n").over(w_cum))
+    # d* = smallest distance whose cumulative count reaches K; if the
+    # corpus holds fewer than K candidates, take everything (max h).
+    cuts = cum.groupBy("probe_id").agg(
+        F.coalesce(
+            F.min(F.when(F.col("cum") >= HAM_K, F.col("hamming"))),
+            F.max("hamming"),
+        ).alias("dstar")
+    )
+    budgets = (
+        cum.join(F.broadcast(cuts), "probe_id")
+        .groupBy("probe_id", "dstar")
+        .agg(
+            F.sum(
+                F.when(F.col("hamming") < F.col("dstar"), F.col("n"))
+                .otherwise(0)
+            ).alias("n_below")
+        )
+    )
+    scoped = pairs.join(F.broadcast(budgets), "probe_id")
+    below = scoped.filter(F.col("hamming") < F.col("dstar")).select(
+        "probe_id", "vec_id", "hamming"
+    )
+    w_tie = W.partitionBy("probe_id").orderBy("vec_id")
+    at_cut = (
+        scoped.filter(F.col("hamming") == F.col("dstar"))
+        .withColumn("rn", F.row_number().over(w_tie))
+        .filter(F.col("rn") <= HAM_K - F.col("n_below"))
+        .select("probe_id", "vec_id", "hamming")
+    )
+    return below.unionByName(at_cut)

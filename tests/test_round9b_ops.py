@@ -135,3 +135,38 @@ def test_matryoshka_recall_perfect_when_prefix_sufficient(
     assert r.n_probes == 3  # vec_id 0, 50, 100
     assert r.recall_at_k == 1.0
     assert r.n_hit == r.n_probes * r.k
+
+
+def test_hamming_topk_planted_distances(spark, tmp_path):
+    """Plant a probe (vec_id 0) and neighbors that are the probe with
+    exactly j signs flipped — their Hamming distance IS j by
+    construction (sign quantization is exact on ±1 coordinates), so
+    the top-k must be ids 1..k in flip-count order with hamming == j.
+    Also exercises the tie path: two single-flip twins (ids 1, 2)
+    share distance 1 and must order by vec_id."""
+    base = [1.0 if (i * 7) % 3 else -1.0 for i in range(64)]
+
+    def flipped(j, offset=0):
+        v = list(base)
+        for t in range(j):
+            v[(t + offset) % 64] = -v[(t + offset) % 64]
+        return v
+
+    rows = [(0, 0, base), (1, 0, flipped(1, 0)), (2, 0, flipped(1, 5)),
+            (3, 0, flipped(2, 10)), (4, 0, flipped(3, 20)),
+            (5, 0, flipped(40, 0))]
+    # pad the corpus so d* < 40: distant fillers at distance 32ish
+    import random
+    rng = random.Random(3)
+    for i in range(6, 30):
+        rows.append((i, 0, [rng.choice([-1.0, 1.0]) for _ in range(64)]))
+    _write_embeddings(spark, tmp_path, rows)
+    out = QUERIES["q_sim_hamming_topk"](spark, str(tmp_path)).collect()
+    got = sorted(
+        ((r.hamming, r.vec_id) for r in out if r.probe_id == 0)
+    )
+    assert len(got) == 10
+    assert got[0] == (1, 1) and got[1] == (1, 2)  # tie ordered by id
+    assert got[2] == (2, 3)
+    assert got[3] == (3, 4)
+    assert all(h < 40 for h, _ in got)  # the 40-flip plant is cut
