@@ -3922,24 +3922,47 @@ def q_sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     certificate itself runs on a fixed probe stratum, like
     q_sim_ivfpq_recall's exact side.
     """
+    # Per-ROW invariants BEFORE the pair join (the dot_expr rule:
+    # inside an n²/PROBE_MOD join the interpreted fold is the unit of
+    # cost — precomputing prefix slices and norms per row cuts the
+    # per-pair work from six 64-element folds to two, at bit-identical
+    # arithmetic: dot/(na*nb) with na, nb the same sqrt(dot(x,x))
+    # values cosine_expr would fold inline).
+    pre = lambda c: F.slice(c, 1, MRL_PREFIX)  # noqa: E731
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    probes = emb.filter(F.col("vec_id") % PROBE_MOD == 0).select(
-        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
+    aug = emb.select(
+        "vec_id",
+        "e",
+        pre(F.col("e")).alias("ep"),
+        F.sqrt(dot_expr(F.col("e"), F.col("e"))).alias("nf"),
+        F.sqrt(
+            dot_expr(pre(F.col("e")), pre(F.col("e")))
+        ).alias("np"),
     )
-    pre = lambda c: F.slice(c, 1, MRL_PREFIX)  # noqa: E731
+    probes = aug.filter(F.col("vec_id") % PROBE_MOD == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("e").alias("pe"),
+        F.col("ep").alias("pep"),
+        F.col("nf").alias("pnf"),
+        F.col("np").alias("pnp"),
+    )
     pairs = (
-        emb.join(F.broadcast(probes))
+        aug.join(F.broadcast(probes))
         .filter(F.col("vec_id") != F.col("probe_id"))
         .select(
             "probe_id",
             "vec_id",
-            F.round(cosine_expr(F.col("e"), F.col("pe")), 6).alias(
-                "s_full"
-            ),
             F.round(
-                cosine_expr(pre(F.col("e")), pre(F.col("pe"))), 6
+                dot_expr(F.col("e"), F.col("pe"))
+                / (F.col("nf") * F.col("pnf")),
+                6,
+            ).alias("s_full"),
+            F.round(
+                dot_expr(F.col("ep"), F.col("pep"))
+                / (F.col("np") * F.col("pnp")),
+                6,
             ).alias("s_pre"),
         )
     )

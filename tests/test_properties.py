@@ -895,3 +895,38 @@ def test_weighted_median_matches_expansion(spark, rows):
             assert got[g] == pytest.approx(pick, abs=1e-6)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.sampled_from([-1.0, 1.0]), min_size=64, max_size=64),
+    st.lists(st.sampled_from([-1.0, 1.0]), min_size=64, max_size=64),
+)
+def test_hamming_signature_kernel_exact(spark, va, vb):
+    """The packed two-half signature + XOR/popcount kernel of
+    q_sim_hamming_topk must equal the brute-force count of sign
+    disagreements for ANY ±1 vector pair — the integer-exactness
+    invariant the operator's cross-engine hash match rests on."""
+    from pyspark.sql import functions as F
+
+    from mrtweety_analytic_spark.operators.similarity import (
+        _PACK_HI,
+        _PACK_LO,
+    )
+
+    expected = sum(1 for x, y in zip(va, vb) if (x > 0) != (y > 0))
+    df = spark.createDataFrame(
+        [(va, vb)], "a array<double>, b array<double>"
+    )
+    packed = df.select(
+        F.expr(_PACK_LO.replace("e,", "a,")).alias("alo"),
+        F.expr(_PACK_HI.replace("e,", "a,")).alias("ahi"),
+        F.expr(_PACK_LO.replace("e,", "b,")).alias("blo"),
+        F.expr(_PACK_HI.replace("e,", "b,")).alias("bhi"),
+    ).select(
+        (
+            F.bit_count(F.col("alo").bitwiseXOR(F.col("blo")))
+            + F.bit_count(F.col("ahi").bitwiseXOR(F.col("bhi")))
+        ).alias("h")
+    )
+    assert packed.collect()[0].h == expected
