@@ -1934,6 +1934,20 @@ def _srp_sig_sql() -> str:
     return " + ".join(terms)
 
 
+# Hot-bucket occupancy cap (VERDICT r09 item 3) — the banded join's
+# skew guard, same role as the shingle index's stop-shingle df_cap: a
+# band bucket holding > cap members contributes cap²-ish candidate
+# pairs while carrying almost no dedup signal (mass near a hyperplane
+# intersection — or an adversarial corpus aimed at one). Buckets over
+# the cap are DROPPED WHOLE (stop-bucket eviction; deterministic and
+# mirrored verbatim in the oracle CTE below). 512 is sized to never
+# trigger at certification scales (measured max occupancy: 51 at
+# sf 0.01, 209 at sf 0.1 — the recall certificate is unchanged) while
+# bounding the x8+ rehearsal's n²-per-bucket verify growth; with
+# production-width 16–32-bit bands expected occupancy is O(1) and the
+# cap only ever fires on adversarial/degenerate data.
+_SRP_BUCKET_CAP = 512
+
 _SRP_CAND_CTES = f"""
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
           FROM embeddings),
@@ -1944,9 +1958,17 @@ _SRP_CAND_CTES = f"""
                    AS band_val
         FROM sig, unnest(range(0, {_SRP_BANDS})) AS t(i)
     ),
+    kept AS (
+        SELECT vec_id, band_idx, band_val
+        FROM (SELECT b.*,
+                     count(*) OVER (PARTITION BY band_idx, band_val)
+                         AS occ
+              FROM bands b)
+        WHERE occ <= {_SRP_BUCKET_CAP}
+    ),
     cand AS (
         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-        FROM bands a JOIN bands b
+        FROM kept a JOIN kept b
           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
              AND a.vec_id < b.vec_id
     )"""
@@ -1977,8 +1999,14 @@ def _srp_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", "e", sig.alias("sig"))
 
 
-def _srp_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = _srp_signatures(spark, sf_dir)
+def _srp_candidates_from_sigs(
+    sigs: DataFrame, cap: int = _SRP_BUCKET_CAP
+) -> DataFrame:
+    """Banded candidate pairs from a (vec_id, sig) frame, with the
+    stop-bucket occupancy cap applied before the self-join. The
+    occupancy count is a window over the join key itself, so the cap
+    costs no extra shuffle — bands are already hash-partitioned by
+    (band_idx, band_val) for the equi-join."""
     mask = 2 ** _SRP_BAND_BITS - 1
     bands = sigs.select(
         "vec_id",
@@ -1998,7 +2026,11 @@ def _srp_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("vec_id", "band.band_idx", "band.band_val")
-    a, b = bands.alias("a"), bands.alias("b")
+    w_bucket = W.partitionBy("band_idx", "band_val")
+    kept = bands.withColumn(
+        "occ", F.count(F.lit(1)).over(w_bucket)
+    ).filter(F.col("occ") <= cap).drop("occ")
+    a, b = kept.alias("a"), kept.alias("b")
     return (
         a.join(
             b,
@@ -2012,6 +2044,10 @@ def _srp_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+def _srp_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _srp_candidates_from_sigs(_srp_signatures(spark, sf_dir))
 
 
 @register(
@@ -2040,10 +2076,15 @@ def q_dedup_srp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: band rows are {_SRP_BANDS}n; the self-join is an equi-join
     whose cost is Σ(bucket²) per band — with production-width bands
     (16–32 bits) expected occupancy is O(1) and the join is linear;
-    hot buckets (mass near a hyperplane intersection) are the skew to
-    watch, capped the same way as the shingle index's stop keys. The
-    verify joins fetch vectors per-candidate (equi-joins on vec_id),
-    never a corpus-wide float shuffle.
+    hot buckets (mass near a hyperplane intersection) are evicted by
+    the _SRP_BUCKET_CAP stop-bucket guard inside _srp_candidates, the
+    same skew control as the shingle index's stop keys. The verify
+    joins fetch vectors per-candidate (equi-joins on vec_id), never a
+    corpus-wide float shuffle. The verify UDF is marked
+    non-deterministic so Catalyst cannot push the threshold filter
+    back through the projection and evaluate the Arrow batch twice —
+    the plan carries exactly ONE ArrowEvalPython (plan-pinned in
+    tests/test_dedup_srp.py).
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -2057,7 +2098,12 @@ def q_dedup_srp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         nb = np.sqrt((B * B).sum(axis=1))
         return pd.Series(np.round(ip / (na * nb), 6))
 
-    cos_udf = pandas_udf(_cos, "double")
+    # asNondeterministic is a pure plan fence here: _cos IS
+    # deterministic, but declaring it so lets Catalyst substitute the
+    # filter through the select and run the Arrow verify twice
+    # (measured: 2× ArrowEvalPython nodes). Single eval, then filter
+    # on the materialized column.
+    cos_udf = pandas_udf(_cos, "double").asNondeterministic()
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
