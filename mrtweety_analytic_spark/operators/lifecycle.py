@@ -1100,7 +1100,7 @@ DSIR_TARGET_LANG = "en"
     ),
     docw AS (
         SELECT t.doc_id, any_value(t.source) AS source,
-               sum(lr.lr) AS logw
+               round(sum(lr.lr), 6) AS logw
         FROM tok t JOIN lr ON t.f = lr.f
         GROUP BY t.doc_id
     )
@@ -1126,6 +1126,11 @@ def q_mix_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine md5 gate, so both engines bucket identically).
     Output is the per-source summary the mixing decision consumes:
     mean log-weight and the fraction of target-like (logw>0) docs.
+    Documents that tokenize to ZERO non-empty terms carry no
+    evidence either way and are excluded from docw — n_docs and
+    avg_logw summarize token-bearing documents only (identically in
+    both engines; an evidence-free doc has no defined resampling
+    weight under DSIR's sum-over-features definition).
 
     Determinism: every ln() operand is a ratio of exact integers
     (counts + Laplace constants), identical in both engines; per-doc
@@ -1189,7 +1194,14 @@ def q_mix_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.first("source").alias("source"),
-            F.sum("lr").alias("logw"),
+            # Rounded at 6 BEFORE the logw > 0 target-like predicate
+            # (ADVICE r09): the unrounded float sum could flip a doc
+            # whose true logw is within summation-order noise of 0
+            # across engines/partitionings; the measured margin
+            # (min |logw| 1.8e-6 at sf0.1) is data-dependent, the
+            # round-6 grid makes the predicate deterministic by
+            # construction (repo round-before-compare rule).
+            F.round(F.sum("lr"), 6).alias("logw"),
         )
     )
     return docw.groupBy("source").agg(

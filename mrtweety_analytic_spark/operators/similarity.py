@@ -3868,11 +3868,23 @@ MRL_K = 10
     ),
     pairs AS (
         SELECT p.probe_id, e.vec_id,
-               round(list_cosine_similarity(
-                   CAST(e.embedding AS DOUBLE[]), p.pe), 6) AS s_full,
-               round(list_cosine_similarity(
-                   CAST(e.embedding AS DOUBLE[])[1:{MRL_PREFIX}],
-                   p.pe[1:{MRL_PREFIX}]), 6) AS s_pre
+               CASE WHEN list_inner_product(
+                        CAST(e.embedding AS DOUBLE[]),
+                        CAST(e.embedding AS DOUBLE[])) > 0
+                     AND list_inner_product(p.pe, p.pe) > 0
+                    THEN round(list_cosine_similarity(
+                        CAST(e.embedding AS DOUBLE[]), p.pe), 6)
+                    ELSE CAST(-2 AS DOUBLE) END AS s_full,
+               CASE WHEN list_inner_product(
+                        CAST(e.embedding AS DOUBLE[])[1:{MRL_PREFIX}],
+                        CAST(e.embedding AS DOUBLE[])[1:{MRL_PREFIX}])
+                        > 0
+                     AND list_inner_product(
+                        p.pe[1:{MRL_PREFIX}], p.pe[1:{MRL_PREFIX}]) > 0
+                    THEN round(list_cosine_similarity(
+                        CAST(e.embedding AS DOUBLE[])[1:{MRL_PREFIX}],
+                        p.pe[1:{MRL_PREFIX}]), 6)
+                    ELSE CAST(-2 AS DOUBLE) END AS s_pre
         FROM embeddings e, probes p
         WHERE e.vec_id <> p.probe_id
     ),
@@ -3954,16 +3966,29 @@ def q_sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "probe_id",
             "vec_id",
-            F.round(
-                dot_expr(F.col("e"), F.col("pe"))
-                / (F.col("nf") * F.col("pnf")),
-                6,
-            ).alias("s_full"),
-            F.round(
-                dot_expr(F.col("ep"), F.col("pep"))
-                / (F.col("np") * F.col("pnp")),
-                6,
-            ).alias("s_pre"),
+            # Zero-norm guard (ADVICE r09): a vector whose (prefix)
+            # norm is 0 would make 0/0 = NaN, and NaN sorts LARGEST
+            # in Spark's DESC window while DuckDB's
+            # list_cosine_similarity diverges on the same input — so
+            # degenerate vectors get an explicit -2 sentinel (below
+            # any true cosine) in BOTH engines and rank last
+            # deterministically.
+            F.when(
+                (F.col("nf") > 0) & (F.col("pnf") > 0),
+                F.round(
+                    dot_expr(F.col("e"), F.col("pe"))
+                    / (F.col("nf") * F.col("pnf")),
+                    6,
+                ),
+            ).otherwise(F.lit(-2.0)).alias("s_full"),
+            F.when(
+                (F.col("np") > 0) & (F.col("pnp") > 0),
+                F.round(
+                    dot_expr(F.col("ep"), F.col("pep"))
+                    / (F.col("np") * F.col("pnp")),
+                    6,
+                ),
+            ).otherwise(F.lit(-2.0)).alias("s_pre"),
         )
     )
     w_full = W.partitionBy("probe_id").orderBy(

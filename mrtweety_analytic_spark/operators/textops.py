@@ -24,7 +24,14 @@ from ..util import LastHandle
 # Supersession holder for bm25_scored's persisted per-doc aggregate
 # (two registered consumers — q_text_bm25 and q_sim_hybrid_rrf — can
 # each leave one generation in the block manager per bench pass).
-_LAST_BM25_PERDOC = LastHandle(lambda dfs: [df.unpersist() for df in dfs])
+# keep=2 (ADVICE r09): bm25_scored has TWO registered consumers
+# (q_text_bm25 and q_sim_hybrid_rrf); a driver that builds both
+# DataFrames before materializing either must not have the second
+# build unpersist the first's cached per-doc aggregate out from
+# under it (silent recompute — perf only, but avoidable).
+_LAST_BM25_PERDOC = LastHandle(
+    lambda dfs: [df.unpersist() for df in dfs], keep=2
+)
 
 # Trending-query stopword blacklist — the engine analogue of the
 # reference's WORD_BLACKLIST {europe, europa, eu, euro}
@@ -2578,11 +2585,15 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integers, so both engines evaluate ln/division on
     bit-identical operands.
 
-    Scale: tokenization is ONE corpus pass; the tf aggregate keeps
-    only query-term rows (|Q| * docs worst case, pushed down as a
-    term IN-filter BEFORE the groupBy); dl is a per-doc count
-    (map-side combinable); idf and the (n_docs, avgdl) pair are
-    O(|Q|) and O(1) broadcasts. The final scored frame is
+    Scale: tokenization is ONE corpus pass, reduced straight to a
+    per-doc WIDE aggregate (dl plus one conditional-sum tf column per
+    query term). The aggregate necessarily consumes the FULL token
+    stream — dl/avgdl count every token, so no query-term pre-filter
+    is possible (a dl-only twin aggregate would just scan the corpus
+    twice) — but it is a strict map-side-combinable reduction:
+    post-shuffle rows are one per doc, |Q|+2 columns wide. idf and
+    the (n_docs, avgdl) pair are O(|Q|) and O(1) broadcasts off that
+    cached frame. The final scored frame is
     |matching docs| rows cut by TakeOrderedAndProject — no corpus
     sort, no unbounded shuffle. At 100 TB the only full-corpus
     stages are the two token aggregates, both strict reductions.
