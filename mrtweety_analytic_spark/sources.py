@@ -144,6 +144,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _normalize_timestamps(df)
 
 
+def load_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table as a replayable file-source stream — the
+    ingest feed of a training-data pipeline (new shards arriving as
+    files). Documents carry no event time, so consumers use
+    update-mode aggregation with MONOTONE state (min/count), never
+    watermarked windows; the fixed batch schema is declared inline
+    (no timestamp column ⇒ no encoding normalization needed)."""
+    tune(spark)
+    return (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, "
+            "source string, n_chars long"
+        )
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+
+
 def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table as a replayable file-source stream.
 

@@ -2323,3 +2323,299 @@ def s_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_new_keys").cast("double") / cum.cast("double"), 6
         ).alias("novelty_rate"),
     )
+
+
+# Hard state bound for the bucketed novelty monitor: 2^8 buckets via
+# the cross-engine md5 gate. At sf0.01 the corpus has 750 distinct
+# (user, event_type) keys and at sf0.1 7500 — both saturate the
+# bucket space, so the certification scales EXERCISE the bound (the
+# curve measurably diverges from the exact twin's) instead of merely
+# asserting it.
+NOVELTY_BUCKETS = 256
+
+
+@register(
+    "s_novelty_bucketed",
+    oracle=f"""
+    WITH fs AS (
+        SELECT CAST(('0x' || substr(md5(
+                   CAST(user_id AS VARCHAR) || ':' || event_type),
+                   1, 4)) AS INTEGER) % {NOVELTY_BUCKETS} AS bucket,
+               min(ts) AS first_ts
+        FROM events GROUP BY 1
+    ),
+    d AS (
+        SELECT time_bucket(INTERVAL '1 day', first_ts) AS day,
+               count(*) AS n_new_buckets
+        FROM fs GROUP BY 1
+    )
+    SELECT day, n_new_buckets,
+           CAST(sum(n_new_buckets) OVER (ORDER BY day) AS BIGINT)
+               AS cum_buckets,
+           round(CAST(n_new_buckets AS DOUBLE)
+                 / CAST(sum(n_new_buckets) OVER (ORDER BY day)
+                        AS DOUBLE), 6) AS novelty_rate
+    FROM d
+    """,
+)
+def s_novelty_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s_novelty_decay's PRODUCTION state bound made real: the
+    (user, behavior) key is md5-hashed into a fixed 2^8 = 256
+    bucket space BEFORE the streaming min(ts) aggregation, so state
+    is hard-capped at 256 timestamps no matter the key cardinality —
+    the exact twin's docstring promises this design for unbounded
+    key domains; this operator ships and certifies it. Bucket
+    novelty lower-bounds key novelty (a bucket is new only when its
+    FIRST key arrives; collisions only ever hide novelty, never
+    invent it — the same one-sided error as the sketch family), and
+    cum_buckets is additionally capped at 256, which the state-size
+    pytest pins against a key domain ~3x the bucket space. min(ts) stays monotone after bucketing, so update-mode +
+    min-finalize is exact under any micro-batch split, and the
+    availableNow replay equals the batch min — the DuckDB oracle
+    hash-checks the whole curve.
+
+    Scale: state is ≤256 timestamps total across state stores —
+    O(1) in corpus size; everything downstream of the replay runs on
+    a ≤256-row frame. The md5 gate is the repo's
+    cross-engine bucketing convention (identical hex-prefix
+    arithmetic both sides).
+    """
+    ev = load_events_stream(spark, sf_dir)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("user_id").cast("string"),
+                        F.col("event_type"),
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % NOVELTY_BUCKETS
+    )
+    firsts_stream = ev.select(
+        bucket.alias("bucket"), "ts"
+    ).groupBy("bucket").agg(F.min("ts").alias("first_ts"))
+    out = _run_to_memory(spark, firsts_stream, "update")
+    firsts = out.groupBy("bucket").agg(
+        F.min("first_ts").alias("first_ts")
+    )
+    d = firsts.groupBy(
+        F.date_trunc("day", "first_ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_new_buckets"))
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = F.sum("n_new_buckets").over(w)
+    return d.select(
+        "day",
+        "n_new_buckets",
+        cum.cast("long").alias("cum_buckets"),
+        F.round(
+            F.col("n_new_buckets").cast("double") / cum.cast("double"),
+            6,
+        ).alias("novelty_rate"),
+    )
+
+
+# Streaming near-dup-rate monitor: minhash band buckets as bounded
+# state. 16 md5 minhashes in 4x4 bands (the q_dedup_minhash_md5
+# recipe — engine-portable hash family), band keys hashed into a
+# fixed 2^16 bucket space so state is HARD-capped at 65536 first-
+# owner doc_ids regardless of corpus size. Bucket collisions can
+# only over-flag (one-sided error toward caution, like the sketch
+# family); at certification scales (≤5000 docs, ≤20000 band rows)
+# the 16-bit space makes collisions negligible.
+MDR_HASHES = 16
+MDR_BANDS = 4
+MDR_BUCKETS = 65536
+
+
+def _mdr_band_buckets(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, bucket) — one row per (doc, band), computed
+    entirely PER ROW (no shuffle): 3-shingles via the codegen
+    arrays_zip idiom, each minhash an array_min over md5(i ':' s)
+    (min over a multiset equals min over the set, so no DISTINCT is
+    needed), band signature = the band's 4 minhashes concatenated in
+    i order, bucket = md5 hex-prefix of (band ':' sig) mod 2^16.
+    Being shuffle-free is what makes the same expression legal on a
+    STREAMING frame."""
+    ws = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    n3 = F.greatest(F.lit(0), F.size(ws) - 2)
+    zipped = F.arrays_zip(
+        F.slice(ws, 1, n3), F.slice(ws, 2, n3), F.slice(ws, 3, n3)
+    )
+    sh = F.transform(
+        zipped, lambda g: F.concat_ws(" ", g["0"], g["1"], g["2"])
+    )
+    rows_per_band = MDR_HASHES // MDR_BANDS
+
+    def mh(i: int) -> F.Column:
+        return F.array_min(
+            F.transform(
+                sh, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+            )
+        )
+
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(
+                    *[mh(b * rows_per_band + r) for r in range(rows_per_band)]
+                ).alias("sg"),
+            )
+            for b in range(MDR_BANDS)
+        ]
+    )
+    return (
+        docs.filter(F.size(ws) >= 3)
+        .select("doc_id", "source", F.explode(bands).alias("bd"))
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("bd.band").cast("string"),
+                                F.lit(":"),
+                                F.col("bd.sg"),
+                            )
+                        ),
+                        1,
+                        4,
+                    ),
+                    16,
+                    10,
+                ).cast("int")
+                % MDR_BUCKETS
+            ).alias("bucket"),
+        )
+    )
+
+
+@register(
+    "s_minhash_dup_rate",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, source,
+               list_filter(string_split(lower(text), ' '),
+                           x -> x <> '') AS ws
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS s
+        FROM w, unnest(range(1, len(ws) - 1)) AS t(i)
+        WHERE len(ws) >= 3
+    ),
+    mh AS (
+        SELECT doc_id, i,
+               min(md5(CAST(i AS VARCHAR) || ':' || s)) AS h
+        FROM sh, unnest(range(0, {MDR_HASHES})) AS t(i)
+        GROUP BY doc_id, i
+    ),
+    sig AS (
+        SELECT doc_id, i // {MDR_HASHES // MDR_BANDS} AS band,
+               string_agg(h, '' ORDER BY i) AS sg
+        FROM mh GROUP BY 1, 2
+    ),
+    bk AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(
+                   CAST(band AS VARCHAR) || ':' || sg), 1, 4))
+                   AS INTEGER) % {MDR_BUCKETS} AS bucket
+        FROM sig
+    ),
+    own AS (SELECT bucket, min(doc_id) AS first_doc
+            FROM bk GROUP BY 1),
+    flag AS (
+        SELECT b.doc_id,
+               max(CASE WHEN o.first_doc < b.doc_id
+                        THEN 1 ELSE 0 END) AS is_dup
+        FROM bk b JOIN own o ON o.bucket = b.bucket
+        GROUP BY 1
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(COALESCE(f.is_dup, 0)) AS BIGINT) AS n_dup_flagged,
+           round(avg(CAST(COALESCE(f.is_dup, 0) AS DOUBLE)), 6)
+               AS dup_rate
+    FROM documents d LEFT JOIN flag f ON f.doc_id = d.doc_id
+    GROUP BY 1
+    """,
+)
+def s_minhash_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING near-duplicate-rate monitor — the ingest-side
+    instrument of the dedup family: as document shards arrive, track
+    the first owner (min doc_id) of every minhash band bucket and
+    report, per source, what fraction of documents collide with an
+    EARLIER document's bucket. Rising dup_rate on a source is the
+    signal to stop acquiring from it (the same acquisition-vs-dedup
+    trade s_novelty_decay instruments from the key side, here from
+    the CONTENT side). The banded-minhash math is
+    q_dedup_minhash_md5's engine-portable family verbatim, but
+    computed entirely per-row (array_min over transformed shingles)
+    so it runs on a stream with no shuffle before the state store.
+
+    State: min(doc_id) per band bucket, update-mode — min is
+    MONOTONE, so the replay is exact under any micro-batch split and
+    equals the batch min the oracle computes. The bucket space is
+    hard-capped at 2^16, so state is bounded regardless of corpus
+    size; collisions only ever OVER-flag (first_doc < doc_id via a
+    colliding bucket), the cautious direction for an acquisition
+    gate. Docs with <3 words carry no shingles and count as
+    non-dup in the denominator (LEFT JOIN semantics, both engines).
+
+    Scale: the per-row signature is 4 band keys (32 B each) — the
+    corpus text never reaches the shuffle; the state store holds
+    ≤65536 (bucket, doc_id) pairs per partition-set; the post-replay
+    flag join moves O(docs x 4) integer rows. At 100 TB the monitor
+    costs one pass over arriving text plus a constant-size state.
+    """
+    from ..sources import load_documents_stream, load_table
+
+    stream_bk = _mdr_band_buckets(
+        load_documents_stream(spark, sf_dir)
+    ).select("bucket", "doc_id")
+    owners_stream = stream_bk.groupBy("bucket").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    out = _run_to_memory(spark, owners_stream, "update")
+    owners = out.groupBy("bucket").agg(
+        F.min("first_doc").alias("first_doc")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    bk = _mdr_band_buckets(docs)
+    flags = (
+        bk.join(owners, "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.max(
+                F.when(F.col("first_doc") < F.col("doc_id"), 1).otherwise(0)
+            ).alias("is_dup")
+        )
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(flags, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
+            .cast("long")
+            .alias("n_dup_flagged"),
+            F.round(
+                F.avg(
+                    F.coalesce(F.col("is_dup"), F.lit(0)).cast("double")
+                ),
+                6,
+            ).alias("dup_rate"),
+        )
+    )

@@ -1,0 +1,114 @@
+"""Round-10 operators: runtime properties the SQL oracle can't
+express — the bucketed novelty monitor's hard state bound under a
+key domain larger than the bucket space.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from mrtweety_analytic_spark.queries import QUERIES
+from mrtweety_analytic_spark.streaming.queries import NOVELTY_BUCKETS
+
+
+def _write_events(tmp_path, n_keys, days=3):
+    """Single-FILE events.parquet (file-stream fixture rule): n_keys
+    distinct (user_id, event_type) keys spread over `days` days,
+    two events per key so min(ts) has work to do."""
+    rows = []
+    for k in range(n_keys):
+        day = k % days
+        rows.append(
+            {
+                "event_id": 2 * k,
+                "user_id": k,
+                "event_type": f"type_{k % 5}",
+                "ts": pd.Timestamp(f"2024-03-0{day + 1} 08:00:00")
+                + pd.Timedelta(minutes=k % 60),
+                "value": 1.0,
+            }
+        )
+        rows.append(
+            {
+                "event_id": 2 * k + 1,
+                "user_id": k,
+                "event_type": f"type_{k % 5}",
+                "ts": pd.Timestamp(f"2024-03-0{day + 1} 18:00:00"),
+                "value": 1.0,
+            }
+        )
+    pd.DataFrame(rows).to_parquet(str(tmp_path / "events.parquet"))
+
+
+def test_novelty_bucketed_state_is_hard_capped(spark, tmp_path):
+    """768 distinct keys (3x the 256-bucket space) may produce at
+    most 256 state rows: cum_buckets saturates at NOVELTY_BUCKETS
+    while the exact twin would report all 768 — the state bound the
+    exact operator's docstring promises, certified here."""
+    n_keys = 3 * NOVELTY_BUCKETS
+    _write_events(tmp_path, n_keys)
+    rows = (
+        QUERIES["s_novelty_bucketed"](spark, str(tmp_path))
+        .orderBy("day")
+        .collect()
+    )
+    assert rows, "bucketed novelty curve must not be empty"
+    final_cum = rows[-1]["cum_buckets"]
+    assert final_cum <= NOVELTY_BUCKETS
+    # With 768 uniform md5-hashed keys, expected empty buckets are
+    # 256 * (255/256)^768 ~ 12 — well clear of both bounds, so the
+    # assertion is meaningful, not vacuous.
+    assert final_cum > NOVELTY_BUCKETS // 2
+    assert sum(r["n_new_buckets"] for r in rows) == final_cum
+
+
+def test_novelty_bucketed_lower_bounds_exact(spark, tmp_path):
+    """Bucket novelty never exceeds key novelty on any prefix of
+    days: a bucket turns new only when its first key arrives, and
+    collisions only hide novelty (one-sided error, the sketch-family
+    guarantee)."""
+    _write_events(tmp_path, 100)
+    bucketed = {
+        r["day"]: r["cum_buckets"]
+        for r in QUERIES["s_novelty_bucketed"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    exact = {
+        r["day"]: r["cum_keys"]
+        for r in QUERIES["s_novelty_decay"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(bucketed) == set(exact)
+    for day, cum_b in bucketed.items():
+        assert cum_b <= exact[day]
+
+
+def test_minhash_dup_rate_flags_planted_duplicate(spark, tmp_path):
+    """An exact copy has identical shingle sets, hence identical
+    minhashes, bands, and buckets — the later doc_id MUST be flagged
+    (recall 1.0 on true duplicates is a theorem); distinct docs with
+    disjoint vocabulary share no bucket and must not be."""
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog today",
+        1: "completely different words about spark shuffle joins",
+        2: "the quick brown fox jumps over the lazy dog today",
+        3: "yet another unrelated document mentioning parquet scans",
+    }
+    pd.DataFrame(
+        [
+            {
+                "doc_id": i,
+                "text": t,
+                "lang": "en",
+                "source": "s0",
+                "n_chars": len(t),
+            }
+            for i, t in texts.items()
+        ]
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    [row] = QUERIES["s_minhash_dup_rate"](spark, str(tmp_path)).collect()
+    assert row["n_docs"] == 4
+    assert row["n_dup_flagged"] == 1
+    assert abs(row["dup_rate"] - 0.25) < 1e-9
