@@ -2662,3 +2662,85 @@ def bm25_scored(docs: DataFrame) -> DataFrame:
     return matched.crossJoin(F.broadcast(stats)).select(
         "doc_id", F.round(score, 6).alias("score")
     )
+
+
+@register(
+    "q_tokenizer_fertility",
+    oracle=r"""
+    WITH per_doc AS (
+        SELECT source, lang,
+               length(text) AS n_chars_doc,
+               len(list_filter(string_split(lower(text), ' '),
+                               x -> x <> '')) AS n_words_doc,
+               len(regexp_extract_all(lower(text),
+                   '[a-z]+|[0-9]+|[^a-z0-9 ]+')) AS n_runs_doc
+        FROM documents
+    )
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars_doc) AS BIGINT) AS n_chars,
+           CAST(sum(n_words_doc) AS BIGINT) AS n_words,
+           CAST(sum(n_runs_doc) AS BIGINT) AS n_pretokens,
+           round(CAST(sum(n_chars_doc) AS DOUBLE)
+                 / nullif(CAST(sum(n_runs_doc) AS DOUBLE), 0.0), 6)
+               AS chars_per_pretoken,
+           round(CAST(sum(n_runs_doc) AS DOUBLE)
+                 / nullif(CAST(sum(n_words_doc) AS DOUBLE), 0.0), 6)
+               AS fertility
+    FROM per_doc
+    GROUP BY 1, 2
+    """,
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY census per (source, lang): pre-tokens per
+    whitespace word and characters per pre-token — the two numbers a
+    token-budget owner reads before pricing a corpus (fertility ~1
+    means words survive pre-tokenization whole; rising fertility
+    flags punctuation-/digit-heavy text that will explode into BPE
+    units; chars_per_pretoken is the compression floor any merge
+    table must beat). Pre-tokens use q_text_pretokenize's
+    RE2/Java-identical run classes, so this is the corpus-level
+    rollup of that per-doc census without paying its explode.
+
+    Determinism: every ratio divides two exact integer sums, once,
+    behind round-6 (division-last rule); empty groups surface NULL
+    via nullif rather than dividing by zero.
+
+    Scale: all three counts are computed PER ROW (size over split /
+    regexp_extract_all — no explode, no token-stream shuffle); the
+    only shuffle is the final (source, lang) aggregate, map-side
+    combinable with a ~(sources x langs)-row result. This is the
+    cheapest possible plan shape for a corpus-wide census: one
+    codegen'd scan, one tiny reduction.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        "lang",
+        F.length("text").cast("long").alias("n_chars_doc"),
+        F.size(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        ).cast("long").alias("n_words_doc"),
+        F.size(
+            F.expr(
+                "regexp_extract_all(lower(text),"
+                " '[a-z]+|[0-9]+|[^a-z0-9 ]+', 0)"
+            )
+        ).cast("long").alias("n_runs_doc"),
+    )
+    return per_doc.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars_doc").alias("n_chars"),
+        F.sum("n_words_doc").alias("n_words"),
+        F.sum("n_runs_doc").alias("n_pretokens"),
+        F.round(
+            F.sum("n_chars_doc").cast("double")
+            / F.nullif(F.sum("n_runs_doc").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("chars_per_pretoken"),
+        F.round(
+            F.sum("n_runs_doc").cast("double")
+            / F.nullif(F.sum("n_words_doc").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("fertility"),
+    )
