@@ -54,17 +54,24 @@ def test_priority_window():
     assert len(prio) == 50
     assert len(set(prio)) == 50
     assert names[:50] == prio
-    # VERDICT r08 items 1+3: the 9 driver-red (oracle-dtype artifact)
-    # rows re-certify first, then the 2 latent HUGEINT-class fixes,
-    # then the 5 round-8-new operators.
-    assert prio[:16] == [
-        "q_dq_ks_test", "q_dq_chi2", "s_ks_drift", "q_shard_balance",
-        "q_sql_group_by_all", "q_multimodal_webdataset",
-        "q_scan_zonemap_skip", "q_scan_bloom_skip", "q_sim_mips_prune",
-        "q_agg_hll_merge", "q_sessionize_gaps", "q_graph_kcore_cert",
-        "q_dedup_simhash_md5", "q_dedup_simhash_md5_pairs",
-        "q_sim_ivfpq_refine", "q_sim_ivfpq_refine_recall",
+    # VERDICT r09 item 1: the 14 ORACLED round-9 operators lead
+    # (q_text_bpe_apply is rows-only by design and deliberately not
+    # windowed), then never-sampled oracled names only — zero
+    # no_oracle slots in the window.
+    assert prio[:14] == [
+        "q_dq_gopher_rules", "q_dedup_srp_pairs", "q_dedup_srp_cert",
+        "q_sim_ivfpq_residual", "q_sim_ivfpq_residual_recall",
+        "q_sim_ivfpq_residual_refine",
+        "q_sim_ivfpq_residual_refine_recall", "s_novelty_decay",
+        "q_text_pretokenize", "q_text_bm25", "q_sim_hybrid_rrf",
+        "q_mix_dsir_weights", "q_sim_matryoshka_recall",
+        "q_sim_hamming_topk",
     ]
+    oracled = set(entrymod.oracle_sql())
+    assert all(n in oracled for n in prio), (
+        "window contains a rows-only name; a no_oracle row certifies "
+        "nothing"
+    )
 
 
 def test_batch_outputs_are_atomic(spark, sf_dir):
