@@ -2594,7 +2594,11 @@ def s_minhash_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bk = _mdr_band_buckets(docs)
     flags = (
-        bk.join(owners, "bucket")
+        # owners is HARD-capped at MDR_BUCKETS=65536 rows by
+        # construction — always the broadcast side; without the hint
+        # AQE broadcast the (docs x 4)-row band frame at test scale,
+        # the side that grows with the corpus.
+        bk.join(F.broadcast(owners), "bucket")
         .groupBy("doc_id")
         .agg(
             F.max(
