@@ -89,6 +89,42 @@ def gen_corpus(out_dir: str, mult: int, seed: int = 8) -> None:
     })
     pq.write_table(emb, os.path.join(out_dir, "embeddings.parquet"))
 
+    # events: TESTDATA shape — users ~ 15 x docs/500, 5 types, ts
+    # uniform over 30 days of 2024-01, props a one-key JSON blob.
+    # Added round 10 so the streaming bounded-state composites
+    # (s_novelty_*, s_minhash_dup_rate run on documents but the
+    # novelty family needs events) can be rehearsed at x8/x27.
+    n_events = 20 * n_docs
+    n_users = max(1, (3 * n_docs) // 100)
+    types = ["view", "click", "purchase", "error", "scroll"]
+    day_us = 86_400_000_000
+    ts0 = 1_704_067_200_000_000  # 2024-01-01 UTC in epoch micros
+    ev = pa.table({
+        "event_id": pa.array(range(n_events), pa.int64()),
+        "ts": pa.array(
+            (ts0 + rng.integers(0, 30 * day_us, size=n_events)),
+            pa.timestamp("us"),
+        ),
+        "user_id": pa.array(
+            rng.integers(0, n_users, size=n_events), pa.int64()
+        ),
+        "event_type": pa.array(
+            [types[i] for i in rng.integers(0, 5, size=n_events)],
+            pa.string(),
+        ),
+        "value": pa.array(
+            rng.exponential(10.0, size=n_events), pa.float64()
+        ),
+        "props": pa.array(
+            [
+                '{"k": %d}' % k
+                for k in rng.integers(0, 100, size=n_events)
+            ],
+            pa.string(),
+        ),
+    })
+    pq.write_table(ev, os.path.join(out_dir, "events.parquet"))
+
 
 def _materialize(df) -> None:
     """Force FULL evaluation of every output column via the noop
@@ -119,7 +155,10 @@ def main() -> int:
 
     for m in mults:
         d = os.path.join(args.out, f"x{m}")
-        if not os.path.exists(os.path.join(d, "embeddings.parquet")):
+        if not all(
+            os.path.exists(os.path.join(d, t))
+            for t in ("embeddings.parquet", "events.parquet")
+        ):
             t0 = time.time()
             gen_corpus(d, m)
             print(f"generated x{m} in {time.time() - t0:.1f}s", flush=True)
