@@ -2563,6 +2563,12 @@ def s_minhash_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_dedup_minhash_md5's engine-portable family verbatim, but
     computed entirely per-row (array_min over transformed shingles)
     so it runs on a stream with no shuffle before the state store.
+    The md5-per-(i, shingle) family is the cross-engine
+    certification price (measured: it dominates the runtime at a
+    linear alpha~0.9); a production deployment swaps in Spark's
+    builtin xxhash64(shingle, i) — same plan, ~10x cheaper hash,
+    no longer oracle-reproducible (the q_dedup_minhash_lsh /
+    q_dedup_minhash_md5 dichotomy, applied to streaming).
 
     State: min(doc_id) per band bucket, update-mode — min is
     MONOTONE, so the replay is exact under any micro-batch split and
@@ -2622,4 +2628,146 @@ def s_minhash_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("dup_rate"),
         )
+    )
+
+
+_QG_STOP_SQL = ", ".join(
+    f"'{w}'"
+    for w in ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+)
+
+
+@register(
+    "s_quality_gate",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, source, term, count(*) AS cnt
+        FROM (SELECT doc_id, source,
+                     unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        WHERE term <> ''
+        GROUP BY 1, 2, 3
+    ),
+    per AS (
+        SELECT doc_id, source,
+               sum(cnt) AS n_tokens,
+               sum(cnt * length(term)) AS sum_len,
+               sum(CASE WHEN term IN ({_QG_STOP_SQL})
+                        THEN cnt ELSE 0 END) AS n_stop,
+               max(cnt) AS max_cnt
+        FROM tf GROUP BY 1, 2
+    ),
+    flags AS (
+        SELECT source,
+               CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END AS f_len,
+               CASE WHEN 10 * sum_len < 42 * n_tokens
+                    THEN 1 ELSE 0 END AS f_wordlen,
+               CASE WHEN 50 * n_stop < n_tokens
+                    THEN 1 ELSE 0 END AS f_stop,
+               CASE WHEN 5 * max_cnt > n_tokens
+                    THEN 1 ELSE 0 END AS f_rep
+        FROM per
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN f_len + f_wordlen + f_stop + f_rep = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(sum(f_rep) AS BIGINT) AS n_fail_repetition,
+           round(CAST(sum(CASE WHEN f_len + f_wordlen + f_stop + f_rep
+                              = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS retention_rate
+    FROM flags GROUP BY source
+    """,
+)
+def s_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ingest quality gate — q_dq_gopher_rules' verdicts
+    evaluated AT ARRIVAL: per incoming document, the four Gopher
+    rules (too short / degenerate word length / no function words /
+    single-term repetition) computed entirely PER ROW, then a
+    per-source update-mode counter aggregation. Completes the
+    streaming ingest-health triad: s_novelty_* (key novelty),
+    s_minhash_dup_rate (content duplication), s_quality_gate
+    (content quality) — the three dials an acquisition pipeline
+    watches live, sharing one plan idiom: shuffle-free per-row
+    signal extraction, then a bounded-state monotone aggregation.
+
+    The batch version's (doc, term) hash-aggregate is replaced by
+    per-row array algebra so no shuffle precedes the state store:
+    n_tokens = size of the non-empty token array; sum_len =
+    length(translate(text, ' ', '')) (every non-space char belongs
+    to exactly one token — codegen, no fold); n_stop a filtered
+    size; max_cnt a sort-then-run-length fold over the row's own
+    tokens (per-element LOGIC, the legitimate HOF use). The rules
+    stay integer cross-multiplications, so per-document verdicts
+    are exactly equal to the batch twin's — same thresholds, same
+    grid-point safety.
+
+    State: counters per source (~20 keys) — sums and counts are
+    additive, so the availableNow replay's final state equals the
+    batch totals (counters are monotone; the post-replay max
+    per source collapses update-mode's intermediate emissions).
+
+    Scale: per-row extraction is one codegen'd map pass (the fold
+    costs O(tokens log tokens) per row for its sort, on the row's
+    own data); the only shuffle is the O(sources)-row counter
+    aggregate. The 100 TB cost is reading the text once — the
+    theoretical floor for a content gate.
+    """
+    from ..sources import load_documents_stream
+
+    docs = load_documents_stream(spark, sf_dir)
+    ws = F.filter(F.split("text", " "), lambda x: x != "")
+    max_cnt = F.expr(
+        "aggregate(array_sort(filter(split(text, ' '), x -> x != '')),"
+        " struct(CAST('' AS STRING) AS prev, CAST(0 AS BIGINT) AS run,"
+        "        CAST(0 AS BIGINT) AS best),"
+        " (acc, x) -> struct("
+        "   x AS prev,"
+        "   IF(x = acc.prev, acc.run + 1, CAST(1 AS BIGINT)) AS run,"
+        "   GREATEST(acc.best,"
+        "     IF(x = acc.prev, acc.run + 1, CAST(1 AS BIGINT))) AS best),"
+        " acc -> acc.best)"
+    )
+    stops = [
+        "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    ]
+    per = docs.select(
+        "source",
+        F.size(ws).cast("long").alias("n_tokens"),
+        F.length(F.translate("text", " ", "")).cast("long").alias(
+            "sum_len"
+        ),
+        F.size(
+            F.filter(ws, lambda x: x.isin(*stops))
+        ).cast("long").alias("n_stop"),
+        max_cnt.alias("max_cnt"),
+    ).filter(F.col("n_tokens") > 0)
+    f_len = F.when(F.col("n_tokens") < 20, 1).otherwise(0)
+    f_wordlen = F.when(
+        10 * F.col("sum_len") < 42 * F.col("n_tokens"), 1
+    ).otherwise(0)
+    f_stop = F.when(
+        50 * F.col("n_stop") < F.col("n_tokens"), 1
+    ).otherwise(0)
+    f_rep = F.when(5 * F.col("max_cnt") > F.col("n_tokens"), 1).otherwise(0)
+    all_pass = (f_len + f_wordlen + f_stop + f_rep) == 0
+    counters = per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(all_pass, 1).otherwise(0)).alias("n_pass"),
+        F.sum(f_rep).cast("long").alias("n_fail_repetition"),
+    )
+    out = _run_to_memory(spark, counters, "update")
+    final = out.groupBy("source").agg(
+        F.max("n_docs").alias("n_docs"),
+        F.max("n_pass").alias("n_pass"),
+        F.max("n_fail_repetition").alias("n_fail_repetition"),
+    )
+    return final.select(
+        "source",
+        "n_docs",
+        F.col("n_pass").cast("long").alias("n_pass"),
+        "n_fail_repetition",
+        F.round(
+            F.col("n_pass").cast("double") / F.col("n_docs"), 4
+        ).alias("retention_rate"),
     )

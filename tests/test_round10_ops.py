@@ -112,3 +112,54 @@ def test_minhash_dup_rate_flags_planted_duplicate(spark, tmp_path):
     assert row["n_docs"] == 4
     assert row["n_dup_flagged"] == 1
     assert abs(row["dup_rate"] - 0.25) < 1e-9
+
+
+def test_quality_gate_matches_batch_verdicts(spark, tmp_path):
+    """The streaming gate's per-row array algebra (translate-based
+    sum_len, sort-then-run-length fold for max_cnt) must reproduce
+    the batch (doc, term)-aggregate verdicts EXACTLY, including the
+    grid-point boundary (a doc at mean word length exactly 4.2
+    PASSES — the q_dq_gopher_rules pin)."""
+    texts = [
+        # 20 tokens x 5 chars => mean 5.0, has stopwords, no repeat
+        " ".join(f"tok{i:02d}" for i in range(10))
+        + " the and for each value here used once more done",
+        # too short (5 tokens)
+        "tiny doc of the it",
+        # repetitive: 'spam' 10/21 tokens (> 0.2), long enough
+        " ".join(["spam"] * 10)
+        + " the of and to in is it a an or most",
+        # boundary: 20 tokens, sum_len exactly 84 => 10*84 == 42*20,
+        # NOT < threshold => PASSES wordlen rule; max_cnt=4 sits on
+        # ITS boundary too (5*4 == 20, not >) and passes
+        " ".join(["aaaa"] * 4 + ["bbbb"] * 4 + ["cccc"] * 4
+                 + ["dddd"] * 4)
+        + " the to abcdefgh abcdefg",
+    ]
+    pd.DataFrame(
+        [
+            {
+                "doc_id": i,
+                "text": t,
+                "lang": "en",
+                "source": f"s{i}",
+                "n_chars": len(t),
+            }
+            for i, t in enumerate(texts)
+        ]
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["source"]: (r["n_docs"], r["n_pass"], r["n_fail_repetition"])
+        for r in QUERIES["s_quality_gate"](spark, str(tmp_path)).collect()
+    }
+    batch = {
+        r["source"]: (r["n_docs"], r["n_pass"], r["n_fail_repetition"])
+        for r in QUERIES["q_dq_gopher_rules"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == batch
+    assert got["s0"] == (1, 1, 0)   # clean doc passes
+    assert got["s1"] == (1, 0, 0)   # too short fails (not repetition)
+    assert got["s2"] == (1, 0, 1)   # repetition flagged
+    assert got["s3"][1] == 1        # 4.2 boundary doc PASSES
