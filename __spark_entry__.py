@@ -31,8 +31,11 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # q_dedup_lsh_eval). Every name below has a DuckDB oracle and passes
 # the dtype-gated vanilla differential at sf 0.01.
 #
-# Oracled-never-sampled remainder after this window (38 names; these
-# LEAD round 11's window in this order, which zeroes the backlog):
+# Oracled-never-sampled remainder after this window: the 4 round-10
+# operators LEAD round 11's window (s_novelty_bucketed,
+# s_minhash_dup_rate, q_tokenizer_fertility, s_quality_gate), then
+# the 38 names below in this order — 42 slots, which ZEROES the
+# backlog with 8 slots spare for round-11 additions:
 # q_scan_file_metadata q_sim_pq_assign q_recursive_cte q_subquery_in
 # q_subquery_scalar q_table_diff q_udtf_expand_json
 # q_sink_csv_roundtrip q_sink_json_roundtrip q_sink_orc_roundtrip
