@@ -163,3 +163,55 @@ def test_quality_gate_matches_batch_verdicts(spark, tmp_path):
     assert got["s1"] == (1, 0, 0)   # too short fails (not repetition)
     assert got["s2"] == (1, 0, 1)   # repetition flagged
     assert got["s3"][1] == 1        # 4.2 boundary doc PASSES
+
+
+def test_quality_gate_random_corpus_parity(spark, tmp_path):
+    """Seeded random corpus (mixed lengths, stopword densities,
+    repetition levels) — streaming and batch verdicts must agree on
+    every (source, counter) cell, not just on crafted cases."""
+    import random
+
+    rng = random.Random(20260816)
+    vocab = [f"w{i}" for i in range(30)] + [
+        "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    ]
+    rows = []
+    for i in range(200):
+        n = rng.randint(1, 60)
+        words = [vocab[rng.randrange(len(vocab))] for _ in range(n)]
+        if rng.random() < 0.2:  # inject heavy repetition
+            words += [words[0]] * rng.randint(5, 20)
+        t = " ".join(words)
+        rows.append(
+            {
+                "doc_id": i,
+                "text": t,
+                "lang": "en",
+                "source": f"s{i % 7}",
+                "n_chars": len(t),
+            }
+        )
+    pd.DataFrame(rows).to_parquet(str(tmp_path / "documents.parquet"))
+    key = lambda r: (  # noqa: E731
+        r["source"],
+        r["n_docs"],
+        r["n_pass"],
+        r["n_fail_repetition"],
+        r["retention_rate"],
+    )
+    got = sorted(
+        map(key, QUERIES["s_quality_gate"](spark, str(tmp_path)).collect())
+    )
+    want = sorted(
+        (
+            r["source"],
+            r["n_docs"],
+            r["n_pass"],
+            r["n_fail_repetition"],
+            r["retention_rate"],
+        )
+        for r in QUERIES["q_dq_gopher_rules"](
+            spark, str(tmp_path)
+        ).collect()
+    )
+    assert got == want
