@@ -301,6 +301,10 @@ HEADLINE_EXTRA = [
     "q_mix_dsir_weights",        # hashed-feature importance resampling
     "q_sim_matryoshka_recall",   # prefix-dim recall certificate
     "q_sim_hamming_topk",        # 1-bit BQ + histogram-cutoff top-k
+    "s_novelty_bucketed",        # hard-capped 2^8-bucket novelty state
+    "s_minhash_dup_rate",        # streaming banded-minhash dup monitor
+    "s_quality_gate",            # streaming Gopher-rule ingest gate
+    "q_tokenizer_fertility",     # per-(source, lang) token-budget census
 ]
 
 HEADLINE = HEADLINE_CORE + HEADLINE_EXTRA
