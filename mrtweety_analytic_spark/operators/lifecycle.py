@@ -1065,6 +1065,69 @@ DSIR_BUCKETS = 256
 DSIR_TARGET_LANG = "en"
 
 
+def _dsir_doc_logw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document UNROUNDED DSIR log-weight (doc_id, source,
+    logw_raw) — the shared kernel of q_mix_dsir_weights (which
+    rounds at 6 before its logw > 0 predicate) and the half-grid
+    margin probe (tests/test_round9b_ops.py::
+    test_dsir_logw_clears_round6_half_grid), which asserts the
+    unrounded sums keep a float-noise-proof distance from the
+    round-6 flip boundary so the rounding convention stays
+    deterministic on the actual corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.explode(F.split(F.lower("text"), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tok = tok.select(
+        "doc_id",
+        "source",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("term"), 1, 4), 16, 10).cast("int")
+            % DSIR_BUCKETS
+        ).alias("f"),
+    ).persist()
+    _LAST_DSIR_TOK.replace([tok])
+    raw = tok.groupBy("f").agg(F.count(F.lit(1)).alias("c_raw"))
+    tgt = (
+        tok.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+    tots = tok.agg(
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        )
+        .cast("double")
+        .alias("t_tgt"),
+        F.count(F.lit(1)).cast("double").alias("t_raw"),
+    )
+    lr = (
+        raw.join(tgt, "f", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "f",
+            F.log(
+                (F.coalesce(F.col("c_tgt"), F.lit(0)) + 1.0)
+                / (F.col("t_tgt") + DSIR_BUCKETS)
+                * (F.col("t_raw") + DSIR_BUCKETS)
+                / (F.col("c_raw") + 1.0)
+            ).alias("lr"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(lr), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.first("source").alias("source"),
+            F.sum("lr").alias("logw_raw"),
+        )
+    )
+
+
 @register(
     "q_mix_dsir_weights",
     oracle=f"""
@@ -1145,64 +1208,17 @@ def q_mix_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the production DSIR shape: train the two hashed models
     in one pass, broadcast, score in the next.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
+    docw = _dsir_doc_logw(spark, sf_dir).select(
         "doc_id",
         "source",
-        "lang",
-        F.explode(F.split(F.lower("text"), " ")).alias("term"),
-    ).filter(F.col("term") != "")
-    tok = tok.select(
-        "doc_id",
-        "source",
-        "lang",
-        (
-            F.conv(F.substring(F.md5("term"), 1, 4), 16, 10).cast("int")
-            % DSIR_BUCKETS
-        ).alias("f"),
-    ).persist()
-    _LAST_DSIR_TOK.replace([tok])
-    raw = tok.groupBy("f").agg(F.count(F.lit(1)).alias("c_raw"))
-    tgt = (
-        tok.filter(F.col("lang") == DSIR_TARGET_LANG)
-        .groupBy("f")
-        .agg(F.count(F.lit(1)).alias("c_tgt"))
-    )
-    tots = tok.agg(
-        F.sum(
-            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
-        )
-        .cast("double")
-        .alias("t_tgt"),
-        F.count(F.lit(1)).cast("double").alias("t_raw"),
-    )
-    lr = (
-        raw.join(tgt, "f", "left")
-        .crossJoin(F.broadcast(tots))
-        .select(
-            "f",
-            F.log(
-                (F.coalesce(F.col("c_tgt"), F.lit(0)) + 1.0)
-                / (F.col("t_tgt") + DSIR_BUCKETS)
-                * (F.col("t_raw") + DSIR_BUCKETS)
-                / (F.col("c_raw") + 1.0)
-            ).alias("lr"),
-        )
-    )
-    docw = (
-        tok.join(F.broadcast(lr), "f")
-        .groupBy("doc_id")
-        .agg(
-            F.first("source").alias("source"),
-            # Rounded at 6 BEFORE the logw > 0 target-like predicate
-            # (ADVICE r09): the unrounded float sum could flip a doc
-            # whose true logw is within summation-order noise of 0
-            # across engines/partitionings; the measured margin
-            # (min |logw| 1.8e-6 at sf0.1) is data-dependent, the
-            # round-6 grid makes the predicate deterministic by
-            # construction (repo round-before-compare rule).
-            F.round(F.sum("lr"), 6).alias("logw"),
-        )
+        # Rounded at 6 BEFORE the logw > 0 target-like predicate
+        # (ADVICE r09): rounding pushes the flip boundary from 0 to
+        # the round-6 half-grid (n + 0.5e-6). The clearance is
+        # data-dependent, so it is ASSERTED, not assumed: the
+        # half-grid margin probe pytest on _dsir_doc_logw fails
+        # loudly if a corpus ever lands within float noise of the
+        # flip boundary (ADVICE r10).
+        F.round("logw_raw", 6).alias("logw"),
     )
     return docw.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),

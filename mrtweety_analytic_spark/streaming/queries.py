@@ -31,6 +31,15 @@ def _drift_oracle() -> str:
     return _DRIFT_ORACLE
 
 
+# _run_to_memory pins the memory-sink table on the DRIVER, so every
+# caller's aggregate must be bounded: the registered streaming ops
+# group by windows/sources/capped bucket spaces (the largest is
+# s_minhash_dup_rate's 2^16 buckets). A future op with an unbounded
+# group key must NOT silently collect a corpus-scale aggregate —
+# fail loudly instead (VERDICT r10 item 5).
+_MEMORY_PIN_ROW_BUDGET = 100_000
+
+
 def _run_to_memory(
     spark: SparkSession,
     df: DataFrame,
@@ -67,6 +76,18 @@ def _run_to_memory(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     result = spark.table(name)
+    n = result.count()
+    if n > _MEMORY_PIN_ROW_BUDGET:
+        import inspect
+
+        caller = inspect.stack()[1].function
+        spark.catalog.dropTempView(name)
+        raise RuntimeError(
+            f"_run_to_memory: caller {caller!r} produced {n} sink "
+            f"rows > budget {_MEMORY_PIN_ROW_BUDGET} — its streaming "
+            "aggregate's group key is not bounded; cap the key space "
+            "(bucket/window it) before pinning on the driver"
+        )
     # Pin the rows before the memory table is dropped.
     out = spark.createDataFrame(result.collect(), result.schema)
     spark.catalog.dropTempView(name)
@@ -2369,10 +2390,11 @@ def s_novelty_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     FIRST key arrives; collisions only ever hide novelty, never
     invent it — the same one-sided error as the sketch family), and
     cum_buckets is additionally capped at 256, which the state-size
-    pytest pins against a key domain ~3x the bucket space. min(ts) stays monotone after bucketing, so update-mode +
-    min-finalize is exact under any micro-batch split, and the
-    availableNow replay equals the batch min — the DuckDB oracle
-    hash-checks the whole curve.
+    pytest pins against a key domain ~3x the bucket space. min(ts)
+    stays monotone after bucketing, so update-mode + min-finalize is
+    exact under any micro-batch split, and the availableNow replay
+    equals the batch min — the DuckDB oracle hash-checks the whole
+    curve.
 
     Scale: state is ≤256 timestamps total across state stores —
     O(1) in corpus size; everything downstream of the replay runs on

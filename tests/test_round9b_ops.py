@@ -170,3 +170,34 @@ def test_hamming_topk_planted_distances(spark, tmp_path):
     assert got[2] == (2, 3)
     assert got[3] == (3, 4)
     assert all(h < 40 for h, _ in got)  # the 40-flip plant is cut
+
+
+def test_dsir_logw_clears_round6_half_grid(spark, sf_dir):
+    """ADVICE r10: q_mix_dsir_weights rounds logw at 6 decimals
+    before its logw > 0 predicate, which moves the cross-engine flip
+    boundary from 0 to the round-6 half-grid (n + 0.5e-6). That is
+    only deterministic if no document's TRUE (unrounded) sum sits
+    within float-summation noise of a half-grid point — a
+    data-dependent margin, so it is asserted here on the actual
+    corpus rather than claimed in a comment. Double-precision noise
+    on these sums is ~1e-13 absolute; the 1e-4-grid-unit (1e-10
+    absolute) floor is >1000x noise, while the measured corpus
+    margin is >1e-3 grid units at both shipped scales."""
+    import math
+
+    from mrtweety_analytic_spark.operators.lifecycle import (
+        _dsir_doc_logw,
+    )
+
+    rows = _dsir_doc_logw(spark, sf_dir).collect()
+    assert rows, "corpus produced no token-bearing documents"
+    dists = []
+    for r in rows:
+        grid = r.logw_raw * 1e6
+        frac = grid - math.floor(grid)
+        dists.append(abs(frac - 0.5))
+    assert min(dists) > 1e-4, (
+        "a document's unrounded DSIR logw is within float noise of "
+        "the round-6 half-grid; the round-before-compare convention "
+        "is no longer deterministic on this corpus"
+    )
