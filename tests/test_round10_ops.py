@@ -215,3 +215,50 @@ def test_quality_gate_random_corpus_parity(spark, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_minhash_dup_rate_fast_parity(spark, tmp_path):
+    """The xxhash64 production tier must reproduce the certified md5
+    tier's verdicts on planted duplicates: exact copies share shingle
+    sets, hence band signatures and buckets, under EITHER hash family
+    (recall 1.0 is a theorem in both); the distinct fillers share no
+    shingle, so neither tier may flag them (2x5 band rows in a 2^16
+    bucket space — the fixture is deterministic, so a collision-free
+    draw stays collision-free). Per-source rows must match exactly."""
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog today",
+        1: "completely different words about spark shuffle joins",
+        2: "the quick brown fox jumps over the lazy dog today",
+        3: "yet another unrelated document mentioning parquet scans",
+        4: "completely different words about spark shuffle joins",
+        5: "bloom filters prune row groups before any decode work",
+    }
+    pd.DataFrame(
+        [
+            {
+                "doc_id": i,
+                "text": t,
+                "lang": "en",
+                "source": f"s{i % 2}",
+                "n_chars": len(t),
+            }
+            for i, t in texts.items()
+        ]
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    md5_rows = {
+        r["source"]: (r["n_docs"], r["n_dup_flagged"], r["dup_rate"])
+        for r in QUERIES["s_minhash_dup_rate"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    fast_rows = {
+        r["source"]: (r["n_docs"], r["n_dup_flagged"], r["dup_rate"])
+        for r in QUERIES["s_minhash_dup_rate_fast"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert md5_rows == fast_rows
+    # And the planted truth itself: doc 2 (copy of 0, source s0) and
+    # doc 4 (copy of 1, source s0) are the only duplicates.
+    assert fast_rows["s0"] == (3, 2, round(2 / 3, 6))
+    assert fast_rows["s1"][1] == 0
