@@ -2355,6 +2355,37 @@ def s_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
 NOVELTY_BUCKETS = 256
 
 
+def _novelty_firsts(ev: DataFrame) -> DataFrame:
+    """The streaming state kernel of s_novelty_bucketed: md5-fold the
+    (user, event_type) key into the 2^8 bucket space, then min(ts)
+    per bucket — update-mode monotone state, hard-capped at 256
+    entries. Factored out so the checkpoint-restart pytest drives the
+    exact shipped expression across a kill-and-resume."""
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("user_id").cast("string"),
+                        F.col("event_type"),
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % NOVELTY_BUCKETS
+    )
+    return (
+        ev.select(bucket.alias("bucket"), "ts")
+        .groupBy("bucket")
+        .agg(F.min("ts").alias("first_ts"))
+    )
+
+
 @register(
     "s_novelty_bucketed",
     oracle=f"""
@@ -2403,27 +2434,7 @@ def s_novelty_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic both sides).
     """
     ev = load_events_stream(spark, sf_dir)
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        ":",
-                        F.col("user_id").cast("string"),
-                        F.col("event_type"),
-                    )
-                ),
-                1,
-                4,
-            ),
-            16,
-            10,
-        ).cast("int")
-        % NOVELTY_BUCKETS
-    )
-    firsts_stream = ev.select(
-        bucket.alias("bucket"), "ts"
-    ).groupBy("bucket").agg(F.min("ts").alias("first_ts"))
+    firsts_stream = _novelty_firsts(ev)
     out = _run_to_memory(spark, firsts_stream, "update")
     firsts = out.groupBy("bucket").agg(
         F.min("first_ts").alias("first_ts")
@@ -2750,6 +2761,54 @@ _QG_STOP_SQL = ", ".join(
 )
 
 
+def _qg_counters(docs: DataFrame) -> DataFrame:
+    """The streaming state kernel of s_quality_gate: per-row Gopher
+    rule flags (codegen array algebra, no shuffle), then per-source
+    additive counters — O(sources) update-mode state. Factored out so
+    the checkpoint-restart pytest drives the exact shipped expression
+    across a kill-and-resume."""
+    ws = F.filter(F.split("text", " "), lambda x: x != "")
+    max_cnt = F.expr(
+        "aggregate(array_sort(filter(split(text, ' '), x -> x != '')),"
+        " struct(CAST('' AS STRING) AS prev, CAST(0 AS BIGINT) AS run,"
+        "        CAST(0 AS BIGINT) AS best),"
+        " (acc, x) -> struct("
+        "   x AS prev,"
+        "   IF(x = acc.prev, acc.run + 1, CAST(1 AS BIGINT)) AS run,"
+        "   GREATEST(acc.best,"
+        "     IF(x = acc.prev, acc.run + 1, CAST(1 AS BIGINT))) AS best),"
+        " acc -> acc.best)"
+    )
+    stops = [
+        "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    ]
+    per = docs.select(
+        "source",
+        F.size(ws).cast("long").alias("n_tokens"),
+        F.length(F.translate("text", " ", "")).cast("long").alias(
+            "sum_len"
+        ),
+        F.size(
+            F.filter(ws, lambda x: x.isin(*stops))
+        ).cast("long").alias("n_stop"),
+        max_cnt.alias("max_cnt"),
+    ).filter(F.col("n_tokens") > 0)
+    f_len = F.when(F.col("n_tokens") < 20, 1).otherwise(0)
+    f_wordlen = F.when(
+        10 * F.col("sum_len") < 42 * F.col("n_tokens"), 1
+    ).otherwise(0)
+    f_stop = F.when(
+        50 * F.col("n_stop") < F.col("n_tokens"), 1
+    ).otherwise(0)
+    f_rep = F.when(5 * F.col("max_cnt") > F.col("n_tokens"), 1).otherwise(0)
+    all_pass = (f_len + f_wordlen + f_stop + f_rep) == 0
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(all_pass, 1).otherwise(0)).alias("n_pass"),
+        F.sum(f_rep).cast("long").alias("n_fail_repetition"),
+    )
+
+
 @register(
     "s_quality_gate",
     oracle=f"""
@@ -2828,47 +2887,7 @@ def s_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..sources import load_documents_stream
 
-    docs = load_documents_stream(spark, sf_dir)
-    ws = F.filter(F.split("text", " "), lambda x: x != "")
-    max_cnt = F.expr(
-        "aggregate(array_sort(filter(split(text, ' '), x -> x != '')),"
-        " struct(CAST('' AS STRING) AS prev, CAST(0 AS BIGINT) AS run,"
-        "        CAST(0 AS BIGINT) AS best),"
-        " (acc, x) -> struct("
-        "   x AS prev,"
-        "   IF(x = acc.prev, acc.run + 1, CAST(1 AS BIGINT)) AS run,"
-        "   GREATEST(acc.best,"
-        "     IF(x = acc.prev, acc.run + 1, CAST(1 AS BIGINT))) AS best),"
-        " acc -> acc.best)"
-    )
-    stops = [
-        "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
-    ]
-    per = docs.select(
-        "source",
-        F.size(ws).cast("long").alias("n_tokens"),
-        F.length(F.translate("text", " ", "")).cast("long").alias(
-            "sum_len"
-        ),
-        F.size(
-            F.filter(ws, lambda x: x.isin(*stops))
-        ).cast("long").alias("n_stop"),
-        max_cnt.alias("max_cnt"),
-    ).filter(F.col("n_tokens") > 0)
-    f_len = F.when(F.col("n_tokens") < 20, 1).otherwise(0)
-    f_wordlen = F.when(
-        10 * F.col("sum_len") < 42 * F.col("n_tokens"), 1
-    ).otherwise(0)
-    f_stop = F.when(
-        50 * F.col("n_stop") < F.col("n_tokens"), 1
-    ).otherwise(0)
-    f_rep = F.when(5 * F.col("max_cnt") > F.col("n_tokens"), 1).otherwise(0)
-    all_pass = (f_len + f_wordlen + f_stop + f_rep) == 0
-    counters = per.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.when(all_pass, 1).otherwise(0)).alias("n_pass"),
-        F.sum(f_rep).cast("long").alias("n_fail_repetition"),
-    )
+    counters = _qg_counters(load_documents_stream(spark, sf_dir))
     out = _run_to_memory(spark, counters, "update")
     final = out.groupBy("source").agg(
         F.max("n_docs").alias("n_docs"),
