@@ -75,8 +75,10 @@ PRIORITY = [
     "q_win_first_last",
     "q_win_pct_change",
     # round-11 additions (birth-round windowing per VERDICT r10
-    # item 2) are appended here as they land, up to the 8 spare
-    # slots.
+    # item 2). s_minhash_dup_rate_fast is rows-only by design and
+    # deliberately NOT windowed (a no_oracle row certifies nothing).
+    "s_dedup_url",
+    "s_tokenizer_fertility",
 ]
 
 

@@ -117,25 +117,15 @@ _URL_ORACLE = """
 """
 
 
-@register("q_dedup_url", oracle=_URL_ORACLE)
-def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical-URL deduplication — the crawl-ingest front door.
-
-    Four deterministic surface variants are synthesized per document
-    (mixed-case host, explicit :443 default port, utm_* tracking
-    params, trailing slash); canonicalization lower-cases the host,
-    strips the default port, removes tracking parameters, and trims
-    the trailing slash, then keeps one representative (min doc_id)
-    per canonical URL. The oracle re-derives the same canonical form
-    with DuckDB's regex dialect, so the gate certifies the
-    normalization semantics, not one engine's regex quirks.
-
-    Scale: canonicalization is row-local codegen'd string work; the
-    only shuffle is the groupBy on the canonical key — O(unique URLs)
-    — and raw page payloads (not modeled here) would never move, only
-    the canonical key and doc id.
-    """
-    docs = load_table(spark, sf_dir, "documents")
+def _synth_canonical_url() -> F.Column:
+    """The synthetic-URL-variant + canonicalization expression shared
+    by q_dedup_url (batch keep-one-per-URL) and s_dedup_url (the
+    streaming crawl-front-door monitor): four deterministic surface
+    variants per doc_id (mixed-case host / :443 / utm params /
+    trailing slash), canonicalized by lower-casing the host,
+    stripping the default port, removing tracking params, and
+    trimming the trailing slash — row-local codegen'd string work,
+    legal on a streaming frame."""
     group = (F.col("doc_id") / 4).cast("long").cast("string")
     base = F.concat(F.lit("https://docs.example.com/corpus/"), group)
     mixed = F.concat(F.lit("https://docs.Example.COM/corpus/"), group)
@@ -160,9 +150,30 @@ def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         "/+$",
         "",
     )
-    canon = F.concat(F.lit("https://"), host, path)
+    return F.concat(F.lit("https://"), host, path)
+
+
+@register("q_dedup_url", oracle=_URL_ORACLE)
+def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL deduplication — the crawl-ingest front door.
+
+    Four deterministic surface variants are synthesized per document
+    (mixed-case host, explicit :443 default port, utm_* tracking
+    params, trailing slash); canonicalization lower-cases the host,
+    strips the default port, removes tracking parameters, and trims
+    the trailing slash, then keeps one representative (min doc_id)
+    per canonical URL. The oracle re-derives the same canonical form
+    with DuckDB's regex dialect, so the gate certifies the
+    normalization semantics, not one engine's regex quirks.
+
+    Scale: canonicalization is row-local codegen'd string work; the
+    only shuffle is the groupBy on the canonical key — O(unique URLs)
+    — and raw page payloads (not modeled here) would never move, only
+    the canonical key and doc id.
+    """
+    docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select("doc_id", canon.alias("canonical_url"))
+        docs.select("doc_id", _synth_canonical_url().alias("canonical_url"))
         .groupBy("canonical_url")
         .agg(
             F.count(F.lit(1)).alias("n_variants"),

@@ -2664,9 +2664,7 @@ def bm25_scored(docs: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "q_tokenizer_fertility",
-    oracle=r"""
+_FERTILITY_ORACLE = r"""
     WITH per_doc AS (
         SELECT source, lang,
                length(text) AS n_chars_doc,
@@ -2689,7 +2687,59 @@ def bm25_scored(docs: DataFrame) -> DataFrame:
                AS fertility
     FROM per_doc
     GROUP BY 1, 2
-    """,
+    """
+
+
+def _fertility_per_doc(docs: DataFrame) -> DataFrame:
+    """Per-document token-budget counts (chars / whitespace words /
+    pre-token runs), computed PER ROW with no explode — shared by the
+    batch census q_tokenizer_fertility and its streaming twin
+    s_tokenizer_fertility (the per-row half of the triad idiom:
+    shuffle-free signal extraction before the bounded-state agg)."""
+    return docs.select(
+        "source",
+        "lang",
+        F.length("text").cast("long").alias("n_chars_doc"),
+        F.size(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        ).cast("long").alias("n_words_doc"),
+        F.size(
+            F.expr(
+                "regexp_extract_all(lower(text),"
+                " '[a-z]+|[0-9]+|[^a-z0-9 ]+', 0)"
+            )
+        ).cast("long").alias("n_runs_doc"),
+    )
+
+
+def _fertility_finalize(sums: DataFrame) -> DataFrame:
+    """(source, lang, n_docs, n_chars, n_words, n_pretokens) ->
+    census rows with the round-6 division-last ratios; shared by both
+    fertility tiers so the streaming replay and the batch aggregate
+    finish through identical arithmetic."""
+    return sums.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_chars",
+        "n_words",
+        "n_pretokens",
+        F.round(
+            F.col("n_chars").cast("double")
+            / F.nullif(F.col("n_pretokens").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("chars_per_pretoken"),
+        F.round(
+            F.col("n_pretokens").cast("double")
+            / F.nullif(F.col("n_words").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("fertility"),
+    )
+
+
+@register(
+    "q_tokenizer_fertility",
+    oracle=_FERTILITY_ORACLE,
 )
 def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer FERTILITY census per (source, lang): pre-tokens per
@@ -2714,33 +2764,10 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen'd scan, one tiny reduction.
     """
     docs = load_table(spark, sf_dir, "documents")
-    per_doc = docs.select(
-        "source",
-        "lang",
-        F.length("text").cast("long").alias("n_chars_doc"),
-        F.size(
-            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
-        ).cast("long").alias("n_words_doc"),
-        F.size(
-            F.expr(
-                "regexp_extract_all(lower(text),"
-                " '[a-z]+|[0-9]+|[^a-z0-9 ]+', 0)"
-            )
-        ).cast("long").alias("n_runs_doc"),
-    )
-    return per_doc.groupBy("source", "lang").agg(
+    sums = _fertility_per_doc(docs).groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars_doc").alias("n_chars"),
         F.sum("n_words_doc").alias("n_words"),
         F.sum("n_runs_doc").alias("n_pretokens"),
-        F.round(
-            F.sum("n_chars_doc").cast("double")
-            / F.nullif(F.sum("n_runs_doc").cast("double"), F.lit(0.0)),
-            6,
-        ).alias("chars_per_pretoken"),
-        F.round(
-            F.sum("n_runs_doc").cast("double")
-            / F.nullif(F.sum("n_words_doc").cast("double"), F.lit(0.0)),
-            6,
-        ).alias("fertility"),
     )
+    return _fertility_finalize(sums)

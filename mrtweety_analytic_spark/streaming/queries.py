@@ -31,6 +31,12 @@ def _drift_oracle() -> str:
     return _DRIFT_ORACLE
 
 
+def _fertility_oracle() -> str:
+    from ..operators.textops import _FERTILITY_ORACLE
+
+    return _FERTILITY_ORACLE
+
+
 # _run_to_memory pins the memory-sink table on the DRIVER, so every
 # caller's aggregate must be bounded: the registered streaming ops
 # group by windows/sources/capped bucket spaces (the largest is
@@ -2903,3 +2909,180 @@ def s_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_pass").cast("double") / F.col("n_docs"), 4
         ).alias("retention_rate"),
     )
+
+
+# --- round-11 streaming ingest ops -----------------------------------------
+# Three more dials on the acquisition front-end, all in the triad's
+# plan idiom (per-row signal extraction with no pre-state shuffle,
+# bounded-state monotone aggregation, post-replay rollup):
+# s_dedup_url = KEY dedup at the crawl front door (canonical-URL
+# owner state), s_tokenizer_fertility = token budget (additive
+# census counters).
+
+SDU_BUCKETS = 65536
+
+
+def _sdu_buckets(docs: DataFrame) -> DataFrame:
+    """(bucket, doc_id, source): canonical-URL md5 hex-prefix folded
+    into the 2^16 owner-state space — the repo's cross-engine
+    bucketing convention, identical arithmetic in the DuckDB oracle.
+    Canonicalization is q_dedup_url's shared expression
+    (operators/lifecycle.py), row-local and streaming-legal."""
+    from ..operators.lifecycle import _synth_canonical_url
+
+    return docs.select(
+        "doc_id",
+        "source",
+        (
+            F.conv(
+                F.substring(F.md5(_synth_canonical_url()), 1, 4), 16, 10
+            ).cast("int")
+            % SDU_BUCKETS
+        ).alias("bucket"),
+    )
+
+
+@register(
+    "s_dedup_url",
+    oracle=f"""
+    WITH raw AS (
+        SELECT doc_id, source,
+               CASE CAST(doc_id % 4 AS INTEGER)
+                 WHEN 0 THEN 'https://docs.Example.COM/corpus/'
+                             || CAST(doc_id // 4 AS VARCHAR)
+                 WHEN 1 THEN 'https://docs.example.com:443/corpus/'
+                             || CAST(doc_id // 4 AS VARCHAR)
+                 WHEN 2 THEN 'https://docs.example.com/corpus/'
+                             || CAST(doc_id // 4 AS VARCHAR)
+                             || '?utm_source=feed&utm_medium=rss'
+                 ELSE 'https://docs.example.com/corpus/'
+                             || CAST(doc_id // 4 AS VARCHAR) || '/'
+               END AS url
+        FROM documents
+    ),
+    canon AS (
+        SELECT doc_id, source,
+               'https://'
+               || lower(regexp_extract(
+                      regexp_replace(url, ':443', ''),
+                      'https://([^/]+)', 1))
+               || regexp_replace(regexp_extract(
+                      regexp_replace(
+                          regexp_replace(url, ':443', ''),
+                          '[?&]utm_[a-z]+=[^&#]*', '', 'g'),
+                      'https://[^/]+([^?#]*)', 1), '/+$', '')
+                   AS canonical_url
+        FROM raw
+    ),
+    bk AS (
+        SELECT doc_id, source,
+               CAST(('0x' || substr(md5(canonical_url), 1, 4))
+                   AS INTEGER) % {SDU_BUCKETS} AS bucket
+        FROM canon
+    ),
+    own AS (SELECT bucket, min(doc_id) AS first_doc
+            FROM bk GROUP BY 1)
+    SELECT b.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN o.first_doc < b.doc_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_flagged,
+           round(avg(CASE WHEN o.first_doc < b.doc_id
+                          THEN CAST(1 AS DOUBLE)
+                          ELSE CAST(0 AS DOUBLE) END), 6) AS dup_rate
+    FROM bk b JOIN own o ON o.bucket = b.bucket
+    GROUP BY 1
+    """,
+)
+def s_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING crawl-front-door URL dedup — the KEY-side member of
+    the ingest-health family (s_minhash_dup_rate watches content;
+    this watches the canonical fetch key): as documents arrive, track
+    the first owner (min doc_id) of every canonical-URL bucket and
+    report, per source, the fraction of fetches that re-crawled an
+    already-owned URL. Crawl-frontier dedup is an inherently
+    streaming job (the frontier exists only at ingest time — VERDICT
+    r10 item 8); the batch twin q_dedup_url keeps one row per URL
+    after the fact, this monitor prices the wasted fetches live.
+
+    Canonicalization (shared expression with q_dedup_url, certified
+    there against DuckDB's regex dialect) is row-local; the canonical
+    key is md5-folded into 2^16 buckets BEFORE the state store, so
+    state is hard-capped at 65536 (bucket, doc_id) pairs no matter
+    how many URLs the crawl sees. min(doc_id) is monotone ->
+    update-mode replay is exact under any micro-batch split.
+    Collisions only OVER-flag (the cautious direction for a frontier
+    gate), and the oracle reproduces the identical bucket fold, so
+    the gate certifies the whole pipeline including the collision
+    arithmetic.
+
+    Scale: per-row string work + a <=65536-row state store + one
+    broadcast owner join; raw page payloads never move. At 100 TB the
+    production swap is xxhash64 over the full canonical string (no
+    fold) with state in RocksDB — same plan, exact ownership.
+    """
+    from ..sources import load_documents_stream, load_table
+
+    stream_bk = _sdu_buckets(
+        load_documents_stream(spark, sf_dir)
+    ).select("bucket", "doc_id")
+    owners_stream = stream_bk.groupBy("bucket").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    out = _run_to_memory(spark, owners_stream, "update")
+    owners = out.groupBy("bucket").agg(
+        F.min("first_doc").alias("first_doc")
+    )
+    bk = _sdu_buckets(load_table(spark, sf_dir, "documents"))
+    is_dup = F.when(F.col("first_doc") < F.col("doc_id"), 1).otherwise(0)
+    return (
+        # owners is hard-capped at SDU_BUCKETS rows — always the
+        # broadcast side (same AQE-wrong-side hazard as the minhash
+        # monitor: the doc frame is the side that grows).
+        bk.join(F.broadcast(owners), "bucket")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(is_dup).cast("long").alias("n_dup_flagged"),
+            F.round(F.avg(is_dup.cast("double")), 6).alias("dup_rate"),
+        )
+    )
+
+
+@register("s_tokenizer_fertility", oracle=_fertility_oracle())
+def s_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING token-budget census — q_tokenizer_fertility's
+    per-(source, lang) chars/words/pretokens counters maintained AT
+    ARRIVAL, so the budget owner watches fertility drift live instead
+    of re-scanning the corpus (a source whose fertility climbs is
+    shipping ever more punctuation/digit soup into the BPE budget).
+    Per-row counts are the shared _fertility_per_doc kernel (no
+    explode, no pre-state shuffle); state is additive counters per
+    (source, lang) — O(sources x langs); ratios divide the final
+    integer sums once, behind round-6, through the shared
+    _fertility_finalize, so the replay result equals the batch census
+    row-for-row and the batch oracle certifies it.
+    """
+    from ..operators.textops import (
+        _fertility_finalize,
+        _fertility_per_doc,
+    )
+    from ..sources import load_documents_stream
+
+    counters = (
+        _fertility_per_doc(load_documents_stream(spark, sf_dir))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars_doc").alias("n_chars"),
+            F.sum("n_words_doc").alias("n_words"),
+            F.sum("n_runs_doc").alias("n_pretokens"),
+        )
+    )
+    out = _run_to_memory(spark, counters, "update")
+    final = out.groupBy("source", "lang").agg(
+        F.max("n_docs").alias("n_docs"),
+        F.max("n_chars").alias("n_chars"),
+        F.max("n_words").alias("n_words"),
+        F.max("n_pretokens").alias("n_pretokens"),
+    )
+    return _fertility_finalize(final)

@@ -1,0 +1,88 @@
+"""Round-11 streaming ingest ops: planted-truth properties the SQL
+oracles certify only in aggregate — exact per-source dup accounting
+for the URL front-door monitor, and row-for-row stream/batch census
+parity for the fertility twin.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from mrtweety_analytic_spark.queries import QUERIES
+
+
+def _write_docs(spark, tmp_path, rows):
+    pd.DataFrame(rows).to_parquet(str(tmp_path / "documents.parquet"))
+
+
+def test_dedup_url_flags_later_variants_per_source(spark, tmp_path):
+    """The synthetic URL scheme maps doc_ids {4k..4k+3} to one
+    canonical URL with owner 4k, so the flag set is fully
+    deterministic: s0 (even ids 0,2,4,6) re-crawls 2 and 6 -> rate
+    0.5; s1 (odd ids) owns nothing -> every fetch flagged, rate 1.0.
+    This pins the ownership ARITHMETIC (owner strictly earlier, owner
+    itself never flagged), which the aggregate oracle can't isolate."""
+    _write_docs(
+        spark,
+        tmp_path,
+        [
+            {
+                "doc_id": i,
+                "text": f"document number {i} words",
+                "lang": "en",
+                "source": f"s{i % 2}",
+                "n_chars": 20,
+            }
+            for i in range(8)
+        ],
+    )
+    rows = {
+        r["source"]: (r["n_docs"], r["n_dup_flagged"], r["dup_rate"])
+        for r in QUERIES["s_dedup_url"](spark, str(tmp_path)).collect()
+    }
+    assert rows["s0"] == (4, 2, 0.5)
+    assert rows["s1"] == (4, 4, 1.0)
+
+
+def test_tokenizer_fertility_stream_equals_batch(spark, tmp_path):
+    """The streaming census must equal the batch census ROW FOR ROW
+    on a multi-(source, lang) corpus — additive counters replayed
+    through the state store, finalized through the shared ratio
+    arithmetic. Texts exercise the pre-token classes (letters,
+    digits, punctuation runs) so fertility > 1 on the mixed rows."""
+    texts = [
+        (0, "plain lowercase words only here", "en", "s0"),
+        (1, "digits 123 mixed with, punctuation! runs", "en", "s0"),
+        (2, "short", "de", "s0"),
+        (3, "ein zwei drei vier", "de", "s1"),
+        (4, "x9y8z7 dense4mix", "en", "s1"),
+    ]
+    _write_docs(
+        spark,
+        tmp_path,
+        [
+            {
+                "doc_id": i,
+                "text": t,
+                "lang": lang,
+                "source": src,
+                "n_chars": len(t),
+            }
+            for i, t, lang, src in texts
+        ],
+    )
+    key = lambda r: (r["source"], r["lang"])  # noqa: E731
+    batch = {
+        key(r): r.asDict()
+        for r in QUERIES["q_tokenizer_fertility"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    stream = {
+        key(r): r.asDict()
+        for r in QUERIES["s_tokenizer_fertility"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert stream == batch
+    assert stream[("s0", "en")]["fertility"] > 1.0
