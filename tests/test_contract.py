@@ -54,19 +54,15 @@ def test_priority_window():
     assert len(prio) == 50
     assert len(set(prio)) == 50
     assert names[:50] == prio
-    # VERDICT r09 item 1: the 14 ORACLED round-9 operators lead
-    # (q_text_bpe_apply is rows-only by design and deliberately not
-    # windowed), then never-sampled oracled names only — zero
-    # no_oracle slots in the window.
-    assert prio[:14] == [
-        "q_dq_gopher_rules", "q_dedup_srp_pairs", "q_dedup_srp_cert",
-        "q_sim_ivfpq_residual", "q_sim_ivfpq_residual_recall",
-        "q_sim_ivfpq_residual_refine",
-        "q_sim_ivfpq_residual_refine_recall", "s_novelty_decay",
-        "q_text_pretokenize", "q_text_bm25", "q_sim_hybrid_rrf",
-        "q_mix_dsir_weights", "q_sim_matryoshka_recall",
-        "q_sim_hamming_topk",
+    # VERDICT r10 item 1: the 4 round-10 operators lead, then the
+    # pre-committed 38-name remainder (zeroing the oracled-never-
+    # windowed backlog), the 2 oracled round-11 births, and 6
+    # re-checks of code changed this round — zero no_oracle slots.
+    assert prio[:4] == [
+        "s_novelty_bucketed", "s_minhash_dup_rate",
+        "q_tokenizer_fertility", "s_quality_gate",
     ]
+    assert prio[42:44] == ["s_dedup_url", "s_tokenizer_fertility"]
     oracled = set(entrymod.oracle_sql())
     assert all(n in oracled for n in prio), (
         "window contains a rows-only name; a no_oracle row certifies "
