@@ -313,6 +313,7 @@ HEADLINE_EXTRA = [
     # round-11 additions
     "s_dedup_url",               # streaming crawl-front-door URL dedup
     "s_tokenizer_fertility",     # streaming token-budget census
+    "s_mix_rebalance",           # streaming mix-rebalance monitor
 ]
 
 HEADLINE = HEADLINE_CORE + HEADLINE_EXTRA

@@ -542,9 +542,7 @@ _MIX_TARGETS_SQL = " UNION ALL ".join(
 )
 
 
-@register(
-    "q_mix_rebalance",
-    oracle=f"""
+_MIX_REBALANCE_ORACLE = f"""
     WITH targets AS ({_MIX_TARGETS_SQL}),
     avail AS (
         SELECT lang, CAST(count(*) AS DOUBLE) AS n_avail
@@ -569,8 +567,10 @@ _MIX_TARGETS_SQL = " UNION ALL ".join(
            round(r.rate, 6) AS rate,
            CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
     FROM rates r LEFT JOIN kept k ON r.lang = k.lang
-    """,
-)
+    """
+
+
+@register("q_mix_rebalance", oracle=_MIX_REBALANCE_ORACLE)
 def q_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data mix rebalancing: given target language weights
     (MIX_TARGETS) and the corpus's availability, down-sample each
@@ -589,11 +589,21 @@ def q_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixes and quality-tier mixes — the mix key is just a column.
     """
     docs = load_table(spark, sf_dir, "documents")
-    targets = spark.createDataFrame(
-        list(MIX_TARGETS.items()), "lang string, target double"
-    )
     avail = docs.groupBy("lang").agg(
         F.count(F.lit(1)).cast("double").alias("n_avail")
+    )
+    return _mix_report(spark, docs, avail)
+
+
+def _mix_report(spark: SparkSession, docs: DataFrame, avail: DataFrame) -> DataFrame:
+    """The rebalance arithmetic downstream of the availability census
+    (k = min(avail/target) binding constraint, per-lang keep rate,
+    md5-gate kept census over `docs`) — shared by q_mix_rebalance
+    (avail aggregated in-plan) and s_mix_rebalance (avail replayed
+    from streaming counters), so the live monitor's rates equal the
+    batch plan's by construction."""
+    targets = spark.createDataFrame(
+        list(MIX_TARGETS.items()), "lang string, target double"
     )
     k = (
         avail.join(targets, "lang")

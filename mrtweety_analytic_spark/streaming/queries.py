@@ -3086,3 +3086,49 @@ def s_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_pretokens").alias("n_pretokens"),
     )
     return _fertility_finalize(final)
+
+
+def _mix_rebalance_oracle() -> str:
+    from ..operators.lifecycle import _MIX_REBALANCE_ORACLE
+
+    return _MIX_REBALANCE_ORACLE
+
+
+@register("s_mix_rebalance", oracle=_mix_rebalance_oracle())
+def s_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING mix-rebalance monitor — the MIX dial of the ingest
+    family (novelty / duplication / quality / token budget / mix):
+    per-language availability counters maintained AT ARRIVAL, with
+    q_mix_rebalance's binding-constraint arithmetic (k =
+    min(avail/target), per-lang keep rate, md5-gate kept census) run
+    on the replayed counts. An acquisition front-end throttles each
+    source at `rate` live instead of discovering after the crawl that
+    one language swamped the target mix.
+
+    State: one additive counter per language — O(langs), the smallest
+    state in the family; counters are monotone, so max over
+    update-mode emissions is the exact final count and the replay
+    equals the batch census. All downstream arithmetic is the shared
+    _mix_report (operators/lifecycle.py), so the monitor's rates
+    equal the batch plan's by construction and the batch oracle
+    certifies the whole pipeline, keep-census included.
+
+    Scale: the stream reduces map-side to O(langs) partial counters;
+    the post-replay report is language-sized arithmetic plus the
+    one-pass broadcast-rate kept census — no document row ever
+    shuffles.
+    """
+    from ..operators.lifecycle import _mix_report
+    from ..sources import load_documents_stream, load_table
+
+    counters = (
+        load_documents_stream(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_avail_part"))
+    )
+    out = _run_to_memory(spark, counters, "update")
+    avail = out.groupBy("lang").agg(
+        F.max("n_avail_part").cast("double").alias("n_avail")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return _mix_report(spark, docs, avail)

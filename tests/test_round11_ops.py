@@ -86,3 +86,38 @@ def test_tokenizer_fertility_stream_equals_batch(spark, tmp_path):
     }
     assert stream == batch
     assert stream[("s0", "en")]["fertility"] > 1.0
+
+
+def test_mix_rebalance_stream_equals_batch(spark, tmp_path):
+    """The live mix monitor must reproduce the batch rebalance rows
+    EXACTLY (availability replayed through the state store, shared
+    binding-constraint arithmetic and md5 keep-gate downstream) on a
+    corpus where every target language exists and one is scarce —
+    the scarce language (zh here) is the binding constraint and must
+    keep rate 1.0."""
+    langs = ["en"] * 20 + ["de"] * 8 + ["fr"] * 6 + ["es"] * 4 + ["zh"] * 1
+    _write_docs(
+        spark,
+        tmp_path,
+        [
+            {
+                "doc_id": i,
+                "text": f"document {i} body",
+                "lang": lang,
+                "source": "s0",
+                "n_chars": 15,
+            }
+            for i, lang in enumerate(langs)
+        ],
+    )
+    batch = {
+        r["lang"]: r.asDict()
+        for r in QUERIES["q_mix_rebalance"](spark, str(tmp_path)).collect()
+    }
+    stream = {
+        r["lang"]: r.asDict()
+        for r in QUERIES["s_mix_rebalance"](spark, str(tmp_path)).collect()
+    }
+    assert stream == batch
+    assert stream["zh"]["rate"] == 1.0
+    assert stream["en"]["rate"] < 1.0
