@@ -80,16 +80,16 @@ PRIORITY = [
     "s_dedup_url",
     "s_tokenizer_fertility",
     "s_mix_rebalance",
-    # Remaining 5 slots: mandatory re-checks of operators whose code
+    "s_dq_freshness",
+    # Remaining 4 slots: mandatory re-checks of operators whose code
     # changed this round — q_mix_dsir_weights (logw kernel factored
     # out), q_dedup_url (canonicalization factored out), and
-    # q_mix_rebalance (report arithmetic factored out) — plus two
-    # streaming ops re-certified through the new _run_to_memory
+    # q_mix_rebalance (report arithmetic factored out) — plus one
+    # streaming op re-certified through the new _run_to_memory
     # row-budget guard path. All oracled; zero no_oracle slots.
     "q_mix_dsir_weights",
     "q_dedup_url",
     "q_mix_rebalance",
-    "s_tumbling",
     "s_topk_pipeline",
 ]
 

@@ -314,6 +314,7 @@ HEADLINE_EXTRA = [
     "s_dedup_url",               # streaming crawl-front-door URL dedup
     "s_tokenizer_fertility",     # streaming token-budget census
     "s_mix_rebalance",           # streaming mix-rebalance monitor
+    "s_dq_freshness",            # streaming stalled-producer detector
 ]
 
 HEADLINE = HEADLINE_CORE + HEADLINE_EXTRA

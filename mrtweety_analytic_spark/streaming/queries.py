@@ -3132,3 +3132,66 @@ def s_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = load_table(spark, sf_dir, "documents")
     return _mix_report(spark, docs, avail)
+
+
+@register(
+    "s_dq_freshness",
+    oracle="""
+    WITH per_type AS (
+        SELECT event_type, max(epoch_us(ts)) AS last_us,
+               count(*) AS n_events
+        FROM events GROUP BY event_type
+    ),
+    global_max AS (SELECT max(last_us) AS g FROM per_type)
+    SELECT event_type, n_events,
+           CAST(floor((g - last_us) / 3600000000) AS BIGINT)
+               AS staleness_hours
+    FROM per_type CROSS JOIN global_max
+    """,
+)
+def s_dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING freshness monitor — q_dq_freshness' stalled-producer
+    detector maintained AT ARRIVAL: per event type, the latest event
+    time and arrival count, with staleness measured against the
+    corpus max (deterministic and replayable; never wall-clock).
+    The state dual of s_novelty_decay: max(ts) is MONOTONE exactly
+    like min(ts), so update-mode + max-finalize is exact under any
+    micro-batch split, and counts are additive — the two cheapest
+    state shapes in the family, O(event types) entries total. A type
+    whose staleness_hours grows replay over replay has a dead
+    upstream; this is the dial s_threshold_alert fires on, here as a
+    full per-type census with the batch SQL oracle.
+
+    The streaming side keeps raw timestamp max in the state and
+    converts to integer microseconds AFTER the replay (batch
+    context), so the cross-engine unix_micros/epoch_us pairing runs
+    on exactly the same engine path as the certified batch twin —
+    one integer division to whole hours, division-last.
+
+    Scale: the stream reduces map-side to O(types) (max, count)
+    partials; the post-replay report is a types-sized cross join
+    with a 1-row broadcast global max. Nothing scales with corpus.
+    """
+    ev = load_events_stream(spark, sf_dir)
+    counters = ev.groupBy("event_type").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_events_part"),
+    )
+    out = _run_to_memory(spark, counters, "update")
+    final = out.groupBy("event_type").agg(
+        F.max("last_ts").alias("last_ts"),
+        F.max("n_events_part").alias("n_events"),
+    )
+    per_type = final.select(
+        "event_type",
+        "n_events",
+        F.unix_micros("last_ts").alias("last_us"),
+    )
+    g = per_type.agg(F.max("last_us").alias("g"))
+    return per_type.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "n_events",
+        F.floor(
+            (F.col("g") - F.col("last_us")) / F.lit(3600000000)
+        ).cast("bigint").alias("staleness_hours"),
+    )

@@ -121,3 +121,39 @@ def test_mix_rebalance_stream_equals_batch(spark, tmp_path):
     assert stream == batch
     assert stream["zh"]["rate"] == 1.0
     assert stream["en"]["rate"] < 1.0
+
+
+def test_dq_freshness_stream_equals_batch(spark, tmp_path):
+    """The live freshness census must equal the batch one row for row
+    (max-ts monotone state + additive counts), and the planted
+    staleness must surface: 'view' last fires 01-01 12:30, the
+    newest 'click' 01-02 02:30 -> 14 whole hours; the freshest type
+    reads 0."""
+    pd.DataFrame(
+        {
+            "event_id": range(4),
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00:00",
+                    "2024-01-01 12:30:00",
+                    "2024-01-02 00:00:00",
+                    "2024-01-02 02:30:00",
+                ]
+            ),
+            "user_id": [1, 2, 1, 2],
+            "event_type": ["view", "view", "click", "click"],
+            "value": [1.0, 2.0, 3.0, 4.0],
+            "props": ['{"k": 1}'] * 4,
+        }
+    ).to_parquet(str(tmp_path / "events.parquet"))
+    batch = {
+        r["event_type"]: (r["n_events"], r["staleness_hours"])
+        for r in QUERIES["q_dq_freshness"](spark, str(tmp_path)).collect()
+    }
+    stream = {
+        r["event_type"]: (r["n_events"], r["staleness_hours"])
+        for r in QUERIES["s_dq_freshness"](spark, str(tmp_path)).collect()
+    }
+    assert stream == batch
+    assert stream["click"] == (2, 0)
+    assert stream["view"] == (2, 14)
