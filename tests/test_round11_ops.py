@@ -157,3 +157,53 @@ def test_dq_freshness_stream_equals_batch(spark, tmp_path):
     assert stream == batch
     assert stream["click"] == (2, 0)
     assert stream["view"] == (2, 14)
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_words = st.lists(
+    st.sampled_from(
+        ["alpha", "beta", "gamma", "delta", "join", "scan", "the", "a"]
+    ),
+    min_size=0,
+    max_size=10,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_words, min_size=1, max_size=5))
+def test_minhash_band_recall_theorem_both_tiers(spark, corpora):
+    """The property BOTH dup-rate tiers rest on, checked on random
+    corpora: an exact copy carries the same shingle set, hence the
+    same 4 band buckets, under the md5 AND the xxhash64 family
+    (recall 1.0 on true duplicates is hash-independent); and the
+    <3-word shingle threshold retains exactly the same doc_ids in
+    both tiers. Each random doc is planted with one exact copy."""
+    from mrtweety_analytic_spark.streaming.queries import (
+        _mdr_band_buckets,
+        _mdr_band_buckets_fast,
+    )
+
+    n = len(corpora)
+    rows = [
+        (i, " ".join(ws), "en", "s0", len(" ".join(ws)))
+        for i, ws in enumerate(corpora)
+    ] + [
+        (i + n, " ".join(ws), "en", "s0", len(" ".join(ws)))
+        for i, ws in enumerate(corpora)
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    for fn in (_mdr_band_buckets, _mdr_band_buckets_fast):
+        got = {}
+        for r in fn(docs).collect():
+            got.setdefault(r["doc_id"], set()).add(r["bucket"])
+        retained = {i for i, ws in enumerate(corpora) if len(ws) >= 3}
+        assert set(got) == retained | {i + n for i in retained}
+        for i in retained:
+            assert got[i] == got[i + n], (
+                "exact copy landed in different buckets"
+            )
