@@ -29,8 +29,17 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # backlog — after this window, every oracled operator in the registry
 # has at least one driver full-pass row. The remaining slots carry
 # the round-11 additions, windowed in their birth round (VERDICT r10
-# item 2). Every name below has a DuckDB oracle and passes the
-# dtype-gated vanilla differential at sf 0.01.
+# item 2), plus changed-code re-checks. Every name below has a DuckDB
+# oracle and passes the dtype-gated vanilla differential at sf 0.01.
+#
+# Pre-committed ROUND-12 window policy (the backlog is zero, so the
+# window becomes a freshness rotation): (1) any oracled round-12
+# births lead; (2) then operators whose code changed in round 12;
+# (3) the remaining slots rotate through the oracled names with the
+# STALEST driver row, oldest round first (start of that list:
+# the r01-certified core — q_scan_parquet, q_scan_pruned,
+# q_source_json_lines, q_project_expr, q_filter_blacklist, ... in
+# registry order), skipping rows-only names as always.
 PRIORITY = [
     "s_novelty_bucketed",
     "s_minhash_dup_rate",
