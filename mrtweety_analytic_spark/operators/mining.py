@@ -2022,7 +2022,11 @@ def q_ts_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = daily.select("d", "c")
     b = daily.select(F.col("d").alias("d2"), "p")
     paired = (
-        lags.crossJoin(a)
+        # 7 lag offsets x the daily rollup (O(days), bounded):
+        # broadcast the 7-row side explicitly so the fan-out is
+        # map-side and the crossJoin convention stays grep-auditable
+        # (VERDICT r11 item 2).
+        a.crossJoin(F.broadcast(lags))
         .join(
             F.broadcast(b),
             F.col("d2")

@@ -1199,9 +1199,12 @@ def q_dq_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("chi2_plus_n")
     )
-    shape = rt.agg(F.count(F.lit(1)).alias("n_rows")).crossJoin(
+    # 1-row x 1-row; broadcast is a no-op for the plan but keeps the
+    # crossJoin-implies-explicit-broadcast convention grep-auditable
+    # (VERDICT r11 item 2).
+    shape = rt.agg(F.count(F.lit(1)).alias("n_rows")).crossJoin(F.broadcast(
         ct.agg(F.count(F.lit(1)).alias("n_cols"))
-    )
+    ))
     chi2 = F.col("chi2_plus_n") - F.col("n")
     return (
         shape.crossJoin(F.broadcast(n))

@@ -661,3 +661,76 @@ def test_memory_pin_budget_rejects_unbounded_aggregate(
         match="test_memory_pin_budget_rejects_unbounded_aggregate",
     ):
         sq._run_to_memory(spark, stream, "update")
+
+
+def test_memory_pin_budget_counts_distinct_keys_not_emissions(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r11 item 1: in update mode each micro-batch re-emits
+    every updated key, so a multi-batch replay of a correctly
+    BOUNDED op produces sink rows ~ keys x batches. With key_cols
+    the guard budgets distinct group keys (the true state size) and
+    must NOT fire; without key_cols the same replay trips the
+    raw-row fallback — exactly the spurious-failure mode the
+    key-count fix closes."""
+    import pytest
+
+    from mrtweety_analytic_spark.streaming import queries as sq
+
+    src = str(tmp_path / "pin_keys_src")
+    # 3 files -> 3 micro-batches under maxFilesPerTrigger=1; every
+    # batch touches all 8 keys, so update mode emits 24 rows for an
+    # 8-key state.
+    for b in range(3):
+        _write_batch(
+            spark,
+            src,
+            [(f"k{i}", f"2024-01-01 10:0{b}:00") for i in range(8)],
+        )
+    stream = (
+        spark.readStream.schema("key string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    monkeypatch.setattr(sq, "_MEMORY_PIN_ROW_BUDGET", 10)
+    out = sq._run_to_memory(spark, stream, "update", key_cols=["key"])
+    assert out.select("key").distinct().count() == 8
+    with pytest.raises(RuntimeError, match="sink rows"):
+        sq._run_to_memory(spark, stream, "update")
+
+
+def test_memory_pin_budget_names_operator_not_helper(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r11 item 2: when the pin is reached through a shared
+    plan helper (_mdr_monitor), the budget error must name the
+    registered operator, not the helper frame — and an explicit
+    op= parameter always wins."""
+    import pytest
+
+    from mrtweety_analytic_spark.streaming import queries as sq
+
+    src = str(tmp_path / "pin_name_src")
+    _write_batch(
+        spark, src, [(f"k{i}", "2024-01-01 10:00:00") for i in range(50)]
+    )
+    stream = (
+        spark.readStream.schema("key string, ts timestamp")
+        .parquet(src)
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    monkeypatch.setattr(sq, "_MEMORY_PIN_ROW_BUDGET", 10)
+
+    def _mdr_monitor():  # same name as the shared helper -> skipped
+        return sq._run_to_memory(spark, stream, "update")
+
+    def s_fake_operator():
+        return _mdr_monitor()
+
+    with pytest.raises(RuntimeError, match="s_fake_operator"):
+        s_fake_operator()
+    with pytest.raises(RuntimeError, match="'s_explicit_name'"):
+        sq._run_to_memory(spark, stream, "update", op="s_explicit_name")
