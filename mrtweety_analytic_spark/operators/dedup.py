@@ -351,6 +351,22 @@ _EDGES_SQL = """
 """
 
 
+def _edges_sql_prefixed(prefix: str) -> str:
+    """_EDGES_SQL with every CTE name prefixed — for composed oracles
+    that need the FULL-CORPUS near-dup pair graph alongside
+    _funnel_ctes(), which binds the unprefixed names to the
+    post-exact-dedup survivor set (q_training_export_full). Word-
+    boundary replace: column names like `shingle`/`n_common` never
+    match, and an already-prefixed name can't re-match (the `_` is a
+    word character)."""
+    import re
+
+    s = _EDGES_SQL
+    for name in ("all_shingles", "shingles", "sizes", "common", "pairs"):
+        s = re.sub(rf"\b{name}\b", f"{prefix}{name}", s)
+    return s
+
+
 @register(
     "q_dedup_clusters",
     oracle=f"""

@@ -836,6 +836,215 @@ def training_export_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LAST_EXPORT_FULL = LastHandle(lambda dfs: [df.unpersist() for df in dfs])
+
+
+def _export_full_oracle() -> str:
+    from .dedup import VAL_MOD, _edges_sql_prefixed, _funnel_ctes
+    from .textops import DECON_BENCH_MOD
+
+    return f"""
+    WITH RECURSIVE {_funnel_ctes()},
+    {_edges_sql_prefixed("cl_")},
+    cedges AS (
+        SELECT doc_a AS a, doc_b AS b FROM cl_pairs
+        UNION ALL SELECT doc_b, doc_a FROM cl_pairs
+    ),
+    reach(doc, other) AS (
+        SELECT a, a FROM cedges
+        UNION
+        SELECT r.doc, e.b FROM reach r JOIN cedges e ON e.a = r.other
+    ),
+    cl AS (SELECT doc, min(other) AS cluster_id FROM reach GROUP BY doc),
+    train AS (
+        SELECT f.* FROM final f LEFT JOIN cl ON cl.doc = f.doc_id
+        WHERE coalesce(cl.cluster_id, f.doc_id) % {VAL_MOD} <> 0
+    ),
+    dg AS (
+        SELECT DISTINCT doc_id, shingle
+        FROM (
+            SELECT doc_id,
+                   t.term || ' ' || lead(t.term, 1) OVER w || ' '
+                          || lead(t.term, 2) OVER w || ' '
+                          || lead(t.term, 3) OVER w AS shingle
+            FROM (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS term,
+                       generate_subscripts(string_split(text, ' '), 1)
+                           AS pos
+                FROM documents
+            ) t
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        )
+        WHERE shingle IS NOT NULL
+    ),
+    bsh AS (SELECT DISTINCT shingle FROM dg
+            WHERE doc_id % {DECON_BENCH_MOD} = 0),
+    tnb AS (SELECT * FROM train
+            WHERE doc_id % {DECON_BENCH_MOD} <> 0),
+    contaminated AS (
+        SELECT DISTINCT g.doc_id FROM dg g JOIN bsh USING (shingle)
+        WHERE g.doc_id IN (SELECT doc_id FROM tnb)
+    ),
+    clean AS (SELECT * FROM tnb
+              WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+    targets AS ({_MIX_TARGETS_SQL}),
+    avail AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n_avail
+              FROM clean GROUP BY lang),
+    kk AS (SELECT min(n_avail / target) AS k
+           FROM avail JOIN targets USING (lang)),
+    rates AS (SELECT lang, least(1.0, kk.k * target / n_avail) AS rate
+              FROM avail JOIN targets USING (lang) CROSS JOIN kk),
+    kept AS (
+        SELECT c.doc_id, c.n_chars
+        FROM clean c JOIN rates r ON c.lang = r.lang
+        WHERE {_HASH48_SQL} / 281474976710656.0 < r.rate
+    ),
+    tagged AS (
+        SELECT doc_id, n_chars, 1 AS is_kept FROM kept
+        UNION ALL
+        SELECT doc_id, 0 AS n_chars, 0 AS is_kept FROM contaminated
+    )
+    SELECT {_HASH48_SQL} % {N_SHARDS} AS shard,
+           CAST(sum(is_kept) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN is_kept = 1 THEN n_chars ELSE 0 END)
+                AS BIGINT) AS sum_chars,
+           CAST(sum(1 - is_kept) AS BIGINT) AS n_decontaminated
+    FROM tagged GROUP BY 1
+    """
+
+
+@register("q_training_export_full", oracle=_export_full_oracle())
+def q_training_export_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_training_export with the two gates a REAL pre-training
+    export runs between curation and sharding (VERDICT r11 item 5):
+    funnel survivors -> LEAKAGE-SAFE SPLIT (only the train side of
+    q_split_leakage_safe's cluster-keyed assignment exports — a val
+    doc or any of its near-dup twins can never reach a training
+    shard) -> BENCHMARK DECONTAMINATION (q_text_decontaminate's
+    word-4-gram gate: train docs sharing any shingle with the
+    held-out set are dropped, and the per-shard manifest accounts
+    them as n_decontaminated so the removal is auditable, not
+    silent) -> mix rebalance at the largest achievable size over
+    the CLEAN corpus -> deterministic shard addressing. One lazy
+    plan, one composed SQL oracle.
+
+    Semantics pinned by composition: split clusters come from the
+    FULL-corpus near-dup graph (q_dedup_clusters), not the funnel
+    survivors — connectivity through a quality-dropped doc still
+    merges clusters, so the split stays leakage-safe even for docs
+    whose twins died in the funnel. Benchmark shingles likewise come
+    from the RAW corpus (the eval suite is external to curation).
+    A decontaminated doc is reported under the shard it WOULD have
+    landed in (same 48-bit md5 address), so a shard whose
+    n_decontaminated spikes localizes the contamination.
+
+    Scale: the two pair joins (funnel's fdocs graph, split's full
+    graph) dominate and are both the certified banded/inverted-index
+    shapes; the decon gate broadcasts the benchmark shingle set
+    (always tiny vs a 100 TB corpus) against a map-side semi-joined
+    train shingle stream; rebalance rates and the shard aggregate
+    add one broadcast join and one O(shards) reduce — no new shuffle
+    class over the certified stages.
+    """
+    kept, contaminated = training_export_full_frames(spark, sf_dir)
+    tagged = kept.select("doc_id", "n_chars", "shard").withColumn(
+        "is_kept", F.lit(1)
+    ).unionByName(
+        contaminated.select(
+            "doc_id",
+            F.lit(0).cast("long").alias("n_chars"),
+            "shard",
+            F.lit(0).alias("is_kept"),
+        )
+    )
+    return tagged.groupBy("shard").agg(
+        F.sum("is_kept").cast("long").alias("n_docs"),
+        F.sum(
+            F.when(F.col("is_kept") == 1, F.col("n_chars")).otherwise(0)
+        ).cast("long").alias("sum_chars"),
+        F.sum(1 - F.col("is_kept")).cast("long").alias("n_decontaminated"),
+    )
+
+
+def training_export_full_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Doc-level frames behind q_training_export_full: (kept docs
+    with all survivor columns + shard, decontaminated doc_ids +
+    would-be shard). The manifest aggregates these; tests and the
+    CLI export consume them directly."""
+    from ..registry import QUERIES
+    from .dedup import VAL_MOD, funnel_stages
+    from .textops import DECON_BENCH_MOD, DECON_N, _word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    final = funnel_stages(docs)[2]
+    clusters = QUERIES["q_dedup_clusters"](spark, sf_dir)
+    train = (
+        final.join(clusters, "doc_id", "left")
+        .filter(
+            F.coalesce("cluster_id", F.col("doc_id")) % VAL_MOD != 0
+        )
+        .select(*final.columns)
+    )
+    tnb = train.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
+    arr = F.split("text", " ")
+    grams = docs.select(
+        "doc_id", F.explode(_word_ngrams(arr, DECON_N)).alias("shingle")
+    ).dropDuplicates(["doc_id", "shingle"])
+    bench = (
+        grams.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+        .select("shingle")
+        .distinct()
+    )
+    shard = F.pmod(F.expr(_HASH48).cast("bigint"), F.lit(N_SHARDS))
+    # Restrict the shingle stream to train docs BEFORE the benchmark
+    # join (semi-join on the doc_id key), then broadcast the tiny
+    # benchmark side — the corpus-side shingles never shuffle.
+    contaminated = (
+        grams.join(tnb.select("doc_id"), "doc_id", "left_semi")
+        .join(F.broadcast(bench), "shingle")
+        .select("doc_id")
+        .distinct()
+        .withColumn("shard", shard)
+        .persist()
+    )
+    # clean feeds two consumers (availability agg + keep join);
+    # contaminated feeds two (anti-join + manifest union) — persist
+    # both so the funnel/cluster lineage runs once (the engine's
+    # multi-consumer rule).
+    clean = tnb.join(contaminated, "doc_id", "left_anti").persist()
+    _LAST_EXPORT_FULL.replace([clean, contaminated])
+    targets = spark.createDataFrame(
+        list(MIX_TARGETS.items()), "lang string, target double"
+    )
+    avail = clean.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("n_avail")
+    )
+    k = avail.join(targets, "lang").agg(
+        F.min(F.col("n_avail") / F.col("target")).alias("k")
+    )
+    rates = (
+        avail.join(targets, "lang")
+        .crossJoin(F.broadcast(k))
+        .select(
+            "lang",
+            F.least(
+                F.lit(1.0), F.col("k") * F.col("target") / F.col("n_avail")
+            ).alias("rate"),
+        )
+    )
+    u = F.expr(_HASH48).cast("bigint") / F.lit(281474976710656.0)
+    kept = (
+        clean.join(F.broadcast(rates), "lang")
+        .where(u < F.col("rate"))
+        .drop("rate")
+        .withColumn("shard", shard)
+    )
+    return kept, contaminated
+
+
 @register(
     "q_mix_temperature",
     oracle="""

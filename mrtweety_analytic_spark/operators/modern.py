@@ -41,16 +41,19 @@ _DUCK_NUM_TYPES = (
 )
 
 
-@register(
-    "q_fn_variant_schema",
-    oracle=f"""
+# Shared by the batch op and its streaming twin s_schema_drift — the
+# monitor's replay result must equal the batch census, so the same
+# oracle certifies both.
+_VARIANT_SCHEMA_ORACLE = f"""
     SELECT count(*) AS n_rows,
            count(DISTINCT regexp_replace(
                CAST(json_structure(props) AS VARCHAR),
                '{_DUCK_NUM_TYPES}', '"NUM"', 'g')) AS n_shapes
     FROM events
-    """,
-)
+    """
+
+
+@register("q_fn_variant_schema", oracle=_VARIANT_SCHEMA_ORACLE)
 def q_fn_variant_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema drift probe over semi-structured payloads:
     schema_of_variant per row (numeric leaf types normalized),

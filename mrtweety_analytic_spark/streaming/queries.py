@@ -3237,3 +3237,69 @@ def s_dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("g") - F.col("last_us")) / F.lit(3600000000)
         ).cast("bigint").alias("staleness_hours"),
     )
+
+
+def _variant_schema_oracle() -> str:
+    from ..operators.modern import _VARIANT_SCHEMA_ORACLE
+
+    return _VARIANT_SCHEMA_ORACLE
+
+
+def _drift_shape_counts(ev: DataFrame) -> DataFrame:
+    """Per-row normalized variant shape -> per-shape additive counter
+    — the stateful core of s_schema_drift, shared with its
+    checkpoint-recovery test."""
+    from ..operators.modern import _SPARK_NUM_TYPES
+
+    shapes = ev.select(
+        F.regexp_replace(
+            F.schema_of_variant(F.parse_json("props")),
+            _SPARK_NUM_TYPES,
+            "NUM",
+        ).alias("shape")
+    )
+    return shapes.groupBy("shape").agg(
+        F.count(F.lit(1)).alias("n_part")
+    )
+
+
+@register("s_schema_drift", oracle=_variant_schema_oracle())
+def s_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING schema-drift monitor — the seventh dial of the
+    ingest-health family (novelty / content-dup / quality /
+    token-budget / mix / freshness / SHAPE): q_fn_variant_schema's
+    normalized variant-shape census maintained AT ARRIVAL, so a
+    producer shipping a new payload field (or silently retyping one)
+    is visible live instead of at the next batch audit. Reference
+    motivation: the reference's schema-on-read JSON parse
+    (SparkApplication.scala:66-85) null-tolerates shape drift and
+    thereby HIDES it; this makes drift a first-class observable.
+
+    Per row: parse_json -> schema_of_variant -> numeric-leaf
+    normalization (the shared _SPARK_NUM_TYPES regex, so the
+    streaming shape key partitions payloads exactly as the certified
+    batch twin does) — all row-local codegen, no shuffle before the
+    state store. State: one additive counter per DISTINCT SHAPE —
+    O(shapes) entries, the same additive class as the mix monitor's
+    per-language counters; counts are monotone across update-mode
+    emissions, so max-per-shape after the replay is the exact final
+    census and the batch oracle certifies the summary row-for-row.
+
+    Scale: shapes are a governance-bounded space in a healthy lake
+    (tens, not millions) — but a malformed producer could explode
+    the key space, so the pin goes through the distinct-key budget
+    (key_cols) and fails loudly rather than collecting a runaway
+    census; the post-replay report is one O(shapes) aggregate.
+    The 100 TB cost is parsing each payload once — the floor for
+    any shape gate, and the parse stays JVM-side (no UDF crossing).
+    """
+    ev = load_events_stream(spark, sf_dir)
+    out = _run_to_memory(
+        spark, _drift_shape_counts(ev), "update",
+        op="s_schema_drift", key_cols=["shape"],
+    )
+    final = out.groupBy("shape").agg(F.max("n_part").alias("n"))
+    return final.agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_shapes"),
+    )

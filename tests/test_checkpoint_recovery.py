@@ -257,3 +257,52 @@ def test_restart_quality_gate_counters_recovered(spark, tmp_path):
     }
     assert run2 == expect
     assert run2["s0"] == (4, 3) and run2["s1"] == (1, 1)
+
+
+def test_restart_schema_drift_census_recovered(spark, tmp_path):
+    import pandas as pd
+
+    from mrtweety_analytic_spark.streaming.queries import (
+        _drift_shape_counts,
+    )
+
+    src = str(tmp_path / "ev")
+    p_a = '{"k": 1, "tag": "x"}'          # shape A
+    p_a2 = '{"k": 2.5, "tag": "y"}'       # shape A too (NUM-normalized)
+    p_b = '{"k": 1, "tag": "x", "v2": true}'  # shape B (new field)
+
+    def write(rows):
+        spark.createDataFrame(
+            pd.DataFrame(
+                [{"event_id": i, "props": p} for i, p in rows]
+            )
+        ).write.mode("append").parquet(src)
+
+    def agg():
+        ev = spark.readStream.schema(
+            "event_id long, props string"
+        ).parquet(src)
+        return _drift_shape_counts(ev)
+
+    write([(0, p_a), (1, p_a2)])
+    ckpt = str(tmp_path / "ckpt")
+    run1 = {r["shape"]: r["n_part"] for r in
+            _run_complete(spark, agg(), ckpt, "drift_run1")}
+    # int-vs-float payloads normalize to ONE shape (NUM folding).
+    assert len(run1) == 1 and set(run1.values()) == {2}
+
+    # While DOWN: a producer ships a NEW field (shape B) plus one
+    # more shape-A row — the recovered census must keep counting A
+    # from 2 (lost state would restart it at 1) and register B.
+    write([(2, p_b), (3, p_a)])
+    run2 = {r["shape"]: r["n_part"] for r in
+            _run_complete(spark, agg(), ckpt, "drift_run2")}
+
+    expect = {
+        r["shape"]: r["n_part"]
+        for r in _drift_shape_counts(
+            spark.read.parquet(src)
+        ).collect()
+    }
+    assert run2 == expect
+    assert sorted(run2.values()) == [1, 3]
