@@ -22,84 +22,86 @@ from mrtweety_analytic_spark.queries import ORACLES, QUERIES  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-# Round-11 rotation (VERDICT r10 item 1, executed exactly as
-# pre-committed in round 10): the 4 round-10 operators LEAD, then
-# the 38-name remainder of oracled-but-never-driver-windowed queries
-# in its pre-committed order. These 42 names ZERO the certification
-# backlog — after this window, every oracled operator in the registry
-# has at least one driver full-pass row. The remaining slots carry
-# the round-11 additions, windowed in their birth round (VERDICT r10
-# item 2), plus changed-code re-checks. Every name below has a DuckDB
-# oracle and passes the dtype-gated vanilla differential at sf 0.01.
+# Round-12 rotation — executed exactly as pre-committed in round 11
+# (the backlog is zero, so the window is a freshness rotation):
+# (1) the 2 oracled round-12 births lead (s_schema_drift ingest
+# dial, q_training_export_full gated-export composite); (2) the
+# operators whose PHYSICAL PLAN changed this round — q_dq_chi2 and
+# q_ts_crosscorr (their crossJoin sides are now broadcast-explicit,
+# VERDICT r11 item 2). The other round-12 code touches are
+# behaviorally inert and locally re-verified 4/4 at sf 0.01 rather
+# than windowed: the _run_to_memory key_cols/op guard changes only
+# the budget-check path (s_minhash_dup_rate, s_dedup_url — both
+# also carry P r11 rows), and q_fn_variant_schema's oracle moved
+# into a shared constant verbatim. (3) The remaining 46 slots
+# rotate through the STALEST driver rows: all 45 r01-certified
+# names in registry order — the oldest evidence in the project —
+# plus the first r03 name, so after this window the stalest driver
+# row in the registry advances from r01 to r03. Rows-only names
+# skipped as always (a no_oracle row certifies nothing).
 #
-# Pre-committed ROUND-12 window policy (the backlog is zero, so the
-# window becomes a freshness rotation): (1) any oracled round-12
-# births lead; (2) then operators whose code changed in round 12;
-# (3) the remaining slots rotate through the oracled names with the
-# STALEST driver row, oldest round first (start of that list:
-# the r01-certified core — q_scan_parquet, q_scan_pruned,
-# q_source_json_lines, q_project_expr, q_filter_blacklist, ... in
-# registry order), skipping rows-only names as always.
+# Pre-committed ROUND-13 window policy: (1) oracled round-13 births
+# lead; (2) then operators whose plan changed in round 13; (3) the
+# remaining slots continue the stalest rotation from the r03 cohort
+# in registry order (q_sort_limit_topk, q_udf_scalar,
+# q_udaf_grouped, ... — the two r01 leftovers q_join_cross and
+# q_set_union_all were windowed here in round 12), skipping
+# rows-only names as always.
 PRIORITY = [
-    "s_novelty_bucketed",
-    "s_minhash_dup_rate",
-    "q_tokenizer_fertility",
-    "s_quality_gate",
-    "q_scan_file_metadata",
-    "q_sim_pq_assign",
-    "q_recursive_cte",
-    "q_subquery_in",
-    "q_subquery_scalar",
-    "q_table_diff",
-    "q_udtf_expand_json",
-    "q_sink_csv_roundtrip",
-    "q_sink_json_roundtrip",
-    "q_sink_orc_roundtrip",
-    "q_text_chunk",
-    "q_text_cooccur",
-    "q_text_decontaminate",
-    "q_text_domain_mix",
-    "q_text_edit_distance",
-    "q_text_ngrams",
-    "q_text_pack_sequences",
-    "q_text_redact",
-    "q_text_repetition",
-    "q_text_sentiment",
-    "q_text_unigram_logprob",
-    "q_text_vocab_coverage",
-    "q_tpch_q11like",
-    "q_tpch_q12like",
-    "q_tpch_q13like",
-    "q_tpch_q14like",
-    "q_tpch_q15like",
-    "q_tpch_q16like",
-    "q_tpch_q17like",
-    "q_tpch_q19like",
-    "q_tpch_q20like",
-    "q_tpch_q21like",
-    "q_tpch_q22like",
-    "q_tpch_q8like",
-    "q_tpch_q9like",
-    "q_win_fill_forward",
-    "q_win_first_last",
-    "q_win_pct_change",
-    # round-11 additions (birth-round windowing per VERDICT r10
-    # item 2). s_minhash_dup_rate_fast is rows-only by design and
-    # deliberately NOT windowed (a no_oracle row certifies nothing).
-    "s_dedup_url",
-    "s_tokenizer_fertility",
-    "s_mix_rebalance",
-    "s_dq_freshness",
-    # Remaining 4 slots: mandatory re-checks of operators whose code
-    # changed this round — q_mix_dsir_weights (logw kernel factored
-    # out), q_dedup_url (canonicalization factored out), and
-    # q_mix_rebalance (report arithmetic factored out) — plus one
-    # streaming op re-certified through the new _run_to_memory
-    # row-budget guard path. All oracled; zero no_oracle slots.
-    "q_mix_dsir_weights",
-    "q_dedup_url",
-    "q_mix_rebalance",
-    "s_topk_pipeline",
+    # round-12 births, windowed in their birth round
+    "s_schema_drift",
+    "q_training_export_full",
+    # plan-changed re-checks (broadcast-explicit crossJoin)
+    "q_dq_chi2",
+    "q_ts_crosscorr",
+    # stalest rotation: the full r01 cohort, registry order
+    "q_scan_parquet",
+    "q_scan_pruned",
+    "q_source_json_lines",
+    "q_sample_hash_mod",
+    "q_scan_partition_pruned",
+    "q_source_custom_pyds",
+    "q_project_expr",
+    "q_filter_blacklist",
+    "q_filter_compound",
+    "q_sample_stratified",
+    "q_join_inner_hash",
+    "q_join_multiway",
+    "q_join_left",
+    "q_join_full",
+    "q_join_semi",
+    "q_join_theta_range",
+    "q_join_asof",
+    "q_join_range_bucketed",
+    "q_join_salted",
+    "q_join_null_safe",
+    "q_agg_count_by_key",
+    "q_agg_multi",
+    "q_agg_distinct",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_gsets",
+    "q_agg_filtered",
+    "q_agg_argminmax",
+    "q_agg_histogram",
+    "q_agg_grouping_id",
+    "q_agg_stringagg",
+    "q_agg_bool",
+    "q_agg_mode",
+    "q_agg_moments",
+    "q_agg_bitmap_distinct",
+    "q_agg_percentile",
+    "q_pivot",
+    "q_unpivot",
+    "q_win_ntile_dist",
+    "q_ts_pattern_match",
+    "q_win_range_frame",
+    "q_agg_corr_stats",
+    "q_fn_null_handling",
+    "q_join_cross",
+    "q_set_union_all",
+    # first r03 name in registry order — advances the stalest row
+    "q_win_topk_per_group",
 ]
 
 

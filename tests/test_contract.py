@@ -54,15 +54,17 @@ def test_priority_window():
     assert len(prio) == 50
     assert len(set(prio)) == 50
     assert names[:50] == prio
-    # VERDICT r10 item 1: the 4 round-10 operators lead, then the
-    # pre-committed 38-name remainder (zeroing the oracled-never-
-    # windowed backlog), the 2 oracled round-11 births, and 6
-    # re-checks of code changed this round — zero no_oracle slots.
+    # Round-12 freshness rotation (pre-committed in r11): the 2
+    # oracled round-12 births lead, then the 2 plan-changed
+    # re-checks (broadcast-explicit crossJoin), then the full
+    # 45-name r01 cohort + the first r03 name — zero no_oracle
+    # slots, and the stalest driver row advances r01 -> r03.
     assert prio[:4] == [
-        "s_novelty_bucketed", "s_minhash_dup_rate",
-        "q_tokenizer_fertility", "s_quality_gate",
+        "s_schema_drift", "q_training_export_full",
+        "q_dq_chi2", "q_ts_crosscorr",
     ]
-    assert prio[42:44] == ["s_dedup_url", "s_tokenizer_fertility"]
+    assert prio[4] == "q_scan_parquet"
+    assert prio[49] == "q_win_topk_per_group"
     oracled = set(entrymod.oracle_sql())
     assert all(n in oracled for n in prio), (
         "window contains a rows-only name; a no_oracle row certifies "
