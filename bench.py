@@ -315,6 +315,9 @@ HEADLINE_EXTRA = [
     "s_tokenizer_fertility",     # streaming token-budget census
     "s_mix_rebalance",           # streaming mix-rebalance monitor
     "s_dq_freshness",            # streaming stalled-producer detector
+    # round-12 additions
+    "s_schema_drift",            # streaming variant-shape drift census
+    "q_training_export_full",    # split+decontaminated gated export
 ]
 
 HEADLINE = HEADLINE_CORE + HEADLINE_EXTRA
@@ -440,6 +443,20 @@ def main() -> None:
     # regression. Now nothing runs before the core metric except the
     # fixed warm-up and one noise-probe run, every round, forever.
     core_cold, core_warm, core_warm_err = run_passes(HEADLINE_CORE)
+    # Second same-code warm pass over the core (VERDICT r11 item 3):
+    # two same-HEAD measurements in ONE artifact give an in-artifact
+    # noise band — future rounds adjudicate per-query deltas against
+    # [min, max] of the two warm totals instead of PLANS.md prose.
+    # Still before any EXTRA query, so the isolation invariant holds.
+    core_warm2: dict[str, float] = {}
+    for _name in HEADLINE_CORE:
+        if core_cold.get(_name) is None:
+            continue
+        _t = run_guarded(_name)
+        if _name in errors or _t is None:
+            errors.pop(_name, None)
+        else:
+            core_warm2[_name] = _t
     noise_probe()
     extra_cold, extra_warm, extra_warm_err = run_passes(HEADLINE_EXTRA)
     noise_probe()
@@ -465,6 +482,30 @@ def main() -> None:
         # session drag).
         "core_total": core_total,
         "core_warm_total": core_warm_total,
+        # In-artifact same-code band: [min, max] of the two warm core
+        # passes. A per-query delta vs last round smaller than this
+        # spread is host noise, not a regression. warm2 is summed
+        # over the names present in BOTH warm passes so the totals
+        # compare like-for-like even if a query failed once.
+        "band": sorted(
+            [
+                round(
+                    sum(
+                        t for n, t in core_warm.items()
+                        if n in core_warm2
+                    ),
+                    3,
+                ),
+                round(
+                    sum(
+                        t for n, t in core_warm2.items()
+                        if n in core_warm
+                    ),
+                    3,
+                ),
+            ]
+        ),
+        "queries_warm2": core_warm2,
         "core_isolated": True,
         "n_core": len(HEADLINE_CORE),
         "queries": timings,

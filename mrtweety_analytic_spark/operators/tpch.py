@@ -488,9 +488,13 @@ def q_tpch_q13like(spark: SparkSession, sf_dir: str) -> DataFrame:
     survive with count 0 — moving it to WHERE would silently drop
     them), per-customer count, then a histogram of the counts.
 
-    Scale shape: both the join and the first aggregate hash on the
-    customer key (one Exchange reused); the histogram aggregate sees
-    O(distinct counts) rows.
+    Scale shape: at 100 TB (orders too big to broadcast) both the
+    join and the per-customer aggregate hash on the customer key and
+    share one Exchange; at test scale AQE broadcasts the filtered
+    orders side instead, so the executed plan is a BroadcastHashJoin
+    plus the single custkey aggregate exchange (round-12 audit:
+    docstring now states both regimes). The histogram aggregate sees
+    O(distinct counts) rows either way.
     """
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(

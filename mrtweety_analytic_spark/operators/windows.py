@@ -417,30 +417,40 @@ def q_win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     engagement curve (how many distinct event types has this user
     touched as of each event), which `count(distinct) OVER` cannot
     express in either engine. The standard rewrite: flag each
-    (user, type)'s FIRST occurrence with one row_number window, then
-    a running sum of flags — two windows, both O(1) state, no
-    set materialization anywhere (a collect_set-based form would
-    carry the whole set per row).
+    (user, type)'s FIRST occurrence, then a running sum of flags —
+    two windows, both O(1) state, no set materialization anywhere
+    (a collect_set-based form would carry the whole set per row).
 
-    Scale: both windows shuffle on user_id (the second reuses the
-    first's partitioning — one Exchange); state per row is a single
-    long. The same rewrite handles distinct-items-per-session,
+    Both windows partition by user_id ONLY — the first-occurrence
+    flag comes from a lag over (event_type, ts, event_id) order
+    (rows of one type are contiguous under that sort, so a type
+    change marks exactly its min-(ts, event_id) row — the same rows
+    a (user, type)-partitioned row_number()=1 flags, without the
+    second partitioning). Plan-checked: ONE Exchange on user_id,
+    two Sorts under it; the (user_id, event_type)-partitioned form
+    costs a second full-data shuffle (round-12 audit fix).
+
+    Scale: one shuffle of the fact, state per row is a single long.
+    The same rewrite handles distinct-items-per-session,
     distinct-SKUs-per-customer, vocabulary growth curves.
     """
     ev = load_table(spark, sf_dir, "events")
-    w_first = W.partitionBy("user_id", "event_type").orderBy(
-        "ts", "event_id"
+    w_first = W.partitionBy("user_id").orderBy(
+        "event_type", "ts", "event_id"
     )
     w_run = (
         W.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    prev_type = F.lag("event_type").over(w_first)
     flagged = ev.select(
         "user_id",
         "ts",
         "event_id",
-        F.when(F.row_number().over(w_first) == 1, 1)
+        F.when(
+            prev_type.isNull() | (prev_type != F.col("event_type")), 1
+        )
         .otherwise(0)
         .alias("is_first"),
     )
