@@ -91,6 +91,13 @@ def main(argv: list[str] | None = None) -> int:
         "and write the sharded corpus + manifest",
     )
     ex.add_argument("--out", default="training_export")
+    ex.add_argument(
+        "--full",
+        action="store_true",
+        help="also run the leakage-safe split + benchmark "
+        "decontamination gates (q_training_export_full); the "
+        "manifest gains per-shard n_decontaminated accounting",
+    )
 
     sq = sub.add_parser(
         "sql",
@@ -220,15 +227,32 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "export":
         import json as _json
 
-        from .operators.lifecycle import training_export_frame
+        from .operators.lifecycle import (
+            training_export_frame,
+            training_export_full_frames,
+        )
 
-        kept = training_export_frame(spark, args.sf_dir)
+        if args.full:
+            kept, _cont = training_export_full_frames(spark, args.sf_dir)
+            manifest_op = "q_training_export_full"
+        else:
+            kept = training_export_frame(spark, args.sf_dir)
+            manifest_op = "q_training_export"
         data_dir = os.path.join(args.out, "data")
         kept.write.mode("overwrite").partitionBy("shard").parquet(data_dir)
         manifest = [
-            {"shard": r.shard, "n_docs": r.n_docs, "sum_chars": r.sum_chars}
+            {
+                "shard": r.shard,
+                "n_docs": r.n_docs,
+                "sum_chars": r.sum_chars,
+                **(
+                    {"n_decontaminated": r.n_decontaminated}
+                    if args.full
+                    else {}
+                ),
+            }
             for r in sorted(
-                QUERIES["q_training_export"](spark, args.sf_dir).collect(),
+                QUERIES[manifest_op](spark, args.sf_dir).collect(),
                 key=lambda r: r.shard,
             )
         ]
