@@ -318,6 +318,7 @@ HEADLINE_EXTRA = [
     # round-12 additions
     "s_schema_drift",            # streaming variant-shape drift census
     "q_training_export_full",    # split+decontaminated gated export
+    "s_decontaminate",           # streaming contamination-inflow dial
 ]
 
 HEADLINE = HEADLINE_CORE + HEADLINE_EXTRA

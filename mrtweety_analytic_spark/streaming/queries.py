@@ -3303,3 +3303,143 @@ def s_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("n_rows"),
         F.count(F.lit(1)).cast("long").alias("n_shapes"),
     )
+
+
+def _decon_oracle() -> str:
+    from ..operators.textops import DECON_BENCH_MOD
+
+    return f"""
+    WITH g AS (
+        SELECT DISTINCT doc_id, shingle
+        FROM (
+            SELECT doc_id,
+                   t.term || ' ' || lead(t.term, 1) OVER w || ' '
+                          || lead(t.term, 2) OVER w || ' '
+                          || lead(t.term, 3) OVER w AS shingle
+            FROM (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS term,
+                       generate_subscripts(string_split(text, ' '), 1)
+                           AS pos
+                FROM documents
+            ) t
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        )
+        WHERE shingle IS NOT NULL
+    ),
+    b AS (SELECT DISTINCT shingle FROM g
+          WHERE doc_id % {DECON_BENCH_MOD} = 0),
+    c AS (
+        SELECT DISTINCT g.doc_id FROM g JOIN b USING (shingle)
+        WHERE g.doc_id % {DECON_BENCH_MOD} <> 0
+    )
+    SELECT d.source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           round(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS contamination_rate
+    FROM documents d LEFT JOIN c ON c.doc_id = d.doc_id
+    WHERE d.doc_id % {DECON_BENCH_MOD} <> 0
+    GROUP BY d.source
+    """
+
+
+def _decon_flagged(docs: DataFrame, bench_row: DataFrame) -> DataFrame:
+    """Per-row benchmark-contamination flag: the doc's word-4-gram
+    array overlapped against the broadcast one-row benchmark shingle
+    set — the stateless core of s_decontaminate, shared with its
+    checkpoint-recovery test. bench_row is one row with a `bench`
+    array column (stream-static cross join is stateless)."""
+    from ..operators.textops import DECON_BENCH_MOD, DECON_N, _word_ngrams
+
+    grams = _word_ngrams(F.split("text", " "), DECON_N)
+    return (
+        docs.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
+        .crossJoin(F.broadcast(bench_row))
+        .select(
+            "source",
+            F.when(
+                F.arrays_overlap(grams, F.col("bench")), 1
+            ).otherwise(0).alias("hit"),
+        )
+    )
+
+
+@register("s_decontaminate", oracle=_decon_oracle())
+def s_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING benchmark-decontamination monitor — the EIGHTH dial
+    of the ingest family (novelty / content-dup / quality /
+    token-budget / mix / freshness / shape / CONTAMINATION):
+    q_text_decontaminate's word-4-gram overlap evaluated AT ARRIVAL,
+    so a crawl that starts ingesting eval-suite text (a leaderboard
+    dump, a benchmark mirror) is visible live — before
+    q_training_export_full's batch gate has to drop the documents it
+    let in. Completes the round-12 decontamination story: the batch
+    gate removes and accounts; this dial watches the inflow rate.
+
+    Plan: the benchmark shingle set (held-out docs over the STATIC
+    corpus — the eval suite is external and fixed, never part of the
+    stream) collapses to ONE row holding a distinct-shingle array;
+    the stream cross-joins that broadcast row (stream-static joins
+    are STATELESS — nothing enters the state store) and each arriving
+    doc computes its own 4-gram array (the shared _word_ngrams
+    codegen kernel, zero explode) and one arrays_overlap membership
+    test, entirely row-local. State: additive (n_docs, n_hit)
+    counters per source — O(sources), the s_quality_gate state class;
+    monotone under update mode, so max-finalize is replay-exact and
+    the batch SQL oracle certifies the census row-for-row.
+
+    Scale: per-row cost is one arrays_overlap scan bounded by the
+    benchmark array's size (early exit on first hit) — CONSTANT for
+    a fixed eval suite, so the monitor is linear in corpus rows
+    (measured: x1/x8/x27 corpus at fixed x1 bench = 1.7/8.4/27.5 s,
+    alpha ~0.85; the rehearsal table's 1.18 couples bench growth to
+    corpus growth, a harness artifact — eval suites don't grow with
+    the corpus). The production swap for a very LARGE suite is a
+    bloom bitmap over the bench shingles (the q_scan_bloom_skip md5
+    construction — O(|grams|) per row, false positives over-flag,
+    never under-flag, the safe direction for a contamination alarm).
+    No shuffle precedes the state store; the benchmark side ships to
+    executors ONCE per replay, not per row.
+    Docs shorter than 4 words have an empty gram array and can never
+    flag (arrays_overlap with an empty side is false) — same
+    semantics as the batch twin, whose shingle census has no row for
+    them.
+    """
+    from ..operators.textops import DECON_BENCH_MOD, DECON_N, _word_ngrams
+    from ..sources import load_documents_stream, load_table
+
+    bench_row = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+        .select(
+            F.explode(
+                _word_ngrams(F.split("text", " "), DECON_N)
+            ).alias("shingle")
+        )
+        .agg(F.collect_set("shingle").alias("bench"))
+    )
+    flagged = _decon_flagged(
+        load_documents_stream(spark, sf_dir), bench_row
+    )
+    counters = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_part"),
+        F.sum("hit").alias("n_hit_part"),
+    )
+    out = _run_to_memory(
+        spark, counters, "update",
+        op="s_decontaminate", key_cols=["source"],
+    )
+    final = out.groupBy("source").agg(
+        F.max("n_docs_part").alias("n_docs"),
+        F.max("n_hit_part").alias("n_hit"),
+    )
+    return final.select(
+        "source",
+        "n_docs",
+        F.col("n_hit").cast("long").alias("n_contaminated"),
+        F.round(
+            F.col("n_hit").cast("double") / F.col("n_docs"), 4
+        ).alias("contamination_rate"),
+    )

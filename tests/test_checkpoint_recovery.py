@@ -306,3 +306,66 @@ def test_restart_schema_drift_census_recovered(spark, tmp_path):
     }
     assert run2 == expect
     assert sorted(run2.values()) == [1, 3]
+
+
+def test_restart_decontamination_counters_recovered(spark, tmp_path):
+    import pandas as pd
+
+    from mrtweety_analytic_spark.streaming.queries import (
+        _decon_flagged,
+    )
+
+    src = str(tmp_path / "docs")
+    bench_text = "alpha beta gamma delta epsilon zeta"
+    clean_text = "one two three four five six seven"
+    # contaminated: shares the 4-gram "beta gamma delta epsilon"
+    dirty_text = "intro beta gamma delta epsilon outro"
+
+    # Build the bench array the same way the op does (4-gram kernel).
+    from mrtweety_analytic_spark.operators.textops import (
+        DECON_N,
+        _word_ngrams,
+    )
+
+    bench_row = (
+        spark.createDataFrame(pd.DataFrame([{"text": bench_text}]))
+        .select(
+            F.explode(
+                _word_ngrams(F.split("text", " "), DECON_N)
+            ).alias("s")
+        )
+        .agg(F.collect_set("s").alias("bench"))
+    )
+
+    def write(rows):
+        spark.createDataFrame(
+            pd.DataFrame(
+                [{"doc_id": i, "text": t, "source": s} for i, t, s in rows]
+            )
+        ).write.mode("append").parquet(src)
+
+    def agg():
+        docs = spark.readStream.schema(
+            "doc_id long, text string, source string"
+        ).parquet(src)
+        return (
+            _decon_flagged(docs, bench_row)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("hit").alias("n_hit"),
+            )
+        )
+
+    write([(1, clean_text, "s0"), (2, dirty_text, "s0")])
+    ckpt = str(tmp_path / "ckpt")
+    run1 = {r["source"]: (r["n_docs"], r["n_hit"]) for r in
+            _run_complete(spark, agg(), ckpt, "decon_run1")}
+    assert run1 == {"s0": (2, 1)}
+
+    # While DOWN: one more dirty doc and a clean one on a new source
+    # — recovered counters must keep counting from (2, 1).
+    write([(3, dirty_text, "s0"), (4, clean_text, "s1")])
+    run2 = {r["source"]: (r["n_docs"], r["n_hit"]) for r in
+            _run_complete(spark, agg(), ckpt, "decon_run2")}
+    assert run2 == {"s0": (3, 2), "s1": (1, 0)}

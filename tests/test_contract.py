@@ -54,17 +54,17 @@ def test_priority_window():
     assert len(prio) == 50
     assert len(set(prio)) == 50
     assert names[:50] == prio
-    # Round-12 freshness rotation (pre-committed in r11): the 2
+    # Round-12 freshness rotation (pre-committed in r11): the 3
     # oracled round-12 births lead, then the 2 plan-changed
     # re-checks (broadcast-explicit crossJoin), then the full
-    # 45-name r01 cohort + the first r03 name — zero no_oracle
-    # slots, and the stalest driver row advances r01 -> r03.
-    assert prio[:4] == [
-        "s_schema_drift", "q_training_export_full",
+    # 45-name r01 cohort — zero no_oracle slots, and the stalest
+    # driver row advances r01 -> r03.
+    assert prio[:5] == [
+        "s_schema_drift", "q_training_export_full", "s_decontaminate",
         "q_dq_chi2", "q_ts_crosscorr",
     ]
-    assert prio[4] == "q_scan_parquet"
-    assert prio[49] == "q_win_topk_per_group"
+    assert prio[5] == "q_scan_parquet"
+    assert prio[49] == "q_set_union_all"
     oracled = set(entrymod.oracle_sql())
     assert all(n in oracled for n in prio), (
         "window contains a rows-only name; a no_oracle row certifies "
