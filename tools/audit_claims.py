@@ -84,6 +84,23 @@ CLAIMS: dict[str, tuple[list[str], list[str], int | None]] = {
     "q_events_paths": (["WindowGroupLimit"], [], 2),
     # "one exchange total after the daily reduce" == 2 total.
     "q_ts_changepoint": ([], [], 2),
+    # lifecycle.py: "NO global sort/row_number ... the only exchange
+    # is the shard hash partition itself".
+    "q_shard_assign": ([], ["Exchange SinglePartition"], 1),
+    # windows.py: "rank interpolation ... NOT percentile().over()
+    # ... sharing one user_id exchange + one sort".
+    "q_win_percentile": ([], ["percentile"], 1),
+    # aggregates.py: exact percentile WITHOUT the O(group)-state
+    # percentile aggregate buffer (window rank interpolation).
+    "q_agg_percentile": ([], ["percentile"], 2),
+    # the flagship: reference R7-R9 top-5 plans as
+    # TakeOrderedAndProject over one count exchange — never a
+    # global sort.
+    "q_text_trending": (["TakeOrderedAndProject"], ["Sort ["], 1),
+    # windows.py: distinct (user, day) partial-dedupes map-side
+    # (exchange 1 moves day-level rows, not raw events), then the
+    # user_id exchange is reused by the window and both aggregates.
+    "q_win_streaks": ([], [], 2),
 }
 
 
