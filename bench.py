@@ -450,12 +450,16 @@ def main() -> None:
     # [min, max] of the two warm totals instead of PLANS.md prose.
     # Still before any EXTRA query, so the isolation invariant holds.
     core_warm2: dict[str, float] = {}
+    warm2_err: dict[str, str] = {}
     for _name in HEADLINE_CORE:
         if core_cold.get(_name) is None:
             continue
         _t = run_guarded(_name)
         if _name in errors or _t is None:
-            errors.pop(_name, None)
+            # A second-warm-pass failure must be REPORTED, not
+            # silently dropped (ADVICE r12): the artifact otherwise
+            # shows a narrowed band with no sign a query failed.
+            warm2_err[_name] = errors.pop(_name, "unknown")
         else:
             core_warm2[_name] = _t
     noise_probe()
@@ -535,6 +539,8 @@ def main() -> None:
         payload["errors"] = errors
     if warm_errors:
         payload["warm_errors"] = warm_errors
+    if warm2_err:
+        payload["warm2_errors"] = warm2_err
     # Full artifact on disk: BENCH_r{N}.json keeps only a 2000-char
     # stdout tail, so the complete per-query record must live in the
     # repo for round-over-round comparison.

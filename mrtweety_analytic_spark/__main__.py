@@ -228,16 +228,24 @@ def main(argv: list[str] | None = None) -> int:
         import json as _json
 
         from .operators.lifecycle import (
+            export_full_manifest,
+            export_manifest,
             training_export_frame,
             training_export_full_frames,
         )
 
+        # Manifest aggregates run over the SAME frames the data write
+        # materialized (persisted by the frame builders) — re-invoking
+        # the registered query would run the expensive funnel(+cluster
+        # +decontamination) pipeline a second time and, in --full
+        # mode, unpersist the first call's cached frames mid-command
+        # (ADVICE r12).
         if args.full:
-            kept, _cont = training_export_full_frames(spark, args.sf_dir)
-            manifest_op = "q_training_export_full"
+            kept, cont = training_export_full_frames(spark, args.sf_dir)
+            manifest_df = export_full_manifest(kept, cont)
         else:
             kept = training_export_frame(spark, args.sf_dir)
-            manifest_op = "q_training_export"
+            manifest_df = export_manifest(kept)
         data_dir = os.path.join(args.out, "data")
         kept.write.mode("overwrite").partitionBy("shard").parquet(data_dir)
         manifest = [
@@ -252,7 +260,7 @@ def main(argv: list[str] | None = None) -> int:
                 ),
             }
             for r in sorted(
-                QUERIES[manifest_op](spark, args.sf_dir).collect(),
+                manifest_df.collect(),
                 key=lambda r: r.shard,
             )
         ]

@@ -30,6 +30,16 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources import load_table
+from ..util import LastHandle
+
+# Multi-consumer intermediates of the funnel/dedup composites,
+# persisted per call and released on the NEXT call (the engine's
+# LastHandle rule) — without these the quality-gate tokenization
+# re-executes once per downstream consumer (round-13 optimization
+# pass; see OPTIMIZATION_r13.md).
+_LAST_FUNNEL = LastHandle(lambda dfs: [df.unpersist() for df in dfs])
+_LAST_DEDUP_CORPUS = LastHandle(lambda dfs: [df.unpersist() for df in dfs])
+_LAST_KFOLD = LastHandle(lambda dfs: [df.unpersist() for df in dfs])
 
 
 def normalized_text(col: F.Column) -> F.Column:
@@ -437,6 +447,13 @@ def min_label_propagate(pairs: DataFrame) -> DataFrame:
             .groupBy(F.col("doc_a").alias("doc"))
             .agg(F.min("label").alias("nmin"))
         )
+        # The change flag rides ON the checkpointed frame (nmin and
+        # the old label are both in scope here), so convergence needs
+        # no second join of new vs old labels — and the checkpoint is
+        # LAZY, so the count() below is the job that materializes it:
+        # one distributed job per round instead of three (round-13
+        # optimization pass; result-identical, the flag is dropped
+        # before the next round's join).
         new_labels = (
             labels.join(neighbor_min, "doc", "left")
             .select(
@@ -444,16 +461,15 @@ def min_label_propagate(pairs: DataFrame) -> DataFrame:
                 F.least(
                     F.col("label"), F.coalesce("nmin", F.col("label"))
                 ).alias("label"),
+                (
+                    F.col("nmin").isNotNull()
+                    & (F.col("nmin") < F.col("label"))
+                ).alias("chg"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("chg")).count()
+        labels = new_labels.select("doc", "label")
         if changed == 0:
             break
     return labels
@@ -734,7 +750,11 @@ def dedup_corpus(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    kd = docs.join(exact_kept, "doc_id", "left_semi")
+    # kd feeds the jaccard pair join, the anti-join AND the callers'
+    # per-source counts — persist so the exact tier runs once per
+    # call, not once per consumer (round-13 optimization pass).
+    kd = docs.join(exact_kept, "doc_id", "left_semi").persist()
+    _LAST_DEDUP_CORPUS.replace([kd])
     near_dropped = (
         _jaccard_pairs(kd)
         .select(F.col("doc_b").alias("doc_id"))
@@ -1113,6 +1133,14 @@ def funnel_stages(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
         ).alias("stop_ratio"),
         *_lang_hit_cols(),
     )
+    # q feeds the exact-dedup groupBy AND the survivor semi-join;
+    # fdocs feeds the jaccard pair join AND the anti-join (and the
+    # callers' stage counts) — persist both so the tokenize+metrics
+    # lineage runs ONCE per call instead of once per consumer
+    # (measured ~2x on q_corpus_funnel / q_training_export at sf 0.1;
+    # at 100 TB the flip-point rule of _shingle_index applies, but
+    # here the re-derived work is the full quality-gate aggregation,
+    # not a map-side tokenization — persist is the right side).
     q = (
         docs.join(metrics, "doc_id")
         .filter(
@@ -1121,13 +1149,15 @@ def funnel_stages(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
             & F.col("n_tokens").between(10, 500)
         )
         .select(*docs.columns)
+        .persist()
     )
     exact_kept = (
         q.groupBy(F.md5(normalized_text(F.col("text"))).alias("fp"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    fdocs = q.join(exact_kept, "doc_id", "left_semi")
+    fdocs = q.join(exact_kept, "doc_id", "left_semi").persist()
+    _LAST_FUNNEL.replace([q, fdocs])
     near_dropped = (
         _jaccard_pairs(fdocs)
         .select(F.col("doc_b").alias("doc_id"))
@@ -1690,10 +1720,23 @@ def q_sample_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins the O(near-dup pairs) edge list to the fold map twice —
     both tiny after the exact tier. Nothing here scans text.
     """
-    from ..registry import QUERIES
-
     docs = load_table(spark, sf_dir, "documents")
-    clusters = QUERIES["q_dedup_clusters"](spark, sf_dir)
+    # ONE evaluation of the jaccard pair graph feeds BOTH consumers
+    # (the cluster labels and the leakage audit) — invoking
+    # q_dedup_clusters and q_dedup_ngram_jaccard as separate
+    # registered queries executed the full inverted-index pair join
+    # twice (round-13 optimization pass; ~2x on this query's
+    # dominant stage). localCheckpoint rather than persist: the
+    # label-propagation loop needs the edge list materialized before
+    # its first convergence count anyway.
+    pairs = (
+        q_dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    clusters = min_label_propagate(pairs).select(
+        F.col("doc").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
     fold = (
         F.conv(
             F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 12),
@@ -1702,6 +1745,8 @@ def q_sample_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint")
         % KF_K
     )
+    # folded feeds three consumers (both sides of the leakage audit
+    # and the per-fold census) — persist the thin 4-column frame.
     folded = (
         docs.join(clusters, "doc_id", "left")
         .select(
@@ -1710,10 +1755,9 @@ def q_sample_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
         )
         .withColumn("fold", fold)
+        .persist()
     )
-    pairs = QUERIES["q_dedup_ngram_jaccard"](spark, sf_dir).select(
-        "doc_a", "doc_b"
-    )
+    _LAST_KFOLD.replace([folded])
     fa = folded.select(
         F.col("doc_id").alias("doc_a"), F.col("fold").alias("fold_a")
     )

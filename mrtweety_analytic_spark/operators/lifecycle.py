@@ -788,6 +788,14 @@ def q_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction.
     """
     kept = training_export_frame(spark, sf_dir)
+    return export_manifest(kept)
+
+
+def export_manifest(kept: DataFrame) -> DataFrame:
+    """Per-shard manifest aggregate over an exportable kept frame —
+    shared by q_training_export and the CLI `export` command (which
+    aggregates the frame it already wrote instead of re-running the
+    funnel, ADVICE r12)."""
     return kept.groupBy("shard").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
@@ -948,6 +956,17 @@ def q_training_export_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     class over the certified stages.
     """
     kept, contaminated = training_export_full_frames(spark, sf_dir)
+    return export_full_manifest(kept, contaminated)
+
+
+def export_full_manifest(
+    kept: DataFrame, contaminated: DataFrame
+) -> DataFrame:
+    """Per-shard manifest aggregate over the (kept, contaminated)
+    frame pair — shared by q_training_export_full and the CLI
+    `--full` export, which reuses the persisted frames it already
+    wrote instead of re-running the funnel+cluster+decontamination
+    pipeline a second time (ADVICE r12)."""
     tagged = kept.select("doc_id", "n_chars", "shard").withColumn(
         "is_kept", F.lit(1)
     ).unionByName(
@@ -988,7 +1007,11 @@ def training_export_full_frames(
         )
         .select(*final.columns)
     )
-    tnb = train.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
+    # tnb feeds TWO consumers (the contamination semi-join's doc_id
+    # side and the clean anti-join) — without the persist the whole
+    # funnel + cluster-split lineage above executes twice (round-13
+    # optimization pass; the dominant cost of this composite).
+    tnb = train.filter(F.col("doc_id") % DECON_BENCH_MOD != 0).persist()
     arr = F.split("text", " ")
     grams = docs.select(
         "doc_id", F.explode(_word_ngrams(arr, DECON_N)).alias("shingle")
@@ -1015,7 +1038,7 @@ def training_export_full_frames(
     # both so the funnel/cluster lineage runs once (the engine's
     # multi-consumer rule).
     clean = tnb.join(contaminated, "doc_id", "left_anti").persist()
-    _LAST_EXPORT_FULL.replace([clean, contaminated])
+    _LAST_EXPORT_FULL.replace([tnb, clean, contaminated])
     targets = spark.createDataFrame(
         list(MIX_TARGETS.items()), "lang string, target double"
     )

@@ -1040,13 +1040,24 @@ def _km_centroids_df(a: DataFrame) -> DataFrame:
 def _km_train(emb: DataFrame) -> DataFrame:
     """Two deterministic Lloyd iterations from the KM_K smallest
     vec_ids — the learned coarse quantizer shared by
-    q_sim_ivf_kmeans and q_sim_nprobe_curve."""
+    q_sim_ivf_kmeans and q_sim_nprobe_curve.
+
+    The returned frame is KM_K tiny rows but carries the full
+    two-iteration training lineage (2× corpus scan + 2 aggregate
+    rounds); every consumer (assignment, probe routing, residual
+    subtraction) would re-execute that lineage per reference, so it
+    is truncated once here (lazy localCheckpoint — materialized by
+    the first action, reused by every later consumer; the iterative-
+    algorithm hygiene rule of min_label_propagate). Also pins ONE
+    evaluation of the float centroid means: without it, different
+    consumers could observe different aggregation merge orders of
+    the same avg() at the last bit (round-13 optimization pass)."""
     cent = emb.filter(F.col("vec_id") < KM_K).select(
         F.col("vec_id").alias("cl"), F.col("emb").alias("ce")
     )
     for _ in range(2):
         cent = _km_centroids_df(_km_assign_df(emb, cent))
-    return cent
+    return cent.localCheckpoint(eager=False)
 
 
 @register("q_sim_ivf_kmeans", oracle=_IVF_KMEANS_ORACLE)
@@ -1682,11 +1693,19 @@ def _pq_trained_codebook(emb: DataFrame) -> DataFrame:
                 ).alias("ncw")
             )
         )
+        # Iterative-algorithm hygiene (the min_label_propagate rule):
+        # cb appears TWICE per iteration (assign input + empty-cluster
+        # fallback join), so an untruncated lineage DOUBLES each round
+        # — 2^ITERS copies of the base scan by the time the trained
+        # codebook is consumed. Checkpoint the KiB-sized codebook so
+        # iteration k never re-executes 1..k-1 (round-13 optimization
+        # pass; measured 4.6 s -> ~1 s warm on q_sim_pq_trained).
         cb = (
             cb.join(means, ["m", "code"], "left")
             .select(
                 "m", "code", F.coalesce("ncw", "cw").alias("cw")
             )
+            .localCheckpoint(eager=False)
         )
     return cb, subs, assign
 
@@ -3037,10 +3056,16 @@ def _ivfpq_adc(spark: SparkSession, sf_dir: str):
             lambda m: F.slice(col, (m - 1) * PQ_S + 1, PQ_S),
         )
     )
+    # labels×PQ_M tiny rows consumed TWICE (corpus encoding `codes`
+    # and probe LUT build) — truncate the label-mean lineage once
+    # instead of re-executing the full posexplode aggregate per
+    # consumer (round-13 optimization pass).
     codebook = pcent.select(
         F.col("label").alias("c_label"),
         split_m(F.col("pce")).alias("m0", "sub_ce"),
-    ).select((F.col("m0") + 1).alias("m"), "c_label", "sub_ce")
+    ).select(
+        (F.col("m0") + 1).alias("m"), "c_label", "sub_ce"
+    ).localCheckpoint(eager=False)
     subs = emb.select(
         "vec_id", split_m(F.col("emb")).alias("m0", "sub")
     ).select("vec_id", (F.col("m0") + 1).alias("m"), "sub")
@@ -3432,10 +3457,15 @@ def _ivfpq_residual_adc(spark: SparkSession, sf_dir: str):
             lambda m: F.slice(col, (m - 1) * PQ_S + 1, PQ_S),
         )
     )
+    # Same two-consumer truncation as _ivfpq_adc's codebook — here
+    # the re-executed lineage would be even heavier (residual
+    # subtraction + posexplode aggregate per reference).
     codebook = rpcent.select(
         F.col("label").alias("c_label"),
         split_m(F.col("pce")).alias("m0", "sub_ce"),
-    ).select((F.col("m0") + 1).alias("m"), "c_label", "sub_ce")
+    ).select(
+        (F.col("m0") + 1).alias("m"), "c_label", "sub_ce"
+    ).localCheckpoint(eager=False)
     rsubs = red.select(
         "vec_id", split_m(F.col("remb")).alias("m0", "sub")
     ).select("vec_id", (F.col("m0") + 1).alias("m"), "sub")

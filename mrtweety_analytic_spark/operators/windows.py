@@ -443,13 +443,21 @@ def q_win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # Null-safe first-occurrence flag (ADVICE r12): a bare
+    # prev_type.isNull() | (prev_type != type) test flags EVERY row
+    # following a NULL event_type (lag() returns NULL both at the
+    # partition start and after a NULL-typed row). row_number()==1
+    # pins the partition start explicitly and eqNullSafe treats NULL
+    # as one ordinary type value — same window, still one Exchange.
     prev_type = F.lag("event_type").over(w_first)
     flagged = ev.select(
         "user_id",
         "ts",
         "event_id",
         F.when(
-            prev_type.isNull() | (prev_type != F.col("event_type")), 1
+            (F.row_number().over(w_first) == 1)
+            | ~prev_type.eqNullSafe(F.col("event_type")),
+            1,
         )
         .otherwise(0)
         .alias("is_first"),

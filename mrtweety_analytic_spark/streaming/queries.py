@@ -3299,9 +3299,14 @@ def s_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         op="s_schema_drift", key_cols=["shape"],
     )
     final = out.groupBy("shape").agg(F.max("n_part").alias("n"))
+    # count("shape") is NULL-excluding, matching the batch twin's
+    # countDistinct and the oracle's count(DISTINCT ...) if a props
+    # row ever normalizes to a NULL shape (ADVICE r12); n_rows still
+    # counts every row, NULL-shaped included, exactly as the twin's
+    # count(*) does.
     return final.agg(
         F.sum("n").cast("long").alias("n_rows"),
-        F.count(F.lit(1)).cast("long").alias("n_shapes"),
+        F.count("shape").cast("long").alias("n_shapes"),
     )
 
 
