@@ -586,8 +586,8 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     index join linear-ish; no cross product anywhere.
     """
     docs = load_table(spark, sf_dir, "documents")
-    shingles, sizes = _shingle_index(docs)
-    common = _pair_counts(shingles)
+    postings, sizes = _shingle_postings(docs)
+    common = _pairs_from_postings(postings)
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     cont = F.col("n_common") / F.least(F.col("sa.n"), F.col("sb.n"))
@@ -644,24 +644,43 @@ def _pair_counts(shingles: DataFrame) -> DataFrame:
     bounded map-side explode here. Same result set (verified equal at
     sf 0.1 against the join form).
     """
-    postings = shingles.groupBy("shingle").agg(
+    return _pairs_from_postings(_postings_of(shingles))
+
+
+def _postings_of(shingles: DataFrame) -> DataFrame:
+    """(shingle, sorted doc_id array) posting lists of a filtered
+    (doc_id, shingle) inverted index — arrays bounded by the callers'
+    stop-shingle cap."""
+    return shingles.groupBy("shingle").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ds")
     )
+
+
+def _pairs_from_postings(postings: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_common) from posting arrays — the map-side
+    ordered-pair explode + count of _pair_counts' contract.
+
+    The fan-out is posexplode + slice + explode (two codegen'd
+    generators) rather than a nested transform(...) HOF building an
+    array-of-structs (interpreted, and it materializes the full
+    d^2/2 pair array per posting row before exploding). Round-13
+    in-session A/B (tools/opt_exp_jaccard.py, sf 0.1, identical
+    result signature): full jaccard kernel 3.4/4.7/3.0 s with the
+    HOF form vs 3.0/3.1/2.7 s with this form + the checkpointed
+    index.
+    """
     pairs = postings.select(
+        F.posexplode("ds").alias("i", "doc_a"), F.col("ds")
+    ).select(
+        "doc_a",
         F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ds"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
-                        lambda y: F.struct(
-                            x.alias("doc_a"), y.alias("doc_b")
-                        ),
-                    ),
-                )
+            F.slice(
+                F.col("ds"),
+                F.col("i") + 2,
+                F.greatest(F.lit(0), F.size("ds") - F.col("i") - 1),
             )
-        ).alias("p")
-    ).select("p.doc_a", "p.doc_b")
+        ).alias("doc_b"),
+    )
     return pairs.groupBy("doc_a", "doc_b").agg(
         F.count(F.lit(1)).alias("n_common")
     )
@@ -698,6 +717,13 @@ def _shingle_index(docs: DataFrame, df_cap: int = 100
     # ~30-byte strings (~30% faster measured; collision probability
     # over 250k shingles ≈ 2e-9, far below the float-rounding
     # tolerance).
+    # The distinct (doc_id, 8-byte hash) index is the LIGHTWEIGHT
+    # PROXY of the pipeline (guide §8: keys and hashes, never text)
+    # and feeds THREE consumers (df filter, postings, sizes) —
+    # truncate it once (lazy localCheckpoint; materialized by the
+    # first consumer's job, reused by the rest). Round-13 in-session
+    # A/B (tools/opt_exp_jaccard.py): 2.5-2.9 s -> 1.8-2.3 s for the
+    # full jaccard kernel at sf 0.1, identical pair set.
     all_shingles = (
         docs.select("doc_id", F.explode(sh).alias("g"))
         .select(
@@ -707,6 +733,7 @@ def _shingle_index(docs: DataFrame, df_cap: int = 100
             ).alias("shingle"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     rare = (
         all_shingles.groupBy("shingle")
@@ -719,6 +746,24 @@ def _shingle_index(docs: DataFrame, df_cap: int = 100
     return shingles, sizes
 
 
+def _shingle_postings(docs: DataFrame, df_cap: int = 100
+                      ) -> tuple[DataFrame, DataFrame]:
+    """(postings, sizes) form of _shingle_index for pair-join callers:
+    the capped posting arrays are built ONCE (lazy localCheckpoint)
+    and per-doc sizes are derived FROM them (one explode+count over
+    arrays bounded by df_cap) instead of re-aggregating the shingle
+    index a third time — one fewer full pass over the index, same
+    sizes by construction (round-13 optimization pass)."""
+    shingles, _ = _shingle_index(docs, df_cap)
+    postings = _postings_of(shingles).localCheckpoint(eager=False)
+    sizes = (
+        postings.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return postings, sizes
+
+
 def _jaccard_pairs(docs: DataFrame, threshold: float = 0.2,
                    df_cap: int = 100) -> DataFrame:
     """(doc_a, doc_b, jaccard) pairs with word-5-gram Jaccard >=
@@ -726,8 +771,8 @@ def _jaccard_pairs(docs: DataFrame, threshold: float = 0.2,
     q_dedup_ngram_jaccard (whose oracle defines its semantics) and
     dedup_corpus/q_dedup_pipeline.
     """
-    shingles, sizes = _shingle_index(docs, df_cap)
-    common = _pair_counts(shingles)
+    postings, sizes = _shingle_postings(docs, df_cap)
+    common = _pairs_from_postings(postings)
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     jac = F.col("n_common") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
@@ -920,7 +965,13 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen'd integer xor/popcount. Rows-only gate (xxhash64 has no
     DuckDB twin); recall/precision vs brute force pinned by pytest.
     """
-    sigs = q_dedup_simhash(spark, sf_dir).select("doc_id", "simhash")
+    # The signature build feeds BOTH self-join sides — truncate it
+    # once (round-13 optimization pass; same as the md5 twin).
+    sigs = (
+        q_dedup_simhash(spark, sf_dir)
+        .select("doc_id", "simhash")
+        .localCheckpoint(eager=False)
+    )
     bands = sigs.select(
         "doc_id",
         "simhash",
@@ -1347,6 +1398,11 @@ def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     zipped = F.arrays_zip(
         F.slice(ws, 1, n3), F.slice(ws, 2, n3), F.slice(ws, 3, n3)
     )
+    # sh feeds FOUR consumers (minhash build, both verify sides,
+    # sizes) and sig feeds two (both banding sides) — truncate each
+    # once; without this the trigram tokenize+distinct executes 4x
+    # and the MHC_HASHES-per-shingle md5 signature build 2x
+    # (round-13 optimization pass).
     sh = (
         docs.select("doc_id", F.explode(zipped).alias("g"))
         .select(
@@ -1356,6 +1412,7 @@ def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     rows_per_band = MHC_HASHES // MHC_BANDS
     mh = (
@@ -1389,6 +1446,7 @@ def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "",
             ).alias("sg")
         )
+        .localCheckpoint(eager=False)
     )
     a = sig.select(
         F.col("doc_id").alias("doc_a"), "band", F.col("sg").alias("sga")
@@ -1904,7 +1962,10 @@ def q_dedup_simhash_md5_pairs(
     a posting list explodes — unneeded at this signature entropy).
     Verify is codegen'd xor/popcount on int64.
     """
-    sigs = _simhash_md5_sigs(spark, sf_dir)
+    # The signature build (60 conditional vote sums over exploded
+    # tokens) feeds BOTH self-join sides — truncate it once
+    # (round-13 optimization pass).
+    sigs = _simhash_md5_sigs(spark, sf_dir).localCheckpoint(eager=False)
     bands = sigs.select(
         "doc_id",
         "simhash",
@@ -2087,9 +2148,14 @@ def _srp_candidates_from_sigs(
         ).alias("band"),
     ).select("vec_id", "band.band_idx", "band.band_val")
     w_bucket = W.partitionBy("band_idx", "band_val")
-    kept = bands.withColumn(
-        "occ", F.count(F.lit(1)).over(w_bucket)
-    ).filter(F.col("occ") <= cap).drop("occ")
+    # kept feeds BOTH self-join sides — truncate so the signature
+    # build + occupancy window run once (round-13 optimization pass).
+    kept = (
+        bands.withColumn("occ", F.count(F.lit(1)).over(w_bucket))
+        .filter(F.col("occ") <= cap)
+        .drop("occ")
+        .localCheckpoint(eager=False)
+    )
     a, b = kept.alias("a"), kept.alias("b")
     return (
         a.join(
@@ -2236,10 +2302,15 @@ def q_dedup_srp_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "{thr}", str(SRP_COS_THRESHOLD)
     )
     emb = load_table(spark, sf_dir, "embeddings")
-    exact = _embedding_pairs_blocked(
-        spark, sf_dir, SRP_COS_THRESHOLD
-    ).select("vec_a", "vec_b")
-    cand = _srp_candidates(spark, sf_dir)
+    # exact (the O(n²) blocked-BLAS anchor) and cand each feed TWO
+    # consumers (their count + the recall join) — truncate both so
+    # the expensive sides run once (round-13 optimization pass).
+    exact = (
+        _embedding_pairs_blocked(spark, sf_dir, SRP_COS_THRESHOLD)
+        .select("vec_a", "vec_b")
+        .localCheckpoint(eager=False)
+    )
+    cand = _srp_candidates(spark, sf_dir).localCheckpoint(eager=False)
     n = emb.agg(F.count(F.lit(1)).alias("n_vectors"))
     ce = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
     cc = cand.agg(F.count(F.lit(1)).alias("n_candidate_pairs"))

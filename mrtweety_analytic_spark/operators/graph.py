@@ -451,12 +451,17 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )
+    # e (|E|-sized fact join + distinct) feeds THREE consumers (cs,
+    # ea, the cb/sb probe side) and probes TWO (ea's broadcast, the
+    # final left join) — truncate both once (round-13 optimization
+    # pass, q_graph_hits pattern).
     e = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(
             F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     cs = e.select("c").distinct()
     probes = (
@@ -467,6 +472,7 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cust_a")
         .limit(20)
+        .localCheckpoint(eager=False)
     )
     ea = e.join(
         F.broadcast(probes.select("cust_a", "cust_b")),
@@ -682,12 +688,18 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ns = nat.select(
         F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("sn")
     )
+    # lab (the |E|-sized labeled edge list: fact join + distinct + 4
+    # broadcast lookups) feeds FOUR consumers (m, win, both unionAll
+    # legs of degs) — truncate it once (lazy localCheckpoint,
+    # round-13 optimization pass; the q_graph_hits A/B measured this
+    # class of repeated |E| subtree at ~Nx the truncated cost).
     lab = (
         e0.join(F.broadcast(cust), e0.ck == cust.c_custkey)
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
         .join(F.broadcast(supp), F.col("sk") == supp.s_suppkey)
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
         .select("cn", "sn")
+        .localCheckpoint(eager=False)
     )
     m = lab.agg(F.count(F.lit(1)).cast("double").alias("m"))
     win = (
@@ -766,12 +778,21 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )
+    # e0 feeds FOUR consumers (a1 and the three half-iteration joins)
+    # and its orders><lineitem join + distinct is the only |E|-sized
+    # work in the query — truncate it once (lazy localCheckpoint,
+    # round-13 optimization pass; guide §2.1 "remove shuffles
+    # outright"). a2/h2 likewise each feed >1 consumer (next
+    # half-iteration + their own max/normalize), and without the
+    # truncation every consumer replays the whole mutual-
+    # reinforcement chain above it.
     e0 = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(
             F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk")
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     a1 = e0.groupBy("sk").agg(
         F.count(F.lit(1)).cast("double").alias("a")
@@ -785,11 +806,13 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         e0.join(h1, "ck")
         .groupBy("sk")
         .agg(F.sum("h").alias("a"))
+        .localCheckpoint(eager=False)
     )
     h2 = (
         e0.join(a2, "sk")
         .groupBy("ck")
         .agg(F.sum("a").alias("h"))
+        .localCheckpoint(eager=False)
     )
     ma = a2.agg(F.max("a").alias("m"))
     mh = h2.agg(F.max("h").alias("m"))
@@ -863,12 +886,17 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )
+    # e (|E|-sized fact join + distinct) feeds FOUR consumers (deg,
+    # cs, ea, the cb/sb probe side) — truncate it once (lazy
+    # localCheckpoint, round-13 optimization pass, q_graph_hits
+    # pattern: each consumer otherwise replays the whole join).
     e = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(
             F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = e.groupBy("s").agg(
         F.count(F.lit(1)).cast("double").alias("d")
@@ -882,6 +910,7 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cust_a")
         .limit(20)
+        .localCheckpoint(eager=False)
     )
     ea = e.join(
         F.broadcast(probes.select("cust_a", "cust_b")),
@@ -965,7 +994,12 @@ def q_graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
-    dist = deg.groupBy("d").agg(F.count(F.lit(1)).alias("cnt"))
+    # dist is O(distinct-degrees) rows but costs the full |E| join to
+    # compute, and feeds THREE consumers (tot, both sides of the CCDF
+    # self-join) — truncate it once (round-13 optimization pass).
+    dist = deg.groupBy("d").agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint(
+        eager=False
+    )
     tot = dist.agg(F.sum("cnt").cast("double").alias("n"))
     ccdf = (
         dist.alias("a")

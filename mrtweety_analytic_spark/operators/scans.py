@@ -560,10 +560,14 @@ def q_scan_bloom_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     is detected by this same certificate rather than silently eaten.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    # fk feeds THREE consumers (bloom bits, the file list, the
+    # presence probe) — truncate the scan+distinct once (round-13
+    # optimization pass; lazy localCheckpoint, materialized by the
+    # first consumer's job).
     fk = li.select(
         (F.col("l_orderkey") % 64).alias("file_id"),
         F.col("l_partkey").alias("v"),
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
 
     def pos(j: F.Column, v: F.Column) -> F.Column:
         return (

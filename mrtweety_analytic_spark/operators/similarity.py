@@ -2133,10 +2133,25 @@ def q_sim_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe is an equi left join on the pair key, and the verdict is
     one global aggregate row.
     """
-    from ..registry import QUERIES
-    from .dedup import q_dedup_embedding
+    from .dedup import min_label_propagate, q_dedup_embedding
 
-    clusters = QUERIES["q_sim_semantic_clusters"](spark, sf_dir)
+    # ONE evaluation of the exact cos>=0.5 pair join feeds BOTH the
+    # cluster labels and the direct-edge probe — invoking
+    # q_sim_semantic_clusters and q_dedup_embedding as separate
+    # registered queries executed the blocked O(n²) BLAS join twice
+    # (round-13 optimization pass; the q_sample_kfold pattern).
+    pairs0 = (
+        q_dedup_embedding(spark, sf_dir)
+        .select("vec_a", "vec_b")
+        .localCheckpoint()
+    )
+    clusters = min_label_propagate(
+        pairs0.select(
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+        )
+    ).select(
+        F.col("doc").alias("vec_id"), F.col("label").alias("cluster_id")
+    )
     x = clusters.select(
         F.col("vec_id").alias("doc_a"), F.col("cluster_id").alias("ca")
     )
@@ -2147,7 +2162,7 @@ def q_sim_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         y,
         (F.col("ca") == F.col("cb")) & (F.col("doc_a") < F.col("doc_b")),
     ).select("doc_a", "doc_b")
-    direct = q_dedup_embedding(spark, sf_dir).select(
+    direct = pairs0.select(
         F.col("vec_a").alias("doc_a"),
         F.col("vec_b").alias("doc_b"),
         F.lit(1).alias("hit"),
