@@ -3084,25 +3084,41 @@ def _ivfpq_adc(spark: SparkSession, sf_dir: str):
     subs = emb.select(
         "vec_id", split_m(F.col("emb")).alias("m0", "sub")
     ).select("vec_id", (F.col("m0") + 1).alias("m"), "sub")
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("sub"), F.col("sub_ce"), lambda x, y: (x - y) * (x - y)
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # Corpus encoding by shuffle-free per-row argmin (the certified
+    # _km_assign_df / _pq_trained_codebook shape): the 8-label
+    # codebook collapses to ONE row per m and each (vec, m) row takes
+    # array_min over struct(round(dist, 6), label) — same
+    # lexicographic (d, code) tiebreak as the old explode +
+    # groupBy(vec_id, m) min(struct), with zero Exchange and no
+    # SortAggregate of the n×M×labels fan-out (round-13 optimization
+    # pass; interleaved A/B confirmed identical output).
+    packed_cb = codebook.groupBy("m").agg(
+        F.collect_list(F.struct("c_label", "sub_ce")).alias("cbs")
     )
-    codes = (
-        subs.join(F.broadcast(codebook), "m")
-        .groupBy("vec_id", "m")
-        .agg(
-            F.min(
-                F.struct(
-                    F.round(F.sqrt(d2), 6).alias("d"),
-                    F.col("c_label").alias("code"),
-                )
-            ).alias("best")
+    best_code = F.array_min(
+        F.transform(
+            F.col("cbs"),
+            lambda s: F.struct(
+                F.round(
+                    F.sqrt(
+                        F.aggregate(
+                            F.zip_with(
+                                F.col("sub"),
+                                s["sub_ce"],
+                                lambda x, y: (x - y) * (x - y),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        )
+                    ),
+                    6,
+                ).alias("d"),
+                s["c_label"].alias("code"),
+            ),
         )
-        .select("vec_id", "m", F.col("best.code").alias("code"))
+    )
+    codes = subs.join(F.broadcast(packed_cb), "m").select(
+        "vec_id", "m", best_code["code"].alias("code")
     )
 
     probes = emb.filter(F.col("vec_id") % PROBE_MOD == 0).select(
@@ -3446,7 +3462,13 @@ def _ivfpq_residual_adc(spark: SparkSession, sf_dir: str):
     )
     ev = emb.select("vec_id", "emb")
     cent = _km_train(ev)
-    afv = _km_assign_df(ev, cent)  # (vec_id, emb, cl)
+    # afv feeds TWO consumers (the residual subtraction `red` and the
+    # candidate-side `af`), each otherwise replaying the broadcast-
+    # argmin assignment over the corpus — truncate it once (round-13
+    # optimization pass, the q_graph_hits multi-consumer pattern).
+    afv = _km_assign_df(ev, cent).localCheckpoint(
+        eager=False
+    )  # (vec_id, emb, cl)
     red = afv.join(F.broadcast(cent), "cl").select(
         "vec_id",
         "cl",
@@ -3484,25 +3506,37 @@ def _ivfpq_residual_adc(spark: SparkSession, sf_dir: str):
     rsubs = red.select(
         "vec_id", split_m(F.col("remb")).alias("m0", "sub")
     ).select("vec_id", (F.col("m0") + 1).alias("m"), "sub")
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("sub"), F.col("sub_ce"), lambda x, y: (x - y) * (x - y)
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # Residual-corpus encoding by the same shuffle-free per-row
+    # argmin as _ivfpq_adc's codes (round-13 optimization pass): no
+    # explode of the n×M×labels fan-out, no Exchange, no
+    # SortAggregate — identical (d, code) lexicographic tiebreak.
+    packed_cb = codebook.groupBy("m").agg(
+        F.collect_list(F.struct("c_label", "sub_ce")).alias("cbs")
     )
-    rcodes = (
-        rsubs.join(F.broadcast(codebook), "m")
-        .groupBy("vec_id", "m")
-        .agg(
-            F.min(
-                F.struct(
-                    F.round(F.sqrt(d2), 6).alias("d"),
-                    F.col("c_label").alias("code"),
-                )
-            ).alias("best")
+    best_code = F.array_min(
+        F.transform(
+            F.col("cbs"),
+            lambda s: F.struct(
+                F.round(
+                    F.sqrt(
+                        F.aggregate(
+                            F.zip_with(
+                                F.col("sub"),
+                                s["sub_ce"],
+                                lambda x, y: (x - y) * (x - y),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        )
+                    ),
+                    6,
+                ).alias("d"),
+                s["c_label"].alias("code"),
+            ),
         )
-        .select("vec_id", "m", F.col("best.code").alias("code"))
+    )
+    rcodes = rsubs.join(F.broadcast(packed_cb), "m").select(
+        "vec_id", "m", best_code["code"].alias("code")
     )
     probes = emb.filter(F.col("vec_id") % PROBE_MOD == 0).select(
         F.col("vec_id").alias("probe_id"), F.col("emb").alias("pe")
@@ -3511,6 +3545,12 @@ def _ivfpq_residual_adc(spark: SparkSession, sf_dir: str):
         F.desc(F.round(cosine_expr(F.col("ce"), F.col("pe")), 4)),
         F.asc("cl"),
     )
+    # NOTE: cells feeds two consumers (pres, rcand) but must NOT be
+    # localCheckpoint-truncated — both branches meet again in the
+    # radc join, and a shared RDD relation gives them identical
+    # exprIds, breaking df["col"] disambiguation (AMBIGUOUS_REFERENCE,
+    # caught by the round-13 oracle re-check). The replayed lineage is
+    # only the probes×K route window — cheap.
     cells = (
         probes.join(F.broadcast(cent))
         .withColumn("rn", F.row_number().over(w_route))
