@@ -390,13 +390,16 @@ _BLOOM_CONF = {
     "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
 }
 
-# Cache handle for the last q_join_bloom_runtime result — unpersisted
-# on the next call so repeated bench runs don't accumulate entries.
+# Supersession handle for the last q_join_bloom_runtime result —
+# unpersisted on the next call so repeated bench runs don't
+# accumulate cache entries. This is hygiene only: every call
+# RECOMPUTES from parquet (round-13 removed the serve-from-pin memo
+# that returned the previous call's pinned result for a repeated
+# sf_dir — a module-level memo of a query RESULT, which the
+# optimization-round rules prohibit).
 from ..util import LastHandle  # noqa: E402
 
 _LAST_BLOOM_OUT = LastHandle(lambda df: df.unpersist())
-# sf_dir the pinned result was computed from (memoization key).
-_LAST_BLOOM_KEY: list = [None]
 
 
 @register(
@@ -422,20 +425,12 @@ def q_join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
     The injected `might_contain(...)` filter is pinned by
     `tests/test_operators.py::test_runtime_bloom_filter_plan`.
 
-    Repeat calls for the same sf_dir serve the pinned cache entry
-    directly (result memoization): the bloom-conf'd materialization
-    is a setup cost paid once per corpus, and steady-state reads are
-    the 1-row cache hit — so warm bench timings measure the served
-    plan, not a rebuild of the pin (round-4 bench showed the rebuild
-    as a phantom 2.2x regression).
+    Every call recomputes from the parquet inputs. The within-call
+    persist+count exists only to freeze the bloom-conf'd physical
+    plan: the injection is an optimizer rule gated on session confs
+    that the finally-block restores, so the materialization must
+    happen while the confs are set.
     """
-    cur = _LAST_BLOOM_OUT.current()
-    if cur is not None and _LAST_BLOOM_KEY[0] == sf_dir:
-        try:
-            if cur.sparkSession is spark and cur.storageLevel.useMemory:
-                return cur
-        except Exception:
-            pass  # stale handle from a stopped session → recompute
     prev = {k: spark.conf.get(k, None) for k in _BLOOM_CONF}
     for k, v in _BLOOM_CONF.items():
         spark.conf.set(k, v)
@@ -482,11 +477,9 @@ def q_join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
         # returned DataFrame to re-plan after the conf restore,
         # without the bloom filter.
         _LAST_BLOOM_OUT.clear()
-        _LAST_BLOOM_KEY[0] = None
         out = out.persist()
         _LAST_BLOOM_OUT.replace(out)
         out.count()
-        _LAST_BLOOM_KEY[0] = sf_dir
         return out
     finally:
         for k, v in prev.items():
