@@ -62,17 +62,22 @@ _LAST_GRAPH_CKPT = LastHandle(_release_ckpts)
 # keyed on sf_dir + lineitem mtime) was REMOVED: a module-level memo
 # of a corpus-derived intermediate makes each query's bench number
 # depend on which query ran first — the optimization-round rules
-# forbid exactly that. Every query now pays its own edge build
-# (checkpointed within the query for iteration hygiene; the
-# generation collector in util.py releases the blocks two builds
-# later).
+# forbid exactly that. Every query now pays its own edge build,
+# checkpointed within the query for iteration hygiene and released
+# by supersession when the SECOND-next graph query builds its own
+# (keep=2: the previous query's returned DataFrame may still be
+# acting when the next one builds; each query calls _edges exactly
+# once, so a newer build never evicts its own caller's edges).
+_LAST_EDGE_BUILD = LastHandle(_release_ckpts, keep=2)
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected (both-direction) prefixed edge list, materialized
     per query invocation (iterations re-read the checkpointed RDD,
     never the fact join)."""
-    return _build_edges(spark, sf_dir)
+    df = _build_edges(spark, sf_dir)
+    _LAST_EDGE_BUILD.replace([df])
+    return df
 
 
 def _build_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -13,24 +13,10 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .util import begin_checkpoint_generation, install_checkpoint_collector
-
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
-
-# Round-13: every localCheckpoint the operators create is collected
-# into a per-top-level-query generation and released two builds later
-# (see util.py) — bounds block-manager growth across a long bench /
-# verify session instead of waiting on driver GC.
-install_checkpoint_collector()
-
-# Depth of nested registry invocations: operators that compose
-# through QUERIES[...] (kfold -> ngram_jaccard, pipeline -> clusters)
-# must keep their callee's checkpoints in the CALLER's generation —
-# the outer build's action still needs them.
-_invoke_depth = 0
 
 
 def _dates_as_ts(df: DataFrame) -> DataFrame:
@@ -80,28 +66,17 @@ def register(
             return fn
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
-        base: QueryFn = fn
         if date_as_ts:
 
-            def date_wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
                 return _dates_as_ts(fn(spark, sf_dir))
 
-            base = date_wrapped
-
-        def gen_wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            global _invoke_depth
-            _invoke_depth += 1
-            try:
-                if _invoke_depth == 1:
-                    begin_checkpoint_generation()
-                return base(spark, sf_dir)
-            finally:
-                _invoke_depth -= 1
-
-        gen_wrapped.__name__ = fn.__name__
-        gen_wrapped.__doc__ = fn.__doc__
-        gen_wrapped.__wrapped__ = fn
-        QUERIES[name] = gen_wrapped
+            wrapped.__name__ = fn.__name__
+            wrapped.__doc__ = fn.__doc__
+            wrapped.__wrapped__ = fn
+            QUERIES[name] = wrapped
+        else:
+            QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
         return fn
