@@ -2,7 +2,7 @@
 
 Times named queries in ISOLATION under the bench session state
 (same warm-up as bench.py) through the noop sink, and captures
-`.explain("formatted")` for each into plans/r13/<name>_<tag>.txt.
+`.explain("formatted")` for each into plans/$OPT_PLANS_ROUND (default r14)/<name>_<tag>.txt.
 
 Usage:
     python tools/opt_measure.py <tag> <query> [query ...]
@@ -10,7 +10,7 @@ Usage:
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 (default)
 
 Prints one line per query: name, cold, warm1, warm2 seconds.
-Writes plans/r13/<query>_<tag>.txt (explain formatted).
+Writes plans/<round>/<query>_<tag>.txt (explain formatted).
 """
 
 from __future__ import annotations
@@ -69,7 +69,9 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    plans_dir = os.path.join(REPO, "plans", "r13")
+    plans_dir = os.path.join(
+        REPO, "plans", os.environ.get("OPT_PLANS_ROUND", "r14")
+    )
     os.makedirs(plans_dir, exist_ok=True)
     results = {}
     for name in names:
