@@ -704,19 +704,15 @@ def _shingle_index(docs: DataFrame, df_cap: int = 100
     # length may not be negative).
     win_len = F.greatest(F.lit(0), F.size(arr) - (n - 1))
     sh = F.arrays_zip(*[F.slice(arr, i + 1, win_len) for i in range(n)])
-    # The shingle index feeds three consumers (df-filter, postings,
-    # sizes); no explicit persist — the subtree IS re-planned per
-    # consumer (ReusedExchange=0 under AQE: pruning differences
-    # defeat reuse), but re-deriving the map-side tokenization is
-    # measured CHEAPER than materializing the index (persist A/B at
-    # sf 0.1: 5.4-5.9 s vs 4.0-4.2 s; cache of the pre-filter
-    # distinct likewise a wash — see PLANS.md round 5). At 100 TB the
-    # flip point is where tokenization I/O exceeds index size; both
-    # paths are a one-line swap. Shingles are xxhash64'd to int64
-    # before the distinct/joins: 8-byte shuffle keys instead of
-    # ~30-byte strings (~30% faster measured; collision probability
-    # over 250k shingles ≈ 2e-9, far below the float-rounding
-    # tolerance).
+    # Shingles are xxhash64'd to int64 before the distinct/joins:
+    # 8-byte shuffle keys instead of ~30-byte strings (~30% faster
+    # measured; collision probability over 250k shingles ≈ 2e-9, far
+    # below the float-rounding tolerance). A round-5 A/B found a
+    # `persist()` of this index a wash, but persist re-plans each
+    # consumer through the CacheManager; the round-13 lazy
+    # localCheckpoint below instead truncates the lineage so every
+    # consumer scans the materialized RDD — that variant measured
+    # faster (A/B below) and is the one shipped.
     # The distinct (doc_id, 8-byte hash) index is the LIGHTWEIGHT
     # PROXY of the pipeline (guide §8: keys and hashes, never text)
     # and feeds THREE consumers (df filter, postings, sizes) —

@@ -74,7 +74,16 @@ _LAST_EDGE_BUILD = LastHandle(_release_ckpts, keep=2)
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected (both-direction) prefixed edge list, materialized
     per query invocation (iterations re-read the checkpointed RDD,
-    never the fact join)."""
+    never the fact join).
+
+    LIFETIME CONTRACT (ADVICE r13): a graph query's returned
+    DataFrame depends on checkpoint blocks released when the
+    SECOND-next graph query builds its own edges (keep=2
+    supersession). Act on a graph result (noop/collect/write)
+    before invoking two further graph queries; a consumer that must
+    hold results longer should materialize them first. The bench,
+    oracle and CLI paths all act immediately, so they are safe by
+    construction."""
     df = _build_edges(spark, sf_dir)
     _LAST_EDGE_BUILD.replace([df])
     return df

@@ -786,11 +786,17 @@ def q_join_skew_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
+    # The hot-key table feeds THREE broadcast probes (fact semi,
+    # fact anti, dim semi) — without truncation each probe re-runs
+    # the full fact count+filter aggregation (guide §2.1). The frame
+    # is tiny by construction (at most |fact|/{hot_min} keys), so the
+    # checkpoint is bounded at any corpus size.
     hot_keys = (
         ev.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > _HYBRID_HOT_MIN)
         .select("user_id")
+        .localCheckpoint(eager=False)
     )
     hot_fact = ev.join(F.broadcast(hot_keys), "user_id", "left_semi")
     cold_fact = ev.join(F.broadcast(hot_keys), "user_id", "left_anti")

@@ -91,25 +91,36 @@ def q_sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Which (SparkContext, sf_dir) pairs already wrote the partitioned
+# copy THIS session. SESSION-scoped on purpose (the q_join_bucketed
+# pattern): the Hive-partitioned write is the layout work any event
+# lake pays once, so repeat calls within one session read the copy —
+# but a fresh process/session always re-pays the write. Round 13
+# removed cross-run memos (graph _EDGE_CACHE, bloom serve-from-pin);
+# the previous size+mtime-keyed /tmp reuse here was the same class
+# (an artifact keyed on /root/testdata surviving across bench/oracle
+# invocations) and was removed in round 14.
+_PART_EVENTS_WRITTEN: set[tuple[str, str]] = set()
+
+
 def partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table materialized Hive-partitioned by event_type,
-    cached across calls (key includes source size+mtime so a
-    regenerated corpus never reuses a stale copy). Shared by the
-    static (q_scan_partition_pruned) and dynamic (q_join_dpp)
-    pruning certificates."""
+    written once per Spark session (never reused across sessions).
+    Shared by the static (q_scan_partition_pruned) and dynamic
+    (q_join_dpp) pruning certificates."""
     import os
     import tempfile
 
     events = load_table(spark, sf_dir, "events")
-    src = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(src)
     out = os.path.join(
         tempfile.gettempdir(),
         f"mrtweety_part_events_{os.path.basename(os.path.normpath(sf_dir))}"
-        f"_{st.st_size}_{int(st.st_mtime)}_{os.getuid()}",
+        f"_{os.getuid()}",
     )
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PART_EVENTS_WRITTEN:
         events.write.mode("overwrite").partitionBy("event_type").parquet(out)
+        _PART_EVENTS_WRITTEN.add(key)
     # explicit schema: an empty source writes zero partition dirs and
     # schema inference would fail; declared-on-read is also the
     # production posture (audit_empty robustness)

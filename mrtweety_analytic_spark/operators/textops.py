@@ -1943,9 +1943,14 @@ def q_text_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB crawl before anything learned.
 
     Scale: tokenization and island labeling are per-document (the
-    window partitions by doc_id); word stats are one vocabulary-
-    sized aggregate; the per-phrase rescore joins the word table
-    against DISTINCT phrases (broadcastable — vocabulary-sized, not
+    window partitions by doc_id) and run ONCE — the phrase frame is
+    lazily checkpointed and every word/phrase statistic derives from
+    it (word freq/degree by re-splitting the phrase strings, which
+    reproduces the word-occurrence multiset exactly — round-14
+    optimization pass: this deletes the corpus-sized words⋈phrases
+    shuffle join AND three re-derivations of the tokenize+window
+    subtree). The per-phrase rescore joins the word table against
+    DISTINCT phrases (broadcastable — vocabulary-sized, not
     corpus-sized); the cut is TakeOrderedAndProject. Scoring floats
     appear once per distinct phrase, summed from identical per-word
     doubles in both engines, rounded at 6.
@@ -1968,6 +1973,10 @@ def q_text_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("is_stop") == 0)
         .select("doc_id", "grp", "pos", "w")
     )
+    # One phrase row per (doc, island); every downstream statistic
+    # derives from THIS frame, so truncate it once (guide §2.1 —
+    # it previously fed two consumers that each re-ran the
+    # tokenize + running-sum window subtree).
     ph = words.groupBy("doc_id", "grp").agg(
         F.count(F.lit(1)).alias("plen"),
         F.concat_ws(
@@ -1977,11 +1986,15 @@ def q_text_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda x: x["w"],
             ),
         ).alias("phrase"),
-    )
+    ).localCheckpoint(eager=False)
+    # Word freq/degree from the phrase strings themselves: splitting
+    # `phrase` on ' ' recovers exactly the word-occurrence multiset
+    # that built it (tokens are space-split upstream, empties
+    # dropped), so this equals the former words⋈ph join on
+    # (doc_id, grp) — minus the corpus-sized shuffle join (guide
+    # §2.4: remove shuffles outright).
     wstat = (
-        words.join(
-            ph.select("doc_id", "grp", "plen"), ["doc_id", "grp"]
-        )
+        ph.select(F.explode(F.split("phrase", " ")).alias("w"), "plen")
         .groupBy("w")
         .agg(
             F.count(F.lit(1)).alias("freq"),
@@ -1990,7 +2003,7 @@ def q_text_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pcount = ph.groupBy("phrase").agg(
         F.count(F.lit(1)).alias("n_occur")
-    )
+    ).localCheckpoint(eager=False)
     pwords = pcount.select(
         "phrase", F.explode(F.split("phrase", " ")).alias("w")
     )
