@@ -337,6 +337,43 @@ def main() -> None:
 
     errors: dict[str, str] = {}
 
+    # Untimed block scrub between queries (round-14; VERDICT r13
+    # item 1). Dead persist/localCheckpoint blocks accumulate across
+    # the 259-query session (checkpoint RDDs are invisible to the
+    # CacheManager and freed only by driver-GC ContextCleaner
+    # passes); the measured effect was a second-warm core drift of
+    # 1.06-1.18x at 32 cores and worse at 8. The round-13
+    # in-registry collector was REVERTED because its releases fired
+    # asynchronously inside later queries' timed regions; this scrub
+    # instead runs in the bench loop strictly AFTER a query's timing
+    # stops and BEFORE the next timer starts, and uses BLOCKING
+    # unpersist so the BlockManager settles within the untimed gap.
+    # Semantics: every registry query builds its frames per call (no
+    # cross-call block reuse survives round 13's memo removals), so
+    # releasing all blocks between queries cannot change any result —
+    # it only stops dead blocks from dragging later measurements.
+    # Timed methodology (noop sink, query list, pass structure) is
+    # unchanged. Set SPARK_GRAFT_SCRUB=0 to measure the old
+    # accumulating behavior.
+    scrub_on = os.environ.get("SPARK_GRAFT_SCRUB", "1") != "0"
+
+    def scrub() -> None:
+        if not scrub_on:
+            return
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
+        try:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for jrdd in list(jmap.values()):
+                try:
+                    jrdd.unpersist(True)
+                except Exception:
+                    pass
+        except Exception:
+            pass
+
     def run(name: str) -> float:
         t0 = time.time()
         df = QUERIES[name](spark, sf_dir)
@@ -354,6 +391,10 @@ def main() -> None:
         except Exception as e:
             errors[name] = f"{type(e).__name__}: {e}"[:300]
             return None
+        finally:
+            # Outside the timed region: `run` has already stopped
+            # its timer (or raised) by the time this executes.
+            scrub()
 
     # Warm-up, unmeasured: a real shuffle + codegen pass (a metadata-
     # only count would leave the first measured query paying the
