@@ -387,11 +387,17 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         visited_nodes = levels[0].select("node")
         for lv in levels[1:]:
             visited_nodes = visited_nodes.unionByName(lv.select("node"))
+        # Frontier and visited sets are O(|V|) vs the O(|E|) edge
+        # list: broadcast both so the expansion join and the
+        # visited anti-join are map-side, leaving the frontier
+        # `distinct` as the level's only shuffle — previously each
+        # level sort-merge-shuffled the edge list (round-14
+        # optimization pass; the q_graph_pagerank |V| << |E| rule).
         nxt = (
-            frontier.join(edges, frontier.node == edges.src)
+            F.broadcast(frontier).join(edges, frontier.node == edges.src)
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(visited_nodes, "node", "left_anti")
+            .join(F.broadcast(visited_nodes), "node", "left_anti")
             .select("node", F.lit(lvl).alias("lvl"))
             .localCheckpoint(eager=True)
         )
@@ -588,11 +594,17 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # survivor frame (at scale each count is a driver round-trip per
     # iteration).
     n_prev = nodes.count()
+    # The survivor set is O(|V|) while the filtered side is O(|E|):
+    # broadcasting the node set makes both endpoint semi-joins
+    # map-side (the q_graph_pagerank |V| << |E| argument), so each
+    # peel round's only shuffle is the degree groupBy — previously
+    # every round sort-merge-shuffled the full edge list twice
+    # (round-14 optimization pass, guide §3.1).
     for _ in range(20):
         alive = edges.join(
-            nodes, edges.src == nodes.node, "left_semi"
+            F.broadcast(nodes), edges.src == nodes.node, "left_semi"
         ).join(
-            nodes.select(F.col("node").alias("dst_n")),
+            F.broadcast(nodes.select(F.col("node").alias("dst_n"))),
             F.col("dst") == F.col("dst_n"),
             "left_semi",
         )
@@ -608,9 +620,9 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         n_prev = n_now
     core_edges = edges.join(
-        nodes, edges.src == nodes.node, "left_semi"
+        F.broadcast(nodes), edges.src == nodes.node, "left_semi"
     ).join(
-        nodes.select(F.col("node").alias("dst_n")),
+        F.broadcast(nodes.select(F.col("node").alias("dst_n"))),
         F.col("dst") == F.col("dst_n"),
         "left_semi",
     )

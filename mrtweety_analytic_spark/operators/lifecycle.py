@@ -1013,12 +1013,21 @@ def training_export_full_frames(
     # optimization pass; the dominant cost of this composite).
     tnb = train.filter(F.col("doc_id") % DECON_BENCH_MOD != 0).persist()
     arr = F.split("text", " ")
-    grams = docs.select(
-        "doc_id", F.explode(_word_ngrams(arr, DECON_N)).alias("shingle")
-    ).dropDuplicates(["doc_id", "shingle"])
+    gexpr = F.explode(_word_ngrams(arr, DECON_N)).alias("shingle")
+    # Round-14: the old shared `grams` frame (corpus-wide
+    # dropDuplicates([doc_id, shingle])) was evaluated ONCE PER
+    # CONSUMER and paid a full corpus-shingle shuffle each time —
+    # yet its two consumers restrict to DISJOINT doc halves
+    # (benchmark docs %MOD==0 vs train docs %MOD!=0, tnb already
+    # excludes the benchmark half). Filtering each side's docs
+    # BEFORE the explode removes the shared dedup shuffle entirely
+    # (guide §2.3/§2.4): the benchmark side's `distinct` subsumes
+    # its per-doc dedup, and the contamination side needs no
+    # per-(doc, shingle) dedup at all because its output is
+    # `distinct doc_id` — duplicate shingle hits collapse there.
     bench = (
-        grams.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
-        .select("shingle")
+        docs.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+        .select(gexpr)
         .distinct()
     )
     shard = F.pmod(F.expr(_HASH48).cast("bigint"), F.lit(N_SHARDS))
@@ -1026,7 +1035,9 @@ def training_export_full_frames(
     # join (semi-join on the doc_id key), then broadcast the tiny
     # benchmark side — the corpus-side shingles never shuffle.
     contaminated = (
-        grams.join(tnb.select("doc_id"), "doc_id", "left_semi")
+        docs.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
+        .select("doc_id", gexpr)
+        .join(tnb.select("doc_id"), "doc_id", "left_semi")
         .join(F.broadcast(bench), "shingle")
         .select("doc_id")
         .distinct()

@@ -964,17 +964,24 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     arr = F.split("text", " ")
-    grams = docs.select(
-        "doc_id", F.explode(_word_ngrams(arr, DECON_N)).alias("shingle")
-    ).dropDuplicates(["doc_id", "shingle"])
+    gexpr = F.explode(_word_ngrams(arr, DECON_N)).alias("shingle")
+    # Round-14: filter each side's DOCS before the explode instead of
+    # sharing one corpus-wide dropDuplicates([doc_id, shingle]) frame
+    # (which was re-evaluated per consumer — a full corpus-shingle
+    # shuffle each time, guide §2.3/§2.4). The per-(doc, shingle)
+    # dedup the n_shared count needs moves AFTER the selective
+    # benchmark join, where only matching rows survive.
     bench = (
-        grams.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
-        .select("shingle")
+        docs.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+        .select(gexpr)
         .distinct()
     )
-    corpus = grams.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
+    corpus = docs.filter(F.col("doc_id") % DECON_BENCH_MOD != 0).select(
+        "doc_id", gexpr
+    )
     return (
         corpus.join(F.broadcast(bench), "shingle")
+        .dropDuplicates(["doc_id", "shingle"])
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
