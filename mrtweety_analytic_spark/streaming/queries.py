@@ -61,6 +61,25 @@ _MEMORY_PIN_ROW_BUDGET = 100_000
 _MEMORY_PIN_HELPERS = frozenset({"_run_to_memory", "_mdr_monitor"})
 
 
+def _release_pins(dfs) -> None:
+    # The pinned sink frames are localCheckpoint'ed — their RDD hangs
+    # off the LogicalRDD leaf (not the CacheManager); release there.
+    for df in dfs:
+        try:
+            plan = df._jdf.queryExecution().analyzed()
+            if plan.getClass().getSimpleName() == "LogicalRDD":
+                plan.rdd().unpersist(False)
+        except Exception:
+            pass
+
+
+# Supersession holder for the pinned memory-sink frames (ADVICE r13:
+# heavy checkpointed intermediates should be LastHandle-tracked).
+# keep=2: the previous call's returned frame may still be acting when
+# the next streaming query pins its own.
+_LAST_SINK_PIN = LastHandle(_release_pins, keep=2)
+
+
 def _run_to_memory(
     spark: SparkSession,
     df: DataFrame,
@@ -99,11 +118,21 @@ def _run_to_memory(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     result = spark.table(name)
+    # Pin the sink rows as an eagerly checkpointed frame BEFORE the
+    # temp view is dropped. Round-14: this replaces
+    # `createDataFrame(result.collect(), schema)` — which
+    # round-tripped every sink row JVM -> Python pickle -> JVM
+    # (guide §4: the boundary is the cost; nothing here needs
+    # Python) — with a JVM-only materialization. The budget count
+    # below then reads the already-materialized blocks instead of
+    # re-planning the sink scan. Identical rows/schema either way.
+    out = result.localCheckpoint(eager=True)
+    _LAST_SINK_PIN.replace([out])
     # Budget the STATE the pin implies: distinct keys when the group
     # key is named, raw emissions otherwise (see _MEMORY_PIN_ROW_BUDGET
     # note for why raw rows over-count under multi-batch replays).
     n = (
-        result.dropDuplicates(key_cols) if key_cols else result
+        out.dropDuplicates(key_cols) if key_cols else out
     ).count()
     if n > _MEMORY_PIN_ROW_BUDGET:
         if op is None:
@@ -126,8 +155,6 @@ def _run_to_memory(
             "aggregate's group key is not bounded; cap the key space "
             "(bucket/window it) before pinning on the driver"
         )
-    # Pin the rows before the memory table is dropped.
-    out = spark.createDataFrame(result.collect(), result.schema)
     spark.catalog.dropTempView(name)
     return out
 
