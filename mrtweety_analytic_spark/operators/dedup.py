@@ -422,19 +422,29 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def min_label_propagate(pairs: DataFrame) -> DataFrame:
+def min_label_propagate(
+    pairs: DataFrame, pairs_materialized: bool = False
+) -> DataFrame:
     """Connected components by iterative min-label propagation over
     an (doc_a, doc_b) pair list — the shared core behind
     q_dedup_clusters (shingle-jaccard edges) and
     q_sim_semantic_clusters (embedding-cosine edges). Each round is
     one distributed join+aggregate; labels re-checkpoint every round
     so iteration k never re-executes 1..k-1; only the convergence
-    count crosses to the driver."""
+    count crosses to the driver.
+
+    `pairs_materialized=True` tells the kernel the caller already
+    checkpointed `pairs`: the doubled edge union then stays LAZY
+    (each round re-derives it from the materialized pair RDD — a
+    narrow map, no recompute) instead of eagerly materializing the
+    same rows a second time back-to-back (ADVICE r13 item 4)."""
     edges = pairs.unionByName(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
-    ).localCheckpoint()
+    )
+    if not pairs_materialized:
+        edges = edges.localCheckpoint()
     labels = (
         edges.select(F.col("doc_a").alias("doc"))
         .distinct()
@@ -1788,7 +1798,7 @@ def q_sample_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .localCheckpoint()
     )
-    clusters = min_label_propagate(pairs).select(
+    clusters = min_label_propagate(pairs, pairs_materialized=True).select(
         F.col("doc").alias("doc_id"), F.col("label").alias("cluster_id")
     )
     fold = (

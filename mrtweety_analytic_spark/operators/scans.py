@@ -626,13 +626,22 @@ def q_scan_bloom_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("file_id", "v")
         .agg(F.count(F.lit(1)).alias("k_hits"))
     )
+    # Presence of (file_id, v) in fk, restricted to panel values
+    # FIRST: the semi-join against the broadcast panel is map-side
+    # over fk and its output is bounded by files × panel — so the
+    # presence attach below broadcasts too. Previously this was
+    # `pairs LEFT JOIN fk` directly, which sort-merge-shuffled the
+    # fact-sized fk against a 6k-row panel (round-14; guide §3.1 —
+    # the plan's only SortMergeJoin pair, 2 Exchanges, removed).
+    present = fk.join(F.broadcast(probes), "v", "left_semi").select(
+        "file_id", "v", F.lit(1).alias("present0")
+    )
+    # hits is bounded by files × panel as well — broadcast both
+    # attach joins so the certificate aggregation is shuffle-free
+    # after the bloom build.
     ev = (
-        pairs.join(hits, ["file_id", "v"], "left")
-        .join(
-            fk.select("file_id", "v", F.lit(1).alias("present0")),
-            ["file_id", "v"],
-            "left",
-        )
+        pairs.join(F.broadcast(hits), ["file_id", "v"], "left")
+        .join(F.broadcast(present), ["file_id", "v"], "left")
         .select(
             F.when(
                 F.coalesce(F.col("k_hits"), F.lit(0)) == BLOOM_K, 1

@@ -2148,7 +2148,8 @@ def q_sim_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = min_label_propagate(
         pairs0.select(
             F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
-        )
+        ),
+        pairs_materialized=True,
     ).select(
         F.col("doc").alias("vec_id"), F.col("label").alias("cluster_id")
     )
@@ -2619,8 +2620,12 @@ def q_sim_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = exact.select(
         "probe_id", "vec_id", nps
     )
+    # Both recall-join sides are workload-bounded (probes × np × k
+    # rows, never corpus-sized) — broadcast the retrieved side so the
+    # outer join is map-side instead of a two-Exchange sort-merge
+    # (round-14; guide §3.1).
     j = ex.join(
-        topk,
+        F.broadcast(topk),
         (F.col("np") == F.col("t_np"))
         & (F.col("probe_id") == F.col("t_probe"))
         & (F.col("vec_id") == F.col("t_vec")),
