@@ -903,7 +903,7 @@ def q_sim_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = q_sim_knn_batch(spark, sf_dir).select("probe_id", "vec_id")
     j = exact.join(
-        ivf,
+        F.broadcast(ivf),
         (F.col("probe_id") == F.col("i_probe"))
         & (F.col("vec_id") == F.col("i_vec")),
         "left",
@@ -1154,7 +1154,7 @@ def q_sim_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = q_sim_knn_batch(spark, sf_dir).select("probe_id", "vec_id")
     j = exact.join(
-        ivf,
+        F.broadcast(ivf),
         (F.col("probe_id") == F.col("i_probe"))
         & (F.col("vec_id") == F.col("i_vec")),
         "left",
@@ -1532,7 +1532,7 @@ def q_sim_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", "vec_id")
     )
     j = exact.join(
-        adc,
+        F.broadcast(adc),
         (F.col("probe_id") == F.col("a_probe"))
         & (F.col("vec_id") == F.col("a_vec")),
         "left",
@@ -1831,7 +1831,7 @@ def q_sim_pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", "vec_id")
     )
     j = exact.join(
-        adc,
+        F.broadcast(adc),
         (F.col("probe_id") == F.col("a_probe"))
         & (F.col("vec_id") == F.col("a_vec")),
         "left",
@@ -3280,7 +3280,7 @@ def q_sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = q_sim_knn_batch(spark, sf_dir).select("probe_id", "vec_id")
     j = exact.join(
-        ivfpq,
+        F.broadcast(ivfpq),
         (F.col("probe_id") == F.col("i_probe"))
         & (F.col("vec_id") == F.col("i_vec")),
         "left",
@@ -3336,7 +3336,7 @@ def q_sim_ivfpq_refine_recall(
     )
     exact = q_sim_knn_batch(spark, sf_dir).select("probe_id", "vec_id")
     j = exact.join(
-        refined,
+        F.broadcast(refined),
         (F.col("probe_id") == F.col("r_probe"))
         & (F.col("vec_id") == F.col("r_vec")),
         "left",
@@ -3673,7 +3673,7 @@ def q_sim_ivfpq_residual_recall(
     )
     exact = q_sim_knn_batch(spark, sf_dir).select("probe_id", "vec_id")
     j = exact.join(
-        ivfpqr,
+        F.broadcast(ivfpqr),
         (F.col("probe_id") == F.col("i_probe"))
         & (F.col("vec_id") == F.col("i_vec")),
         "left",
@@ -3796,7 +3796,7 @@ def q_sim_ivfpq_residual_refine_recall(
     )
     exact = q_sim_knn_batch(spark, sf_dir).select("probe_id", "vec_id")
     j = exact.join(
-        refined,
+        F.broadcast(refined),
         (F.col("probe_id") == F.col("i_probe"))
         & (F.col("vec_id") == F.col("i_vec")),
         "left",
