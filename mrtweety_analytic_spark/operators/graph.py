@@ -84,12 +84,12 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     hold results longer should materialize them first. The bench,
     oracle and CLI paths all act immediately, so they are safe by
     construction."""
-    df = _build_edges(spark, sf_dir)
-    _LAST_EDGE_BUILD.replace([df])
+    df, ck = _build_edges(spark, sf_dir)
+    _LAST_EDGE_BUILD.replace([ck])
     return df
 
 
-def _build_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _build_edges(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey"
     )
@@ -103,11 +103,16 @@ def _build_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
         )
         .distinct()
+        # Materialize ONE direction only: iterations must not re-run
+        # the fact join, and the lineage cut keeps the iterative plan
+        # flat — but the reverse direction is a narrow column swap,
+        # so checkpointing it too wrote and pinned every edge TWICE
+        # (round-14: half the materialized bytes; each consumer scan
+        # reads the same blocks for both union branches).
+        .localCheckpoint(eager=True)
     )
     und = cs.union(cs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    # Materialize: iterations must not re-run the fact join, and
-    # checkpointing truncates lineage so the iterative plan stays flat.
-    return und.localCheckpoint(eager=True)
+    return und, cs
 
 
 # Three unrolled PageRank iterations as DuckDB CTEs — same damping,
