@@ -71,14 +71,14 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     infrequent member; the mean-relative threshold tracks corpora
     whose item vocabulary grows with volume, where a
     fraction-of-baskets threshold would over- or under-prune), so
-    stage 2's within-basket self-join runs on the pruned item set
-    only. The pair join is an equi-join on the
-    basket key (pairs are generated inside each basket's hash
-    partition, never across), and the frequent-item table is small by
+    stage 2's within-basket pair generation runs on the pruned item
+    set only. Pairs are generated map-side from each basket's sorted
+    item array (one basket-keyed exchange into the collect, never
+    across baskets), and the frequent-item table is small by
     construction, so support/lift lookups broadcast. For pathological
     baskets, basket_pairs_core(cap_r=R) bounds per-basket fan-out to
     R(R-1)/2 by keeping each basket's top-R items by global frequency
-    before the self-join (pytest-pinned; off here — the oracle is
+    before the pair fan-out (pytest-pinned; off here — the oracle is
     the exact a-priori).
     """
     return basket_pairs_core(load_table(spark, sf_dir, "lineitem"))
@@ -89,7 +89,7 @@ def basket_pairs_core(li: DataFrame, cap_r: int | None = None) -> DataFrame:
 
     cap_r: optional per-basket fan-out cap — each basket keeps only
     its top-cap_r items by (global support desc, item id asc) before
-    the pair self-join, so a mega-basket of B items costs
+    the pair fan-out, so a mega-basket of B items costs
     cap_r(cap_r-1)/2 pairs instead of B²/2. Approximate (pairs of a
     basket's rarer items are missed) and OFF by default; at 100 TB
     it is the guard that keeps one degenerate basket from dominating
@@ -122,8 +122,8 @@ def basket_pairs_core(li: DataFrame, cap_r: int | None = None) -> DataFrame:
     fi = items.join(F.broadcast(freq.select("p")), "p").select("o", "p")
     if cap_r is not None:
         # Per-basket top-R by global support: rank inside the basket's
-        # hash partition (same o-keyed exchange the pair join needs,
-        # so the cap adds a sort but no extra shuffle).
+        # hash partition (same o-keyed exchange the pair fan-out's
+        # collect needs, so the cap adds a sort but no extra shuffle).
         ranked = fi.join(F.broadcast(freq), "p").withColumn(
             "rn",
             F.row_number().over(
@@ -131,12 +131,51 @@ def basket_pairs_core(li: DataFrame, cap_r: int | None = None) -> DataFrame:
             ),
         )
         fi = ranked.where(F.col("rn") <= cap_r).select("o", "p")
-    a, b = fi.alias("a"), fi.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
-        .agg(F.count(F.lit(1)).alias("pair_cnt"))
-    )
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_OLDPAIRS") == "1":  # A/B control
+        a, b = fi.alias("a"), fi.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")),
+            )
+            .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+            .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        )
+    else:
+        # Round-14: within-basket pair generation via the certified
+        # posting-list fan-out from dedup._pairs_from_postings
+        # (posexplode + slice + explode over the basket's sorted item
+        # array) instead of the o-keyed self-join — ONE o-exchange
+        # into the collect_list instead of TWO feeding a SortMergeJoin
+        # (guide §2.4); pair counts are integer-exact either way
+        # (items are distinct per basket, ascending slice ≡ p1 < p2).
+        # Basket arrays are support-pruned (freq ≥ mean) and cap_r
+        # bounds them further when set, so array width is the same
+        # fan-out bound the join form had.
+        baskets = fi.groupBy("o").agg(
+            F.sort_array(F.collect_list("p")).alias("ps")
+        )
+        pairs = (
+            baskets.select(
+                F.posexplode("ps").alias("i", "p1"), F.col("ps")
+            )
+            .select(
+                "p1",
+                F.explode(
+                    F.slice(
+                        F.col("ps"),
+                        F.col("i") + 2,
+                        F.greatest(
+                            F.lit(0), F.size("ps") - F.col("i") - 1
+                        ),
+                    )
+                ).alias("p2"),
+            )
+            .groupBy("p1", "p2")
+            .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        )
     fa = freq.select(F.col("p").alias("p1"), F.col("cnt").alias("cnt_a"))
     fb = freq.select(F.col("p").alias("p2"), F.col("cnt").alias("cnt_b"))
     return (
